@@ -1,0 +1,67 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local tests run on ``local[N]`` but every config here is chosen so the same
+code runs unchanged on a 1000-executor cluster: AQE for runtime re-planning
+(skew joins, partition coalescing), Arrow for the Python boundary, UTC so
+results are timezone-stable against any oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Sized for local[32] with 128 GiB; on a real cluster these come from
+# spark-submit / cluster conf instead and the builder only sets SQL behavior.
+_SQL_CONFS: dict[str, str] = {
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.orc.filterPushdown": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    # ~128 MB input splits: the right granularity for TB-scale scans; harmless locally.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # The driver's events.parquet carries TIMESTAMP(NANOS) which Spark's
+    # reader rejects; read as long and convert in the catalog (lossless:
+    # the data is µs-aligned).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def get_spark(app_name: str = "kafka_connect_storage_cloud_formats_spark") -> SparkSession:
+    """Create (or reuse) the engine's SparkSession.
+
+    Honors ``SPARK_GRAFT_CPUS`` for local parallelism (driver contract).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
+    )
+    for k, v in _SQL_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def apply_session_confs(spark: SparkSession) -> SparkSession:
+    """Apply the engine's SQL confs to an externally-created session.
+
+    The driver hands us its own SparkSession for ``entry()``/``queries()``;
+    runtime-settable SQL confs are applied so plans behave the same.
+    """
+    for k, v in _SQL_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static confs (e.g. driver memory) can't change post-start
+    return spark

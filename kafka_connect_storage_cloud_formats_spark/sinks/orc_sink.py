@@ -1,0 +1,175 @@
+"""ORC sinks: Spark-native partitioned writer + reference-parity writer.
+
+The reference writes one ORC file per (topic, partition, offset-range):
+deterministic name ``{topics}_{dir}_{topic}_{partition}_{offset:010d}.orc``
+(test-framework ``FileUtils.java:17-26``), a new file every ``flush.size``
+records (observed offsets {0,3,6} for 7 records at flush.size=3,
+``DataWriterOrcTest.java:92``), and exactly-once via unconditional overwrite
+of the deterministic name (``OrcRecordWriter.java:91``, recovery scenario
+``DataWriterOrcTest.java:102-124``).
+
+Two sinks:
+
+- ``write_orc_partitioned`` — the idiomatic Spark path: Hive-style
+  ``partition=N/`` layout (reference ``DefaultPartitioner``,
+  ``DataWriterOrcTest.java:261-264``), vectorized ORC writer, commit
+  protocol, ``maxRecordsPerFile`` for file sizing. This is the sink a 100 TB
+  pipeline should use: readers get partition pruning + stripe pushdown free.
+
+- ``write_orc_parity`` — exact reference naming/rotation semantics for
+  drop-in compatibility: records grouped by
+  ``(topic, partition, floor(offset / flush_size))``, one ORC file per group
+  with the offset-zero-padded name, written via deterministic overwrite so
+  re-processing is idempotent (same exactly-once argument as the reference).
+  Implemented as a *distributed* grouped write (one Spark write task per
+  file group via ``partitionBy`` on a computed file-group column, then a
+  driver-side rename pass over the manifest — O(#files), no data through the
+  driver).
+
+Scale notes: on a real cluster ``write_orc_parity``'s rename pass is a
+metadata-only operation against the filesystem/S3 listing (one rename per
+output file, parallelizable); data movement is fully distributed. The hard
+cap of 11,000 rows/file in the reference (single VectorizedRowBatch,
+``OrcRecordWriter.java:100``, flush disabled at 77-79) is a historical
+constant, deliberately NOT reproduced — ``flush_size`` may be any size.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Reference test-framework delimiters (FileUtils.java:7-8); '#' in filenames is
+# sanitized to '_' by the writer (OrcRecordWriter.java:50) so the effective
+# on-storage delimiter is '_' everywhere (SURVEY.md §2.2.5).
+DIRECTORY_DELIM = "_"
+ZERO_PAD_FORMAT = "%010d"
+EXTENSION = ".orc"
+
+
+def file_key_to_commit(
+    topics_prefix: str,
+    dir_prefix: str,
+    topic: str,
+    partition: int,
+    start_offset: int,
+    extension: str = EXTENSION,
+    zero_pad_format: str = ZERO_PAD_FORMAT,
+) -> str:
+    """Reference file-key scheme (``FileUtils.java:17-26`` + '#'→'_' sanitation
+    ``OrcRecordWriter.java:50``)."""
+    name = (
+        f"{topic}{DIRECTORY_DELIM}{partition}{DIRECTORY_DELIM}"
+        f"{zero_pad_format % start_offset}{extension}"
+    )
+    key = f"{topics_prefix}{DIRECTORY_DELIM}{dir_prefix}{DIRECTORY_DELIM}{name}"
+    return key.replace("#", "_")
+
+
+def write_orc_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = ("partition",),
+    max_records_per_file: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Spark-native sink: Hive-style partition dirs, vectorized ORC write.
+
+    ``max_records_per_file`` approximates the reference's count-based
+    rotation (``FLUSH_SIZE_CONFIG``) without fixing file *names*.
+    """
+    writer = df.write.mode(mode)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.orc(path)
+
+
+def write_orc_parity(
+    df: DataFrame,
+    out_dir: str,
+    flush_size: int,
+    topics_prefix: str = "topics",
+    dir_prefix: str | None = None,
+    topic_col: str = "topic",
+    partition_col: str = "partition",
+    offset_col: str = "offset",
+    value_cols: list[str] | None = None,
+) -> list[str]:
+    """Reference-parity sink. Returns the sorted list of written file keys.
+
+    Semantics reproduced (SURVEY.md §2.1 #12-15):
+    - one file per (topic, partition, offset-range of ``flush_size``);
+    - file named ``{topics}_{dir}_{topic}_{partition}_{start_offset:010d}.orc``;
+    - deterministic overwrite → idempotent re-processing (recovery test
+      ``DataWriterOrcTest.java:102-124``);
+    - only the *value* columns land in the file (the Kafka key is dropped,
+      SURVEY.md §1.3); offsets/topic/partition drive placement only.
+
+    Distributed strategy: compute ``start_offset = floor(offset/flush_size) *
+    flush_size`` as a column, write with ``partitionBy(topic, partition,
+    start_offset)`` + ``coalesce`` within groups so each group lands as one
+    file (repartition by the group key ⇒ one task per group ⇒ one file), then
+    rename each group directory's single part-file to the reference key.
+    """
+    if value_cols is None:
+        value_cols = [
+            c for c in df.columns if c not in (topic_col, partition_col, offset_col, "key", "ts")
+        ]
+
+    staged = os.path.join(out_dir, "_staged")
+    group_cols = ["__topic", "__partition", "__start_offset"]
+    out = (
+        df.withColumn("__topic", F.col(topic_col))
+        .withColumn("__partition", F.col(partition_col))
+        .withColumn(
+            "__start_offset",
+            (F.floor(F.col(offset_col) / F.lit(flush_size)) * F.lit(flush_size)).cast("long"),
+        )
+        .select(*group_cols, *[F.col(c) for c in value_cols])
+        # one shuffle, keyed by file group → each output file written by one task
+        .repartition(*[F.col(c) for c in group_cols])
+        .sortWithinPartitions(*group_cols)
+    )
+    out.write.mode("overwrite").partitionBy(*group_cols).orc(staged)
+
+    # Metadata-only finalize: move each group's single part file to its
+    # deterministic reference key. O(#files); no row data touches the driver.
+    written: list[str] = []
+    dir_prefix = dir_prefix if dir_prefix is not None else ""
+    for topic_dir in sorted(glob.glob(os.path.join(staged, "__topic=*"))):
+        topic = os.path.basename(topic_dir).split("=", 1)[1]
+        for part_dir in sorted(glob.glob(os.path.join(topic_dir, "__partition=*"))):
+            partition = int(os.path.basename(part_dir).split("=", 1)[1])
+            for off_dir in sorted(glob.glob(os.path.join(part_dir, "__start_offset=*"))):
+                start_offset = int(os.path.basename(off_dir).split("=", 1)[1])
+                parts = sorted(glob.glob(os.path.join(off_dir, "part-*.orc")))
+                if not parts:
+                    continue
+                key = file_key_to_commit(
+                    topics_prefix, dir_prefix or topic, topic, partition, start_offset
+                )
+                dest = os.path.join(out_dir, key)
+                os.makedirs(os.path.dirname(dest), exist_ok=True)
+                if len(parts) == 1:
+                    if os.path.exists(dest):
+                        os.remove(dest)  # unconditional overwrite (OrcRecordWriter.java:91)
+                    shutil.move(parts[0], dest)
+                else:  # defensive: merge would break one-file parity; fail loudly
+                    raise RuntimeError(
+                        f"file group {key} produced {len(parts)} part files; expected 1"
+                    )
+                written.append(key)
+    shutil.rmtree(staged, ignore_errors=True)
+    return sorted(written)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Read-back operator (reference test oracle ``OrcUtils.getRecords``,
+    ``OrcUtils.java:31-95`` — minus its index bugs, SURVEY.md §2.2.4)."""
+    return spark.read.orc(path)

@@ -1,0 +1,121 @@
+"""Kafka record-envelope sources.
+
+The reference consumes ``SinkRecord(topic, partition, keySchema, key,
+valueSchema, value, offset)`` batches (``DataWriterOrcTest.java:306``). In
+Spark the same envelope is the schema of the Kafka source: columns ``key,
+value, topic, partition, offset, timestamp``.
+
+Two entry points:
+
+- ``kafka_stream_source`` — the production path:
+  ``spark.readStream.format("kafka")`` (requires the Kafka connector jar +
+  a broker; gated so tests run without either).
+- ``with_kafka_envelope`` — deterministic envelope synthesis over any batch
+  DataFrame, used by tests and the driver's parquet fixtures: assigns a
+  topic, hash-partitions rows into N topic-partitions, and derives
+  per-partition contiguous offsets. This mirrors exactly how the reference's
+  tests fabricate records (``DataWriterOrcTest.java:276-310``).
+
+Scale note: offset derivation uses a per-partition ``row_number`` window —
+a single shuffle keyed by the (few) topic-partitions. Kafka partition counts
+are small (≤ thousands) by construction, so the window never skews beyond
+real Kafka semantics (offsets ARE a per-partition sequence; any
+implementation must serialize per partition, as the broker itself does).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+
+def with_kafka_envelope(
+    df: DataFrame,
+    topic: str,
+    num_partitions: int = 3,
+    partition_key: str | None = None,
+    order_col: str | None = None,
+    key_col: str | None = None,
+) -> DataFrame:
+    """Wrap a batch DataFrame in the Kafka envelope: adds ``topic``,
+    ``partition`` (int), ``offset`` (long, contiguous from 0 per partition),
+    ``key`` (string; null if no key column — reference drops it anyway,
+    SURVEY.md §1.3).
+
+    ``partition_key``: column hashed to assign the topic-partition (default:
+    round-robin on a stable ordering). ``order_col``: column ordering records
+    within a partition (Kafka append order); defaults to ``partition_key``.
+    """
+    part = (
+        F.pmod(F.xxhash64(F.col(partition_key)), F.lit(num_partitions))
+        if partition_key
+        else F.pmod(F.monotonically_increasing_id(), F.lit(num_partitions))
+    ).cast("int")
+    out = df.withColumn("topic", F.lit(topic)).withColumn("partition", part)
+    order = order_col or partition_key
+    if order is None:
+        order = out.columns[0]
+    w = Window.partitionBy("partition").orderBy(F.col(order).asc())
+    out = out.withColumn("offset", (F.row_number().over(w) - F.lit(1)).cast("long"))
+    out = out.withColumn(
+        "key", F.col(key_col).cast("string") if key_col else F.lit(None).cast("string")
+    )
+    return out
+
+
+def kafka_stream_source(
+    spark: SparkSession,
+    brokers: str,
+    topic: str,
+    value_schema: T.StructType,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Production Kafka source → decoded value columns + envelope.
+
+    Returns a streaming DataFrame with the envelope columns plus the struct
+    fields of ``value_schema`` (decoded from the JSON value payload;
+    ``from_avro`` is the drop-in alternative when a schema registry supplies
+    Avro — same plan shape).
+
+    Gated: raises a clear error when the Kafka connector isn't on the
+    classpath (the test container has no broker).
+    """
+    try:
+        raw = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", brokers)
+            .option("subscribe", topic)
+            .option("startingOffsets", starting_offsets)
+            .load()
+        )
+    except Exception as e:  # pragma: no cover - no broker/jar in test env
+        raise RuntimeError(
+            "Kafka source unavailable (needs spark-sql-kafka jar + broker); "
+            "use with_kafka_envelope() or file_stream_source() for local runs"
+        ) from e
+    decoded = raw.select(
+        F.col("key").cast("string").alias("key"),
+        "topic",
+        "partition",
+        "offset",
+        F.col("timestamp").alias("ts"),
+        F.from_json(F.col("value").cast("string"), value_schema).alias("v"),
+    )
+    return decoded.select("key", "topic", "partition", "offset", "ts", "v.*")
+
+
+def file_stream_source(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-based streaming source (CI stand-in for Kafka; same downstream
+    pipeline). ``maxFilesPerTrigger`` simulates poll batches."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)

@@ -1,0 +1,205 @@
+"""Scenario tests mirroring the reference's test inventory (SURVEY.md §5):
+
+- size-based rotation → files at offsets {0, flush, 2·flush, ...}
+  (DataWriterOrcTest.java:83-99)
+- recovery: re-processing overwrites partial output idempotently
+  (DataWriterOrcTest.java:102-124)
+- >11,000 rows in one file group (the reference's single-batch cap does not
+  apply here; DataWriterOrcTest.java:127-142 tested 11,000 max)
+- multi-partition fan-out, interleaved records
+  (DataWriterOrcTest.java:145-172)
+- golden content comparison with VARYING rows (fixes the reference's
+  identical-row blind spot, SURVEY.md §2.2.4)
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_connect_storage_cloud_formats_spark.pipeline import IngestPipeline
+from kafka_connect_storage_cloud_formats_spark.schema import UnsupportedTypeError, avro_schema_to_spark
+from kafka_connect_storage_cloud_formats_spark.sinks.orc_sink import file_key_to_commit
+from kafka_connect_storage_cloud_formats_spark.sources.kafka_envelope import with_kafka_envelope
+
+SIX_TYPE_SCHEMA = T.StructType(
+    [
+        T.StructField("boolean_col", T.BooleanType(), False),
+        T.StructField("int_col", T.IntegerType(), False),
+        T.StructField("long_col", T.LongType(), False),
+        T.StructField("float_col", T.FloatType(), False),
+        T.StructField("double_col", T.DoubleType(), False),
+        T.StructField("string_col", T.StringType(), False),
+    ]
+)
+
+
+def make_records(spark, n, num_partitions=1, topic="test-topic"):
+    """Varying, seeded rows over the six-type surface (FIXTURES.md F1/F2)."""
+    df = (
+        spark.range(n)
+        .select(
+            (F.col("id") % 2 == 0).alias("boolean_col"),
+            (F.col("id") * 7 - 3).cast("int").alias("int_col"),
+            (F.col("id") * 1_000_003).cast("long").alias("long_col"),
+            (F.col("id") / 3.0).cast("float").alias("float_col"),
+            (F.col("id") * 0.1 + 0.001).cast("double").alias("double_col"),
+            F.concat(F.lit("räkörd-"), F.col("id")).alias("string_col"),
+            F.col("id"),
+        )
+    )
+    env = df.withColumn("topic", F.lit(topic)).withColumn(
+        "partition", (F.col("id") % num_partitions).cast("int")
+    )
+    env = env.withColumn("offset", (F.col("id") / num_partitions).cast("long"))
+    return env.withColumn("key", F.lit("key")).drop("id")
+
+
+def test_rotation_offsets(spark, tmp_path):
+    """7 records, flush.size=3 → files at offsets {0,3,6} (ref :92)."""
+    out = str(tmp_path / "out")
+    pipe = IngestPipeline(out, SIX_TYPE_SCHEMA, flush_size=3, parity_naming=True)
+    written = pipe.run_batch(make_records(spark, 7))
+    expected = [
+        file_key_to_commit("topics", "test-topic", "test-topic", 0, off) for off in (0, 3, 6)
+    ]
+    assert written == sorted(expected)
+    back = pipe.read_back(spark)
+    assert back.count() == 7
+    assert set(back.columns) == {f.name for f in SIX_TYPE_SCHEMA.fields}
+
+
+def test_recovery_idempotent_overwrite(spark, tmp_path):
+    """Partial file at offset 0 is overwritten on reprocess (ref :102-124)."""
+    out = str(tmp_path / "out")
+    pipe = IngestPipeline(out, SIX_TYPE_SCHEMA, flush_size=3, parity_naming=True)
+    # simulate a partial first attempt: only 2 records made it
+    pipe.run_batch(make_records(spark, 2))
+    # full reprocess of all 7
+    written = pipe.run_batch(make_records(spark, 7))
+    assert len(written) == 3
+    back = pipe.read_back(spark)
+    assert back.count() == 7  # no dupes, no loss
+    assert back.select(F.sum("long_col")).first()[0] == sum(i * 1_000_003 for i in range(7))
+
+
+def test_beyond_reference_batch_cap(spark, tmp_path):
+    """11,001 rows in one file — above the reference's hard 11,000-row cap
+    (OrcRecordWriter.java:100); our engine must not truncate."""
+    out = str(tmp_path / "out")
+    pipe = IngestPipeline(out, SIX_TYPE_SCHEMA, flush_size=20_000, parity_naming=True)
+    written = pipe.run_batch(make_records(spark, 11_001))
+    assert written == [file_key_to_commit("topics", "test-topic", "test-topic", 0, 0)]
+    assert pipe.read_back(spark).count() == 11_001
+
+
+def test_multi_partition_fanout(spark, tmp_path):
+    """Interleaved records across 3 topic-partitions → independent per-
+    partition offset sequences (ref :145-172)."""
+    out = str(tmp_path / "out")
+    pipe = IngestPipeline(out, SIX_TYPE_SCHEMA, flush_size=3, parity_naming=True)
+    written = pipe.run_batch(make_records(spark, 21, num_partitions=3))
+    expected = sorted(
+        file_key_to_commit("topics", "test-topic", "test-topic", p, off)
+        for p in range(3)
+        for off in (0, 3, 6)
+    )
+    assert written == expected
+    assert pipe.read_back(spark).count() == 21
+
+
+def test_golden_content_varying_rows(spark, tmp_path):
+    """Field-by-field content equality with varying rows — strengthens the
+    reference's identical-row golden test (SURVEY.md §2.2.4)."""
+    out = str(tmp_path / "out")
+    pipe = IngestPipeline(out, SIX_TYPE_SCHEMA, flush_size=5, parity_naming=True)
+    records = make_records(spark, 13)
+    pipe.run_batch(records)
+    back = pipe.read_back(spark)
+    cols = sorted(f.name for f in SIX_TYPE_SCHEMA.fields)
+    got = sorted(back.select(*cols).collect(), key=lambda r: r["long_col"])
+    want = sorted(records.select(*cols).collect(), key=lambda r: r["long_col"])
+    assert got == want
+
+
+def test_spark_native_sink_partition_pruning(spark, tmp_path):
+    """Idiomatic sink: Hive-style partition=N dirs; reading one partition
+    prunes the others (scan shows partition filters, no full-data read)."""
+    out = str(tmp_path / "out")
+    pipe = IngestPipeline(out, SIX_TYPE_SCHEMA, flush_size=1000, parity_naming=False)
+    pipe.run_batch(make_records(spark, 30, num_partitions=3))
+    assert sorted(os.listdir(out))[:1] == ["_SUCCESS"] or any(
+        d.startswith("partition=") for d in os.listdir(out)
+    )
+    back = spark.read.orc(out)
+    one = back.filter(F.col("partition") == 1)
+    assert one.count() == 10
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "partition" in plan
+
+
+def test_envelope_synthesis(spark):
+    env = with_kafka_envelope(
+        spark.range(100).select(F.col("id").alias("event_id")),
+        topic="t",
+        num_partitions=4,
+        partition_key="event_id",
+        order_col="event_id",
+    )
+    rows = env.groupBy("partition").agg(F.min("offset"), F.max("offset"), F.count("*")).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["min(offset)"] == 0
+        assert r["max(offset)"] == r["count(1)"] - 1
+
+
+def test_avro_schema_mapping():
+    avro = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "b", "type": "boolean"},
+            {"name": "i", "type": "int"},
+            {"name": "l", "type": ["null", "long"]},
+            {"name": "s", "type": "string"},
+        ],
+    }
+    spark_schema = avro_schema_to_spark(avro)
+    assert [f.dataType.simpleString() for f in spark_schema.fields] == [
+        "boolean",
+        "int",
+        "bigint",
+        "string",
+    ]
+    assert [f.nullable for f in spark_schema.fields] == [False, False, True, False]
+    with pytest.raises(UnsupportedTypeError):
+        avro_schema_to_spark(
+            {"type": "record", "name": "r", "fields": [{"name": "x", "type": "bytes"}]}
+        )
+
+
+def test_null_values_stored_as_orc_nulls(spark, tmp_path):
+    """Documented divergence (SURVEY.md §1.2): reference NPEs on null values;
+    we store real ORC nulls."""
+    out = str(tmp_path / "out")
+    schema = T.StructType(
+        [
+            T.StructField("int_col", T.IntegerType(), True),
+            T.StructField("string_col", T.StringType(), True),
+        ]
+    )
+    df = spark.range(10).select(
+        F.when(F.col("id") % 3 == 0, None).otherwise(F.col("id")).cast("int").alias("int_col"),
+        F.when(F.col("id") % 4 == 0, None)
+        .otherwise(F.concat(F.lit("s"), F.col("id")))
+        .alias("string_col"),
+        F.lit("t").alias("topic"),
+        F.lit(0).cast("int").alias("partition"),
+        F.col("id").cast("long").alias("offset"),
+    )
+    pipe = IngestPipeline(out, schema, flush_size=100, parity_naming=True)
+    pipe.run_batch(df)
+    back = pipe.read_back(spark)
+    assert back.filter(F.col("int_col").isNull()).count() == 4
+    assert back.filter(F.col("string_col").isNull()).count() == 3
