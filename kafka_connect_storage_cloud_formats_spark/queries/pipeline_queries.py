@@ -1,0 +1,98 @@
+"""Oracle-gated queries that exercise the ingest pipeline itself.
+
+These make the core reference semantics (envelope → ORC → read-back,
+SURVEY.md §2.1) part of the driver's hash-checked surface: the Spark side
+physically writes and re-reads ORC files, the oracle computes the same
+aggregate straight from the source table — they match only if the pipeline
+is lossless.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_connect_storage_cloud_formats_spark.catalog import load_table
+from kafka_connect_storage_cloud_formats_spark.pipeline import IngestPipeline
+from kafka_connect_storage_cloud_formats_spark.queries.relational import dsum
+from kafka_connect_storage_cloud_formats_spark.sources.kafka_envelope import with_kafka_envelope
+
+EVENTS_VALUE_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def _run_events_pipeline(spark: SparkSession, sf_dir: str, parity: bool) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    # modular partitioner so the oracle can reproduce partition assignment in SQL
+    env = with_kafka_envelope(
+        events,
+        topic="events",
+        num_partitions=3,
+        partition_key="user_id",
+        order_col="event_id",
+        partitioner="mod",
+    )
+    out = tempfile.mkdtemp(prefix="engine_orc_roundtrip_")
+    pipe = IngestPipeline(
+        out, EVENTS_VALUE_SCHEMA, flush_size=10_000, parity_naming=parity
+    )
+    pipe.run_batch(env)
+    return pipe.read_back(spark)
+
+
+def orc_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference pipeline end-to-end (parity naming), then aggregate the
+    written ORC files. Matches the oracle only if no row/value was lost."""
+    back = _run_events_pipeline(spark, sf_dir, parity=True)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").alias("sum_event_id"),
+            dsum("value").alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORC_ROUNDTRIP_SQL = """
+SELECT event_type, COUNT(*) AS n, SUM(event_id) AS sum_event_id,
+       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def orc_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-native sink variant (Hive-style ``partition=N`` layout) with a
+    partition-pruned read-back: only topic-partition 1 is scanned."""
+    back = _run_events_pipeline(spark, sf_dir, parity=False)
+    return (
+        back.filter(F.col("partition") == 1)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("sum_event_id"))
+        .orderBy("event_type")
+    )
+
+
+ORC_PARTITIONED_SQL = """
+SELECT event_type, COUNT(*) AS n, SUM(event_id) AS sum_event_id
+FROM events
+WHERE user_id % 3 = 1
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -1,0 +1,23 @@
+"""Central query registry: name → (spark_fn, oracle_sql | None).
+
+This is the engine's declared operator surface (driver contract + SURVEY.md
+§2 checklist). ``oracle_sql=None`` marks genuinely non-SQL-expressible
+operators (driver records a rows-only check).
+"""
+
+from __future__ import annotations
+
+from kafka_connect_storage_cloud_formats_spark.queries.pipeline_queries import (
+    ORC_PARTITIONED_SQL,
+    ORC_ROUNDTRIP_SQL,
+    orc_ingest_roundtrip,
+    orc_partitioned_roundtrip,
+)
+from kafka_connect_storage_cloud_formats_spark.queries.relational import RELATIONAL_QUERIES
+
+QUERIES: dict = {
+    # --- reference pipeline semantics (SURVEY.md §2.1), oracle-gated
+    "orc_ingest_roundtrip": (orc_ingest_roundtrip, ORC_ROUNDTRIP_SQL),
+    "orc_partitioned_roundtrip": (orc_partitioned_roundtrip, ORC_PARTITIONED_SQL),
+}
+QUERIES.update(RELATIONAL_QUERIES)

@@ -1,0 +1,296 @@
+"""Relational query pack over the TPC-H-ish testdata.
+
+The reference implements no relational operators (SURVEY.md §2.3) — on Spark
+they come from Catalyst. This pack *exercises* them (scan, filter, project,
+hash/broadcast join, semi/anti join, hash agg, rollup, window, sort, limit,
+JSON extraction) and is the benchmark headline set. Every query has an exact
+DuckDB oracle (ORACLE_SQL) used by the driver's t2 gate.
+
+Determinism: double sums depend on accumulation order, so every oracle-
+compared aggregate goes through a DECIMAL cast (order-independent exact sum)
+and is cast back to DOUBLE — Spark and DuckDB then agree bit-for-bit.
+Per-row double arithmetic (e.g. ``price * (1 - discount)``) is IEEE-
+deterministic and identical in both engines, so it stays in double.
+
+Scale notes (100 TB posture):
+- Filters/projections are expressed on the scan so Catalyst pushes them into
+  parquet (verified by tests/test_plans.py).
+- Small dimensions (region/nation/supplier/customer/part at any realistic
+  scale ratio) are broadcast explicitly: no shuffle of the fact table for
+  those joins; lineitem→orders joins shuffle on the join key and benefit
+  from AQE skew handling.
+- Aggregations are partial (map-side combine) by construction of groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kafka_connect_storage_cloud_formats_spark.catalog import load_table
+
+
+def dsum(col: Column | str, scale: int = 6) -> Column:
+    """Order-independent exact sum of a double column: sum in DECIMAL,
+    emit DOUBLE. Mirrors ``CAST(SUM(CAST(x AS DECIMAL(30,s))) AS DOUBLE)``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(30,{scale})")).cast("double")
+
+
+def davg(col: Column | str, scale: int = 6) -> Column:
+    """Order-independent mean: decimal sum → double, divided by count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return dsum(c, scale) / F.count(c)
+
+
+# --- Q1: pricing summary (TPC-H Q1 shape: scan+filter+hash agg, 8 aggregates)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+            ).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --- Q3: shipping priority (join customer⋈orders⋈lineitem + top-N)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-03-15"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# --- Q5-style: revenue by nation (5-way join through region)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+Q5_SQL = """
+SELECT n_name, r_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY n_name, r_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+# --- window: top-3 orders per customer by totalprice
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rank_in_cust", F.row_number().over(w))
+        .filter(F.col("rank_in_cust") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank_in_cust")
+        .orderBy("o_custkey", "rank_in_cust")
+    )
+
+
+TOP_ORDERS_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rank_in_cust
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank_in_cust
+  FROM orders
+) t
+WHERE rank_in_cust <= 3
+ORDER BY o_custkey, rank_in_cust
+"""
+
+
+# --- rollup: grouping-set aggregation
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("total"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(), F.col("o_orderpriority").asc_nulls_first()
+        )
+    )
+
+
+ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
+# --- semi/anti join: customer order activity
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    big_orders = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    no_orders = cust.join(big_orders, cust.c_custkey == big_orders.o_custkey, "left_anti")
+    return (
+        no_orders.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_no_urgent"))
+        .orderBy("c_mktsegment")
+    )
+
+
+ANTI_JOIN_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_no_urgent
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+# --- distinct aggregation
+def distinct_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+DISTINCT_SQL = """
+SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_orderkey) AS n_orders
+FROM lineitem
+GROUP BY l_suppkey
+ORDER BY l_suppkey
+"""
+
+
+# --- events: JSON extraction + time bucketing (the streaming table, run as batch)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value").alias("total_value"),
+            F.sum("k").alias("sum_k"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+EVENTS_ROLLUP_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
+       SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+ORDER BY hour, event_type
+"""
+
+
+# --- set operation: union + except over part brands/types
+def part_brand_type_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    big = part.filter(F.col("p_size") >= 25).select("p_brand").distinct()
+    pricey = part.filter(F.col("p_retailprice") > 950).select("p_brand").distinct()
+    return big.intersect(pricey).union(big.exceptAll(big)).orderBy("p_brand")
+
+
+SETOPS_SQL = """
+SELECT p_brand FROM (
+  SELECT DISTINCT p_brand FROM part WHERE p_size >= 25
+  INTERSECT
+  SELECT DISTINCT p_brand FROM part WHERE p_retailprice > 950
+) t
+ORDER BY p_brand
+"""
+
+
+RELATIONAL_QUERIES = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
+    "q5_local_supplier_volume": (q5_local_supplier_volume, Q5_SQL),
+    "top_orders_per_customer": (top_orders_per_customer, TOP_ORDERS_SQL),
+    "orders_rollup": (orders_rollup, ROLLUP_SQL),
+    "customers_without_orders": (customers_without_orders, ANTI_JOIN_SQL),
+    "distinct_parts_per_supplier": (distinct_parts_per_supplier, DISTINCT_SQL),
+    "events_hourly_rollup": (events_hourly_rollup, EVENTS_ROLLUP_SQL),
+    "part_brand_type_setops": (part_brand_type_setops, SETOPS_SQL),
+}

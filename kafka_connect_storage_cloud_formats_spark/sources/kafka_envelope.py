@@ -38,21 +38,28 @@ def with_kafka_envelope(
     partition_key: str | None = None,
     order_col: str | None = None,
     key_col: str | None = None,
+    partitioner: str = "hash",
 ) -> DataFrame:
     """Wrap a batch DataFrame in the Kafka envelope: adds ``topic``,
     ``partition`` (int), ``offset`` (long, contiguous from 0 per partition),
     ``key`` (string; null if no key column — reference drops it anyway,
     SURVEY.md §1.3).
 
-    ``partition_key``: column hashed to assign the topic-partition (default:
+    ``partition_key``: column assigning the topic-partition (default:
     round-robin on a stable ordering). ``order_col``: column ordering records
     within a partition (Kafka append order); defaults to ``partition_key``.
+    ``partitioner``: ``"hash"`` (xxhash64, Kafka's murmur2 analog) or
+    ``"mod"`` (key % N — SQL-reproducible, used by oracle-gated queries).
     """
-    part = (
-        F.pmod(F.xxhash64(F.col(partition_key)), F.lit(num_partitions))
-        if partition_key
-        else F.pmod(F.monotonically_increasing_id(), F.lit(num_partitions))
-    ).cast("int")
+    if partition_key and partitioner == "hash":
+        part = F.pmod(F.xxhash64(F.col(partition_key)), F.lit(num_partitions))
+    elif partition_key and partitioner == "mod":
+        part = F.pmod(F.col(partition_key), F.lit(num_partitions))
+    elif partition_key:
+        raise ValueError(f"unknown partitioner {partitioner!r}")
+    else:
+        part = F.pmod(F.monotonically_increasing_id(), F.lit(num_partitions))
+    part = part.cast("int")
     out = df.withColumn("topic", F.lit(topic)).withColumn("partition", part)
     order = order_col or partition_key
     if order is None:
