@@ -1,0 +1,48 @@
+"""Text primitives: tokenization, shingling, deterministic hashing.
+
+All built from ``pyspark.sql.functions`` (JVM-side, codegen'd) — no Python
+UDFs in these hot paths. Hash functions use md5 hex strings so that the
+DuckDB oracle can reproduce them exactly; at 100 TB you would swap
+``md5_long`` for ``F.xxhash64`` (one call-site change, noted per operator).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A tiny stopword list over the corpus vocabulary (deterministic, mirrored in
+# the oracle SQL verbatim).
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array<string>.
+
+    ``transform(sequence(...))`` + ``slice`` keeps the whole computation in
+    one codegen stage — no explode/re-group round trip.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    w = F.split(c, " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(w, i, n), " "))
+    )
+
+
+def md5_perm(col: Column, perm: int) -> Column:
+    """Deterministic hash-family member: md5 of ``"{perm}:" || value`` as a
+    hex string. MinHash over lexicographic MIN of these is a valid min-wise
+    hash family and is reproducible in any SQL engine with md5()."""
+    return F.md5(F.concat(F.lit(f"{perm}:"), col))
+
+
+def md5_long(col: Column, bits: int = 32) -> Column:
+    """First ``bits`` bits of md5 as a non-negative long (hex → decimal)."""
+    return F.conv(F.substring(F.md5(col), 1, bits // 4), 16, 10).cast("long")

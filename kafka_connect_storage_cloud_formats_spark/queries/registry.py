@@ -13,6 +13,7 @@ from kafka_connect_storage_cloud_formats_spark.queries.pipeline_queries import (
     orc_ingest_roundtrip,
     orc_partitioned_roundtrip,
 )
+from kafka_connect_storage_cloud_formats_spark.operators.text import TEXT_QUERIES
 from kafka_connect_storage_cloud_formats_spark.queries.relational import RELATIONAL_QUERIES
 
 QUERIES: dict = {
@@ -21,3 +22,4 @@ QUERIES: dict = {
     "orc_partitioned_roundtrip": (orc_partitioned_roundtrip, ORC_PARTITIONED_SQL),
 }
 QUERIES.update(RELATIONAL_QUERIES)
+QUERIES.update(TEXT_QUERIES)
