@@ -1,0 +1,322 @@
+"""Deduplication operators over the ``documents`` table.
+
+The four standard tiers of an LLM-data dedup pipeline, each designed for
+100 TB and each with an exact DuckDB oracle:
+
+- **exact** — hash-groupBy. The shuffle key is a 256-bit content hash, not
+  the document text, so the shuffle moves ~32 B/row instead of the corpus.
+- **n-gram Jaccard** — exact set-similarity self-join: explode distinct word
+  shingles, join on shingle, count shared. At scale the candidate join is
+  bounded by shingle document-frequency (a hot shingle fans out
+  quadratically); the MinHash-LSH tier below is the scale path, this exact
+  tier is the verifier.
+- **MinHash-LSH** — signatures of K min-hashes (md5-string hash family, so
+  the oracle can recompute them bit-for-bit), banded into B buckets;
+  candidate pairs share ≥1 band. Estimated Jaccard = matching-component
+  fraction. The LSH join shuffles only (band_id, band_hash) keys.
+- **SimHash** — 32-bit token-weighted fingerprint; near-dup pairs are
+  signatures within Hamming distance d. Self-join is bounded by splitting
+  the 32 bits into 4 blocks (pigeonhole: distance ≤3 ⇒ one identical block).
+
+At 100 TB the md5 hex-string hashing would be swapped for ``xxhash64``
+(cheaper, 64-bit); md5 is used here because both engines implement it
+identically, making every stage oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_connect_storage_cloud_formats_spark.catalog import load_table
+from kafka_connect_storage_cloud_formats_spark.functions.text_functions import md5_perm, word_shingles
+
+SHINGLE_N = 3
+MINHASH_K = 12  # 4 bands × 3 rows
+LSH_BANDS = 4
+LSH_ROWS = 3
+JACCARD_THRESHOLD = 0.1
+SIMHASH_BITS = 32
+SIMHASH_MAX_HAMMING = 3
+
+
+# ---------------------------------------------------------------- exact dedup
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: one row per distinct text, keeping the
+    smallest doc_id (deterministic winner) and the duplicate count."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.sha2(F.col("text"), 256).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("keep_doc_id")
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT sha256(text) AS content_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY sha256(text)
+ORDER BY keep_doc_id
+"""
+
+
+# ------------------------------------------------------- exact n-gram Jaccard
+def _shingle_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) distinct rows."""
+    return docs.select(
+        "doc_id", F.explode(word_shingles("text", SHINGLE_N)).alias("s")
+    ).distinct()
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard similarity self-join on word-3-gram shingle sets;
+    emits pairs with J ≥ 0.1."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingle_rows(docs).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    s1 = sizes.alias("s1")
+    s2 = sizes.alias("s2")
+    out = (
+        shared.join(F.broadcast(s1), F.col("d1") == F.col("s1.doc_id"))
+        .join(F.broadcast(s2), F.col("d2") == F.col("s2.doc_id"))
+        .select(
+            "d1",
+            "d2",
+            (
+                F.col("shared").cast("double")
+                / (F.col("s1.n_sh") + F.col("s2.n_sh") - F.col("shared"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("d1", "d2")
+    )
+    return out
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, s FROM (
+  SELECT doc_id,
+         array_to_string(list_slice(w, i, i + {SHINGLE_N - 1}), ' ') AS s
+  FROM docs, unnest(range(1, greatest(len(w) - {SHINGLE_N - 1}, 0) + 1)) AS t(i)) q),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT d1, d2, CAST(shared AS DOUBLE) / (s1.n_sh + s2.n_sh - shared) AS jaccard
+FROM pairs
+JOIN sizes s1 ON d1 = s1.doc_id
+JOIN sizes s2 ON d2 = s2.doc_id
+WHERE CAST(shared AS DOUBLE) / (s1.n_sh + s2.n_sh - shared) >= {JACCARD_THRESHOLD}
+ORDER BY d1, d2
+"""
+
+
+# ------------------------------------------------------------- MinHash + LSH
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-component MinHash signature per document (md5-string hash family:
+    component k = MIN over shingles of md5('k:' || shingle))."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingle_rows(docs)
+    aggs = [F.min(md5_perm(F.col("s"), k)).alias(f"mh_{k:02d}") for k in range(MINHASH_K)]
+    return sh.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+
+
+def _minhash_sql_core() -> str:
+    comps = ",\n       ".join(
+        f"MIN(md5('{k}:' || s)) AS mh_{k:02d}" for k in range(MINHASH_K)
+    )
+    return f"""
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, s FROM (
+  SELECT doc_id,
+         array_to_string(list_slice(w, i, i + {SHINGLE_N - 1}), ' ') AS s
+  FROM docs, unnest(range(1, greatest(len(w) - {SHINGLE_N - 1}, 0) + 1)) AS t(i)) q),
+sig AS (SELECT doc_id,
+       {comps}
+FROM sh GROUP BY doc_id)
+"""
+
+
+MINHASH_SIGNATURES_SQL = _minhash_sql_core() + "SELECT * FROM sig ORDER BY doc_id"
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: documents sharing ≥1 of B=4 bands (each band a
+    hash of R=3 signature components); est_jaccard = matching-component
+    fraction. This is the 100 TB near-dup path: the self-join key is the
+    16-byte band hash, never the text or shingles."""
+    sig = minhash_signatures(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"mh_{b * LSH_ROWS + r:02d}") for r in range(LSH_ROWS)]
+                )
+            ).alias(f"band_{b}")
+            for b in range(LSH_BANDS)
+        ],
+        *[F.col(f"mh_{k:02d}") for k in range(MINHASH_K)],
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    same_band = reduce(
+        lambda x, y: x | y,
+        [F.col(f"a.band_{i}") == F.col(f"b.band_{i}") for i in range(LSH_BANDS)],
+    )
+    matches = sum(
+        F.when(F.col(f"a.mh_{k:02d}") == F.col(f"b.mh_{k:02d}"), 1).otherwise(0)
+        for k in range(MINHASH_K)
+    )
+    return (
+        a.join(b, (F.col("a.doc_id") < F.col("b.doc_id")) & same_band)
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            (matches.cast("double") / MINHASH_K).alias("est_jaccard"),
+        )
+        .orderBy("d1", "d2")
+    )
+
+
+def _minhash_lsh_sql() -> str:
+    band_exprs = ", ".join(
+        "md5("
+        + " || '|' || ".join(f"mh_{b * LSH_ROWS + r:02d}" for r in range(LSH_ROWS))
+        + f") AS band_{b}"
+        for b in range(LSH_BANDS)
+    )
+    same_band = " OR ".join(f"a.band_{i} = b.band_{i}" for i in range(LSH_BANDS))
+    matches = " + ".join(
+        f"CASE WHEN a.mh_{k:02d} = b.mh_{k:02d} THEN 1 ELSE 0 END" for k in range(MINHASH_K)
+    )
+    all_mh = ", ".join(f"mh_{k:02d}" for k in range(MINHASH_K))
+    return (
+        _minhash_sql_core()
+        + f""",
+bands AS (SELECT doc_id, {all_mh}, {band_exprs} FROM sig)
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       CAST(({matches}) AS DOUBLE) / {MINHASH_K} AS est_jaccard
+FROM bands a JOIN bands b ON a.doc_id < b.doc_id AND ({same_band})
+ORDER BY d1, d2
+"""
+    )
+
+
+MINHASH_LSH_SQL = _minhash_lsh_sql()
+
+
+# ------------------------------------------------------------------- SimHash
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document: token-frequency-weighted bit votes where
+    token bits come from the first 8 hex chars of md5(token)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    counted = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
+    v = F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10).cast("long")
+    counted = counted.withColumn("v", v)
+    bit_votes = [
+        F.sum(
+            F.col("c")
+            * (F.floor(F.col("v") / F.lit(2**b)) % 2 * 2 - 1)
+        ).alias(f"s_{b:02d}")
+        for b in range(SIMHASH_BITS)
+    ]
+    voted = counted.groupBy("doc_id").agg(*bit_votes)
+    simhash = sum(
+        F.when(F.col(f"s_{b:02d}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        for b in range(SIMHASH_BITS)
+    )
+    return voted.select("doc_id", simhash.cast("long").alias("simhash")).orderBy("doc_id")
+
+
+def _simhash_sql_core() -> str:
+    # hex → int without conv(): digit positions via instr over the hex alphabet
+    hexval = " + ".join(
+        f"(instr('0123456789abcdef', substr(md5(t), {j + 1}, 1)) - 1) * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+    votes = ",\n       ".join(
+        f"SUM(c * (((v // {2**b}) % 2) * 2 - 1)) AS s_{b:02d}" for b in range(SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"CASE WHEN s_{b:02d} > 0 THEN {2**b} ELSE 0 END" for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, t, COUNT(*) AS c FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) q
+  GROUP BY doc_id, t),
+hv AS (SELECT doc_id, c, CAST({hexval} AS BIGINT) AS v FROM tok),
+voted AS (SELECT doc_id,
+       {votes}
+FROM hv GROUP BY doc_id),
+fp AS (SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM voted)
+"""
+
+
+SIMHASH_SQL = _simhash_sql_core() + "SELECT doc_id, simhash FROM fp ORDER BY doc_id"
+
+
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ 3. Scale strategy
+    (pigeonhole): split the 32 bits into 4 blocks — any pair within distance
+    3 shares at least one exact block, so the self-join key is a block value,
+    not a full cross join."""
+    fp = simhash_fingerprints(spark, sf_dir)
+    blocks = fp.select(
+        "doc_id",
+        "simhash",
+        *[
+            (F.floor(F.col("simhash") / F.lit(2 ** (8 * i))) % 256).alias(f"blk_{i}")
+            for i in range(4)
+        ],
+    )
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    same_block = reduce(
+        lambda x, y: x | y,
+        [F.col(f"a.blk_{i}") == F.col(f"b.blk_{i}") for i in range(4)],
+    )
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    return (
+        a.join(b, (F.col("a.doc_id") < F.col("b.doc_id")) & same_block)
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.bit_count(xor).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .distinct()
+        .orderBy("d1", "d2")
+    )
+
+
+SIMHASH_PAIRS_SQL = _simhash_sql_core() + f"""
+SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+ORDER BY d1, d2
+"""
+
+
+DEDUP_QUERIES = {
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
+    "minhash_signatures": (minhash_signatures, MINHASH_SIGNATURES_SQL),
+    "minhash_lsh_pairs": (minhash_lsh_pairs, MINHASH_LSH_SQL),
+    "simhash_fingerprints": (simhash_fingerprints, SIMHASH_SQL),
+    "simhash_near_pairs": (simhash_near_pairs, SIMHASH_PAIRS_SQL),
+}

@@ -13,6 +13,7 @@ from kafka_connect_storage_cloud_formats_spark.queries.pipeline_queries import (
     orc_ingest_roundtrip,
     orc_partitioned_roundtrip,
 )
+from kafka_connect_storage_cloud_formats_spark.operators.dedup import DEDUP_QUERIES
 from kafka_connect_storage_cloud_formats_spark.operators.text import TEXT_QUERIES
 from kafka_connect_storage_cloud_formats_spark.queries.relational import RELATIONAL_QUERIES
 
@@ -23,3 +24,4 @@ QUERIES: dict = {
 }
 QUERIES.update(RELATIONAL_QUERIES)
 QUERIES.update(TEXT_QUERIES)
+QUERIES.update(DEDUP_QUERIES)

@@ -1,0 +1,50 @@
+"""Invariant tests for the dedup tier (oracle parity is covered by
+tools/check_correctness.py; these check structural properties cheaply).
+"""
+
+from pyspark.sql import functions as F
+
+from kafka_connect_storage_cloud_formats_spark.operators.dedup import (
+    JACCARD_THRESHOLD,
+    SIMHASH_MAX_HAMMING,
+    dedup_exact,
+    dedup_ngram_jaccard,
+    minhash_lsh_pairs,
+    simhash_near_pairs,
+)
+
+
+def test_exact_dedup_partitions_corpus(spark, sf_dir):
+    """Every document belongs to exactly one content-hash group."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    groups = dedup_exact(spark, sf_dir)
+    assert groups.select(F.sum("n_copies")).first()[0] == docs.count()
+    # keeper ids are distinct documents
+    assert groups.select("keep_doc_id").distinct().count() == groups.count()
+
+
+def test_ngram_jaccard_bounds(spark, sf_dir):
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    bad = pairs.filter(
+        (F.col("jaccard") < JACCARD_THRESHOLD) | (F.col("jaccard") > 1.0) | (F.col("d1") >= F.col("d2"))
+    )
+    assert bad.count() == 0
+
+
+def test_lsh_recall_of_exact_duplicates(spark, sf_dir):
+    """Exact duplicates (J=1) must always collide in every LSH band, so each
+    multi-copy content-hash group implies LSH pairs with est_jaccard=1."""
+    dupes = dedup_exact(spark, sf_dir).filter(F.col("n_copies") > 1)
+    lsh = minhash_lsh_pairs(spark, sf_dir).filter(F.col("est_jaccard") == 1.0)
+    n_dupe_groups = dupes.count()
+    if n_dupe_groups:
+        assert lsh.count() >= n_dupe_groups
+
+
+def test_simhash_pairs_within_distance(spark, sf_dir):
+    pairs = simhash_near_pairs(spark, sf_dir)
+    assert pairs.filter(F.col("hamming") > SIMHASH_MAX_HAMMING).count() == 0
+    # pigeonhole blocking is exact for d<=3: identical docs must appear at distance 0
+    dupes = dedup_exact(spark, sf_dir).filter(F.col("n_copies") > 1)
+    if dupes.count():
+        assert pairs.filter(F.col("hamming") == 0).count() > 0
