@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Benchmark driver: runs the engine's headline queries and prints ONE JSON
+line ``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Env:
+  SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[] parallelism (default all cores)
+
+Each query is executed to completion (a count over the result — forces the
+full plan without driver-side collect of wide rows).  Wall-clock per query +
+total are reported; the driver compares against BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def infer_sf(path: str) -> float:
+    m = re.search(r"sf([0-9.]+)", path)
+    try:
+        return float(m.group(1).rstrip(".")) if m else 0.0
+    except ValueError:
+        return 0.0
+
+
+def main() -> int:
+    import __spark_entry__ as entry_mod
+    from kafka_connect_storage_cloud_formats_spark import get_spark
+
+    spark = get_spark("bench")
+    queries = entry_mod.queries()
+
+    # Warm the JVM + file-listing caches once so per-query numbers measure the
+    # plans, not session startup.
+    next(iter(queries.values()))(spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, fn in queries.items():
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        secs = round(time.perf_counter() - t0, 3)
+        timings[name] = secs
+        total += secs
+        print(f"# {name}: {n} rows in {secs:.2f}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_clock",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": infer_sf(SF_DIR),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

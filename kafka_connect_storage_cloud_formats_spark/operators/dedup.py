@@ -25,8 +25,6 @@ identically, making every stage oracle-checkable.
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -154,38 +152,54 @@ MINHASH_SIGNATURES_SQL = _minhash_sql_core() + "SELECT * FROM sig ORDER BY doc_i
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs: documents sharing ≥1 of B=4 bands (each band a
     hash of R=3 signature components); est_jaccard = matching-component
-    fraction. This is the 100 TB near-dup path: the self-join key is the
-    16-byte band hash, never the text or shingles."""
-    sig = minhash_signatures(spark, sf_dir)
-    bands = sig.select(
-        "doc_id",
+    fraction.
+
+    Scale shape: bands are EXPLODED to (band_id, band_hash) rows and the
+    self-join is a plain equi-join on that composite key — shuffle moves
+    ~20 B/row and Spark picks shuffle-hash/sort-merge. (An OR-of-band-
+    equalities join condition is not an equi-join and degenerates to a
+    BroadcastNestedLoopJoin — O(n²), unusable at scale.) Signatures are
+    joined back onto the deduped candidate pairs to score est_jaccard.
+    """
+    sig = minhash_signatures(spark, sf_dir).cache()
+    band_structs = F.array(
         *[
-            F.md5(
-                F.concat_ws(
-                    "|", *[F.col(f"mh_{b * LSH_ROWS + r:02d}") for r in range(LSH_ROWS)]
-                )
-            ).alias(f"band_{b}")
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"mh_{b * LSH_ROWS + r:02d}") for r in range(LSH_ROWS)]
+                    )
+                ).alias("band_hash"),
+            )
             for b in range(LSH_BANDS)
-        ],
-        *[F.col(f"mh_{k:02d}") for k in range(MINHASH_K)],
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", "bb.band_id", "bb.band_hash"
     )
     a = bands.alias("a")
     b = bands.alias("b")
-    same_band = reduce(
-        lambda x, y: x | y,
-        [F.col(f"a.band_{i}") == F.col(f"b.band_{i}") for i in range(LSH_BANDS)],
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
     )
+    s1 = sig.alias("s1")
+    s2 = sig.alias("s2")
     matches = sum(
-        F.when(F.col(f"a.mh_{k:02d}") == F.col(f"b.mh_{k:02d}"), 1).otherwise(0)
+        F.when(F.col(f"s1.mh_{k:02d}") == F.col(f"s2.mh_{k:02d}"), 1).otherwise(0)
         for k in range(MINHASH_K)
     )
     return (
-        a.join(b, (F.col("a.doc_id") < F.col("b.doc_id")) & same_band)
-        .select(
-            F.col("a.doc_id").alias("d1"),
-            F.col("b.doc_id").alias("d2"),
-            (matches.cast("double") / MINHASH_K).alias("est_jaccard"),
-        )
+        cand.join(s1, F.col("d1") == F.col("s1.doc_id"))
+        .join(s2, F.col("d2") == F.col("s2.doc_id"))
+        .select("d1", "d2", (matches.cast("double") / MINHASH_K).alias("est_jaccard"))
         .orderBy("d1", "d2")
     )
 
@@ -275,23 +289,31 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     3 shares at least one exact block, so the self-join key is a block value,
     not a full cross join."""
     fp = simhash_fingerprints(spark, sf_dir)
-    blocks = fp.select(
-        "doc_id",
-        "simhash",
+    block_structs = F.array(
         *[
-            (F.floor(F.col("simhash") / F.lit(2 ** (8 * i))) % 256).alias(f"blk_{i}")
+            F.struct(
+                F.lit(i).alias("blk_id"),
+                (F.floor(F.col("simhash") / F.lit(2 ** (8 * i))) % 256).alias("blk_val"),
+            )
             for i in range(4)
-        ],
+        ]
+    )
+    # Explode to (blk_id, blk_val) rows so the self-join is an equi-join on
+    # the composite block key (shuffle-hash/sort-merge), never a
+    # BroadcastNestedLoopJoin from an OR-of-equalities condition.
+    blocks = fp.select("doc_id", "simhash", F.explode(block_structs).alias("bb")).select(
+        "doc_id", "simhash", "bb.blk_id", "bb.blk_val"
     )
     a = blocks.alias("a")
     b = blocks.alias("b")
-    same_block = reduce(
-        lambda x, y: x | y,
-        [F.col(f"a.blk_{i}") == F.col(f"b.blk_{i}") for i in range(4)],
-    )
     xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     return (
-        a.join(b, (F.col("a.doc_id") < F.col("b.doc_id")) & same_block)
+        a.join(
+            b,
+            (F.col("a.blk_id") == F.col("b.blk_id"))
+            & (F.col("a.blk_val") == F.col("b.blk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(
             F.col("a.doc_id").alias("d1"),
             F.col("b.doc_id").alias("d2"),
