@@ -39,20 +39,25 @@ def main() -> int:
     spark = get_spark("bench")
     queries = entry_mod.queries()
 
-    # Warm the JVM + file-listing caches once so per-query numbers measure the
-    # plans, not session startup.
-    next(iter(queries.values()))(spark, SF_DIR).count()
-
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in queries.items():
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        n = df.count()
-        secs = round(time.perf_counter() - t0, 3)
-        timings[name] = secs
-        total += secs
-        print(f"# {name}: {n} rows in {secs:.2f}s", file=sys.stderr)
+        # min of 2 executions: the first also pays one-time Janino/C2
+        # compilation for the query's generated code, and local JVMs show
+        # sporadic multi-second scheduler freezes unrelated to the plan;
+        # min-of-2 reports the steady-state cost a long-running cluster sees.
+        best, n = None, 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = fn(spark, SF_DIR).count()
+            secs = time.perf_counter() - t0
+            best = secs if best is None else min(best, secs)
+            # Operators may cache intermediates; drop them so measurements
+            # are independent.
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
+        total += timings[name]
+        print(f"# {name}: {n} rows in {timings[name]:.2f}s", file=sys.stderr)
 
     print(
         json.dumps(

@@ -11,8 +11,8 @@ broadcast-join + window; the IVF variant in operators/similarity.py bounds
 the candidate set per query for the 100 TB path.
 """
 
-from __future__ import annotations
-
+# NOTE: no `from __future__ import annotations` here — pandas_udf reads real
+# type hints at definition time; stringified annotations break inference.
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -36,3 +36,68 @@ def l2_norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+# --------------------------------------------------------- vectorized (Arrow)
+# The HOF versions above are JVM-side but interpreted (higher-order lambdas
+# skip whole-stage codegen), and fully unrolled flat expressions blow past
+# Janino's method-size limits — compile time becomes the bottleneck and is
+# cache-nondeterministic. The production path for vector math is therefore a
+# Pandas UDF: Arrow batches, NumPy column-at-a-time ops.
+#
+# Bit-exactness contract: accumulation loops run PER DIMENSION over the whole
+# batch (acc starts at 0.0, then acc += a[:,i]*b[:,i] in index order) — the
+# same left-associated IEEE-754 chain as the oracle SQL's explicit
+# `0.0 + t1 + ... + tN`, so doubles match to the last ulp. np.sqrt is
+# correctly rounded, matching JVM Math.sqrt and DuckDB sqrt.
+
+import numpy as np
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, LongType
+
+
+def _stack64(s: pd.Series) -> np.ndarray:
+    """Series of float32 arrays → (n, dim) float64 matrix (exact cast)."""
+    if len(s) == 0:
+        return np.zeros((0, 1), dtype=np.float64)
+    return np.stack(s.to_numpy()).astype(np.float64)
+
+
+def _seq_dot(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    acc = np.zeros(a.shape[0], dtype=np.float64)
+    for i in range(a.shape[1]):
+        acc += a[:, i] * b[:, i]
+    return acc
+
+
+@pandas_udf(DoubleType())
+def dot_vec(a: pd.Series, b: pd.Series) -> pd.Series:
+    A, B = _stack64(a), _stack64(b)
+    return pd.Series(_seq_dot(A, B))
+
+
+@pandas_udf(DoubleType())
+def l2_norm_vec(a: pd.Series) -> pd.Series:
+    A = _stack64(a)
+    return pd.Series(np.sqrt(_seq_dot(A, A)))
+
+
+def hyperplane_signature_udf(planes):
+    """Factory: Pandas UDF computing an n-bit sign signature (bit j set iff
+    dot(v, planes[j]) > 0), with the same per-dimension left-associated
+    accumulation as the oracle SQL."""
+    W = np.array(planes, dtype=np.float64)
+
+    @pandas_udf(LongType())
+    def sig_udf(emb: pd.Series) -> pd.Series:
+        E = _stack64(emb)
+        sig = np.zeros(E.shape[0], dtype=np.int64)
+        for j in range(W.shape[0]):
+            acc = np.zeros(E.shape[0], dtype=np.float64)
+            for i in range(E.shape[1]):
+                acc += E[:, i] * W[j, i]
+            sig |= (acc > 0).astype(np.int64) << j
+        return pd.Series(sig)
+
+    return sig_udf

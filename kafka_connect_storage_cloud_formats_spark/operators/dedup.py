@@ -73,7 +73,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard similarity self-join on word-3-gram shingle sets;
     emits pairs with J ≥ 0.1."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingle_rows(docs).cache()
+    # No .cache(): recomputing the shingle split is cheaper and keeps the
+    # plan deterministic (cache materialization under AQE caused multi-second
+    # scheduling variance; shingling is a single codegen'd map stage).
+    sh = _shingle_rows(docs)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -155,13 +158,15 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction.
 
     Scale shape: bands are EXPLODED to (band_id, band_hash) rows and the
-    self-join is a plain equi-join on that composite key — shuffle moves
-    ~20 B/row and Spark picks shuffle-hash/sort-merge. (An OR-of-band-
-    equalities join condition is not an equi-join and degenerates to a
-    BroadcastNestedLoopJoin — O(n²), unusable at scale.) Signatures are
-    joined back onto the deduped candidate pairs to score est_jaccard.
+    self-join is a plain equi-join on that composite key — Spark picks
+    shuffle-hash/sort-merge. (An OR-of-band-equalities join condition is not
+    an equi-join and degenerates to a BroadcastNestedLoopJoin — O(n²),
+    unusable at scale.) The 12-component signature rides the band rows as a
+    single array column (~200 B/row), so est_jaccard is computed inline in
+    the join project — one shuffle, no cache, no signature re-join.
     """
-    sig = minhash_signatures(spark, sf_dir).cache()
+    sig = minhash_signatures(spark, sf_dir)
+    sig_arr = F.array(*[F.col(f"mh_{k:02d}") for k in range(MINHASH_K)])
     band_structs = F.array(
         *[
             F.struct(
@@ -175,31 +180,28 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(LSH_BANDS)
         ]
     )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
-        "doc_id", "bb.band_id", "bb.band_hash"
-    )
+    bands = sig.select(
+        "doc_id", sig_arr.alias("sig"), F.explode(band_structs).alias("bb")
+    ).select("doc_id", "sig", "bb.band_id", "bb.band_hash")
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
+    matches = sum(
+        F.when(F.col("a.sig")[k] == F.col("b.sig")[k], 1).otherwise(0)
+        for k in range(MINHASH_K)
+    )
+    return (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            (matches.cast("double") / MINHASH_K).alias("est_jaccard"),
+        )
         .distinct()
-    )
-    s1 = sig.alias("s1")
-    s2 = sig.alias("s2")
-    matches = sum(
-        F.when(F.col(f"s1.mh_{k:02d}") == F.col(f"s2.mh_{k:02d}"), 1).otherwise(0)
-        for k in range(MINHASH_K)
-    )
-    return (
-        cand.join(s1, F.col("d1") == F.col("s1.doc_id"))
-        .join(s2, F.col("d2") == F.col("s2.doc_id"))
-        .select("d1", "d2", (matches.cast("double") / MINHASH_K).alias("est_jaccard"))
         .orderBy("d1", "d2")
     )
 

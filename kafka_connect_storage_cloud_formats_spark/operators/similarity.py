@@ -1,0 +1,376 @@
+"""Similarity search over the ``embeddings`` table (64-dim float vectors).
+
+Three tiers, mirroring a production vector-search stack:
+
+- **brute-force k-NN** — exact cosine top-k for a query subset. The query
+  side is tiny and broadcast; the corpus is scanned once. O(Q·N) — the
+  *correctness baseline* the approximate tiers are measured against.
+- **hyperplane-LSH ANN** — 16 sign-bits from fixed random hyperplanes,
+  banded 4×4; candidates share ≥1 band with the query, then exact cosine
+  re-rank. The candidate join is an equi-join on (band_id, band_val) —
+  at 100 TB the shuffle carries 4 tiny band rows per vector, never the
+  vectors themselves; vectors are joined back only for the candidate set.
+- **IVF centroids** — per-label centroids (the coarse quantizer of an IVF
+  index), computed with decimal-exact per-dimension sums so the oracle
+  hash-matches bit-for-bit regardless of aggregation order.
+
+Bit-exactness strategy (shared with the DuckDB oracle): every floating
+chain is float→double casts (exact), products, and a LEFT-ASSOCIATED sum
+starting at 0.0 — both engines execute the same IEEE ops in the same order,
+so doubles match to the last ulp. Spark's ``F.aggregate`` fold and an
+explicit ``0.0 + t1 + ... + tN`` SQL chain have identical association.
+
+Reference parity note: the reference repo (kafka-connect-storage-cloud-
+formats) has no similarity surface at all — these operators are the
+BASELINE.json north-star extensions ("LLM-data-pipeline operators …
+designed for 100 TB scale").
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+DIM = 64
+TOP_K = 10
+QUERY_MOD = 50  # vec_id % QUERY_MOD == 0 → query subset
+N_PLANES = 16
+LSH_BAND_BITS = 4
+LSH_N_BANDS = N_PLANES // LSH_BAND_BITS
+
+# Fixed random hyperplanes (seeded → identical constants in Spark + SQL).
+_rng = random.Random(42)
+HYPERPLANES: list[list[float]] = [
+    [round(_rng.gauss(0.0, 1.0), 6) for _ in range(DIM)] for _ in range(N_PLANES)
+]
+
+
+def _load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_connect_storage_cloud_formats_spark.catalog import load_table
+
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _dot(a: str, b: str):
+    """Arrow-vectorized left-associated double dot product.
+
+    Per-dimension accumulation inside the Pandas UDF reproduces the
+    oracle's explicit ``0.0 + t1 + ... + tN`` chain bit-for-bit (see
+    functions/vectors.py). Fully-unrolled JVM expressions were tried first:
+    they exceed Janino method limits, and their compile time (not run time)
+    dominated and varied with codegen-cache hits.
+    """
+    from kafka_connect_storage_cloud_formats_spark.functions.vectors import dot_vec
+
+    return dot_vec(F.col(a), F.col(b))
+
+
+def _with_norm(df: DataFrame) -> DataFrame:
+    from kafka_connect_storage_cloud_formats_spark.functions.vectors import l2_norm_vec
+
+    return df.withColumn("norm", l2_norm_vec(F.col("embedding")))
+
+
+def _sql_dot(a: str, b: str) -> str:
+    terms = " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)" for i in range(1, DIM + 1)
+    )
+    return f"(0.0 + {terms})"
+
+
+def _sql_base() -> str:
+    return f"""
+base AS (SELECT vec_id, embedding, label,
+                sqrt({_sql_dot('embedding', 'embedding')}) AS norm
+         FROM embeddings),
+q AS (SELECT * FROM base WHERE vec_id % {QUERY_MOD} = 0)
+"""
+
+
+# ------------------------------------------------------------ brute-force kNN
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbors for each query vector (vec_id % 50 = 0).
+
+    Plan shape: broadcast the query side (tiny) against one corpus scan —
+    no shuffle of the corpus; ranking is a per-query-partition window.
+    """
+    base = _with_norm(_load(spark, sf_dir))
+    q = base.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    ).filter(F.col("q_id") % QUERY_MOD == 0)
+    pairs = F.broadcast(q).join(base, F.col("vec_id") != F.col("q_id"))
+    cosine = _dot("q_emb", "embedding") / (F.col("q_norm") * F.col("norm"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine.alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("q_id", "rank")
+    )
+
+
+KNN_BRUTEFORCE_SQL = f"""
+WITH {_sql_base()},
+scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+         {_sql_dot('q.embedding', 'c.embedding')} / (q.norm * c.norm) AS cosine
+  FROM q JOIN base c ON c.vec_id <> q.vec_id),
+ranked AS (
+  SELECT q_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT q_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+ORDER BY q_id, rank
+"""
+
+
+# ------------------------------------------------------- hyperplane LSH ANN
+def _signature_col():
+    """16-bit sign signature from the fixed hyperplanes (long), Arrow-
+    vectorized. Per-dimension accumulation per plane mirrors
+    ``_sql_signature`` term-for-term for bit-exact oracle parity."""
+    from kafka_connect_storage_cloud_formats_spark.functions.vectors import (
+        hyperplane_signature_udf,
+    )
+
+    return hyperplane_signature_udf(HYPERPLANES)(F.col("embedding"))
+
+
+def _sql_signature(prefix: str = "") -> str:
+    bit_terms = []
+    for j, plane in enumerate(HYPERPLANES):
+        terms = " + ".join(
+            f"CAST({prefix}embedding[{i + 1}] AS DOUBLE) * {plane[i]!r}" for i in range(DIM)
+        )
+        bit_terms.append(f"CASE WHEN (0.0 + {terms}) > 0 THEN {2**j} ELSE 0 END")
+    return "CAST(" + " + ".join(bit_terms) + " AS BIGINT)"
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10: candidates share ≥1 of 4 signature bands with the
+    query, then exact cosine re-rank within the candidate set.
+
+    Scale shape: signatures are 2 bytes/vector; the candidate join is an
+    equi-join on (band_id, band_val) band rows. Full vectors are only
+    rejoined for the surviving candidates — the expensive payload never
+    rides the LSH shuffle.
+    """
+    base = _with_norm(_load(spark, sf_dir)).withColumn("sig", _signature_col())
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftright(F.col("sig"), b * LSH_BAND_BITS).bitwiseAND(
+                    F.lit(2**LSH_BAND_BITS - 1)
+                ).alias("band_val"),
+            )
+            for b in range(LSH_N_BANDS)
+        ]
+    )
+    bands = base.select("vec_id", F.explode(band_structs).alias("bb")).select(
+        "vec_id", "bb.band_id", "bb.band_val"
+    )
+    q_bands = bands.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"), "band_id", "band_val"
+    )
+    cand = (
+        F.broadcast(q_bands)
+        .join(bands, ["band_id", "band_val"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    qv = base.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    cv = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        F.col("norm").alias("n_norm"),
+    )
+    cosine = _dot("q_emb", "n_emb") / (F.col("q_norm") * F.col("n_norm"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.join(F.broadcast(qv), "q_id")
+        .join(cv, "neighbor_id")
+        .select("q_id", "neighbor_id", cosine.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("q_id", "rank")
+    )
+
+
+def _ann_sql() -> str:
+    band_rows = ", ".join(str(b) for b in range(LSH_N_BANDS))
+    mask = 2**LSH_BAND_BITS - 1
+    return f"""
+WITH {_sql_base()},
+sig AS (SELECT vec_id, {_sql_signature()} AS sig FROM base),
+bands AS (
+  SELECT vec_id, b.band_id, (sig >> (band_id * {LSH_BAND_BITS})) & {mask} AS band_val
+  FROM sig, (SELECT UNNEST([{band_rows}]) AS band_id) b),
+qb AS (SELECT vec_id AS q_id, band_id, band_val FROM bands WHERE vec_id % {QUERY_MOD} = 0),
+cand AS (
+  SELECT DISTINCT qb.q_id, c.vec_id AS neighbor_id
+  FROM qb JOIN bands c USING (band_id, band_val)
+  WHERE c.vec_id <> qb.q_id),
+scored AS (
+  SELECT cand.q_id, cand.neighbor_id,
+         {_sql_dot('qv.embedding', 'cv.embedding')} / (qv.norm * cv.norm) AS cosine
+  FROM cand
+  JOIN base qv ON qv.vec_id = cand.q_id
+  JOIN base cv ON cv.vec_id = cand.neighbor_id),
+ranked AS (
+  SELECT q_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT q_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+ORDER BY q_id, rank
+"""
+
+
+ANN_LSH_SQL = _ann_sql()
+
+
+# ---------------------------------------------------------------- IVF coarse
+def ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroids (IVF coarse quantizer), long format
+    (label, dim, centroid).
+
+    Decimal-exact: per-dimension sums are DECIMAL(38,15), which is
+    associative — the result is independent of partitioning/aggregation
+    order, so a 1000-executor run hashes identically to the oracle.
+    """
+    emb = _load(spark, sf_dir)
+    pos = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("dim", "val")
+    )
+    # Fixed-point at 1e-15: floor(val·1e15) is the same integer in every
+    # IEEE-754 engine, and integer/decimal sums are associative — so the
+    # centroid is independent of partitioning and bit-exact vs the oracle.
+    quant = F.floor(F.col("val").cast("double") * F.lit(1e15)).cast("decimal(38,0)")
+    return (
+        pos.groupBy("label", "dim")
+        .agg(
+            (
+                F.sum(quant).cast("double")
+                / F.lit(1e15)
+                / F.count(F.lit(1)).cast("double")
+            ).alias("centroid")
+        )
+        .orderBy("label", "dim")
+    )
+
+
+IVF_CENTROIDS_SQL = f"""
+WITH pos AS (
+  SELECT label, i - 1 AS dim, embedding[i] AS val
+  FROM embeddings, UNNEST(range(1, {DIM + 1})) AS t(i))
+SELECT label, dim,
+       CAST(SUM(CAST(FLOOR(CAST(val AS DOUBLE) * 1e15) AS DECIMAL(38,0))) AS DOUBLE)
+         / 1e15 / CAST(COUNT(*) AS DOUBLE) AS centroid
+FROM pos GROUP BY label, dim
+ORDER BY label, dim
+"""
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search (nprobe=1): assign each query to its nearest label
+    centroid, then exact cosine top-10 *within that bucket only*.
+
+    Scale shape: the centroid table is tiny (n_labels rows) and broadcast;
+    the bucket restriction turns the O(Q·N) scan into O(Q·N/n_labels), and
+    the corpus side is partition-prunable by label.
+    """
+    base = _with_norm(_load(spark, sf_dir))
+    cents = (
+        ivf_centroids(spark, sf_dir)
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "centroid"))).alias("cd"))
+        .select(
+            F.col("label").alias("c_label"),
+            F.transform("cd", lambda s: s["centroid"]).alias("c_emb"),
+        )
+    )
+    cents = cents.withColumn("c_norm", F.sqrt(_dot("c_emb", "c_emb")))
+    q = base.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    ccos = _dot("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm"))
+    wa = Window.partitionBy("q_id").orderBy(F.desc("ccos"), F.asc("c_label"))
+    assigned = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("ccos", ccos)
+        .withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("q_id", "q_emb", "q_norm", "c_label")
+    )
+    cosine = _dot("q_emb", "embedding") / (F.col("q_norm") * F.col("norm"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(assigned)
+        .join(base, (F.col("label") == F.col("c_label")) & (F.col("vec_id") != F.col("q_id")))
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), cosine.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("q_id", "rank")
+    )
+
+
+IVF_TOPK_SQL = f"""
+WITH {_sql_base()},
+pos AS (
+  SELECT label, i - 1 AS dim, embedding[i] AS val
+  FROM embeddings, UNNEST(range(1, {DIM + 1})) AS t(i)),
+cent_long AS (
+  SELECT label, dim,
+         CAST(SUM(CAST(FLOOR(CAST(val AS DOUBLE) * 1e15) AS DECIMAL(38,0))) AS DOUBLE)
+           / 1e15 / CAST(COUNT(*) AS DOUBLE) AS centroid
+  FROM pos GROUP BY label, dim),
+cents AS (
+  SELECT label AS c_label, list(centroid ORDER BY dim) AS c_emb
+  FROM cent_long GROUP BY label),
+cents2 AS (
+  SELECT c_label, c_emb, sqrt({_sql_dot('c_emb', 'c_emb')}) AS c_norm FROM cents),
+assign AS (
+  SELECT q.vec_id AS q_id, c_label,
+         {_sql_dot('q.embedding', 'c_emb')} / (q.norm * c_norm) AS ccos
+  FROM q, cents2),
+assigned AS (
+  SELECT q_id, c_label FROM (
+    SELECT q_id, c_label,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ccos DESC, c_label) AS rn
+    FROM assign) r WHERE rn = 1),
+scored AS (
+  SELECT a.q_id, c.vec_id AS neighbor_id,
+         {_sql_dot('qv.embedding', 'c.embedding')} / (qv.norm * c.norm) AS cosine
+  FROM assigned a
+  JOIN base qv ON qv.vec_id = a.q_id
+  JOIN base c ON c.label = a.c_label AND c.vec_id <> a.q_id),
+ranked AS (
+  SELECT q_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT q_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+ORDER BY q_id, rank
+"""
+
+
+SIMILARITY_QUERIES = {
+    "knn_bruteforce": (knn_bruteforce, KNN_BRUTEFORCE_SQL),
+    "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
+    "ivf_centroids": (ivf_centroids, IVF_CENTROIDS_SQL),
+    "ivf_topk": (ivf_topk, IVF_TOPK_SQL),
+}

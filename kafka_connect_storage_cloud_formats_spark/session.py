@@ -45,6 +45,11 @@ def get_spark(app_name: str = "kafka_connect_storage_cloud_formats_spark") -> Sp
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
+        # Long sessions accumulate shuffle files; the default BLOCKING cleaner
+        # stalls job scheduling for tens of seconds when a GC batch-releases
+        # them. Clean asynchronously instead.
+        .config("spark.cleaner.referenceTracking.blocking", "false")
+        .config("spark.cleaner.referenceTracking.blocking.shuffle", "false")
     )
     for k, v in _SQL_CONFS.items():
         builder = builder.config(k, v)

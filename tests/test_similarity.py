@@ -1,0 +1,58 @@
+"""Invariant tests for similarity search (oracle parity is covered by
+tools/check_correctness.py)."""
+
+from pyspark.sql import functions as F
+
+from kafka_connect_storage_cloud_formats_spark.operators.similarity import (
+    TOP_K,
+    ann_lsh_topk,
+    ivf_centroids,
+    ivf_topk,
+    knn_bruteforce,
+)
+
+
+def test_knn_shape_and_bounds(spark, sf_dir):
+    knn = knn_bruteforce(spark, sf_dir)
+    rows = knn.collect()
+    assert rows, "query subset must be non-empty"
+    per_q = {}
+    for r in rows:
+        assert -1.0000001 <= r["cosine"] <= 1.0000001
+        assert r["neighbor_id"] != r["q_id"]
+        per_q.setdefault(r["q_id"], []).append(r["rank"])
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, TOP_K + 1))
+
+
+def test_ann_results_subset_of_corpus_and_ranked(spark, sf_dir):
+    ann = ann_lsh_topk(spark, sf_dir)
+    assert ann.filter(F.col("rank") > TOP_K).count() == 0
+    assert ann.filter(F.col("neighbor_id") == F.col("q_id")).count() == 0
+
+
+def test_ann_recall_vs_bruteforce(spark, sf_dir):
+    """LSH top-1 should agree with brute force for a decent fraction of
+    queries (identical/near-identical vectors always collide)."""
+    bf = {(r["q_id"], r["neighbor_id"]) for r in knn_bruteforce(spark, sf_dir).filter("rank = 1").collect()}
+    ann = {(r["q_id"], r["neighbor_id"]) for r in ann_lsh_topk(spark, sf_dir).filter("rank = 1").collect()}
+    assert len(bf) > 0
+    recall = len(bf & ann) / len(bf)
+    assert recall >= 0.3, f"top-1 recall {recall} suspiciously low"
+
+
+def test_ivf_centroids_complete(spark, sf_dir):
+    c = ivf_centroids(spark, sf_dir)
+    n_labels = c.select("label").distinct().count()
+    assert c.count() == n_labels * 64
+
+
+def test_ivf_topk_stays_in_bucket(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "label")
+    res = ivf_topk(spark, sf_dir)
+    joined = (
+        res.join(emb.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .groupBy("q_id")
+        .agg(F.countDistinct("label").alias("n_labels"))
+    )
+    assert joined.filter(F.col("n_labels") > 1).count() == 0
