@@ -1,0 +1,243 @@
+"""Multimodal columns: opaque ``binary`` payloads + typed metadata, with
+decode / feature-extract / frame-sample over ``mapInPandas``.
+
+The container has no media codecs (PIL/librosa/av), so *real* decoding is
+stubbed behind :func:`decode_media` (raises ``NotImplementedError``), and a
+**deterministic fake decoder** (`payload bytes → uint8 "pixel" array`) backs
+every operator — the Spark-side plumbing (BinaryType columns, Arrow batch
+iteration, mapInPandas schemas, partition behavior) is real and oracle-
+checked. Assets are synthesized from the ``documents`` table: payload =
+UTF-8 bytes of ``text`` (ASCII corpus ⇒ byte == codepoint, which is what
+lets DuckDB verify byte-level math via ``unicode()``), kind cycles
+image/audio/video by ``doc_id % 3``.
+
+Scale notes: every operator is a narrow map over the asset table — no
+shuffles except final presentation sorts. ``mapInPandas`` streams Arrow
+record batches (``spark.sql.execution.arrow.maxRecordsPerBatch``), so
+executor memory is bounded by batch size, not partition size; at 100 TB the
+asset table would be bucketed by media_id and the decode stage stays
+embarrassingly parallel.
+
+Reference parity note: the reference (kafka-connect-storage-cloud-formats)
+has no multimodal surface; these are BASELINE.json north-star extensions.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_connect_storage_cloud_formats_spark.catalog import load_table
+
+FRAME_STRIDE = 256  # bytes per fake video frame
+N_FEATURES = 8
+
+
+def decode_media(payload: bytes, kind: str):
+    """Decode a real image/audio/video payload. NOT IMPLEMENTED — this
+    container ships no codecs; production deployments plug PIL / soundfile /
+    PyAV in here. All shipped operators use :func:`fake_decode`."""
+    raise NotImplementedError(
+        f"no codec available for kind={kind!r}; use fake_decode (deterministic test decoder)"
+    )
+
+
+def fake_decode(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in decoder: payload bytes as a uint8 1-D 'pixel'
+    array. Keeps every downstream shape/batch/schema path real."""
+    return np.frombuffer(bytes(payload), dtype=np.uint8)
+
+
+# ------------------------------------------------------------------ catalog
+def media_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (media_id, kind, payload:binary, text). The binary column
+    is the engine's multimodal carrier; `text` rides along only so frame
+    oracles can slice it."""
+    docs = load_table(spark, sf_dir, "documents")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        "text",
+    )
+
+
+def media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata per asset: byte size, inferred image geometry
+    (width = ⌈√n⌉, height = ⌈n/width⌉), frame count for videos, payload md5.
+    Pure column expressions — whole-stage codegen, no Python."""
+    a = media_assets(spark, sf_dir)
+    n = F.length("payload").cast("long")
+    width = F.ceil(F.sqrt(n.cast("double"))).cast("long")
+    return (
+        a.select(
+            "media_id",
+            "kind",
+            n.alias("n_bytes"),
+            width.alias("width"),
+            F.ceil(n.cast("double") / width.cast("double")).cast("long").alias("height"),
+            F.when(
+                F.col("kind") == "video",
+                (F.floor((n - 1) / FRAME_STRIDE) + 1).cast("long"),
+            ).alias("n_frames"),
+            F.md5("payload").alias("payload_md5"),
+        )
+        .orderBy("media_id")
+    )
+
+
+MEDIA_CATALOG_SQL = f"""
+SELECT doc_id AS media_id,
+       ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(ceil(sqrt(CAST(length(text) AS DOUBLE))) AS BIGINT) AS width,
+       CAST(ceil(CAST(length(text) AS DOUBLE)
+                 / CAST(ceil(sqrt(CAST(length(text) AS DOUBLE))) AS DOUBLE)) AS BIGINT)
+         AS height,
+       CASE WHEN doc_id % 3 = 2
+            THEN (length(text) - 1) // {FRAME_STRIDE} + 1 END AS n_frames,
+       md5(text) AS payload_md5
+FROM documents
+ORDER BY media_id
+"""
+
+
+# ------------------------------------------------- decode stats (mapInPandas)
+def image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image pixel statistics through the fake decoder, as exact integer
+    sums (no float aggregation → bit-exact at any parallelism)."""
+    imgs = media_assets(spark, sf_dir).filter(F.col("kind") == "image").select(
+        "media_id", "payload"
+    )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            px = [fake_decode(p).astype(np.int64) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_px": [a.size for a in px],
+                    "sum_px": [int(a.sum()) for a in px],
+                    "min_px": [int(a.min()) if a.size else 0 for a in px],
+                    "max_px": [int(a.max()) if a.size else 0 for a in px],
+                }
+            )
+
+    schema = "media_id bigint, n_px bigint, sum_px bigint, min_px int, max_px int"
+    return imgs.mapInPandas(stats, schema).orderBy("media_id")
+
+
+IMAGE_DECODE_STATS_SQL = """
+WITH px AS (
+  SELECT doc_id AS media_id, [unicode(c) for c in string_split(text, '')] AS ps
+  FROM documents WHERE doc_id % 3 = 0)
+SELECT media_id,
+       CAST(len(ps) AS BIGINT) AS n_px,
+       CAST(list_sum(ps) AS BIGINT) AS sum_px,
+       CAST(list_min(ps) AS INT) AS min_px,
+       CAST(list_max(ps) AS INT) AS max_px
+FROM px ORDER BY media_id
+"""
+
+
+# ------------------------------------------------- frame sampling (videos)
+def video_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame table for video assets: one row per FRAME_STRIDE-byte frame,
+    with the frame's payload-slice md5. `sequence` + `explode` keeps frame
+    generation JVM-side; at scale this is the map stage feeding a
+    frame-level pipeline (sampling = filter on frame_no % k)."""
+    vids = (
+        media_assets(spark, sf_dir)
+        .filter(F.col("kind") == "video")
+        .withColumn("n_bytes", F.length("payload").cast("long"))
+    )
+    frames = vids.select(
+        "media_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.floor((F.col("n_bytes") - 1) / FRAME_STRIDE))
+        ).alias("frame_no"),
+    )
+    return (
+        frames.select(
+            "media_id",
+            "frame_no",
+            (F.col("frame_no") * FRAME_STRIDE).alias("frame_offset"),
+            F.md5(
+                F.encode(
+                    F.substring(
+                        F.col("text"), (F.col("frame_no") * FRAME_STRIDE + 1).cast("int"), FRAME_STRIDE
+                    ),
+                    "utf-8",
+                )
+            ).alias("frame_md5"),
+        )
+        .orderBy("media_id", "frame_no")
+    )
+
+
+VIDEO_FRAME_INDEX_SQL = f"""
+WITH vids AS (
+  SELECT doc_id AS media_id, text, length(text) AS n
+  FROM documents WHERE doc_id % 3 = 2)
+SELECT media_id, i AS frame_no, i * {FRAME_STRIDE} AS frame_offset,
+       md5(substr(text, CAST(i * {FRAME_STRIDE} + 1 AS INT), {FRAME_STRIDE})) AS frame_md5
+FROM vids, UNNEST(range(0, (n - 1) // {FRAME_STRIDE} + 1)) AS t(i)
+ORDER BY media_id, frame_no
+"""
+
+
+# ------------------------------------------- feature extraction (mapInPandas)
+def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-dim integer feature vector per asset: feature[k] = Σ payload bytes
+    at positions ≡ k (mod 8). Exact ints → order-independent; the Arrow
+    batch path is the same one a real embedding model would ride."""
+    assets = media_assets(spark, sf_dir).select("media_id", "payload")
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf["payload"]:
+                a = fake_decode(p).astype(np.int64)
+                out.append([int(a[k::N_FEATURES].sum()) for k in range(N_FEATURES)])
+            yield pd.DataFrame({"media_id": pdf["media_id"], "features": out})
+
+    return (
+        assets.mapInPandas(feats, "media_id bigint, features array<bigint>")
+        .orderBy("media_id")
+    )
+
+
+def _features_sql() -> str:
+    sums = ", ".join(
+        f"CAST(coalesce(list_sum([ps[CAST(i AS INT)] for i in range(1, len(ps) + 1) "
+        f"if (i - 1) % {N_FEATURES} = {k}]), 0) AS BIGINT) AS s{k}"
+        for k in range(N_FEATURES)
+    )
+    arr = ", ".join(f"s{k}" for k in range(N_FEATURES))
+    return f"""
+WITH px AS (
+  SELECT doc_id AS media_id, [unicode(c) for c in string_split(text, '')] AS ps
+  FROM documents),
+s AS (SELECT media_id, {sums} FROM px)
+SELECT media_id, [{arr}] AS features FROM s ORDER BY media_id
+"""
+
+
+MEDIA_FEATURES_SQL = _features_sql()
+
+
+MULTIMODAL_QUERIES = {
+    "media_catalog": (media_catalog, MEDIA_CATALOG_SQL),
+    "image_decode_stats": (image_decode_stats, IMAGE_DECODE_STATS_SQL),
+    "video_frame_index": (video_frame_index, VIDEO_FRAME_INDEX_SQL),
+    "media_feature_extract": (media_feature_extract, MEDIA_FEATURES_SQL),
+}

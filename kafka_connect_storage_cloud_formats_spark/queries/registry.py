@@ -14,6 +14,7 @@ from kafka_connect_storage_cloud_formats_spark.queries.pipeline_queries import (
     orc_partitioned_roundtrip,
 )
 from kafka_connect_storage_cloud_formats_spark.operators.dedup import DEDUP_QUERIES
+from kafka_connect_storage_cloud_formats_spark.operators.multimodal import MULTIMODAL_QUERIES
 from kafka_connect_storage_cloud_formats_spark.operators.similarity import SIMILARITY_QUERIES
 from kafka_connect_storage_cloud_formats_spark.operators.text import TEXT_QUERIES
 from kafka_connect_storage_cloud_formats_spark.queries.relational import RELATIONAL_QUERIES
@@ -27,3 +28,4 @@ QUERIES.update(RELATIONAL_QUERIES)
 QUERIES.update(TEXT_QUERIES)
 QUERIES.update(DEDUP_QUERIES)
 QUERIES.update(SIMILARITY_QUERIES)
+QUERIES.update(MULTIMODAL_QUERIES)

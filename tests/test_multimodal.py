@@ -1,0 +1,76 @@
+"""Multimodal plumbing tests: binary columns, mapInPandas batching, stubs."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_storage_cloud_formats_spark.operators.multimodal import (
+    FRAME_STRIDE,
+    decode_media,
+    fake_decode,
+    image_decode_stats,
+    media_assets,
+    media_catalog,
+    media_feature_extract,
+    video_frame_index,
+)
+
+
+def test_real_decoder_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x89PNG", "image")
+
+
+def test_fake_decode_deterministic():
+    assert fake_decode(b"abc").tolist() == [97, 98, 99]
+    assert fake_decode(b"").size == 0
+
+
+def test_payload_is_binary_type(spark, sf_dir):
+    a = media_assets(spark, sf_dir)
+    assert dict(a.dtypes)["payload"] == "binary"
+    row = a.filter(F.col("media_id") == 0).first()
+    assert bytes(row["payload"]) == row["text"].encode()
+
+
+def test_catalog_geometry(spark, sf_dir):
+    for r in media_catalog(spark, sf_dir).limit(50).collect():
+        assert r["width"] * r["height"] >= r["n_bytes"]
+        assert (r["width"] - 1) ** 2 < r["n_bytes"]
+        if r["kind"] == "video":
+            assert r["n_frames"] == (r["n_bytes"] - 1) // FRAME_STRIDE + 1
+        else:
+            assert r["n_frames"] is None
+
+
+def test_decode_stats_match_python(spark, sf_dir):
+    stats = {r["media_id"]: r for r in image_decode_stats(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter("doc_id % 3 = 0")
+    for d in docs.limit(20).collect():
+        px = np.frombuffer(d["text"].encode(), dtype=np.uint8).astype(int)
+        r = stats[d["doc_id"]]
+        assert (r["n_px"], r["sum_px"], r["min_px"], r["max_px"]) == (
+            px.size,
+            px.sum(),
+            px.min(),
+            px.max(),
+        )
+
+
+def test_frame_sampling_stride(spark, sf_dir):
+    """Every-4th-frame sampling is a filter on the frame index."""
+    frames = video_frame_index(spark, sf_dir)
+    sampled = frames.filter(F.col("frame_no") % 4 == 0)
+    assert sampled.count() <= frames.count()
+    assert frames.filter(F.col("frame_offset") != F.col("frame_no") * FRAME_STRIDE).count() == 0
+
+
+def test_feature_vector_shape(spark, sf_dir):
+    feats = media_feature_extract(spark, sf_dir)
+    first = feats.first()
+    assert len(first["features"]) == 8
+    # feature sum equals total byte sum
+    doc = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") == first["media_id"]
+    ).first()
+    assert sum(first["features"]) == sum(doc["text"].encode())
