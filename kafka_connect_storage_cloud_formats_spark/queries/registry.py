@@ -18,6 +18,7 @@ from kafka_connect_storage_cloud_formats_spark.operators.multimodal import MULTI
 from kafka_connect_storage_cloud_formats_spark.operators.similarity import SIMILARITY_QUERIES
 from kafka_connect_storage_cloud_formats_spark.operators.text import TEXT_QUERIES
 from kafka_connect_storage_cloud_formats_spark.queries.relational import RELATIONAL_QUERIES
+from kafka_connect_storage_cloud_formats_spark.streaming.windows import STREAMING_WINDOW_QUERIES
 
 QUERIES: dict = {
     # --- reference pipeline semantics (SURVEY.md §2.1), oracle-gated
@@ -29,3 +30,4 @@ QUERIES.update(TEXT_QUERIES)
 QUERIES.update(DEDUP_QUERIES)
 QUERIES.update(SIMILARITY_QUERIES)
 QUERIES.update(MULTIMODAL_QUERIES)
+QUERIES.update(STREAMING_WINDOW_QUERIES)

@@ -1,0 +1,86 @@
+"""Custom stateful streaming operator: per-user sessionization via
+``applyInPandasWithState``.
+
+Demonstrates the engine's arbitrary-stateful surface (the reference has no
+stateful operators at all — SURVEY.md §2.3): state is one open session per
+user carried across micro-batches; a session CLOSES (and is emitted) when a
+later event arrives ≥ GAP after the session's last event. The final open
+session per user stays in state (production would emit it on event-time
+timeout at the watermark; tests assert the closed set against the batch
+``session_window`` oracle query).
+
+Scale: state is O(active users) × ~32 bytes; the shuffle key is user_id
+(same skew caveat as windows.py — salt upstream for power users).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+GAP_US = 30 * 60 * 1_000_000  # 30 minutes, µs
+
+OUTPUT_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, "
+    "n_events bigint, total_value double"
+)
+STATE_SCHEMA = "start bigint, last bigint, n bigint, total double"
+
+
+def _sessionize_group(
+    key: Tuple[Any, ...],
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    events = pd.concat(list(pdf_iter)).sort_values("ts")
+    ts_us = (events["ts"].astype("int64") // 1000).tolist()  # ns → µs
+    vals = events["value"].tolist()
+
+    if state.exists:
+        start, last, n, total = state.get
+    else:
+        start = last = None
+        n, total = 0, 0.0
+
+    closed = []
+    for t, v in zip(ts_us, vals):
+        if start is None:
+            start, last, n, total = t, t, 1, float(v)
+        elif t - last >= GAP_US:
+            closed.append((start, last, n, total))
+            start, last, n, total = t, t, 1, float(v)
+        else:
+            last, n, total = t, n + 1, total + float(v)
+
+    state.update((start, last, n, total))
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(closed),
+                "session_start": [pd.Timestamp(s, unit="us") for s, _, _, _ in closed],
+                "session_end": [
+                    pd.Timestamp(last + GAP_US, unit="us") for _, last, _, _ in closed
+                ],
+                "n_events": [n for _, _, n, _ in closed],
+                "total_value": [tv for _, _, _, tv in closed],
+            }
+        )
+
+
+def sessionize_stream(events: DataFrame) -> DataFrame:
+    """events(user_id, ts, value, ...) stream → closed-session stream."""
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_group,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

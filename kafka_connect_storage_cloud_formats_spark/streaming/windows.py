@@ -1,0 +1,152 @@
+"""Event-time window operators over the ``events`` stream table.
+
+Each plan builder takes a DataFrame so the SAME logical plan runs in batch
+mode (where the DuckDB oracle gates it bit-exactly) and under Structured
+Streaming (tests in tests/test_streaming.py run them through a file-source
+→ memory-sink pipeline and assert equality with the batch result). The
+``withWatermark`` call is part of the shared plan: streaming uses it for
+state eviction; batch ignores it.
+
+Scale notes: event-time windowed aggregation shuffles on (window, key) —
+partial aggregation is map-side, state per open window is bounded by the
+watermark horizon. Session windows additionally merge per key; the shuffle
+key is user_id so skewed users are the hazard (AQE skew-join handles the
+batch path; streaming would salt the key upstream).
+
+The reference's rotation is count-based only (SURVEY.md §2.1 #14 —
+flush.size); it has no watermarks, event-time windows, or stateful
+operators (§2.3). These are Spark-native extensions of its streaming
+ingest semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_connect_storage_cloud_formats_spark.catalog import load_table
+from kafka_connect_storage_cloud_formats_spark.queries.relational import dsum
+
+TUMBLE = "15 minutes"
+SLIDE_LEN = "1 hour"
+SLIDE_STEP = "15 minutes"
+SESSION_GAP = "30 minutes"
+WATERMARK = "2 hours"
+
+
+# ------------------------------------------------------------- plan builders
+def tumbling_plan(events: DataFrame) -> DataFrame:
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", TUMBLE).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_plan(events: DataFrame) -> DataFrame:
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", SLIDE_LEN, SLIDE_STEP).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def session_plan(events: DataFrame) -> DataFrame:
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ------------------------------------------------------- batch query surface
+def events_tumbling_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_plan(load_table(spark, sf_dir, "events")).orderBy(
+        "window_start", "event_type"
+    )
+
+
+TUMBLING_SQL = """
+SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000) AS window_start,
+       make_timestamp((epoch_us(ts) // 900000000) * 900000000 + 900000000) AS window_end,
+       event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2, 3
+ORDER BY window_start, event_type
+"""
+
+
+def events_sliding_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_plan(load_table(spark, sf_dir, "events")).orderBy(
+        "window_start", "event_type"
+    )
+
+
+SLIDING_SQL = """
+WITH shifted AS (
+  SELECT event_type, value,
+         make_timestamp(((epoch_us(ts) // 900000000) - j) * 900000000) AS window_start
+  FROM events, UNNEST(range(0, 4)) AS t(j))
+SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end, event_type,
+       COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+FROM shifted
+GROUP BY 1, 2, 3
+ORDER BY window_start, event_type
+"""
+
+
+def events_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_plan(load_table(spark, sf_dir, "events")).orderBy(
+        "user_id", "session_start"
+    )
+
+
+SESSION_SQL = """
+WITH m AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+FROM s GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+STREAMING_WINDOW_QUERIES = {
+    "events_tumbling_15m": (events_tumbling_15m, TUMBLING_SQL),
+    "events_sliding_1h": (events_sliding_1h, SLIDING_SQL),
+    "events_session_30m": (events_session_30m, SESSION_SQL),
+}

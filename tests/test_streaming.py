@@ -1,0 +1,120 @@
+"""Structured Streaming tests: exactly-once ORC ingest, streaming windowed
+aggregation vs batch, cross-batch stateful sessionization.
+
+Mirrors the reference's scenarios (SURVEY.md §5): recovery/idempotent
+reprocessing (DataWriterOrcTest.java:102-124) becomes checkpointed re-runs;
+rotation/fan-out semantics are covered in test_pipeline.py."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_storage_cloud_formats_spark.catalog import load_table
+from kafka_connect_storage_cloud_formats_spark.streaming.engine import (
+    file_stream_source,
+    run_orc_ingest,
+    run_to_memory,
+)
+from kafka_connect_storage_cloud_formats_spark.streaming.stateful import sessionize_stream
+from kafka_connect_storage_cloud_formats_spark.streaming.windows import (
+    events_session_30m,
+    tumbling_plan,
+)
+
+
+@pytest.fixture(scope="module")
+def events_src(spark, sf_dir, tmp_path_factory):
+    """events table re-materialized as time-contiguous parquet chunk files
+    (µs timestamps) usable as a file-stream source. Chunks are written in
+    event-time order so micro-batches arrive roughly in order — the
+    per-key ordering a Kafka source guarantees and the stateful
+    sessionizer (like any state machine without a reorder buffer) relies on."""
+    import time as _time
+
+    src = str(tmp_path_factory.mktemp("events_src"))
+    ev = load_table(spark, sf_dir, "events").orderBy("ts")
+    n = ev.count()
+    cut1, cut2 = (
+        ev.limit(n // 3).agg(F.max("ts")).first()[0],
+        ev.limit(2 * n // 3).agg(F.max("ts")).first()[0],
+    )
+    chunks = [
+        ev.filter(F.col("ts") <= cut1),
+        ev.filter((F.col("ts") > cut1) & (F.col("ts") <= cut2)),
+        ev.filter(F.col("ts") > cut2),
+    ]
+    for c in chunks:
+        c.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(0.1)  # distinct mtimes → stable file-source ordering
+    return src, spark.read.parquet(src).schema
+
+
+def test_exactly_once_ingest_rerun(spark, events_src, tmp_path):
+    """Re-running a checkpointed stream over committed input adds nothing;
+    new input is picked up incrementally (reference recovery scenario,
+    achieved via checkpoint + _spark_metadata instead of offset-overwrite)."""
+    import shutil
+
+    shared_src, schema = events_src
+    src = str(tmp_path / "src")  # private copy: this test appends input
+    shutil.copytree(shared_src, src)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    n_events = spark.read.parquet(src).count()
+
+    run_orc_ingest(file_stream_source(spark, src, schema), out, ckpt)
+    assert spark.read.orc(out).count() == n_events
+
+    # idempotent re-run: no new input → no new rows
+    run_orc_ingest(file_stream_source(spark, src, schema), out, ckpt)
+    assert spark.read.orc(out).count() == n_events
+
+    # incremental: one more file → exactly its rows appended
+    extra = spark.read.parquet(src).limit(100)
+    extra.coalesce(1).write.mode("append").parquet(src)
+    run_orc_ingest(file_stream_source(spark, src, schema), out, ckpt)
+    assert spark.read.orc(out).count() == n_events + 100
+
+
+def test_streaming_tumbling_equals_batch(spark, events_src):
+    """The same tumbling plan through the streaming engine (complete mode)
+    must produce the batch answer."""
+    src, schema = events_src
+    stream_result_name = "tumbling_test"
+    run_to_memory(tumbling_plan(file_stream_source(spark, src, schema)), stream_result_name)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.table(stream_result_name).collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in tumbling_plan(spark.read.parquet(src)).collect()
+    }
+    assert got == want
+
+
+def test_stateful_sessionizer_matches_batch_sessions(spark, events_src, sf_dir, tmp_path):
+    """Closed sessions emitted by the applyInPandasWithState operator must
+    appear in the batch session_window result with identical bounds and
+    counts (the final open session per user legitimately stays in state)."""
+    src, schema = events_src
+    name = "sessions_test"
+    # two micro-batches (maxFilesPerTrigger=2 over 3+ files) → state must
+    # survive across batches
+    stream = file_stream_source(spark, src, schema, max_files_per_trigger=2)
+    run_to_memory(sessionize_stream(stream), name, output_mode="append")
+    emitted = spark.table(name).collect()
+    assert emitted, "expected at least one closed session"
+
+    batch = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"])
+        for r in events_session_30m(spark, sf_dir).collect()
+    }
+    missing = 0
+    for r in emitted:
+        k = (r["user_id"], r["session_start"])
+        if k not in batch:
+            missing += 1
+        else:
+            end, n = batch[k]
+            assert n == r["n_events"], f"count mismatch for {k}"
+            assert end == r["session_end"], f"end mismatch for {k}"
+    assert missing == 0, f"{missing}/{len(emitted)} stateful sessions absent from batch result"
