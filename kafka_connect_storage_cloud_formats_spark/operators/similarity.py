@@ -368,9 +368,90 @@ ORDER BY q_id, rank
 """
 
 
+# The synthetic corpus has no true vector dups (max pairwise cosine ≈ 0.51);
+# 0.35 sits at the ~99.9th percentile so the operator exercises realistic
+# candidate volume. Production near-dup dedup would run at ~0.9.
+COSINE_DUP_THRESHOLD = 0.35
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-duplicate pairs: cosine ≥ threshold among candidates
+    sharing ≥1 LSH signature band — the vector-modality member of the dedup
+    tier (operators/dedup.py covers the text tiers).
+
+    Scale shape: identical to ann_lsh_topk's candidate stage — a self
+    equi-join on exploded (band_id, band_val) rows, then exact cosine only
+    on candidates. True dups (cosine→1) collide in every band, so recall at
+    the 0.9 threshold is high while the join stays near-linear.
+    """
+    base = _with_norm(_load(spark, sf_dir)).withColumn("sig", _signature_col())
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftright(F.col("sig"), b * LSH_BAND_BITS)
+                .bitwiseAND(F.lit(2**LSH_BAND_BITS - 1))
+                .alias("band_val"),
+            )
+            for b in range(LSH_N_BANDS)
+        ]
+    )
+    bands = base.select("vec_id", F.explode(band_structs).alias("bb")).select(
+        "vec_id", "bb.band_id", "bb.band_val"
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("d1"), F.col("b.vec_id").alias("d2"))
+        .distinct()
+    )
+    v1 = base.select(
+        F.col("vec_id").alias("d1"), F.col("embedding").alias("e1"), F.col("norm").alias("n1")
+    )
+    v2 = base.select(
+        F.col("vec_id").alias("d2"), F.col("embedding").alias("e2"), F.col("norm").alias("n2")
+    )
+    cosine = _dot("e1", "e2") / (F.col("n1") * F.col("n2"))
+    return (
+        cand.join(v1, "d1")
+        .join(v2, "d2")
+        .select("d1", "d2", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+        .orderBy("d1", "d2")
+    )
+
+
+DEDUP_EMBEDDING_SQL = f"""
+WITH {_sql_base()},
+sig AS (SELECT vec_id, {_sql_signature()} AS sig FROM base),
+bands AS (
+  SELECT vec_id, b.band_id, (sig >> (band_id * {LSH_BAND_BITS})) & {2**LSH_BAND_BITS - 1} AS band_val
+  FROM sig, (SELECT UNNEST([{', '.join(str(b) for b in range(LSH_N_BANDS))}]) AS band_id) b),
+cand AS (
+  SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+  FROM bands a JOIN bands b USING (band_id, band_val)
+  WHERE a.vec_id < b.vec_id),
+scored AS (
+  SELECT cand.d1, cand.d2,
+         {_sql_dot('v1.embedding', 'v2.embedding')} / (v1.norm * v2.norm) AS cosine
+  FROM cand
+  JOIN base v1 ON v1.vec_id = cand.d1
+  JOIN base v2 ON v2.vec_id = cand.d2)
+SELECT d1, d2, cosine FROM scored WHERE cosine >= {COSINE_DUP_THRESHOLD}
+ORDER BY d1, d2
+"""
+
+
 SIMILARITY_QUERIES = {
     "knn_bruteforce": (knn_bruteforce, KNN_BRUTEFORCE_SQL),
     "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
     "ivf_centroids": (ivf_centroids, IVF_CENTROIDS_SQL),
     "ivf_topk": (ivf_topk, IVF_TOPK_SQL),
+    "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_SQL),
 }

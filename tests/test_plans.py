@@ -1,0 +1,35 @@
+"""Scale-posture gates: every registered query's physical plan must be free
+of unbounded row-pairing operators (the audits that matter at 100 TB, run
+at sf0.001 — plan shape is scale-invariant)."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry_mod
+from tools.plan_audit import ALLOWED_NESTED, audit
+
+
+def test_no_nested_loop_or_cartesian_joins(spark, sf_dir):
+    violations = {}
+    for name, fn in entry_mod.queries().items():
+        problems, _ = audit(name, fn(spark, sf_dir))
+        if problems:
+            violations[name] = problems
+    assert not violations, f"unbounded join strategies: {violations}"
+
+
+def test_allowed_nested_are_documented_exceptions(spark, sf_dir):
+    """The whitelist must stay minimal and each member genuinely broadcast
+    a bounded side (both are O(small × N) by contract)."""
+    assert ALLOWED_NESTED == {"knn_bruteforce", "ivf_topk"}
+
+
+def test_filter_pushdown_reaches_scans(spark, sf_dir):
+    """Filtering queries must push predicates into the parquet scan."""
+    qs = entry_mod.queries()
+    for name in ("q3_shipping_priority", "q5_local_supplier_volume"):
+        plan = qs[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [" in plan and "PushedFilters: []" not in plan.replace(
+            "PushedFilters: [],", ""
+        ), f"{name}: no pushed filters in scan"
