@@ -283,6 +283,183 @@ ORDER BY p_brand
 """
 
 
+# --- q4-shape: correlated EXISTS → left-semi join (late-shipping orders)
+def q4_priority_with_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders having at least one lineitem shipped after the order date,
+    counted by priority. The EXISTS subquery is a LEFT SEMI join: equi on
+    orderkey (shuffle key), the date predicate rides as a join filter —
+    no row multiplication, no second scan of the probe side."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# --- q16-shape: NOT IN (anti join) + COUNT(DISTINCT)
+def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct suppliers per (brand, size) for mid-size parts, excluding
+    suppliers in deficit (NOT IN → broadcast anti join on the tiny excluded
+    set; the distinct-count shuffles on the group key)."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") >= 10) & (F.col("p_size") <= 30)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    assoc = li.join(bad, "l_suppkey", "left_anti").select("l_partkey", "l_suppkey")
+    return (
+        assoc.join(F.broadcast(part), assoc.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("n_suppliers"))
+        .orderBy(F.desc("n_suppliers"), "p_brand", "p_size")
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS n_suppliers
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size BETWEEN 10 AND 30
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+ORDER BY n_suppliers DESC, p_brand, p_size
+"""
+
+
+# --- q17-shape: scalar correlated subquery (per-part average threshold)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from lineitems whose quantity is below 50% of their part's
+    average quantity. The correlated scalar subquery becomes a per-part
+    aggregate joined back on partkey (one extra shuffle of the small agg,
+    not a rescan per row). Threshold avg is decimal-exact → deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    thresholds = li.groupBy("l_partkey").agg(
+        (0.5 * davg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        li.join(thresholds, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            dsum("l_extendedprice").alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q17_SQL = """
+WITH t AS (
+  SELECT l_partkey,
+         0.5 * (CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / COUNT(l_quantity))
+           AS qty_threshold
+  FROM lineitem GROUP BY l_partkey)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS total_revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN t USING (l_partkey)
+WHERE l_quantity < qty_threshold
+"""
+
+
+# --- q18-shape: HAVING on a grouped subquery joined back to dimensions
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with orders whose total quantity exceeds 250 — a tail
+    predicate (~1% of orders), so the surviving orderkey set is small;
+    AQE turns the join back to orders into a broadcast at runtime."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity", 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+    )
+
+
+Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+HAVING SUM(CAST(l_quantity AS DECIMAL(30,2))) > 250
+ORDER BY o_totalprice DESC, o_orderkey
+"""
+
+
+# --- q21-shape: EXISTS + NOT EXISTS over the same fact (semi then anti)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who shipped late into multi-supplier orders where NO other
+    supplier shipped late: one semi join (another supplier exists in the
+    order) and one anti join (no other *late* supplier), both equi on
+    orderkey with supplier-inequality join filters — the classic Q21
+    two-subquery shape without row explosion."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    sup = load_table(spark, sf_dir, "supplier")
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    l2 = li.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")).distinct()
+    late3 = late.select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))
+    cand = late.join(
+        l2, (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")), "left_semi"
+    )
+    sole = cand.join(
+        late3,
+        (F.col("l_orderkey") == F.col("o3")) & (F.col("l_suppkey") != F.col("s3")),
+        "left_anti",
+    )
+    return (
+        sole.join(F.broadcast(sup), sole.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("n_waits"))
+        .orderBy(F.desc("n_waits"), "s_name")
+    )
+
+
+Q21_SQL = """
+WITH late AS (
+  SELECT DISTINCT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_shipdate > o_orderdate)
+SELECT s_name, COUNT(*) AS n_waits
+FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name
+ORDER BY n_waits DESC, s_name
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -292,5 +469,10 @@ RELATIONAL_QUERIES = {
     "customers_without_orders": (customers_without_orders, ANTI_JOIN_SQL),
     "distinct_parts_per_supplier": (distinct_parts_per_supplier, DISTINCT_SQL),
     "events_hourly_rollup": (events_hourly_rollup, EVENTS_ROLLUP_SQL),
+    "q4_priority_with_late_ship": (q4_priority_with_late_ship, Q4_SQL),
+    "q16_supplier_counts": (q16_supplier_counts, Q16_SQL),
+    "q17_small_quantity_revenue": (q17_small_quantity_revenue, Q17_SQL),
+    "q18_large_orders": (q18_large_orders, Q18_SQL),
+    "q21_sole_late_supplier": (q21_sole_late_supplier, Q21_SQL),
     "part_brand_type_setops": (part_brand_type_setops, SETOPS_SQL),
 }
