@@ -206,7 +206,8 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_lsh_sql() -> str:
+def _minhash_pairs_ctes() -> str:
+    """CTE chain ``sh → sig → bands → pairs`` (pairs: d1, d2, est_jaccard)."""
     band_exprs = ", ".join(
         "md5("
         + " || '|' || ".join(f"mh_{b * LSH_ROWS + r:02d}" for r in range(LSH_ROWS))
@@ -221,16 +222,16 @@ def _minhash_lsh_sql() -> str:
     return (
         _minhash_sql_core()
         + f""",
-bands AS (SELECT doc_id, {all_mh}, {band_exprs} FROM sig)
-SELECT a.doc_id AS d1, b.doc_id AS d2,
-       CAST(({matches}) AS DOUBLE) / {MINHASH_K} AS est_jaccard
-FROM bands a JOIN bands b ON a.doc_id < b.doc_id AND ({same_band})
-ORDER BY d1, d2
+bands AS (SELECT doc_id, {all_mh}, {band_exprs} FROM sig),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         CAST(({matches}) AS DOUBLE) / {MINHASH_K} AS est_jaccard
+  FROM bands a JOIN bands b ON a.doc_id < b.doc_id AND ({same_band}))
 """
     )
 
 
-MINHASH_LSH_SQL = _minhash_lsh_sql()
+MINHASH_LSH_SQL = _minhash_pairs_ctes() + "SELECT d1, d2, est_jaccard FROM pairs ORDER BY d1, d2"
 
 
 # ------------------------------------------------------------------- SimHash
@@ -336,6 +337,82 @@ ORDER BY d1, d2
 """
 
 
+# ------------------------------------------------- near-dup cluster assignment
+CLUSTER_MIN_EST_JACCARD = 0.5
+MAX_CC_ITERATIONS = 20
+
+
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization step of a dedup pipeline: connected components over
+    strong LSH candidate pairs (est_jaccard ≥ 0.5); every document gets the
+    minimum doc_id reachable through the near-dup graph as its cluster_id
+    (singletons keep their own id). The keep-one-per-cluster rule is then a
+    trivial ``doc_id == cluster_id`` filter.
+
+    Algorithm: iterative min-label propagation to a fixpoint — each round is
+    one equi-join + min-aggregate (both shuffle on doc_id), with
+    ``localCheckpoint`` truncating lineage so plans stay flat. Rounds =
+    graph diameter; near-dup graphs are unions of small cliques, so this
+    converges in 2-3 rounds even at corpus scale (a power-law giant
+    component would warrant the pointer-doubling variant, O(log n) rounds).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = minhash_lsh_pairs(spark, sf_dir).filter(
+        F.col("est_jaccard") >= CLUSTER_MIN_EST_JACCARD
+    )
+    edges = (
+        pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+        .unionAll(pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(MAX_CC_ITERATIONS):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))).alias(
+                    "cluster_id"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.orderBy("doc_id")
+
+
+NEARDUP_CLUSTERS_SQL = (
+    _minhash_pairs_ctes()
+    + f""",
+strong AS (SELECT d1, d2 FROM pairs WHERE est_jaccard >= {CLUSTER_MIN_EST_JACCARD}),
+edges AS (SELECT d1 AS src, d2 AS dst FROM strong
+          UNION ALL SELECT d2, d1 FROM strong),
+r AS (
+  WITH RECURSIVE rr(node, lbl) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.dst, rr.lbl FROM edges e JOIN rr ON e.src = rr.node)
+  SELECT node, MIN(lbl) AS cluster_id FROM rr GROUP BY node)
+SELECT node AS doc_id, cluster_id FROM r ORDER BY doc_id
+"""
+)
+
+
 DEDUP_QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
@@ -343,4 +420,5 @@ DEDUP_QUERIES = {
     "minhash_lsh_pairs": (minhash_lsh_pairs, MINHASH_LSH_SQL),
     "simhash_fingerprints": (simhash_fingerprints, SIMHASH_SQL),
     "simhash_near_pairs": (simhash_near_pairs, SIMHASH_PAIRS_SQL),
+    "neardup_clusters": (neardup_clusters, NEARDUP_CLUSTERS_SQL),
 }

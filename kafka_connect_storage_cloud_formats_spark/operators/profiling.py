@@ -1,0 +1,110 @@
+"""Data-profiling operators: per-column statistics and distribution
+summaries — the QA pass a training-data pipeline runs before/after every
+transform stage.
+
+Scale shape: one scan, all statistics as partial (map-side-combinable)
+aggregates; the profile of a 100 TB table is one shuffle of per-partition
+sketches. Approximate variants (HyperLogLog++, quantile sketch) are in
+``approx_profile`` — they are genuinely non-SQL-reproducible (sketch
+internals differ per engine), so they register without an oracle and are
+tolerance-tested against exact values in tests/test_profiling.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_connect_storage_cloud_formats_spark.catalog import load_table
+from kafka_connect_storage_cloud_formats_spark.queries.relational import dsum
+
+PROFILE_COLS = ("o_totalprice", "o_orderstatus", "o_custkey")
+
+
+def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-format profile of the orders table: one row per column with
+    count / nulls / distincts / min / max (values rendered as strings so
+    heterogeneous columns stack)."""
+    orders = load_table(spark, sf_dir, "orders")
+    profiles = []
+    for c in PROFILE_COLS:
+        profiles.append(
+            orders.agg(
+                F.lit(c).alias("column_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias("n_nulls"),
+                F.countDistinct(c).alias("n_distinct"),
+                F.min(c).cast("string").alias("min_value"),
+                F.max(c).cast("string").alias("max_value"),
+            )
+        )
+    out = profiles[0]
+    for p in profiles[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("column_name")
+
+
+_PROFILE_SQL_PARTS = [
+    f"""
+SELECT '{c}' AS column_name, COUNT(*) AS n_rows,
+       SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_value,
+       CAST(MAX({c}) AS VARCHAR) AS max_value
+FROM orders"""
+    for c in PROFILE_COLS
+]
+ORDERS_PROFILE_SQL = "\nUNION ALL\n".join(_PROFILE_SQL_PARTS) + "\nORDER BY column_name"
+
+
+def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete quantiles of event values per event_type.
+
+    ``percentile_disc`` returns an actual data value (no interpolation), so
+    Spark and DuckDB agree exactly — interpolating quantiles would differ in
+    last-ulp arithmetic. Exact quantiles sort within each group; the approx
+    sketch below is the 100 TB path.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    aggs = [
+        F.expr(f"percentile_disc({q}) WITHIN GROUP (ORDER BY value)").alias(f"p{int(q*100):02d}")
+        for q in (0.25, 0.5, 0.9, 0.99)
+    ]
+    return ev.groupBy("event_type").agg(*aggs).orderBy("event_type")
+
+
+EVENTS_QUANTILES_SQL = """
+SELECT event_type,
+       quantile_disc(value, 0.25) AS p25,
+       quantile_disc(value, 0.50) AS p50,
+       quantile_disc(value, 0.90) AS p90,
+       quantile_disc(value, 0.99) AS p99
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based profile of events: HyperLogLog++ distinct users and
+    approximate value quantiles per event_type. The constant-memory path for
+    100 TB (no sort, no exact distinct shuffle). No SQL oracle — sketch
+    estimates are engine-specific; tests bound the error vs exact."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.99)), 10_000).alias(
+                "approx_p50_p99"
+            ),
+            F.count(F.lit(1)).alias("n"),
+            dsum("value").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+PROFILING_QUERIES = {
+    "orders_column_profile": (orders_column_profile, ORDERS_PROFILE_SQL),
+    "events_value_quantiles": (events_value_quantiles, EVENTS_QUANTILES_SQL),
+    "approx_profile": (approx_profile, None),  # sketches: rows-only driver check
+}

@@ -15,6 +15,7 @@ from kafka_connect_storage_cloud_formats_spark.queries.pipeline_queries import (
 )
 from kafka_connect_storage_cloud_formats_spark.operators.dedup import DEDUP_QUERIES
 from kafka_connect_storage_cloud_formats_spark.operators.multimodal import MULTIMODAL_QUERIES
+from kafka_connect_storage_cloud_formats_spark.operators.profiling import PROFILING_QUERIES
 from kafka_connect_storage_cloud_formats_spark.operators.similarity import SIMILARITY_QUERIES
 from kafka_connect_storage_cloud_formats_spark.operators.text import TEXT_QUERIES
 from kafka_connect_storage_cloud_formats_spark.queries.relational import RELATIONAL_QUERIES
@@ -31,3 +32,4 @@ QUERIES.update(DEDUP_QUERIES)
 QUERIES.update(SIMILARITY_QUERIES)
 QUERIES.update(MULTIMODAL_QUERIES)
 QUERIES.update(STREAMING_WINDOW_QUERIES)
+QUERIES.update(PROFILING_QUERIES)

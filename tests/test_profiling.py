@@ -1,0 +1,50 @@
+"""Profiling + clustering invariants (oracle parity via check_correctness)."""
+
+from pyspark.sql import functions as F
+
+from kafka_connect_storage_cloud_formats_spark.catalog import load_table
+from kafka_connect_storage_cloud_formats_spark.operators.dedup import neardup_clusters
+from kafka_connect_storage_cloud_formats_spark.operators.profiling import approx_profile
+
+
+def test_approx_profile_error_bounds(spark, sf_dir):
+    """HLL distinct estimate within 5% of exact; approx quantiles within the
+    min/max envelope."""
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    for r in approx_profile(spark, sf_dir).collect():
+        est, true = r["approx_users"], exact[r["event_type"]]
+        assert abs(est - true) / true <= 0.05, (r["event_type"], est, true)
+        p50, p99 = r["approx_p50_p99"]
+        assert p50 <= p99
+
+
+def test_neardup_clusters_respect_edges_and_min_label(spark, sf_dir):
+    """Every strong LSH pair must be in one cluster; every cluster_id is the
+    min doc_id of its members; docs without edges are singletons."""
+    from kafka_connect_storage_cloud_formats_spark.operators.dedup import (
+        CLUSTER_MIN_EST_JACCARD,
+        minhash_lsh_pairs,
+    )
+
+    clusters = {r["doc_id"]: r["cluster_id"] for r in neardup_clusters(spark, sf_dir).collect()}
+    strong = (
+        minhash_lsh_pairs(spark, sf_dir)
+        .filter(F.col("est_jaccard") >= CLUSTER_MIN_EST_JACCARD)
+        .collect()
+    )
+    assert strong, "test data should contain strong near-dup pairs"
+    linked = set()
+    for r in strong:
+        assert clusters[r["d1"]] == clusters[r["d2"]], (r["d1"], r["d2"])
+        linked |= {r["d1"], r["d2"]}
+    by_cluster = {}
+    for d, c in clusters.items():
+        by_cluster.setdefault(c, []).append(d)
+    for c, members in by_cluster.items():
+        assert c == min(members)
+        if len(members) > 1:
+            assert set(members) & linked, f"multi-member cluster {c} with no edges"
