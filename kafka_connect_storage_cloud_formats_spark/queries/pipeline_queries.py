@@ -96,3 +96,65 @@ WHERE user_id % 3 = 1
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def _format_roundtrip(spark: SparkSession, sf_dir: str, fmt: str, compression: str) -> DataFrame:
+    """Write events through a sibling family format and aggregate the
+    read-back. JSON/CSV carry only integer/string columns (text float
+    round-trips are representation-hazardous by design — columnar formats
+    are the value-bearing path)."""
+    from kafka_connect_storage_cloud_formats_spark.sinks.formats import (
+        read_back,
+        write_partitioned,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    env = with_kafka_envelope(
+        events,
+        topic="events",
+        num_partitions=3,
+        partition_key="user_id",
+        order_col="event_id",
+        partitioner="mod",
+    )
+    cols = ["partition", "event_id", "user_id", "event_type"]
+    if fmt in ("orc", "parquet"):
+        cols.append("value")
+    out = tempfile.mkdtemp(prefix=f"engine_{fmt}_roundtrip_")
+    write_partitioned(env.select(*cols), out, fmt=fmt, compression=compression)
+    back = read_back(spark, out, fmt=fmt)
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").alias("sum_event_id"),
+        F.countDistinct("user_id").alias("n_users"),
+    ]
+    if "value" in cols:
+        aggs.append(dsum("value").alias("total_value"))
+    return back.groupBy("event_type").agg(*aggs).orderBy("event_type")
+
+
+def parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _format_roundtrip(spark, sf_dir, "parquet", "zstd")
+
+
+PARQUET_ROUNDTRIP_SQL = """
+SELECT event_type, COUNT(*) AS n, SUM(event_id) AS sum_event_id,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _format_roundtrip(spark, sf_dir, "json", "gzip")
+
+
+JSON_ROUNDTRIP_SQL = """
+SELECT event_type, COUNT(*) AS n, SUM(event_id) AS sum_event_id,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -8,10 +8,14 @@ operators (driver records a rows-only check).
 from __future__ import annotations
 
 from kafka_connect_storage_cloud_formats_spark.queries.pipeline_queries import (
+    JSON_ROUNDTRIP_SQL,
     ORC_PARTITIONED_SQL,
     ORC_ROUNDTRIP_SQL,
+    PARQUET_ROUNDTRIP_SQL,
+    json_roundtrip,
     orc_ingest_roundtrip,
     orc_partitioned_roundtrip,
+    parquet_roundtrip,
 )
 from kafka_connect_storage_cloud_formats_spark.operators.dedup import DEDUP_QUERIES
 from kafka_connect_storage_cloud_formats_spark.operators.multimodal import MULTIMODAL_QUERIES
@@ -25,6 +29,8 @@ QUERIES: dict = {
     # --- reference pipeline semantics (SURVEY.md §2.1), oracle-gated
     "orc_ingest_roundtrip": (orc_ingest_roundtrip, ORC_ROUNDTRIP_SQL),
     "orc_partitioned_roundtrip": (orc_partitioned_roundtrip, ORC_PARTITIONED_SQL),
+    "parquet_roundtrip": (parquet_roundtrip, PARQUET_ROUNDTRIP_SQL),
+    "json_roundtrip": (json_roundtrip, JSON_ROUNDTRIP_SQL),
 }
 QUERIES.update(RELATIONAL_QUERIES)
 QUERIES.update(TEXT_QUERIES)

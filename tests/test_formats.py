@@ -1,0 +1,60 @@
+"""Multi-format sink matrix: every (format, codec) pair round-trips content
+exactly (codec changes bytes, never values)."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_storage_cloud_formats_spark.sinks.formats import (
+    DEFAULT_COMPRESSION,
+    FORMAT_COMPRESSIONS,
+    read_back,
+    write_partitioned,
+)
+
+
+@pytest.fixture(scope="module")
+def sample(spark):
+    return spark.range(200).select(
+        (F.col("id") % 4).cast("int").alias("partition"),
+        F.col("id").alias("event_id"),
+        (F.col("id") * 31 % 97).alias("user_id"),
+        F.concat(F.lit("type_"), (F.col("id") % 3)).alias("event_type"),
+    )
+
+
+@pytest.mark.parametrize("fmt", ["orc", "parquet", "json", "csv"])
+def test_roundtrip_all_codecs(spark, sample, tmp_path, fmt):
+    expect = sorted(tuple(r) for r in sample.collect())
+    for codec in FORMAT_COMPRESSIONS[fmt]:
+        out = str(tmp_path / f"{fmt}_{codec}")
+        write_partitioned(sample, out, fmt=fmt, compression=codec)
+        back = read_back(spark, out, fmt=fmt).select(
+            F.col("partition").cast("int"),
+            F.col("event_id").cast("long"),
+            F.col("user_id").cast("long"),
+            "event_type",
+        )
+        got = sorted(tuple(r) for r in back.collect())
+        assert got == expect, f"{fmt}/{codec} roundtrip mismatch"
+
+
+def test_codec_reaches_files(spark, sample, tmp_path):
+    out = str(tmp_path / "orc_zstd")
+    write_partitioned(sample, out, fmt="orc", compression="zstd")
+    files = glob.glob(os.path.join(out, "**", "*.orc"), recursive=True)
+    assert files and all(".zstd.orc" in f for f in files)
+
+
+def test_unknown_format_and_codec_rejected(sample, tmp_path):
+    with pytest.raises(ValueError, match="unknown format"):
+        write_partitioned(sample, str(tmp_path / "x"), fmt="xml")
+    with pytest.raises(ValueError, match="does not support"):
+        write_partitioned(sample, str(tmp_path / "y"), fmt="json", compression="zstd")
+
+
+def test_defaults_are_valid():
+    for fmt, codec in DEFAULT_COMPRESSION.items():
+        assert codec in FORMAT_COMPRESSIONS[fmt]
