@@ -178,7 +178,72 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------- vocabulary stats
+VOCAB_TOP_K = 100
+
+
+def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 terms by document frequency (ties by
+    term), with total term frequency. All-integer output → bit-exact at any
+    parallelism. At 100 TB this is the canonical two-level aggregate: term
+    counts are map-side partial; the shuffle carries (term, partial_df,
+    partial_tf) — vocabulary size, not corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    per_doc = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        per_doc.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("total_tf"))
+        .orderBy(F.desc("df"), "term")
+        .limit(VOCAB_TOP_K)
+    )
+
+
+VOCAB_STATS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+per_doc AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term)
+SELECT term, COUNT(*) AS df, SUM(tf) AS total_tf
+FROM per_doc GROUP BY term
+ORDER BY df DESC, term
+LIMIT {VOCAB_TOP_K}
+"""
+
+
+def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document dominant term: max tf, ties broken by lexicographically
+    smallest term (deterministic). The window partitions by doc_id — same
+    shuffle as the tf aggregate, no extra pass."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    per_doc = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("term"))
+    return (
+        per_doc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("term").alias("top_term"), "tf")
+        .orderBy("doc_id")
+    )
+
+
+DOC_TOP_TERMS_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+per_doc AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+ranked AS (
+  SELECT doc_id, term, tf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS rn
+  FROM per_doc)
+SELECT doc_id, term AS top_term, tf FROM ranked WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
 TEXT_QUERIES = {
+    "vocab_stats": (vocab_stats, VOCAB_STATS_SQL),
+    "doc_top_terms": (doc_top_terms, DOC_TOP_TERMS_SQL),
     "text_quality_stats": (text_quality_stats, TEXT_QUALITY_SQL),
     "lang_id_heuristic": (lang_id_heuristic, LANG_ID_SQL),
     "token_count_bpe": (token_count_bpe, TOKEN_COUNT_SQL),

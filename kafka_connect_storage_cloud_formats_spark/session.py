@@ -45,6 +45,9 @@ def get_spark(app_name: str = "kafka_connect_storage_cloud_formats_spark") -> Sp
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
+        # bucketed tables (operators/scale_utils.py) need a warehouse; keep
+        # it out of the repo/cwd
+        .config("spark.sql.warehouse.dir", "/tmp/engine_warehouse")
         # Long sessions accumulate shuffle files; the default BLOCKING cleaner
         # stalls job scheduling for tens of seconds when a GC batch-releases
         # them. Clean asynchronously instead.

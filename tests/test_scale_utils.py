@@ -1,0 +1,66 @@
+"""Bucketed-join (shuffle elimination) and salted-join (skew) tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_storage_cloud_formats_spark.operators.scale_utils import (
+    bucketed_join,
+    salted_join,
+    write_bucketed,
+)
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    write_bucketed(li, "li_bucketed", ("l_orderkey",), n_buckets=8)
+    write_bucketed(orders, "orders_bucketed", ("l_orderkey",), n_buckets=8)
+    yield "li_bucketed", "orders_bucketed"
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+
+
+def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
+    lt, rt = bucketed_tables
+    # disable broadcast so the test observes the bucketed SMJ path
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, lt, rt, ["l_orderkey"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, "bucketed join must not shuffle"
+        # sanity: result matches a plain join
+        li = spark.table(lt)
+        orders = spark.table(rt)
+        assert joined.count() == li.join(orders, "l_orderkey").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_salted_join_equals_plain_join(spark):
+    # skewed big side: 90% of rows share key 0
+    big = spark.range(20_000).select(
+        F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.range(50).select(F.col("id").alias("k"), (F.col("id") * 2).alias("dim"))
+    plain = big.join(small, "k")
+    salted = salted_join(big, small, "k", salt_n=8)
+    assert salted.count() == plain.count()
+    a = sorted(tuple(r) for r in plain.select("k", "payload", "dim").collect())
+    b = sorted(tuple(r) for r in salted.select("k", "payload", "dim").collect())
+    assert a == b
+
+
+def test_salt_spreads_hot_key(spark):
+    big = spark.range(10_000).select(F.lit(0).alias("k"), F.col("id").alias("payload"))
+    salted = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(8)).cast("int")
+    )
+    n_salts = salted.select("__salt").distinct().count()
+    assert n_salts == 8, "hot key should scatter across all salt buckets"
