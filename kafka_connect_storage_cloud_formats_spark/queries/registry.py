@@ -17,6 +17,7 @@ from kafka_connect_storage_cloud_formats_spark.queries.pipeline_queries import (
     orc_partitioned_roundtrip,
     parquet_roundtrip,
 )
+from kafka_connect_storage_cloud_formats_spark.operators.compaction import COMPACTION_QUERIES
 from kafka_connect_storage_cloud_formats_spark.operators.dedup import DEDUP_QUERIES
 from kafka_connect_storage_cloud_formats_spark.operators.multimodal import MULTIMODAL_QUERIES
 from kafka_connect_storage_cloud_formats_spark.operators.profiling import PROFILING_QUERIES
@@ -39,3 +40,4 @@ QUERIES.update(SIMILARITY_QUERIES)
 QUERIES.update(MULTIMODAL_QUERIES)
 QUERIES.update(STREAMING_WINDOW_QUERIES)
 QUERIES.update(PROFILING_QUERIES)
+QUERIES.update(COMPACTION_QUERIES)
