@@ -448,10 +448,79 @@ ORDER BY d1, d2
 """
 
 
+def ann_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality evaluation of the ANN index: recall@10 of hyperplane-LSH vs
+    the exact brute-force baseline (measure, don't guess). One row:
+    (n_queries, hits, possible, recall). Deterministic on both engines, so
+    even the *evaluation* is oracle-gated."""
+    bf = knn_bruteforce(spark, sf_dir).select("q_id", "neighbor_id")
+    ann = ann_lsh_topk(spark, sf_dir).select("q_id", "neighbor_id")
+    hits = bf.join(ann, ["q_id", "neighbor_id"], "left_semi")
+    return (
+        bf.agg(
+            F.countDistinct("q_id").alias("n_queries"),
+            F.count(F.lit(1)).alias("possible"),
+        )
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("hits")))
+        .select(
+            "n_queries",
+            "hits",
+            "possible",
+            (F.col("hits").cast("double") / F.col("possible").cast("double")).alias("recall"),
+        )
+    )
+
+
+def _ann_recall_sql() -> str:
+    band_rows = ", ".join(str(b) for b in range(LSH_N_BANDS))
+    mask = 2**LSH_BAND_BITS - 1
+    return f"""
+WITH {_sql_base()},
+bf_scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+         {_sql_dot('q.embedding', 'c.embedding')} / (q.norm * c.norm) AS cosine
+  FROM q JOIN base c ON c.vec_id <> q.vec_id),
+bf AS (
+  SELECT q_id, neighbor_id FROM (
+    SELECT q_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM bf_scored) r WHERE rank <= {TOP_K}),
+sig AS (SELECT vec_id, {_sql_signature()} AS sig FROM base),
+bands AS (
+  SELECT vec_id, b.band_id, (sig >> (band_id * {LSH_BAND_BITS})) & {mask} AS band_val
+  FROM sig, (SELECT UNNEST([{band_rows}]) AS band_id) b),
+qb AS (SELECT vec_id AS q_id, band_id, band_val FROM bands WHERE vec_id % {QUERY_MOD} = 0),
+cand AS (
+  SELECT DISTINCT qb.q_id, c.vec_id AS neighbor_id
+  FROM qb JOIN bands c USING (band_id, band_val)
+  WHERE c.vec_id <> qb.q_id),
+ann_scored AS (
+  SELECT cand.q_id, cand.neighbor_id,
+         {_sql_dot('qv.embedding', 'cv.embedding')} / (qv.norm * cv.norm) AS cosine
+  FROM cand
+  JOIN base qv ON qv.vec_id = cand.q_id
+  JOIN base cv ON cv.vec_id = cand.neighbor_id),
+ann AS (
+  SELECT q_id, neighbor_id FROM (
+    SELECT q_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM ann_scored) r WHERE rank <= {TOP_K}),
+h AS (SELECT COUNT(*) AS hits FROM bf JOIN ann USING (q_id, neighbor_id)),
+tot AS (SELECT COUNT(DISTINCT q_id) AS n_queries, COUNT(*) AS possible FROM bf)
+SELECT n_queries, hits, possible,
+       CAST(hits AS DOUBLE) / CAST(possible AS DOUBLE) AS recall
+FROM tot, h
+"""
+
+
+ANN_RECALL_SQL = _ann_recall_sql()
+
+
 SIMILARITY_QUERIES = {
     "knn_bruteforce": (knn_bruteforce, KNN_BRUTEFORCE_SQL),
     "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
     "ivf_centroids": (ivf_centroids, IVF_CENTROIDS_SQL),
     "ivf_topk": (ivf_topk, IVF_TOPK_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_SQL),
+    "ann_recall_at_10": (ann_recall_at_10, ANN_RECALL_SQL),
 }
