@@ -118,3 +118,55 @@ def test_stateful_sessionizer_matches_batch_sessions(spark, events_src, sf_dir, 
             assert n == r["n_events"], f"count mismatch for {k}"
             assert end == r["session_end"], f"end mismatch for {k}"
     assert missing == 0, f"{missing}/{len(emitted)} stateful sessions absent from batch result"
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late events beyond the watermark are dropped, not re-aggregated:
+    run 1 processes hours 0-10 (watermark advances to 8h), run 2 delivers a
+    brazenly late hour-1 event plus a fresh hour-11 event — the closed
+    hour-1 window must not change or reappear."""
+    import time as _time
+
+    from kafka_connect_storage_cloud_formats_spark.streaming.windows import tumbling_plan
+
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def mk_events(rows):
+        return spark.createDataFrame(
+            [(i, f"2024-01-01 {h:02d}:00:01", "t", float(v)) for i, (h, v) in enumerate(rows)],
+            "event_id long, ts_s string, event_type string, value double",
+        ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "value")
+
+    # run 1: two events in hour 1, one in hour 10 → watermark ends at 8h
+    mk_events([(1, 10), (1, 20), (10, 5)]).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run_once():
+        q = (
+            tumbling_plan(spark.readStream.schema(schema).parquet(src))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    first = {
+        (r["window_start"].hour, r["n"], r["total_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert (1, 2, 30.0) in {(h, n, v) for h, n, v in first}, first
+
+    # run 2: a late hour-1 event (far below watermark) + fresh hour-11 event
+    _time.sleep(0.1)
+    mk_events([(1, 999), (11, 7)]).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    final = [
+        (r["window_start"].hour, r["n"], r["total_value"])
+        for r in spark.read.parquet(out).collect()
+    ]
+    hour1 = [(h, n, v) for h, n, v in final if h == 1]
+    assert hour1 == [(1, 2, 30.0)], f"late data must be dropped, got {hour1}"
