@@ -396,21 +396,25 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.orderBy("doc_id")
 
 
-NEARDUP_CLUSTERS_SQL = (
-    _minhash_pairs_ctes()
-    + f""",
+def _cluster_ctes() -> str:
+    """CTE chain ending in ``clusters(doc_id, cluster_id)``."""
+    return (
+        _minhash_pairs_ctes()
+        + f""",
 strong AS (SELECT d1, d2 FROM pairs WHERE est_jaccard >= {CLUSTER_MIN_EST_JACCARD}),
 edges AS (SELECT d1 AS src, d2 AS dst FROM strong
           UNION ALL SELECT d2, d1 FROM strong),
-r AS (
+clusters AS (
   WITH RECURSIVE rr(node, lbl) AS (
     SELECT doc_id, doc_id FROM documents
     UNION
     SELECT e.dst, rr.lbl FROM edges e JOIN rr ON e.src = rr.node)
-  SELECT node, MIN(lbl) AS cluster_id FROM rr GROUP BY node)
-SELECT node AS doc_id, cluster_id FROM r ORDER BY doc_id
+  SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM rr GROUP BY node)
 """
-)
+    )
+
+
+NEARDUP_CLUSTERS_SQL = _cluster_ctes() + "SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id"
 
 
 DEDUP_QUERIES = {

@@ -22,6 +22,7 @@ from kafka_connect_storage_cloud_formats_spark.operators.dedup import DEDUP_QUER
 from kafka_connect_storage_cloud_formats_spark.operators.multimodal import MULTIMODAL_QUERIES
 from kafka_connect_storage_cloud_formats_spark.operators.profiling import PROFILING_QUERIES
 from kafka_connect_storage_cloud_formats_spark.operators.similarity import SIMILARITY_QUERIES
+from kafka_connect_storage_cloud_formats_spark.operators.training_pipeline import TRAINING_PIPELINE_QUERIES
 from kafka_connect_storage_cloud_formats_spark.operators.text import TEXT_QUERIES
 from kafka_connect_storage_cloud_formats_spark.queries.relational import RELATIONAL_QUERIES
 from kafka_connect_storage_cloud_formats_spark.streaming.windows import STREAMING_WINDOW_QUERIES
@@ -41,3 +42,4 @@ QUERIES.update(MULTIMODAL_QUERIES)
 QUERIES.update(STREAMING_WINDOW_QUERIES)
 QUERIES.update(PROFILING_QUERIES)
 QUERIES.update(COMPACTION_QUERIES)
+QUERIES.update(TRAINING_PIPELINE_QUERIES)

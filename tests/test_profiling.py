@@ -48,3 +48,24 @@ def test_neardup_clusters_respect_edges_and_min_label(spark, sf_dir):
         assert c == min(members)
         if len(members) > 1:
             assert set(members) & linked, f"multi-member cluster {c} with no edges"
+
+
+def test_training_corpus_materialization(spark, sf_dir, tmp_path):
+    """The composed pipeline writes a lang-partitioned corpus whose row
+    count matches the stats query."""
+    from kafka_connect_storage_cloud_formats_spark.operators.training_pipeline import (
+        training_corpus_stats,
+        write_training_corpus,
+    )
+
+    out = str(tmp_path / "corpus")
+    kept = write_training_corpus(spark, sf_dir, out)
+    stats = training_corpus_stats(spark, sf_dir)
+    assert kept.count() == stats.agg(F.sum("n_docs")).first()[0]
+    back = spark.read.parquet(out)
+    assert set(back.columns) >= {"doc_id", "text", "lang"}
+    # partition pruning works on the lang layout
+    one_lang = stats.first()["lang"]
+    assert back.filter(F.col("lang") == one_lang).count() == (
+        stats.filter(F.col("lang") == one_lang).first()["n_docs"]
+    )
