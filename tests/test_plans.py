@@ -22,7 +22,7 @@ def test_no_nested_loop_or_cartesian_joins(spark, sf_dir):
 def test_allowed_nested_are_documented_exceptions(spark, sf_dir):
     """The whitelist must stay minimal and each member genuinely broadcast
     a bounded side (both are O(small × N) by contract)."""
-    assert ALLOWED_NESTED == {"knn_bruteforce", "ivf_topk"}
+    assert ALLOWED_NESTED == {"knn_bruteforce", "ivf_topk", "ann_recall_at_10"}
 
 
 def test_filter_pushdown_reaches_scans(spark, sf_dir):
