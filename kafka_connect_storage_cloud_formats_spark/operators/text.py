@@ -241,7 +241,45 @@ ORDER BY doc_id
 """
 
 
+# ------------------------------------------------------------ PII-style scrub
+def scrub_numeric_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redaction pass of a data-cleaning pipeline: digit runs in the events
+    payload replaced by a placeholder, with per-type redaction accounting.
+    regexp_replace/regexp_count on the pattern ``[0-9]+`` behave identically
+    in Java regex and RE2, so the scrub itself is oracle-checkable (the md5
+    of every scrubbed payload participates in the hash)."""
+    ev = load_table(spark, sf_dir, "events")
+    scrubbed = ev.select(
+        "event_type",
+        F.regexp_count(F.col("props"), F.lit("[0-9]+")).alias("n_redacted"),
+        F.md5(F.regexp_replace("props", "[0-9]+", "<NUM>")).alias("scrub_md5"),
+    )
+    return (
+        scrubbed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("n_redacted").alias("total_redactions"),
+            F.countDistinct("scrub_md5").alias("n_distinct_scrubbed"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SCRUB_SQL = """
+WITH s AS (
+  SELECT event_type,
+         length(regexp_replace(props, '[0-9]+', 'X', 'g')) - length(regexp_replace(props, '[0-9]+', '', 'g')) AS n_redacted,
+         md5(regexp_replace(props, '[0-9]+', '<NUM>', 'g')) AS scrub_md5
+  FROM events)
+SELECT event_type, COUNT(*) AS n_events,
+       SUM(n_redacted) AS total_redactions,
+       COUNT(DISTINCT scrub_md5) AS n_distinct_scrubbed
+FROM s GROUP BY event_type ORDER BY event_type
+"""
+
+
 TEXT_QUERIES = {
+    "scrub_numeric_tokens": (scrub_numeric_tokens, SCRUB_SQL),
     "vocab_stats": (vocab_stats, VOCAB_STATS_SQL),
     "doc_top_terms": (doc_top_terms, DOC_TOP_TERMS_SQL),
     "text_quality_stats": (text_quality_stats, TEXT_QUALITY_SQL),

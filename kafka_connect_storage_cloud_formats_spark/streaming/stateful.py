@@ -30,12 +30,33 @@ OUTPUT_SCHEMA = (
 STATE_SCHEMA = "start bigint, last bigint, n bigint, total double"
 
 
+def _emit(user_id, sessions):
+    return pd.DataFrame(
+        {
+            "user_id": [user_id] * len(sessions),
+            "session_start": [pd.Timestamp(s, unit="us") for s, _, _, _ in sessions],
+            "session_end": [pd.Timestamp(last + GAP_US, unit="us") for _, last, _, _ in sessions],
+            "n_events": [n for _, _, n, _ in sessions],
+            "total_value": [tv for _, _, _, tv in sessions],
+        }
+    )
+
+
 def _sessionize_group(
     key: Tuple[Any, ...],
     pdf_iter: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
+
+    # Event-time timeout: the watermark passed this user's open-session end
+    # with no new events → the session is final; emit and clear state.
+    if state.hasTimedOut:
+        start, last, n, total = state.get
+        state.remove()
+        yield _emit(user_id, [(start, last, n, total)])
+        return
+
     events = pd.concat(list(pdf_iter)).sort_values("ts")
     ts_us = (events["ts"].astype("int64") // 1000).tolist()  # ns → µs
     vals = events["value"].tolist()
@@ -57,30 +78,27 @@ def _sessionize_group(
             last, n, total = t, n + 1, total + float(v)
 
     state.update((start, last, n, total))
+    # fire when the event-time watermark passes the open session's end
+    state.setTimeoutTimestamp((last + GAP_US) // 1000)  # µs → ms epoch
     if closed:
-        yield pd.DataFrame(
-            {
-                "user_id": [user_id] * len(closed),
-                "session_start": [pd.Timestamp(s, unit="us") for s, _, _, _ in closed],
-                "session_end": [
-                    pd.Timestamp(last + GAP_US, unit="us") for _, last, _, _ in closed
-                ],
-                "n_events": [n for _, _, n, _ in closed],
-                "total_value": [tv for _, _, _, tv in closed],
-            }
-        )
+        yield _emit(user_id, closed)
 
 
-def sessionize_stream(events: DataFrame) -> DataFrame:
-    """events(user_id, ts, value, ...) stream → closed-session stream."""
+def sessionize_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """events(user_id, ts, value, ...) stream → closed-session stream.
+
+    Sessions close two ways: a later event arrives ≥ GAP after the last
+    (inline), or the event-time watermark passes the open session's end
+    (timeout — the production path for users who simply stop)."""
     return (
         events.select("user_id", "ts", "value")
+        .withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
             _sessionize_group,
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
