@@ -235,9 +235,70 @@ SELECT media_id, [{arr}] AS features FROM s ORDER BY media_id
 MEDIA_FEATURES_SQL = _features_sql()
 
 
+THUMB = 4  # thumbnail grid (THUMB × THUMB blocks)
+
+
+def image_resize_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample each image to a 4×4 block-sum thumbnail through the fake
+    decoder: pixel (r,c) of the ⌈√n⌉-wide grid lands in block
+    (r·4÷height, c·4÷width); each output cell is the exact integer sum of
+    its block. The real-resize drop-in would replace the bincount with a
+    codec + interpolation inside the same mapInPandas stage."""
+    imgs = media_assets(spark, sf_dir).filter(F.col("kind") == "image").select(
+        "media_id", "payload"
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            thumbs = []
+            for p in pdf["payload"]:
+                a = fake_decode(p).astype(np.int64)
+                n = a.size
+                width = math.ceil(math.sqrt(n))
+                height = math.ceil(n / width) if width else 0
+                idx = np.arange(n)
+                r, c = idx // width, idx % width
+                block = (r * THUMB // height) * THUMB + (c * THUMB // width)
+                sums = np.bincount(block, weights=a, minlength=THUMB * THUMB)
+                thumbs.append([int(x) for x in sums[: THUMB * THUMB]])
+            yield pd.DataFrame({"media_id": pdf["media_id"], "thumb": thumbs})
+
+    return imgs.mapInPandas(resize, "media_id bigint, thumb array<bigint>").orderBy("media_id")
+
+
+def _resize_sql() -> str:
+    cell = (
+        "((((i - 1) // w) * {T} // h) * {T} + (((i - 1) % w) * {T} // w))".format(T=THUMB)
+    )
+    sums = ", ".join(
+        f"CAST(coalesce(list_sum([ps[CAST(i AS INT)] for i in range(1, n + 1) "
+        f"if {cell} = {k}]), 0) AS BIGINT) AS s{k}"
+        for k in range(THUMB * THUMB)
+    )
+    arr = ", ".join(f"s{k}" for k in range(THUMB * THUMB))
+    return f"""
+WITH px AS (
+  SELECT doc_id AS media_id,
+         [unicode(c) for c in string_split(text, '')] AS ps,
+         length(text) AS n,
+         CAST(ceil(sqrt(CAST(length(text) AS DOUBLE))) AS BIGINT) AS w,
+         CAST(ceil(CAST(length(text) AS DOUBLE)
+              / ceil(sqrt(CAST(length(text) AS DOUBLE)))) AS BIGINT) AS h
+  FROM documents WHERE doc_id % 3 = 0),
+s AS (SELECT media_id, {sums} FROM px)
+SELECT media_id, [{arr}] AS thumb FROM s ORDER BY media_id
+"""
+
+
+IMAGE_RESIZE_SQL = _resize_sql()
+
+
 MULTIMODAL_QUERIES = {
     "media_catalog": (media_catalog, MEDIA_CATALOG_SQL),
     "image_decode_stats": (image_decode_stats, IMAGE_DECODE_STATS_SQL),
     "video_frame_index": (video_frame_index, VIDEO_FRAME_INDEX_SQL),
     "media_feature_extract": (media_feature_extract, MEDIA_FEATURES_SQL),
+    "image_resize_thumbnail": (image_resize_thumbnail, IMAGE_RESIZE_SQL),
 }
