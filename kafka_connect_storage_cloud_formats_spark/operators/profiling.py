@@ -103,7 +103,51 @@ def approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- deterministic split/sample
+SPLIT_SALT = "split-v1"
+
+
+def corpus_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket = first byte of
+    md5(salt || doc_id) → 90/5/5. Content-hash splitting is how a 100 TB
+    corpus gets reproducible, join-free splits (no RNG state, no
+    coordination; any engine recomputes the same assignment — including the
+    oracle). Emits per-split doc/token counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.concat(F.lit(SPLIT_SALT), F.col("doc_id"))), 1, 2), 16, 10).cast("int")
+    split = (
+        F.when(bucket < 230, "train").when(bucket < 243, "val").otherwise("test")
+    )
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    return (
+        docs.select(split.alias("split"), n_tokens.alias("n_tokens"))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("total_tokens"))
+        .orderBy("split")
+    )
+
+
+_HEXVAL2 = " + ".join(
+    f"(instr('0123456789abcdef', substr(h, {j + 1}, 1)) - 1) * {16 ** (1 - j)}" for j in range(2)
+)
+CORPUS_SPLIT_SQL = f"""
+WITH b AS (
+  SELECT md5('{SPLIT_SALT}' || CAST(doc_id AS VARCHAR)) AS h,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+s AS (
+  SELECT CASE WHEN ({_HEXVAL2}) < 230 THEN 'train'
+              WHEN ({_HEXVAL2}) < 243 THEN 'val'
+              ELSE 'test' END AS split,
+         n_tokens
+  FROM b)
+SELECT split, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+FROM s GROUP BY split ORDER BY split
+"""
+
+
 PROFILING_QUERIES = {
+    "corpus_split_stats": (corpus_split_stats, CORPUS_SPLIT_SQL),
     "orders_column_profile": (orders_column_profile, ORDERS_PROFILE_SQL),
     "events_value_quantiles": (events_value_quantiles, EVENTS_QUANTILES_SQL),
     "approx_profile": (approx_profile, None),  # sketches: rows-only driver check
