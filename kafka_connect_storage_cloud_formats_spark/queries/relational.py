@@ -460,6 +460,79 @@ ORDER BY n_waits DESC, s_name
 """
 
 
+# --- q2-shape: per-group argmin + join back (cheapest supplier per part)
+def q2_min_acctbal_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each mid-size part, the supplier with the lowest account balance
+    among suppliers who shipped it (argmin per group via window over the
+    part-supplier association, dimension joins broadcast)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    sup = load_table(spark, sf_dir, "supplier")
+    assoc = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+    )
+    w = Window.partitionBy("p_partkey").orderBy(F.asc("s_acctbal"), F.asc("s_suppkey"))
+    return (
+        assoc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal")
+        .orderBy("p_partkey")
+    )
+
+
+Q2_SQL = """
+SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal
+FROM (
+  SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY p_partkey
+                            ORDER BY s_acctbal ASC, s_suppkey ASC) AS rn
+  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) a
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE p_size = 15) t
+WHERE rn = 1
+ORDER BY p_partkey
+"""
+
+
+# --- q22-shape: global scalar threshold + anti join
+def q22_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with above-average balance and no recent order (none
+    since 2000-01-01): the global average is a decimal-exact scalar folded
+    into the filter; "no recent order" is a left-anti join against the
+    date-filtered (pushdown) orders scan; grouped by nation."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01"))
+        .select("o_custkey")
+    )
+    avg_bal = cust.agg(davg("c_acctbal").alias("a")).first()["a"]
+    rich = cust.filter(F.col("c_acctbal") > avg_bal)
+    inactive = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+    return (
+        inactive.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_custs"), dsum("c_acctbal").alias("total_bal"))
+        .orderBy("c_nationkey")
+    )
+
+
+Q22_SQL = """
+WITH a AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) / COUNT(c_acctbal) AS avg_bal
+  FROM customer)
+SELECT c_nationkey, COUNT(*) AS n_custs,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS total_bal
+FROM customer, a
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -474,5 +547,7 @@ RELATIONAL_QUERIES = {
     "q17_small_quantity_revenue": (q17_small_quantity_revenue, Q17_SQL),
     "q18_large_orders": (q18_large_orders, Q18_SQL),
     "q21_sole_late_supplier": (q21_sole_late_supplier, Q21_SQL),
+    "q2_min_acctbal_supplier": (q2_min_acctbal_supplier, Q2_SQL),
+    "q22_rich_inactive_customers": (q22_rich_inactive_customers, Q22_SQL),
     "part_brand_type_setops": (part_brand_type_setops, SETOPS_SQL),
 }
