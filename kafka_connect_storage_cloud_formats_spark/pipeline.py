@@ -110,6 +110,68 @@ class IngestPipeline:
         return read_orc(spark, self.out_dir)
 
 
+class EvolvingIngest:
+    """Schema-evolution-aware ingest: batches may arrive with different
+    (compatible) schemas; each schema *upgrade* rotates to a new generation
+    directory, and older-shaped batches are projected onto the current
+    schema (Connect's StorageSchemaCompatibility + SchemaProjector behavior
+    — see schema_evolution.py). ``read_back`` merges all generations.
+    """
+
+    def __init__(
+        self,
+        base_dir: str,
+        mode=None,
+        flush_size: int = 10_000,
+        parity_naming: bool = True,
+    ) -> None:
+        from kafka_connect_storage_cloud_formats_spark.schema_evolution import (
+            Compatibility,
+            SchemaTracker,
+        )
+
+        self.base_dir = base_dir
+        self.flush_size = flush_size
+        self.parity_naming = parity_naming
+        self.tracker = SchemaTracker(mode or Compatibility.BACKWARD)
+        self.generation = -1
+        self._pipe: IngestPipeline | None = None
+
+    def ingest(self, records: DataFrame, schema: T.StructType) -> list[str] | None:
+        """Write one enveloped batch carrying ``schema``. Raises
+        IncompatibleSchemaError on a disallowed change."""
+        from pyspark.sql import functions as F
+
+        action = self.tracker.observe(schema)
+        if action == "rotate" or self._pipe is None:
+            self.generation += 1
+            self._pipe = IngestPipeline(
+                f"{self.base_dir}/gen={self.generation:04d}",
+                self.tracker.current,
+                flush_size=self.flush_size,
+                parity_naming=self.parity_naming,
+            )
+        # project the batch onto the current schema (envelope passes through,
+        # missing nullable value fields become NULL)
+        current = self.tracker.current
+        cols = [F.col(c) for c in ENVELOPE_COLS if c in records.columns]
+        have = set(records.columns)
+        for f in current.fields:
+            if f.name in have:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return self._pipe.run_batch(records.select(*cols))
+
+    def read_back(self, spark: SparkSession) -> DataFrame:
+        reader = spark.read.format("orc").option("mergeSchema", "true")
+        if self.parity_naming:
+            reader = reader.option("pathGlobFilter", "*.orc").option(
+                "recursiveFileLookup", "true"
+            )
+        return reader.load(self.base_dir)
+
+
 def coerce_stream(records: DataFrame, schema: T.StructType) -> DataFrame:
     """Streaming-safe projection: envelope columns pass through, value
     columns cast onto the engine schema."""

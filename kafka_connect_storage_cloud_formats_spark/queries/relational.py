@@ -533,6 +533,64 @@ ORDER BY c_nationkey
 """
 
 
+# --- scalar function gallery: the expression library the reference lacks
+def scalar_function_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per order priority exercising the scalar library (string,
+    date, math, conditional, array) — the reference has NO scalar functions
+    (SURVEY.md §2.3); on Spark they are Catalyst built-ins, folded into
+    whole-stage codegen. Every expression here is deterministic and
+    engine-portable (no locale, no float rounding)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderpriority",
+            F.upper(F.substring("o_orderstatus", 1, 1)).alias("status_u"),
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+            F.dayofmonth("o_orderdate").alias("dom"),
+            F.length(F.concat_ws("-", "o_orderpriority", "o_orderstatus")).alias("cat_len"),
+            F.abs(F.col("o_custkey") - 1000).alias("absdiff"),
+            F.greatest(F.col("o_orderkey") % 7, F.col("o_custkey") % 7).alias("gmod"),
+            F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")).alias("nn"),
+            F.when(F.col("o_totalprice") > 100000, "big").otherwise("small").alias("bucket"),
+            F.floor(F.col("o_totalprice")).cast("long").alias("price_floor"),
+        )
+        .groupBy("o_orderpriority", "status_u", "yr", "mo", "bucket", "nn")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cat_len").alias("s_len"),
+            F.sum("absdiff").alias("s_abs"),
+            F.sum("gmod").alias("s_gmod"),
+            F.sum("dom").alias("s_dom"),
+            F.sum("price_floor").alias("s_floor"),
+        )
+        .orderBy("o_orderpriority", "status_u", "yr", "mo", "bucket", "nn")
+    )
+
+
+SCALAR_GALLERY_SQL = """
+WITH e AS (
+  SELECT o_orderpriority,
+         upper(substr(o_orderstatus, 1, 1)) AS status_u,
+         EXTRACT(year FROM o_orderdate) AS yr,
+         EXTRACT(month FROM o_orderdate) AS mo,
+         EXTRACT(day FROM o_orderdate) AS dom,
+         length(concat_ws('-', o_orderpriority, o_orderstatus)) AS cat_len,
+         abs(o_custkey - 1000) AS absdiff,
+         greatest(o_orderkey % 7, o_custkey % 7) AS gmod,
+         coalesce(nullif(o_orderstatus, 'O'), 'open') AS nn,
+         CASE WHEN o_totalprice > 100000 THEN 'big' ELSE 'small' END AS bucket,
+         CAST(floor(o_totalprice) AS BIGINT) AS price_floor
+  FROM orders)
+SELECT o_orderpriority, status_u, yr, mo, bucket, nn,
+       COUNT(*) AS n, SUM(cat_len) AS s_len, SUM(absdiff) AS s_abs,
+       SUM(gmod) AS s_gmod, SUM(dom) AS s_dom, SUM(price_floor) AS s_floor
+FROM e
+GROUP BY o_orderpriority, status_u, yr, mo, bucket, nn
+ORDER BY o_orderpriority, status_u, yr, mo, bucket, nn
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -549,5 +607,6 @@ RELATIONAL_QUERIES = {
     "q21_sole_late_supplier": (q21_sole_late_supplier, Q21_SQL),
     "q2_min_acctbal_supplier": (q2_min_acctbal_supplier, Q2_SQL),
     "q22_rich_inactive_customers": (q22_rich_inactive_customers, Q22_SQL),
+    "scalar_function_gallery": (scalar_function_gallery, SCALAR_GALLERY_SQL),
     "part_brand_type_setops": (part_brand_type_setops, SETOPS_SQL),
 }

@@ -100,3 +100,34 @@ def test_evolving_ingest_with_merged_readback(spark, tmp_path):
     assert merged.count() == 7
     assert merged.filter(F.col("score").isNull()).count() == 4
     assert set(merged.columns) >= {"id", "name", "score"}
+
+
+def test_evolving_ingest_driver(spark, tmp_path):
+    """EvolvingIngest rotates generations on upgrades and projects
+    older-shaped batches onto the current schema (null-filled)."""
+    from kafka_connect_storage_cloud_formats_spark.pipeline import EvolvingIngest
+
+    def mk(n, offset0, with_score):
+        df = spark.range(n).select(
+            (F.col("id") + offset0).alias("id"),
+            F.concat(F.lit("n"), F.col("id") + offset0).alias("name"),
+            F.lit("t").alias("topic"),
+            F.lit(0).cast("int").alias("partition"),
+            (F.col("id") + offset0).alias("offset"),
+        )
+        return df.withColumn("score", (F.col("id") * 2.0)) if with_score else df
+
+    # batches aligned to flush boundaries: parity naming is offset-bucket
+    # keyed, so same-bucket batches would (by design) idempotently overwrite
+    ing = EvolvingIngest(str(tmp_path / "evolve"), flush_size=100)
+    ing.ingest(mk(4, 0, False), V1)                   # gen 0, v1
+    ing.ingest(mk(3, 100, True), V2_ADD_NULLABLE)     # upgrade → gen 1, v2
+    ing.ingest(mk(2, 200, False), V1)                 # v1 again → projected into gen 1
+    assert ing.generation == 1
+
+    back = ing.read_back(spark)
+    assert back.count() == 9
+    # 4 rows from gen0 lack score entirely (merged as null) + 2 projected nulls
+    assert back.filter(F.col("score").isNull()).count() == 6
+    with pytest.raises(Exception):
+        ing.ingest(mk(1, 9, False), V2_TYPE_CHANGE)
