@@ -43,7 +43,13 @@ def _run_events_pipeline(spark: SparkSession, sf_dir: str, parity: bool) -> Data
         order_col="event_id",
         partitioner="mod",
     )
-    out = tempfile.mkdtemp(prefix="engine_orc_roundtrip_")
+    # fixed per-(mode, sf) dir + overwrite: repeated runs (bench min-of-2,
+    # correctness) must not accumulate tmp dirs
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"engine_orc_roundtrip_{'parity' if parity else 'native'}_"
+        + os.path.basename(os.path.normpath(sf_dir)),
+    )
     pipe = IngestPipeline(
         out, EVENTS_VALUE_SCHEMA, flush_size=10_000, parity_naming=parity
     )
@@ -120,7 +126,10 @@ def _format_roundtrip(spark: SparkSession, sf_dir: str, fmt: str, compression: s
     cols = ["partition", "event_id", "user_id", "event_type"]
     if fmt in ("orc", "parquet"):
         cols.append("value")
-    out = tempfile.mkdtemp(prefix=f"engine_{fmt}_roundtrip_")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"engine_{fmt}_roundtrip_" + os.path.basename(os.path.normpath(sf_dir)),
+    )
     write_partitioned(env.select(*cols), out, fmt=fmt, compression=compression)
     back = read_back(spark, out, fmt=fmt)
     aggs = [
