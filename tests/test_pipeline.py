@@ -203,3 +203,33 @@ def test_null_values_stored_as_orc_nulls(spark, tmp_path):
     back = pipe.read_back(spark)
     assert back.filter(F.col("int_col").isNull()).count() == 4
     assert back.filter(F.col("string_col").isNull()).count() == 3
+
+
+def test_golden_extreme_values_roundtrip(spark, tmp_path):
+    """FIXTURES.md F1 edge surface: INT/LONG extremes, float-unrepresentable
+    doubles, empty + multi-byte strings survive the parity ORC pipeline
+    byte-exactly."""
+    rows = [
+        (True, 2147483647, 9223372036854775807, 0.0, 0.1, ""),
+        (False, -2147483648, -9223372036854775808, -1.5, 1e308, "多字节 ütf-8 ✓"),
+        (True, 0, 0, 3.4028235e38, -2.2250738585072014e-308, "plain"),
+        (False, -1, 1, -0.0, 0.1 + 0.2, "末尾"),
+    ]
+    df = spark.createDataFrame(rows, SIX_TYPE_SCHEMA).select(
+        "*",
+        F.lit("t").alias("topic"),
+        F.lit(0).cast("int").alias("partition"),
+        F.monotonically_increasing_id().alias("offset"),
+    )
+    # normalize offsets to 0..n-1
+    df = df.withColumn("offset", F.row_number().over(
+        __import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy("int_col")
+    ).cast("long") - 1)
+    out = str(tmp_path / "out")
+    pipe = IngestPipeline(out, SIX_TYPE_SCHEMA, flush_size=100, parity_naming=True)
+    pipe.run_batch(df)
+    back = pipe.read_back(spark)
+    cols = sorted(f.name for f in SIX_TYPE_SCHEMA.fields)
+    got = sorted(tuple(r) for r in back.select(*cols).collect())
+    want = sorted(tuple(r) for r in df.select(*cols).collect())
+    assert got == want
