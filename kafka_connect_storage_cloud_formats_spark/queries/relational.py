@@ -591,6 +591,31 @@ ORDER BY o_orderpriority, status_u, yr, mo, bucket, nn
 """
 
 
+# --- cube: full grouping-set lattice
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (priority, status): all four grouping sets in one pass —
+    Spark expands to a single shuffle with grouping-id, same as the
+    rollup query but covering the full lattice."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total"))
+        .orderBy(
+            F.col("o_orderpriority").asc_nulls_first(),
+            F.col("o_orderstatus").asc_nulls_first(),
+        )
+    )
+
+
+ORDERS_CUBE_SQL = """
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -608,5 +633,6 @@ RELATIONAL_QUERIES = {
     "q2_min_acctbal_supplier": (q2_min_acctbal_supplier, Q2_SQL),
     "q22_rich_inactive_customers": (q22_rich_inactive_customers, Q22_SQL),
     "scalar_function_gallery": (scalar_function_gallery, SCALAR_GALLERY_SQL),
+    "orders_cube": (orders_cube, ORDERS_CUBE_SQL),
     "part_brand_type_setops": (part_brand_type_setops, SETOPS_SQL),
 }
