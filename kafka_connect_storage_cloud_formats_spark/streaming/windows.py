@@ -145,7 +145,50 @@ ORDER BY user_id, session_start
 """
 
 
+# ------------------------------------------------------------- interval join
+INTERVAL_MIN = "5 minutes"
+
+
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-pair interval join: pairs (e1, e2) of the same user
+    with e1.ts < e2.ts ≤ e1.ts + 5 min, counted per user and type pair.
+
+    Join shape: equi on user_id with the time bound as a join filter — a
+    hash/merge join whose fan-out is bounded by per-user event density in
+    the window, NOT a cross join. The streaming twin is a stream-stream
+    join with watermarks (same plan + state eviction)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    a = ev.alias("a")
+    b = ev.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.ts") < F.col("b.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr(f"INTERVAL {INTERVAL_MIN}")),
+    )
+    return (
+        joined.groupBy(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.event_type").alias("t1"),
+            F.col("b.event_type").alias("t2"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("user_id", "t1", "t2")
+    )
+
+
+EVENTS_INTERVAL_JOIN_SQL = """
+SELECT a.user_id AS user_id, a.event_type AS t1, b.event_type AS t2, COUNT(*) AS n_pairs
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.ts < b.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+GROUP BY a.user_id, a.event_type, b.event_type
+ORDER BY a.user_id, t1, t2
+"""
+
+
 STREAMING_WINDOW_QUERIES = {
+    "events_interval_join": (events_interval_join, EVENTS_INTERVAL_JOIN_SQL),
     "events_tumbling_15m": (events_tumbling_15m, TUMBLING_SQL),
     "events_sliding_1h": (events_sliding_1h, SLIDING_SQL),
     "events_session_30m": (events_session_30m, SESSION_SQL),
