@@ -149,6 +149,24 @@ ORDER BY user_id, session_start
 INTERVAL_MIN = "5 minutes"
 
 
+def interval_join_plan(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Stream-stream (or batch-batch) interval join: same-user event pairs
+    within 5 minutes. Under streaming, the watermarks bound join state on
+    both sides (Spark evicts buffered rows older than watermark + bound)."""
+    a = left.withWatermark("ts", WATERMARK).alias("a")
+    b = right.withWatermark("ts", WATERMARK).alias("b")
+    return a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.ts") < F.col("b.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr(f"INTERVAL {INTERVAL_MIN}")),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.event_id").alias("e1"),
+        F.col("b.event_id").alias("e2"),
+    )
+
+
 def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user event-pair interval join: pairs (e1, e2) of the same user
     with e1.ts < e2.ts ≤ e1.ts + 5 min, counted per user and type pair.

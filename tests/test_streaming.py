@@ -170,3 +170,23 @@ def test_watermark_drops_late_data(spark, tmp_path):
     ]
     hour1 = [(h, n, v) for h, n, v in final if h == 1]
     assert hour1 == [(1, 2, 30.0)], f"late data must be dropped, got {hour1}"
+
+
+def test_stream_stream_interval_join_equals_batch(spark, events_src):
+    """The watermarked stream-stream interval join produces exactly the
+    batch join's pair set once all input is processed."""
+    from kafka_connect_storage_cloud_formats_spark.streaming.windows import interval_join_plan
+
+    src, schema = events_src
+    left = file_stream_source(spark, src, schema)
+    right = file_stream_source(spark, src, schema)
+    run_to_memory(interval_join_plan(left, right), "ssjoin_test", output_mode="append")
+    got = {
+        (r["user_id"], r["e1"], r["e2"]) for r in spark.table("ssjoin_test").collect()
+    }
+    batch = spark.read.parquet(src)
+    want = {
+        (r["user_id"], r["e1"], r["e2"])
+        for r in interval_join_plan(batch, batch).collect()
+    }
+    assert got == want and len(want) > 0
