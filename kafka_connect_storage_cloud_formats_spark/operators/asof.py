@@ -1,0 +1,102 @@
+"""As-of join: for each left event, the most recent right event at-or-before
+it, per key — the canonical timeseries enrichment operator (trade→quote,
+click→last-purchase). Spark has no built-in as-of join (SURVEY.md §2.3
+lists it among the reference's absent join types too); this implements it
+scalably as UNION + per-key ordered window with ``last(..., ignorenulls)``:
+
+    tag rows LEFT/RIGHT → union → window per key ordered by (ts, side)
+    → each LEFT row reads the running "last RIGHT value" → filter LEFT.
+
+Scale shape: ONE shuffle (the window partition by key) regardless of table
+sizes — no range join explosion, no BroadcastNestedLoopJoin; skew bounded
+by the hottest key's row count, same as any per-key window. Right-at-same-
+ts sorts before left (side flag) so the join is ≤ (at-or-before) semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_connect_storage_cloud_formats_spark.catalog import load_table
+from kafka_connect_storage_cloud_formats_spark.queries.relational import dsum
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str = "ts",
+    right_cols: tuple[str, ...] = ("value",),
+) -> DataFrame:
+    """Generic as-of join. Returns ``left`` columns plus, for each
+    ``right_cols`` column c, ``asof_c`` = c of the latest right row with
+    ``right.ts <= left.ts`` and equal ``on`` key (NULL if none)."""
+    lt = left.withColumn("__side", F.lit(1))
+    rt = right.select(
+        on, ts, *[F.col(c).alias(f"__r_{c}") for c in right_cols]
+    ).withColumn("__side", F.lit(0))
+    lt = lt.select(
+        *left.columns, *[F.lit(None).cast(rt.schema[f"__r_{c}"].dataType).alias(f"__r_{c}") for c in right_cols], "__side"
+    )
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in right_cols
+        ],
+    )
+    return carried.filter(F.col("__side") == 1).drop(
+        "__side", *[f"__r_{c}" for c in right_cols]
+    )
+
+
+def clicks_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click enriched with the user's most recent at-or-before purchase
+    value; per-user aggregate so the output is compact and hash-stable."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    joined = asof_join(clicks, purchases, on="user_id", ts="ts", right_cols=("value",))
+    return (
+        joined.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.sum(F.when(F.col("asof_value").isNull(), 1).otherwise(0)).alias(
+                "clicks_before_any_purchase"
+            ),
+            dsum("asof_value").alias("total_asof_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+CLICKS_ASOF_SQL = """
+WITH clicks AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+purchases AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+enriched AS (
+  SELECT c.user_id, c.event_id,
+         (SELECT p.value FROM purchases p
+          WHERE p.user_id = c.user_id AND p.ts <= c.ts
+          ORDER BY p.ts DESC LIMIT 1) AS asof_value
+  FROM clicks c)
+SELECT user_id, COUNT(*) AS n_clicks,
+       SUM(CASE WHEN asof_value IS NULL THEN 1 ELSE 0 END) AS clicks_before_any_purchase,
+       CAST(SUM(CAST(asof_value AS DECIMAL(30,6))) AS DOUBLE) AS total_asof_value
+FROM enriched
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+ASOF_QUERIES = {
+    "clicks_asof_purchase": (clicks_asof_purchase, CLICKS_ASOF_SQL),
+}

@@ -17,6 +17,7 @@ from kafka_connect_storage_cloud_formats_spark.queries.pipeline_queries import (
     orc_partitioned_roundtrip,
     parquet_roundtrip,
 )
+from kafka_connect_storage_cloud_formats_spark.operators.asof import ASOF_QUERIES
 from kafka_connect_storage_cloud_formats_spark.operators.compaction import COMPACTION_QUERIES
 from kafka_connect_storage_cloud_formats_spark.operators.dedup import DEDUP_QUERIES
 from kafka_connect_storage_cloud_formats_spark.operators.multimodal import MULTIMODAL_QUERIES
@@ -43,3 +44,4 @@ QUERIES.update(STREAMING_WINDOW_QUERIES)
 QUERIES.update(PROFILING_QUERIES)
 QUERIES.update(COMPACTION_QUERIES)
 QUERIES.update(TRAINING_PIPELINE_QUERIES)
+QUERIES.update(ASOF_QUERIES)

@@ -616,6 +616,38 @@ ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST
 """
 
 
+# --- pivot: long → wide reshaping
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day × event-type count matrix via pivot (explicit value list
+    so the plan is a single pass — Spark skips the distinct-values probe
+    job); missing cells coalesced to 0 to match SQL conditional counts."""
+    ev = load_table(spark, sf_dir, "events")
+    wide = (
+        ev.withColumn("hr", F.hour("ts"))
+        .groupBy("hr")
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+    )
+    return wide.select(
+        "hr", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in EVENT_TYPES]
+    ).orderBy("hr")
+
+
+EVENTS_PIVOT_SQL = """
+SELECT EXTRACT(hour FROM ts) AS hr,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+       COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+FROM events
+GROUP BY 1 ORDER BY hr
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -634,5 +666,6 @@ RELATIONAL_QUERIES = {
     "q22_rich_inactive_customers": (q22_rich_inactive_customers, Q22_SQL),
     "scalar_function_gallery": (scalar_function_gallery, SCALAR_GALLERY_SQL),
     "orders_cube": (orders_cube, ORDERS_CUBE_SQL),
+    "events_pivot_hourly": (events_pivot_hourly, EVENTS_PIVOT_SQL),
     "part_brand_type_setops": (part_brand_type_setops, SETOPS_SQL),
 }
