@@ -1,0 +1,90 @@
+"""Property-based tests (hypothesis) over the JVM-free core: schema
+mapping round-trips, compatibility-mode algebra, parity file keys.
+
+The reference has no property/randomized testing at all (SURVEY.md §5);
+these pin the invariants that example-based tests can miss.
+"""
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import types as T
+
+from kafka_connect_storage_cloud_formats_spark.schema import (
+    avro_schema_to_spark,
+    spark_schema_to_avro,
+)
+from kafka_connect_storage_cloud_formats_spark.schema_evolution import (
+    Compatibility,
+    is_compatible,
+)
+from kafka_connect_storage_cloud_formats_spark.sinks.orc_sink import file_key_to_commit
+
+SIX = [
+    T.BooleanType(),
+    T.IntegerType(),
+    T.LongType(),
+    T.FloatType(),
+    T.DoubleType(),
+    T.StringType(),
+]
+
+field_names = st.text(alphabet="abcdefghijklmnopqrstuvwxyz_", min_size=1, max_size=12)
+
+schemas = st.builds(
+    lambda fields: T.StructType(
+        [T.StructField(n, dt, nullable) for n, (dt, nullable) in fields.items()]
+    ),
+    st.dictionaries(
+        field_names,
+        st.tuples(st.sampled_from(SIX), st.booleans()),
+        min_size=1,
+        max_size=8,
+    ),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(schemas)
+def test_schema_roundtrip_identity(schema):
+    """spark → avro → spark is the identity on the six-type surface."""
+    assert avro_schema_to_spark(spark_schema_to_avro(schema)) == schema
+
+
+@settings(max_examples=200, deadline=None)
+@given(schemas)
+def test_compatibility_reflexive(schema):
+    for mode in Compatibility:
+        assert is_compatible(schema, schema, mode)
+
+
+@settings(max_examples=200, deadline=None)
+@given(schemas, schemas)
+def test_backward_forward_duality(a, b):
+    """BACKWARD(a→b) ≡ FORWARD(b→a); FULL is their conjunction and is
+    symmetric."""
+    assert is_compatible(a, b, Compatibility.BACKWARD) == is_compatible(
+        b, a, Compatibility.FORWARD
+    )
+    full_ab = is_compatible(a, b, Compatibility.FULL)
+    assert full_ab == is_compatible(b, a, Compatibility.FULL)
+    assert full_ab == (
+        is_compatible(a, b, Compatibility.BACKWARD)
+        and is_compatible(a, b, Compatibility.FORWARD)
+    )
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(alphabet="abc-#_", min_size=1, max_size=20),
+    st.integers(min_value=0, max_value=10_000),
+    st.integers(min_value=0, max_value=10**12),
+)
+def test_file_key_shape(topic, partition, offset):
+    """Parity keys: no '#', zero-padded ≥10-digit offset, parseable tail."""
+    key = file_key_to_commit("topics", topic, topic, partition, offset)
+    assert "#" not in key
+    assert key.endswith(".orc")
+    m = re.search(r"_(\d+)_(\d{10,})\.orc$", key)
+    assert m and int(m.group(1)) == partition and int(m.group(2)) == offset
