@@ -233,3 +233,47 @@ def test_golden_extreme_values_roundtrip(spark, tmp_path):
     got = sorted(tuple(r) for r in back.select(*cols).collect())
     want = sorted(tuple(r) for r in df.select(*cols).collect())
     assert got == want
+
+
+def test_multi_topic_fanout(spark, tmp_path):
+    """Two topics in one batch land in distinct per-topic file keys with
+    independent offset sequences (the Connect framework's multi-topic
+    assignment, one S3SinkTask serving several topics)."""
+    out = str(tmp_path / "out")
+    a = make_records(spark, 6, topic="topic-a")
+    b = make_records(spark, 4, topic="topic-b")
+    pipe = IngestPipeline(out, SIX_TYPE_SCHEMA, flush_size=3, parity_naming=True)
+    written = pipe.run_batch(a.unionByName(b))
+    expect = sorted(
+        [file_key_to_commit("topics", "topic-a", "topic-a", 0, off) for off in (0, 3)]
+        + [file_key_to_commit("topics", "topic-b", "topic-b", 0, off) for off in (0, 3)]
+    )
+    assert written == expect
+    assert pipe.read_back(spark).count() == 10
+
+
+def test_corrupt_json_records_permissive(spark, tmp_path):
+    """Malformed source records surface in _corrupt_record under PERMISSIVE
+    mode instead of failing the pipeline (the triage path a production
+    ingest needs; FAILFAST is one option away)."""
+    import json as _json
+
+    src = tmp_path / "in.json"
+    lines = [_json.dumps({"id": i, "name": f"n{i}"}) for i in range(5)]
+    lines.insert(2, '{"id": broken')
+    src.write_text("\n".join(lines))
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), True),
+            T.StructField("name", T.StringType(), True),
+            T.StructField("_corrupt_record", T.StringType(), True),
+        ]
+    )
+    # Spark requires caching before queries referencing only the internal
+    # corrupt-record column (SPARK-21610)
+    df = spark.read.schema(schema).option("mode", "PERMISSIVE").json(str(src)).cache()
+    try:
+        assert df.filter(F.col("_corrupt_record").isNotNull()).count() == 1
+        assert df.filter(F.col("_corrupt_record").isNull()).count() == 5
+    finally:
+        df.unpersist()
