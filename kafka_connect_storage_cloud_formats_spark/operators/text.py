@@ -278,7 +278,48 @@ FROM s GROUP BY event_type ORDER BY event_type
 """
 
 
+# -------------------------------------------------------- array function pack
+def array_function_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar library over tokenized documents (size, distinct,
+    contains, position, sort, slice) — scalar outputs only so both engines
+    hash identically; the reference has no array functions at all
+    (SURVEY.md §2.3)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sorted_toks = F.array_sort(toks)
+    return (
+        docs.select(
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            F.size(F.array_distinct(toks)).alias("n_distinct"),
+            F.array_contains(toks, "the").cast("int").alias("has_the"),
+            F.coalesce(F.array_position(toks, "data").cast("long"), F.lit(0)).alias(
+                "pos_data"
+            ),
+            F.element_at(sorted_toks, 1).alias("first_sorted"),
+            F.element_at(sorted_toks, -1).alias("last_sorted"),
+            F.array_join(F.slice(toks, 1, 3), "|").alias("head3"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ARRAY_GALLERY_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+       CAST(list_contains(toks, 'the') AS INT) AS has_the,
+       CAST(coalesce(list_position(toks, 'data'), 0) AS BIGINT) AS pos_data,
+       list_sort(toks)[1] AS first_sorted,
+       list_sort(toks)[-1] AS last_sorted,
+       array_to_string(toks[1:3], '|') AS head3
+FROM t ORDER BY doc_id
+"""
+
+
 TEXT_QUERIES = {
+    "array_function_gallery": (array_function_gallery, ARRAY_GALLERY_SQL),
     "scrub_numeric_tokens": (scrub_numeric_tokens, SCRUB_SQL),
     "vocab_stats": (vocab_stats, VOCAB_STATS_SQL),
     "doc_top_terms": (doc_top_terms, DOC_TOP_TERMS_SQL),
