@@ -648,6 +648,108 @@ GROUP BY 1 ORDER BY hr
 """
 
 
+# --- q7-shape: two-nation trade volume (supplier nation ≠ customer nation)
+def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue flows between distinct (supplier-nation, customer-nation)
+    pairs per year — the two-sided dimension join with an inequality
+    filter; both nation joins broadcast, the fact shuffles once per
+    dimension key join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("ck"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("yr"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"))
+        .orderBy("supp_nation", "cust_nation", "yr")
+    )
+
+
+Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       EXTRACT(year FROM l_shipdate) AS yr,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS volume
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY n1.n_name, n2.n_name, EXTRACT(year FROM l_shipdate)
+ORDER BY supp_nation, cust_nation, yr
+"""
+
+
+# --- q14-shape: conditional aggregate ratio (promo revenue share)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of revenue from PROMO parts per year: two decimal-exact
+    conditional sums divided as doubles (deterministic)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.year("l_shipdate").alias("yr"))
+        .agg(
+            (100.0 * dsum(promo) / dsum(rev)).alias("promo_share_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("yr")
+    )
+
+
+Q14_SQL = """
+SELECT EXTRACT(year FROM l_shipdate) AS yr,
+       100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                     THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+                     AS DECIMAL(30,6))) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE)
+         AS promo_share_pct,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY EXTRACT(year FROM l_shipdate)
+ORDER BY yr
+"""
+
+
+# --- q19-shape: disjunctive multi-clause predicate
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue under an OR of three brand/size/quantity clause bundles —
+    the disjunctive-pushdown shape: Catalyst pushes the OR into the scans
+    where possible and the broadcast join keeps the fact single-pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    c1 = (F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10) & (F.col("l_quantity") >= 10)
+    c2 = (F.col("p_brand") == "Brand#13") & (F.col("p_size") <= 20) & (F.col("l_quantity") >= 20)
+    c3 = (F.col("p_brand") == "Brand#20") & (F.col("p_size") <= 30) & (F.col("l_quantity") >= 30)
+    return j.filter(c1 | c2 | c3).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+Q19_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity >= 10)
+   OR (p_brand = 'Brand#13' AND p_size <= 20 AND l_quantity >= 20)
+   OR (p_brand = 'Brand#20' AND p_size <= 30 AND l_quantity >= 30)
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -667,5 +769,8 @@ RELATIONAL_QUERIES = {
     "scalar_function_gallery": (scalar_function_gallery, SCALAR_GALLERY_SQL),
     "orders_cube": (orders_cube, ORDERS_CUBE_SQL),
     "events_pivot_hourly": (events_pivot_hourly, EVENTS_PIVOT_SQL),
+    "q7_nation_trade_volume": (q7_nation_trade_volume, Q7_SQL),
+    "q14_promo_revenue_share": (q14_promo_revenue_share, Q14_SQL),
+    "q19_disjunctive_revenue": (q19_disjunctive_revenue, Q19_SQL),
     "part_brand_type_setops": (part_brand_type_setops, SETOPS_SQL),
 }
