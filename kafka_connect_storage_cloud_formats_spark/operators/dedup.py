@@ -417,6 +417,64 @@ clusters AS (
 NEARDUP_CLUSTERS_SQL = _cluster_ctes() + "SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id"
 
 
+def neardup_clusters_pointer_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components with POINTER DOUBLING: alternate neighbor-min
+    propagation with a shortcut step L(v) ← L(L(v)) (one self-join on the
+    label column), halving path lengths each round — O(log n) rounds even
+    for giant components, vs O(diameter) for plain propagation. Same
+    result as :func:`neardup_clusters` (asserted in tests); kept as the
+    scale path for power-law duplicate graphs.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = minhash_lsh_pairs(spark, sf_dir).filter(
+        F.col("est_jaccard") >= CLUSTER_MIN_EST_JACCARD
+    )
+    edges = (
+        pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+        .unionAll(pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(MAX_CC_ITERATIONS):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        stepped = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+            ).alias("cluster_id"),
+        )
+        # shortcut: follow the label's label (path halving)
+        parent = stepped.select(
+            F.col("doc_id").alias("p_id"), F.col("cluster_id").alias("p_cluster")
+        )
+        shortcut = (
+            stepped.join(parent, stepped.cluster_id == parent.p_id, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("p_cluster"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            shortcut.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = shortcut
+        if changed == 0:
+            break
+    return labels.orderBy("doc_id")
+
+
 DEDUP_QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, NGRAM_JACCARD_SQL),

@@ -69,3 +69,17 @@ def test_training_corpus_materialization(spark, sf_dir, tmp_path):
     assert back.filter(F.col("lang") == one_lang).count() == (
         stats.filter(F.col("lang") == one_lang).first()["n_docs"]
     )
+
+
+def test_pointer_doubling_cc_equals_plain(spark, sf_dir):
+    """Both connected-components algorithms assign identical clusters."""
+    from kafka_connect_storage_cloud_formats_spark.operators.dedup import (
+        neardup_clusters_pointer_doubling,
+    )
+
+    plain = {(r["doc_id"], r["cluster_id"]) for r in neardup_clusters(spark, sf_dir).collect()}
+    doubled = {
+        (r["doc_id"], r["cluster_id"])
+        for r in neardup_clusters_pointer_doubling(spark, sf_dir).collect()
+    }
+    assert plain == doubled
