@@ -190,3 +190,48 @@ def test_stream_stream_interval_join_equals_batch(spark, events_src):
         for r in interval_join_plan(batch, batch).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_stream_left_outer_join(spark, events_src):
+    """Left-outer stream-stream join: clicks with no purchase in the
+    5-minute window emit with NULL right side once the watermark passes;
+    matched pairs equal the inner join."""
+    from pyspark.sql import functions as SF
+
+    from kafka_connect_storage_cloud_formats_spark.streaming.windows import WATERMARK
+
+    src, schema = events_src
+
+    def sides(df):
+        clicks = df.filter(SF.col("event_type") == "click").select(
+            "user_id", "ts", SF.col("event_id").alias("click_id")
+        )
+        purchases = df.filter(SF.col("event_type") == "purchase").select(
+            SF.col("user_id").alias("p_user"), SF.col("ts").alias("p_ts"),
+            SF.col("event_id").alias("purchase_id"),
+        )
+        return clicks, purchases
+
+    def join(clicks, purchases):
+        return clicks.withWatermark("ts", WATERMARK).join(
+            purchases.withWatermark("p_ts", WATERMARK),
+            (SF.col("user_id") == SF.col("p_user"))
+            & (SF.col("p_ts") > SF.col("ts"))
+            & (SF.col("p_ts") <= SF.col("ts") + SF.expr("INTERVAL 5 minutes")),
+            "leftOuter",
+        ).select("user_id", "click_id", "purchase_id")
+
+    lc, lp = sides(file_stream_source(spark, src, schema))
+    run_to_memory(join(lc, lp), "lojoin_test", output_mode="append")
+    got = {(r["user_id"], r["click_id"], r["purchase_id"]) for r in spark.table("lojoin_test").collect()}
+
+    bc, bp = sides(spark.read.parquet(src))
+    want = {(r["user_id"], r["click_id"], r["purchase_id"]) for r in join(bc, bp).collect()}
+
+    matched_got = {t for t in got if t[2] is not None}
+    matched_want = {t for t in want if t[2] is not None}
+    assert matched_got == matched_want
+    # outer rows: streaming may hold back unmatched clicks newer than the
+    # final watermark, but must never invent matches
+    assert {t for t in got if t[2] is None} <= {t for t in want if t[2] is None}
+    assert len(matched_got) > 0 and any(t[2] is None for t in got)
