@@ -475,6 +475,53 @@ def neardup_clusters_pointer_doubling(spark: SparkSession, sf_dir: str) -> DataF
     return labels.orderBy("doc_id")
 
 
+# ------------------------------------------------- fuzzy prefix (edit distance)
+FUZZY_BLOCK_CHARS = 8
+FUZZY_PREFIX_CHARS = 40
+FUZZY_MAX_DIST = 10
+
+
+def dedup_fuzzy_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup tier: documents whose 40-char prefixes are
+    within Levenshtein distance 10, candidate-blocked by identical first
+    8 chars so the self-join is an equi-join on the block key (classic
+    blocking — at scale, multiple blocking keys raise recall). Both
+    engines implement classic Levenshtein, so the distances hash-match."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring("text", 1, FUZZY_PREFIX_CHARS).alias("prefix"),
+        F.substring("text", 1, FUZZY_BLOCK_CHARS).alias("blk"),
+    )
+    a = docs.alias("a")
+    b = docs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.levenshtein(F.col("a.prefix"), F.col("b.prefix")).alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= FUZZY_MAX_DIST)
+        .orderBy("d1", "d2")
+    )
+
+
+FUZZY_PREFIX_SQL = f"""
+WITH d AS (
+  SELECT doc_id, substr(text, 1, {FUZZY_PREFIX_CHARS}) AS prefix,
+         substr(text, 1, {FUZZY_BLOCK_CHARS}) AS blk
+  FROM documents)
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       CAST(levenshtein(a.prefix, b.prefix) AS INT) AS edit_dist
+FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.prefix, b.prefix) <= {FUZZY_MAX_DIST}
+ORDER BY d1, d2
+"""
+
+
 DEDUP_QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
@@ -483,4 +530,5 @@ DEDUP_QUERIES = {
     "simhash_fingerprints": (simhash_fingerprints, SIMHASH_SQL),
     "simhash_near_pairs": (simhash_near_pairs, SIMHASH_PAIRS_SQL),
     "neardup_clusters": (neardup_clusters, NEARDUP_CLUSTERS_SQL),
+    "dedup_fuzzy_prefix": (dedup_fuzzy_prefix, FUZZY_PREFIX_SQL),
 }

@@ -205,7 +205,49 @@ ORDER BY a.user_id, t1, t2
 """
 
 
+# ------------------------------------------------------------ funnel analysis
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup → click → purchase funnel: per user, first-occurrence times of
+    each step; a user converts at step k if the first k steps happened in
+    order. One conditional-min aggregate per user (single shuffle), then a
+    global rollup — the standard product-analytics sequence query."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    s1 = F.col("t_signup").isNotNull()
+    s2 = s1 & F.col("t_click").isNotNull() & (F.col("t_click") > F.col("t_signup"))
+    s3 = s2 & F.col("t_purchase").isNotNull() & (F.col("t_purchase") > F.col("t_click"))
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(s1.cast("long")).alias("reached_signup"),
+        F.sum(s2.cast("long")).alias("reached_click"),
+        F.sum(s3.cast("long")).alias("reached_purchase"),
+    )
+
+
+EVENTS_FUNNEL_SQL = """
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id)
+SELECT COUNT(*) AS n_users,
+       SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS reached_signup,
+       SUM(CASE WHEN t_signup IS NOT NULL AND t_click IS NOT NULL
+                 AND t_click > t_signup THEN 1 ELSE 0 END) AS reached_click,
+       SUM(CASE WHEN t_signup IS NOT NULL AND t_click IS NOT NULL
+                 AND t_click > t_signup AND t_purchase IS NOT NULL
+                 AND t_purchase > t_click THEN 1 ELSE 0 END) AS reached_purchase
+FROM firsts
+"""
+
+
 STREAMING_WINDOW_QUERIES = {
+    "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),
     "events_interval_join": (events_interval_join, EVENTS_INTERVAL_JOIN_SQL),
     "events_tumbling_15m": (events_tumbling_15m, TUMBLING_SQL),
     "events_sliding_1h": (events_sliding_1h, SLIDING_SQL),
