@@ -74,3 +74,49 @@ def test_feature_vector_shape(spark, sf_dir):
         F.col("doc_id") == first["media_id"]
     ).first()
     assert sum(first["features"]) == sum(doc["text"].encode())
+
+
+def test_feature_extract_under_streaming(spark, sf_dir, tmp_path):
+    """The Arrow mapInPandas feature extractor runs unchanged under
+    Structured Streaming and produces the batch result."""
+    from kafka_connect_storage_cloud_formats_spark.operators.multimodal import N_FEATURES
+
+    src = str(tmp_path / "docs_src")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.coalesce(2).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.encode(F.col("text"), "utf-8").alias("payload"),
+        )
+    )
+
+    import numpy as np
+    import pandas as pd
+
+    def feats(batches):
+        for pdf in batches:
+            out = []
+            for p in pdf["payload"]:
+                a = np.frombuffer(bytes(p), dtype=np.uint8).astype(np.int64)
+                out.append([int(a[k::N_FEATURES].sum()) for k in range(N_FEATURES)])
+            yield pd.DataFrame({"media_id": pdf["media_id"], "features": out})
+
+    q = (
+        stream.mapInPandas(feats, "media_id bigint, features array<bigint>")
+        .writeStream.format("memory")
+        .queryName("stream_feats")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["media_id"]: list(r["features"]) for r in spark.table("stream_feats").collect()}
+    from kafka_connect_storage_cloud_formats_spark.operators.multimodal import media_feature_extract
+
+    want = {r["media_id"]: list(r["features"]) for r in media_feature_extract(spark, sf_dir).collect()}
+    assert got == want
