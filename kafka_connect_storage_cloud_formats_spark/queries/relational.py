@@ -818,6 +818,37 @@ ORDER BY n_customers DESC, c_count DESC
 """
 
 
+# --- q6-shape: single-scan predicate aggregate (forecast revenue change)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The purest pushdown shape: one scan, three pushed predicates, one
+    aggregate — no shuffle beyond the final partial-merge."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q6_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -842,5 +873,6 @@ RELATIONAL_QUERIES = {
     "q19_disjunctive_revenue": (q19_disjunctive_revenue, Q19_SQL),
     "q10_returned_revenue": (q10_returned_revenue, Q10_SQL),
     "q13_order_count_distribution": (q13_order_count_distribution, Q13_SQL),
+    "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
     "part_brand_type_setops": (part_brand_type_setops, SETOPS_SQL),
 }
