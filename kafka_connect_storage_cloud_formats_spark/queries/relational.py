@@ -849,6 +849,92 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 """
 
 
+# --- q8-shape: market share of one nation within a region per year
+def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of region-revenue supplied by one nation per year: the ratio
+    of a conditional decimal sum over the total — double-dimension join
+    through customer-nation-region plus supplier-nation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    n_c = nation.select(F.col("n_nationkey").alias("cnk"), F.col("n_regionkey").alias("crk"))
+    n_s = nation.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    target = F.when(F.col("supp_nation") == "NATION_0", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(n_c), F.col("c_nationkey") == F.col("cnk"))
+        .join(F.broadcast(n_s), F.col("s_nationkey") == F.col("snk"))
+        .join(F.broadcast(region), F.col("crk") == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy(F.year("o_orderdate").alias("yr"))
+        .agg((dsum(target) / dsum(rev)).alias("mkt_share"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy("yr")
+    )
+
+
+Q8_SQL = """
+SELECT EXTRACT(year FROM o_orderdate) AS yr,
+       CAST(SUM(CAST(CASE WHEN ns.n_name = 'NATION_0'
+                 THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(30,6))) AS DOUBLE)
+         / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE)
+         AS mkt_share,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+JOIN region ON nc.n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY EXTRACT(year FROM o_orderdate)
+ORDER BY yr
+"""
+
+
+# --- q15-shape: top entity vs a computed scalar maximum
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers whose 1996 revenue equals the maximum supplier revenue —
+    the view + scalar-subquery-max shape (two aggregates, one broadcast of
+    a single-row max)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        li.groupBy("l_suppkey")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev"))
+    )
+    max_rev = revenue.agg(F.max("total_rev").alias("mx"))
+    return (
+        revenue.join(F.broadcast(max_rev), revenue.total_rev == F.col("mx"))
+        .join(F.broadcast(sup), revenue.l_suppkey == sup.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_rev
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -874,5 +960,7 @@ RELATIONAL_QUERIES = {
     "q10_returned_revenue": (q10_returned_revenue, Q10_SQL),
     "q13_order_count_distribution": (q13_order_count_distribution, Q13_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
+    "q8_nation_market_share": (q8_nation_market_share, Q8_SQL),
+    "q15_top_supplier": (q15_top_supplier, Q15_SQL),
     "part_brand_type_setops": (part_brand_type_setops, SETOPS_SQL),
 }
