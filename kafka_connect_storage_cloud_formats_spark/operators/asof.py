@@ -89,7 +89,7 @@ enriched AS (
           ORDER BY p.ts DESC LIMIT 1) AS asof_value
   FROM clicks c)
 SELECT user_id, COUNT(*) AS n_clicks,
-       SUM(CASE WHEN asof_value IS NULL THEN 1 ELSE 0 END) AS clicks_before_any_purchase,
+       CAST(SUM(CASE WHEN asof_value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS clicks_before_any_purchase,
        CAST(SUM(CAST(asof_value AS DECIMAL(30,6))) AS DOUBLE) AS total_asof_value
 FROM enriched
 GROUP BY user_id

@@ -63,7 +63,7 @@ def replay_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 REPLAY_DEDUP_SQL = """
-SELECT event_type, COUNT(*) AS n, SUM(event_id) AS sum_event_id,
+SELECT event_type, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
        CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
 FROM events
 GROUP BY event_type

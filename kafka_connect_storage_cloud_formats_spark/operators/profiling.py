@@ -47,7 +47,7 @@ def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PROFILE_SQL_PARTS = [
     f"""
 SELECT '{c}' AS column_name, COUNT(*) AS n_rows,
-       SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
        COUNT(DISTINCT {c}) AS n_distinct,
        CAST(MIN({c}) AS VARCHAR) AS min_value,
        CAST(MAX({c}) AS VARCHAR) AS max_value
@@ -141,7 +141,7 @@ s AS (
               ELSE 'test' END AS split,
          n_tokens
   FROM b)
-SELECT split, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
 FROM s GROUP BY split ORDER BY split
 """
 

@@ -203,7 +203,7 @@ VOCAB_STATS_SQL = f"""
 WITH tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
 per_doc AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term)
-SELECT term, COUNT(*) AS df, SUM(tf) AS total_tf
+SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf
 FROM per_doc GROUP BY term
 ORDER BY df DESC, term
 LIMIT {VOCAB_TOP_K}
@@ -272,7 +272,7 @@ WITH s AS (
          md5(regexp_replace(props, '[0-9]+', '<NUM>', 'g')) AS scrub_md5
   FROM events)
 SELECT event_type, COUNT(*) AS n_events,
-       SUM(n_redacted) AS total_redactions,
+       CAST(SUM(n_redacted) AS BIGINT) AS total_redactions,
        COUNT(DISTINCT scrub_md5) AS n_distinct_scrubbed
 FROM s GROUP BY event_type ORDER BY event_type
 """

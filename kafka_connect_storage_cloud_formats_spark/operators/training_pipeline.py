@@ -57,8 +57,8 @@ TRAINING_CORPUS_SQL = (
     _cluster_ctes()
     + f"""
 SELECT lang, COUNT(*) AS n_docs,
-       SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_tokens,
-       SUM(CAST(length(text) AS BIGINT)) AS total_chars,
+       CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_tokens,
+       CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS total_chars,
        MIN(doc_id) AS first_doc
 FROM documents JOIN clusters USING (doc_id)
 WHERE doc_id = cluster_id

@@ -43,12 +43,14 @@ def _run_events_pipeline(spark: SparkSession, sf_dir: str, parity: bool) -> Data
         order_col="event_id",
         partitioner="mod",
     )
-    # fixed per-(mode, sf) dir + overwrite: repeated runs (bench min-of-2,
-    # correctness) must not accumulate tmp dirs
+    # per-process dir (pid token): repeated runs inside one process (bench
+    # min-of-2) reuse + overwrite, while a fresh checker process can never
+    # read stale files from an earlier run
     out = os.path.join(
         tempfile.gettempdir(),
         f"engine_orc_roundtrip_{'parity' if parity else 'native'}_"
-        + os.path.basename(os.path.normpath(sf_dir)),
+        + os.path.basename(os.path.normpath(sf_dir))
+        + f"_{os.getpid()}",
     )
     pipe = IngestPipeline(
         out, EVENTS_VALUE_SCHEMA, flush_size=10_000, parity_naming=parity
@@ -73,8 +75,12 @@ def orc_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NOTE: every integer SUM below is CAST(... AS BIGINT). DuckDB's SUM over an
+# integer type yields HUGEINT (int128), which a pandas/arrow fetch renders as
+# float64 ("123.0") and breaks the value-hash against Spark's bigint ("123") —
+# this was the root cause of all 8 round-1 driver hash mismatches.
 ORC_ROUNDTRIP_SQL = """
-SELECT event_type, COUNT(*) AS n, SUM(event_id) AS sum_event_id,
+SELECT event_type, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
        CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
        COUNT(DISTINCT user_id) AS n_users
 FROM events
@@ -96,7 +102,7 @@ def orc_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORC_PARTITIONED_SQL = """
-SELECT event_type, COUNT(*) AS n, SUM(event_id) AS sum_event_id
+SELECT event_type, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_event_id
 FROM events
 WHERE user_id % 3 = 1
 GROUP BY event_type
@@ -128,7 +134,9 @@ def _format_roundtrip(spark: SparkSession, sf_dir: str, fmt: str, compression: s
         cols.append("value")
     out = os.path.join(
         tempfile.gettempdir(),
-        f"engine_{fmt}_roundtrip_" + os.path.basename(os.path.normpath(sf_dir)),
+        f"engine_{fmt}_roundtrip_"
+        + os.path.basename(os.path.normpath(sf_dir))
+        + f"_{os.getpid()}",
     )
     write_partitioned(env.select(*cols), out, fmt=fmt, compression=compression)
     back = read_back(spark, out, fmt=fmt)
@@ -147,7 +155,7 @@ def parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PARQUET_ROUNDTRIP_SQL = """
-SELECT event_type, COUNT(*) AS n, SUM(event_id) AS sum_event_id,
+SELECT event_type, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
        COUNT(DISTINCT user_id) AS n_users,
        CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
 FROM events
@@ -161,7 +169,7 @@ def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 JSON_ROUNDTRIP_SQL = """
-SELECT event_type, COUNT(*) AS n, SUM(event_id) AS sum_event_id,
+SELECT event_type, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
        COUNT(DISTINCT user_id) AS n_users
 FROM events
 GROUP BY event_type

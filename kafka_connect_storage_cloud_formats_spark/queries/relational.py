@@ -258,7 +258,7 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_ROLLUP_SQL = """
 SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
        CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
-       SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
 FROM events
 GROUP BY date_trunc('hour', ts), event_type
 ORDER BY hour, event_type
@@ -583,8 +583,12 @@ WITH e AS (
          CAST(floor(o_totalprice) AS BIGINT) AS price_floor
   FROM orders)
 SELECT o_orderpriority, status_u, yr, mo, bucket, nn,
-       COUNT(*) AS n, SUM(cat_len) AS s_len, SUM(absdiff) AS s_abs,
-       SUM(gmod) AS s_gmod, SUM(dom) AS s_dom, SUM(price_floor) AS s_floor
+       COUNT(*) AS n,
+       CAST(SUM(cat_len) AS BIGINT) AS s_len,
+       CAST(SUM(absdiff) AS BIGINT) AS s_abs,
+       CAST(SUM(gmod) AS BIGINT) AS s_gmod,
+       CAST(SUM(dom) AS BIGINT) AS s_dom,
+       CAST(SUM(price_floor) AS BIGINT) AS s_floor
 FROM e
 GROUP BY o_orderpriority, status_u, yr, mo, bucket, nn
 ORDER BY o_orderpriority, status_u, yr, mo, bucket, nn

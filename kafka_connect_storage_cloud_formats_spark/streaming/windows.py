@@ -236,12 +236,12 @@ WITH firsts AS (
          MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
   FROM events GROUP BY user_id)
 SELECT COUNT(*) AS n_users,
-       SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS reached_signup,
-       SUM(CASE WHEN t_signup IS NOT NULL AND t_click IS NOT NULL
-                 AND t_click > t_signup THEN 1 ELSE 0 END) AS reached_click,
-       SUM(CASE WHEN t_signup IS NOT NULL AND t_click IS NOT NULL
+       CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS reached_signup,
+       CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click IS NOT NULL
+                 AND t_click > t_signup THEN 1 ELSE 0 END) AS BIGINT) AS reached_click,
+       CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click IS NOT NULL
                  AND t_click > t_signup AND t_purchase IS NOT NULL
-                 AND t_purchase > t_click THEN 1 ELSE 0 END) AS reached_purchase
+                 AND t_purchase > t_click THEN 1 ELSE 0 END) AS BIGINT) AS reached_purchase
 FROM firsts
 """
 

@@ -84,12 +84,20 @@ def main() -> int:
         try:
             rel = con.sql(oracles[name])
             ocols = [d[0] for d in rel.description]
+            otypes = [str(t) for t in rel.types]
             orows = rel.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             failures += 1
             continue
         problems = []
+        # Driver-environment hazard: DuckDB HUGEINT (e.g. SUM over an integer
+        # type) renders as float64 under a pandas/arrow fetch ("123.0" vs
+        # Spark's "123") and broke 8 round-1 driver hash checks despite
+        # fetchall() matching locally. Force CAST(... AS BIGINT) in the oracle.
+        huge = [c for c, t in zip(ocols, otypes) if "HUGEINT" in t]
+        if huge:
+            problems.append(f"oracle emits HUGEINT cols {huge} (driver-unsafe; CAST AS BIGINT)")
         if len(srows) != len(orows):
             problems.append(f"rows {len(srows)} != {len(orows)}")
         if sorted(scols) != sorted(ocols):
