@@ -28,20 +28,49 @@ from kafka_connect_storage_cloud_formats_spark.operators.text import TEXT_QUERIE
 from kafka_connect_storage_cloud_formats_spark.queries.relational import RELATIONAL_QUERIES
 from kafka_connect_storage_cloud_formats_spark.streaming.windows import STREAMING_WINDOW_QUERIES
 
-QUERIES: dict = {
+_ALL: dict = {
     # --- reference pipeline semantics (SURVEY.md §2.1), oracle-gated
     "orc_ingest_roundtrip": (orc_ingest_roundtrip, ORC_ROUNDTRIP_SQL),
     "orc_partitioned_roundtrip": (orc_partitioned_roundtrip, ORC_PARTITIONED_SQL),
     "parquet_roundtrip": (parquet_roundtrip, PARQUET_ROUNDTRIP_SQL),
     "json_roundtrip": (json_roundtrip, JSON_ROUNDTRIP_SQL),
 }
-QUERIES.update(RELATIONAL_QUERIES)
-QUERIES.update(TEXT_QUERIES)
-QUERIES.update(DEDUP_QUERIES)
-QUERIES.update(SIMILARITY_QUERIES)
-QUERIES.update(MULTIMODAL_QUERIES)
-QUERIES.update(STREAMING_WINDOW_QUERIES)
-QUERIES.update(PROFILING_QUERIES)
-QUERIES.update(COMPACTION_QUERIES)
-QUERIES.update(TRAINING_PIPELINE_QUERIES)
-QUERIES.update(ASOF_QUERIES)
+_ALL.update(RELATIONAL_QUERIES)
+_ALL.update(TEXT_QUERIES)
+_ALL.update(DEDUP_QUERIES)
+_ALL.update(SIMILARITY_QUERIES)
+_ALL.update(MULTIMODAL_QUERIES)
+_ALL.update(STREAMING_WINDOW_QUERIES)
+_ALL.update(PROFILING_QUERIES)
+_ALL.update(COMPACTION_QUERIES)
+_ALL.update(TRAINING_PIPELINE_QUERIES)
+_ALL.update(ASOF_QUERIES)
+
+# The driver's correctness gate checks a positional window of registry
+# entries (the first 50 in round 1, CORRECTNESS_r01.json). Order the registry
+# so the least-evidenced queries come first: (a) families with no driver
+# correctness row yet, (b) queries whose round-1 driver hash check failed
+# and has since been fixed (HUGEINT oracle casts), (c) new queries this
+# round, then the driver-green round-1 tail.
+_ROUND1_UNCHECKED = [
+    "ivf_topk", "dedup_embedding_cosine", "ann_recall_at_10",
+    "media_catalog", "image_decode_stats", "video_frame_index",
+    "media_feature_extract", "image_resize_thumbnail",
+    "events_funnel", "events_interval_join", "events_tumbling_15m",
+    "events_sliding_1h", "events_session_30m",
+    "corpus_split_stats", "orders_column_profile", "events_value_quantiles",
+    "approx_profile", "events_latest_per_user", "replay_dedup",
+    "training_corpus_stats", "clicks_asof_purchase",
+]
+_ROUND1_FIXED = [
+    "orc_ingest_roundtrip", "orc_partitioned_roundtrip",
+    "parquet_roundtrip", "json_roundtrip",
+    "events_hourly_rollup", "scalar_function_gallery",
+    "scrub_numeric_tokens", "vocab_stats",
+]
+_NEW_THIS_ROUND: list = []
+_PRIORITY = _ROUND1_UNCHECKED + _ROUND1_FIXED + _NEW_THIS_ROUND
+
+QUERIES: dict = {n: _ALL[n] for n in _PRIORITY if n in _ALL}
+QUERIES.update({n: v for n, v in _ALL.items() if n not in QUERIES})
+assert len(QUERIES) == len(_ALL)

@@ -44,6 +44,19 @@ def davg(col: Column | str, scale: int = 6) -> Column:
     return dsum(c, scale) / F.count(c)
 
 
+def maybe_broadcast(df: DataFrame, bounded: bool = False) -> DataFrame:
+    """Broadcast-hint policy for dimension joins at 100 TB posture.
+
+    ``bounded=True`` marks catalog-bounded dimensions whose cardinality is
+    fixed at any scale factor (region: 5, nation: 25) — always safe to force.
+    SF-scaled dimensions (customer, supplier, part grow linearly with the
+    fact table) are returned unhinted: AQE + autoBroadcastJoinThreshold pick
+    a broadcast join from runtime stats when the dim is actually small and
+    fall back to shuffle join at large SF, where a forced hint would OOM
+    the executors."""
+    return F.broadcast(df) if bounded else df
+
+
 # --- Q1: pricing summary (TPC-H Q1 shape: scan+filter+hash agg, 8 aggregates)
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -92,7 +105,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-03-15"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.desc("revenue"), "l_orderkey")
@@ -124,7 +137,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name", "r_name")
@@ -327,7 +340,7 @@ def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assoc = li.join(bad, "l_suppkey", "left_anti").select("l_partkey", "l_suppkey")
     return (
-        assoc.join(F.broadcast(part), assoc.l_partkey == part.p_partkey)
+        assoc.join(maybe_broadcast(part), assoc.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("n_suppliers"))
         .orderBy(F.desc("n_suppliers"), "p_brand", "p_size")
@@ -392,7 +405,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
         .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
     )
@@ -437,7 +450,7 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_anti",
     )
     return (
-        sole.join(F.broadcast(sup), sole.l_suppkey == sup.s_suppkey)
+        sole.join(maybe_broadcast(sup), sole.l_suppkey == sup.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("n_waits"))
         .orderBy(F.desc("n_waits"), "s_name")
@@ -469,8 +482,8 @@ def q2_min_acctbal_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
     sup = load_table(spark, sf_dir, "supplier")
     assoc = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        li.join(maybe_broadcast(part), li.l_partkey == part.p_partkey)
+        .join(maybe_broadcast(sup), li.l_suppkey == sup.s_suppkey)
     )
     w = Window.partitionBy("p_partkey").orderBy(F.asc("s_acctbal"), F.asc("s_suppkey"))
     return (
@@ -499,8 +512,9 @@ ORDER BY p_partkey
 # --- q22-shape: global scalar threshold + anti join
 def q22_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers with above-average balance and no recent order (none
-    since 2000-01-01): the global average is a decimal-exact scalar folded
-    into the filter; "no recent order" is a left-anti join against the
+    since 2000-01-01): the global average is a decimal-exact 1-row aggregate
+    joined in via broadcast cross-join (single lazy plan, no driver-side
+    ``.first()`` barrier); "no recent order" is a left-anti join against the
     date-filtered (pushdown) orders scan; grouped by nation."""
     cust = load_table(spark, sf_dir, "customer")
     orders = (
@@ -508,8 +522,10 @@ def q22_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderdate") >= F.lit("2000-01-01"))
         .select("o_custkey")
     )
-    avg_bal = cust.agg(davg("c_acctbal").alias("a")).first()["a"]
-    rich = cust.filter(F.col("c_acctbal") > avg_bal)
+    avg_bal = cust.agg(davg("c_acctbal").alias("avg_bal"))
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
     inactive = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
     return (
         inactive.groupBy("c_nationkey")
@@ -667,8 +683,8 @@ def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = nation.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(maybe_broadcast(sup), li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sk"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("ck"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -703,7 +719,7 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(maybe_broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy(F.year("l_shipdate").alias("yr"))
         .agg(
             (100.0 * dsum(promo) / dsum(rev)).alias("promo_share_pct"),
@@ -734,7 +750,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     where possible and the broadcast join keeps the fact single-pass."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(maybe_broadcast(part), li.l_partkey == part.p_partkey)
     c1 = (F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10) & (F.col("l_quantity") >= 10)
     c2 = (F.col("p_brand") == "Brand#13") & (F.col("p_size") <= 20) & (F.col("l_quantity") >= 20)
     c3 = (F.col("p_brand") == "Brand#20") & (F.col("p_size") <= 30) & (F.col("l_quantity") >= 30)
@@ -765,7 +781,7 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -870,8 +886,8 @@ def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = F.when(F.col("supp_nation") == "NATION_0", rev).otherwise(F.lit(0.0))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(maybe_broadcast(sup), li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(n_c), F.col("c_nationkey") == F.col("cnk"))
         .join(F.broadcast(n_s), F.col("s_nationkey") == F.col("snk"))
         .join(F.broadcast(region), F.col("crk") == region.r_regionkey)
@@ -918,7 +934,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_rev = revenue.agg(F.max("total_rev").alias("mx"))
     return (
         revenue.join(F.broadcast(max_rev), revenue.total_rev == F.col("mx"))
-        .join(F.broadcast(sup), revenue.l_suppkey == sup.s_suppkey)
+        .join(maybe_broadcast(sup), revenue.l_suppkey == sup.s_suppkey)
         .select("s_suppkey", "s_name", "total_rev")
         .orderBy("s_suppkey")
     )
