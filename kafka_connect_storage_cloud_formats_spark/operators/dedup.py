@@ -32,11 +32,19 @@ from kafka_connect_storage_cloud_formats_spark.catalog import load_table
 from kafka_connect_storage_cloud_formats_spark.functions.text_functions import md5_perm, word_shingles
 
 SHINGLE_N = 3
+# Document-frequency cap for the exact-Jaccard tier: shingles appearing in
+# more than this many documents (boilerplate) are dropped from the shingle
+# universe before pairing, bounding per-shingle join fan-out to
+# O(cap²) pairs — without it one hot shingle goes quadratic on a 100 TB
+# corpus. Mass-duplicated texts above the cap are already collapsed by the
+# exact tier (dedup_exact), which this tier runs after in the pipeline.
+MAX_SHINGLE_DF = 100
 MINHASH_K = 12  # 4 bands × 3 rows
 LSH_BANDS = 4
 LSH_ROWS = 3
 JACCARD_THRESHOLD = 0.1
-SIMHASH_BITS = 32
+SIMHASH_BITS = 64  # carried as two 32-bit halves (hi/lo): signed-bigint-safe in both engines
+SIMHASH_BLOCK_BITS = 16  # 4 pigeonhole blocks of 16 bits → 65536 bucket values per block
 SIMHASH_MAX_HAMMING = 3
 
 
@@ -70,13 +78,26 @@ def _shingle_rows(docs: DataFrame) -> DataFrame:
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact Jaccard similarity self-join on word-3-gram shingle sets;
-    emits pairs with J ≥ 0.1."""
+    """Exact Jaccard similarity self-join on word-3-gram shingle sets
+    (J ≥ 0.1), over the DF-capped shingle universe: shingles with document
+    frequency > MAX_SHINGLE_DF are excluded from both the pair generation
+    and the per-doc set sizes, so the result is the exact Jaccard of the
+    reduced (discriminative) shingle sets and the worst-case fan-out of the
+    self-join is cap-bounded."""
     docs = load_table(spark, sf_dir, "documents")
     # No .cache(): recomputing the shingle split is cheaper and keeps the
     # plan deterministic (cache materialization under AQE caused multi-second
     # scheduling variance; shingling is a single codegen'd map stage).
-    sh = _shingle_rows(docs)
+    sh_all = _shingle_rows(docs)
+    # hot set is tiny by construction (≤ N_shingle_rows / cap entries);
+    # left-anti join against it — AQE broadcasts it from runtime stats
+    hot = (
+        sh_all.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > MAX_SHINGLE_DF)
+        .select("s")
+    )
+    sh = sh_all.join(hot, "s", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -85,11 +106,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .agg(F.count(F.lit(1)).alias("shared"))
     )
+    # sizes is per-doc (corpus-sized): no forced broadcast — AQE decides
     s1 = sizes.alias("s1")
     s2 = sizes.alias("s2")
     out = (
-        shared.join(F.broadcast(s1), F.col("d1") == F.col("s1.doc_id"))
-        .join(F.broadcast(s2), F.col("d2") == F.col("s2.doc_id"))
+        shared.join(s1, F.col("d1") == F.col("s1.doc_id"))
+        .join(s2, F.col("d2") == F.col("s2.doc_id"))
         .select(
             "d1",
             "d2",
@@ -106,10 +128,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NGRAM_JACCARD_SQL = f"""
 WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-sh AS (SELECT DISTINCT doc_id, s FROM (
+sh_all AS (SELECT DISTINCT doc_id, s FROM (
   SELECT doc_id,
          array_to_string(list_slice(w, i, i + {SHINGLE_N - 1}), ' ') AS s
   FROM docs, unnest(range(1, greatest(len(w) - {SHINGLE_N - 1}, 0) + 1)) AS t(i)) q),
+hot AS (SELECT s FROM sh_all GROUP BY s HAVING COUNT(*) > {MAX_SHINGLE_DF}),
+sh AS (SELECT doc_id, s FROM sh_all WHERE s NOT IN (SELECT s FROM hot)),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
 pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -236,80 +260,117 @@ MINHASH_LSH_SQL = _minhash_pairs_ctes() + "SELECT d1, d2, est_jaccard FROM pairs
 
 # ------------------------------------------------------------------- SimHash
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash per document: token-frequency-weighted bit votes where
-    token bits come from the first 8 hex chars of md5(token)."""
+    """64-bit SimHash per document, carried as two 32-bit halves
+    (``simhash_hi``, ``simhash_lo``): token-frequency-weighted bit votes
+    where token bits come from the first 16 hex chars of md5(token) —
+    chars 1-8 vote the hi half, chars 9-16 the lo half. Two halves keep
+    every materialized value (fingerprint, XOR, block) inside signed-64-bit
+    range on both engines, avoiding unsigned/HUGEINT hazards a single
+    64-bit word would hit at bit 63."""
+    half_bits = SIMHASH_BITS // 2
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
     counted = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
-    v = F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10).cast("long")
-    counted = counted.withColumn("v", v)
+    counted = counted.withColumn(
+        "v_hi", F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10).cast("long")
+    ).withColumn(
+        "v_lo", F.conv(F.substring(F.md5(F.col("t")), 9, 8), 16, 10).cast("long")
+    )
     bit_votes = [
         F.sum(
-            F.col("c")
-            * (F.floor(F.col("v") / F.lit(2**b)) % 2 * 2 - 1)
-        ).alias(f"s_{b:02d}")
-        for b in range(SIMHASH_BITS)
+            F.col("c") * (F.floor(F.col(f"v_{h}") / F.lit(2**b)) % 2 * 2 - 1)
+        ).alias(f"s_{h}_{b:02d}")
+        for h in ("hi", "lo")
+        for b in range(half_bits)
     ]
     voted = counted.groupBy("doc_id").agg(*bit_votes)
-    simhash = sum(
-        F.when(F.col(f"s_{b:02d}") > 0, F.lit(2**b)).otherwise(F.lit(0))
-        for b in range(SIMHASH_BITS)
-    )
-    return voted.select("doc_id", simhash.cast("long").alias("simhash")).orderBy("doc_id")
+
+    def _half(h: str):
+        return sum(
+            F.when(F.col(f"s_{h}_{b:02d}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+            for b in range(half_bits)
+        )
+
+    return voted.select(
+        "doc_id",
+        _half("hi").cast("long").alias("simhash_hi"),
+        _half("lo").cast("long").alias("simhash_lo"),
+    ).orderBy("doc_id")
 
 
 def _simhash_sql_core() -> str:
+    half_bits = SIMHASH_BITS // 2
+
     # hex → int without conv(): digit positions via instr over the hex alphabet
-    hexval = " + ".join(
-        f"(instr('0123456789abcdef', substr(md5(t), {j + 1}, 1)) - 1) * {16 ** (7 - j)}"
-        for j in range(8)
-    )
+    def hexval(start: int) -> str:
+        return " + ".join(
+            f"(instr('0123456789abcdef', substr(md5(t), {start + j}, 1)) - 1) * {16 ** (7 - j)}"
+            for j in range(8)
+        )
+
     votes = ",\n       ".join(
-        f"SUM(c * (((v // {2**b}) % 2) * 2 - 1)) AS s_{b:02d}" for b in range(SIMHASH_BITS)
+        f"SUM(c * (((v_{h} // {2**b}) % 2) * 2 - 1)) AS s_{h}_{b:02d}"
+        for h in ("hi", "lo")
+        for b in range(half_bits)
     )
-    bits = " + ".join(
-        f"CASE WHEN s_{b:02d} > 0 THEN {2**b} ELSE 0 END" for b in range(SIMHASH_BITS)
-    )
+    bits = {
+        h: " + ".join(
+            f"CASE WHEN s_{h}_{b:02d} > 0 THEN {2**b} ELSE 0 END" for b in range(half_bits)
+        )
+        for h in ("hi", "lo")
+    }
     return f"""
 WITH tok AS (
   SELECT doc_id, t, COUNT(*) AS c FROM (
     SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) q
   GROUP BY doc_id, t),
-hv AS (SELECT doc_id, c, CAST({hexval} AS BIGINT) AS v FROM tok),
+hv AS (SELECT doc_id, c, CAST({hexval(1)} AS BIGINT) AS v_hi,
+               CAST({hexval(9)} AS BIGINT) AS v_lo FROM tok),
 voted AS (SELECT doc_id,
        {votes}
 FROM hv GROUP BY doc_id),
-fp AS (SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM voted)
+fp AS (SELECT doc_id, CAST({bits['hi']} AS BIGINT) AS simhash_hi,
+              CAST({bits['lo']} AS BIGINT) AS simhash_lo FROM voted)
 """
 
 
-SIMHASH_SQL = _simhash_sql_core() + "SELECT doc_id, simhash FROM fp ORDER BY doc_id"
+SIMHASH_SQL = _simhash_sql_core() + "SELECT doc_id, simhash_hi, simhash_lo FROM fp ORDER BY doc_id"
 
 
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ 3. Scale strategy
-    (pigeonhole): split the 32 bits into 4 blocks — any pair within distance
-    3 shares at least one exact block, so the self-join key is a block value,
-    not a full cross join."""
+    (pigeonhole): split the 64 bits into 4 blocks of 16 — any pair within
+    distance 3 shares at least one exact block, so the self-join key is a
+    block value, not a full cross join. 16-bit blocks give 65536 bucket
+    values per block (vs 256 for the 8-bit variant), so expected in-bucket
+    pairing at N docs is O(N²/65536) per block — the candidate set stays
+    sub-quadratic until corpus sizes where a second blocking stage (prefix
+    on the remaining bits) would be layered on."""
     fp = simhash_fingerprints(spark, sf_dir)
+    blk = F.lit(2**SIMHASH_BLOCK_BITS)
     block_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("blk_id"),
-                (F.floor(F.col("simhash") / F.lit(2 ** (8 * i))) % 256).alias("blk_val"),
-            )
-            for i in range(4)
-        ]
+        F.struct(F.lit(0).alias("blk_id"), (F.col("simhash_lo") % blk).alias("blk_val")),
+        F.struct(
+            F.lit(1).alias("blk_id"),
+            F.floor(F.col("simhash_lo") / blk).cast("long").alias("blk_val"),
+        ),
+        F.struct(F.lit(2).alias("blk_id"), (F.col("simhash_hi") % blk).alias("blk_val")),
+        F.struct(
+            F.lit(3).alias("blk_id"),
+            F.floor(F.col("simhash_hi") / blk).cast("long").alias("blk_val"),
+        ),
     )
     # Explode to (blk_id, blk_val) rows so the self-join is an equi-join on
     # the composite block key (shuffle-hash/sort-merge), never a
     # BroadcastNestedLoopJoin from an OR-of-equalities condition.
-    blocks = fp.select("doc_id", "simhash", F.explode(block_structs).alias("bb")).select(
-        "doc_id", "simhash", "bb.blk_id", "bb.blk_val"
-    )
+    blocks = fp.select(
+        "doc_id", "simhash_hi", "simhash_lo", F.explode(block_structs).alias("bb")
+    ).select("doc_id", "simhash_hi", "simhash_lo", "bb.blk_id", "bb.blk_val")
     a = blocks.alias("a")
     b = blocks.alias("b")
-    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    hamming = F.bit_count(
+        F.col("a.simhash_hi").bitwiseXOR(F.col("b.simhash_hi"))
+    ) + F.bit_count(F.col("a.simhash_lo").bitwiseXOR(F.col("b.simhash_lo")))
     return (
         a.join(
             b,
@@ -320,7 +381,7 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("d1"),
             F.col("b.doc_id").alias("d2"),
-            F.bit_count(xor).alias("hamming"),
+            hamming.alias("hamming"),
         )
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .distinct()
@@ -330,9 +391,11 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SIMHASH_PAIRS_SQL = _simhash_sql_core() + f"""
 SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
-       bit_count(xor(a.simhash, b.simhash)) AS hamming
+       CAST(bit_count(xor(a.simhash_hi, b.simhash_hi))
+            + bit_count(xor(a.simhash_lo, b.simhash_lo)) AS BIGINT) AS hamming
 FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+WHERE bit_count(xor(a.simhash_hi, b.simhash_hi))
+      + bit_count(xor(a.simhash_lo, b.simhash_lo)) <= {SIMHASH_MAX_HAMMING}
 ORDER BY d1, d2
 """
 
@@ -393,6 +456,14 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Silent non-convergence would hand wrong cluster labels to every
+        # downstream consumer (training_corpus_stats) — fail loudly instead.
+        raise RuntimeError(
+            f"connected components did not converge in {MAX_CC_ITERATIONS} rounds "
+            f"({changed} labels still changing); raise MAX_CC_ITERATIONS or use "
+            "neardup_clusters_pointer_doubling for high-diameter graphs"
+        )
     return labels.orderBy("doc_id")
 
 
@@ -472,6 +543,11 @@ def neardup_clusters_pointer_doubling(spark: SparkSession, sf_dir: str) -> DataF
         labels = shortcut
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"pointer-doubling components did not converge in {MAX_CC_ITERATIONS} "
+            f"rounds ({changed} labels still changing)"
+        )
     return labels.orderBy("doc_id")
 
 
@@ -479,21 +555,35 @@ def neardup_clusters_pointer_doubling(spark: SparkSession, sf_dir: str) -> DataF
 FUZZY_BLOCK_CHARS = 8
 FUZZY_PREFIX_CHARS = 40
 FUZZY_MAX_DIST = 10
+# Blocks (identical first-8-chars groups) larger than this are excluded from
+# pairing: a hot prefix ("the ... " boilerplate) would otherwise pair
+# quadratically. Mass-duplicated prefixes above the cap are boilerplate by
+# definition and their exact copies are collapsed by the exact tier.
+FUZZY_MAX_BLOCK = 100
 
 
 def dedup_fuzzy_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-dup tier: documents whose 40-char prefixes are
     within Levenshtein distance 10, candidate-blocked by identical first
     8 chars so the self-join is an equi-join on the block key (classic
-    blocking — at scale, multiple blocking keys raise recall). Both
-    engines implement classic Levenshtein, so the distances hash-match."""
+    blocking — at scale, multiple blocking keys raise recall). Blocks
+    larger than FUZZY_MAX_BLOCK docs are dropped before pairing, bounding
+    worst-case fan-out to O(cap²) per block. Both engines implement
+    classic Levenshtein, so the distances hash-match."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         F.substring("text", 1, FUZZY_PREFIX_CHARS).alias("prefix"),
         F.substring("text", 1, FUZZY_BLOCK_CHARS).alias("blk"),
     )
-    a = docs.alias("a")
-    b = docs.alias("b")
+    hot = (
+        docs.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > FUZZY_MAX_BLOCK)
+        .select("blk")
+    )
+    kept = docs.join(hot, "blk", "left_anti")
+    a = kept.alias("a")
+    b = kept.alias("b")
     return (
         a.join(
             b,
@@ -510,10 +600,12 @@ def dedup_fuzzy_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 FUZZY_PREFIX_SQL = f"""
-WITH d AS (
+WITH d0 AS (
   SELECT doc_id, substr(text, 1, {FUZZY_PREFIX_CHARS}) AS prefix,
          substr(text, 1, {FUZZY_BLOCK_CHARS}) AS blk
-  FROM documents)
+  FROM documents),
+hot AS (SELECT blk FROM d0 GROUP BY blk HAVING COUNT(*) > {FUZZY_MAX_BLOCK}),
+d AS (SELECT * FROM d0 WHERE blk NOT IN (SELECT blk FROM hot))
 SELECT a.doc_id AS d1, b.doc_id AS d2,
        CAST(levenshtein(a.prefix, b.prefix) AS INT) AS edit_dist
 FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id

@@ -36,9 +36,7 @@ constant, deliberately NOT reproduced — ``flush_size`` may be any size.
 
 from __future__ import annotations
 
-import glob
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -138,34 +136,62 @@ def write_orc_parity(
     )
     out.write.mode("overwrite").partitionBy(*group_cols).orc(staged)
 
-    # Metadata-only finalize: move each group's single part file to its
-    # deterministic reference key. O(#files); no row data touches the driver.
+    # Metadata-only finalize through the Hadoop FileSystem API: one
+    # listStatus per directory level + one rename per output file, so the
+    # same O(#files) pass works on file://, hdfs:// and s3a:// (where rename
+    # is the object-store copy the committer already paid for the staged
+    # write; per-file finalize cost is a HEAD+COPY+DELETE, no row data).
+    spark = df.sparkSession
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path
+    fs = jpath(staged).getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def _subdirs(p, prefix: str):
+        return sorted(
+            (
+                st.getPath()
+                for st in fs.listStatus(p)
+                if st.isDirectory() and st.getPath().getName().startswith(prefix)
+            ),
+            key=lambda q: q.getName(),
+        )
+
     written: list[str] = []
     dir_prefix = dir_prefix if dir_prefix is not None else ""
-    for topic_dir in sorted(glob.glob(os.path.join(staged, "__topic=*"))):
-        topic = os.path.basename(topic_dir).split("=", 1)[1]
-        for part_dir in sorted(glob.glob(os.path.join(topic_dir, "__partition=*"))):
-            partition = int(os.path.basename(part_dir).split("=", 1)[1])
-            for off_dir in sorted(glob.glob(os.path.join(part_dir, "__start_offset=*"))):
-                start_offset = int(os.path.basename(off_dir).split("=", 1)[1])
-                parts = sorted(glob.glob(os.path.join(off_dir, "part-*.orc")))
+    for topic_dir in _subdirs(jpath(staged), "__topic="):
+        topic = topic_dir.getName().split("=", 1)[1]
+        for part_dir in _subdirs(topic_dir, "__partition="):
+            partition = int(part_dir.getName().split("=", 1)[1])
+            for off_dir in _subdirs(part_dir, "__start_offset="):
+                start_offset = int(off_dir.getName().split("=", 1)[1])
+                parts = sorted(
+                    (
+                        st.getPath()
+                        for st in fs.listStatus(off_dir)
+                        if st.getPath().getName().startswith("part-")
+                        and st.getPath().getName().endswith(EXTENSION)
+                    ),
+                    key=lambda q: q.getName(),
+                )
                 if not parts:
                     continue
                 key = file_key_to_commit(
                     topics_prefix, dir_prefix or topic, topic, partition, start_offset
                 )
-                dest = os.path.join(out_dir, key)
-                os.makedirs(os.path.dirname(dest), exist_ok=True)
-                if len(parts) == 1:
-                    if os.path.exists(dest):
-                        os.remove(dest)  # unconditional overwrite (OrcRecordWriter.java:91)
-                    shutil.move(parts[0], dest)
-                else:  # defensive: merge would break one-file parity; fail loudly
+                if len(parts) != 1:  # merge would break one-file parity; fail loudly
                     raise RuntimeError(
                         f"file group {key} produced {len(parts)} part files; expected 1"
                     )
+                dest = jpath(out_dir + "/" + key)
+                parent = dest.getParent()
+                if parent is not None and not fs.exists(parent):
+                    fs.mkdirs(parent)
+                if fs.exists(dest):
+                    fs.delete(dest, False)  # unconditional overwrite (OrcRecordWriter.java:91)
+                if not fs.rename(parts[0], dest):
+                    raise RuntimeError(f"rename failed for {key}")
                 written.append(key)
-    shutil.rmtree(staged, ignore_errors=True)
+    fs.delete(jpath(staged), True)
     return sorted(written)
 
 

@@ -84,6 +84,25 @@ def test_recovery_idempotent_overwrite(spark, tmp_path):
     assert back.select(F.sum("long_col")).first()[0] == sum(i * 1_000_003 for i in range(7))
 
 
+def test_parity_finalize_scheme_agnostic(spark, tmp_path):
+    """The finalize pass goes through the Hadoop FileSystem API, so an
+    explicit ``file://`` URI (any Path scheme) must behave exactly like a
+    bare local path — the rename is not os/shutil-bound."""
+    from kafka_connect_storage_cloud_formats_spark.sinks.orc_sink import write_orc_parity
+
+    out_uri = f"file://{tmp_path}/out"
+    written = write_orc_parity(make_records(spark, 7), out_uri, flush_size=3)
+    expected = [
+        file_key_to_commit("topics", "test-topic", "test-topic", 0, off) for off in (0, 3, 6)
+    ]
+    assert written == sorted(expected)
+    # the files exist on the local filesystem under the reference keys
+    for key in expected:
+        assert os.path.exists(str(tmp_path / "out" / key))
+    assert not os.path.exists(str(tmp_path / "out" / "_staged"))
+    assert spark.read.orc(out_uri + "/*.orc").count() == 7
+
+
 def test_beyond_reference_batch_cap(spark, tmp_path):
     """11,001 rows in one file — above the reference's hard 11,000-row cap
     (OrcRecordWriter.java:100); our engine must not truncate."""
