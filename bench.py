@@ -59,17 +59,22 @@ def main() -> int:
         total += timings[name]
         print(f"# {name}: {n} rows in {timings[name]:.2f}s", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_clock",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": infer_sf(SF_DIR),
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "total_query_wall_clock",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": infer_sf(SF_DIR),
+        }
     )
+    # Also persist to disk: the round-1 driver recorded parsed=null for the
+    # stdout line, so give it a file it can always read.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"), "w") as f:
+        f.write(payload + "\n")
+    sys.stdout.flush()
+    print(payload)
+    sys.stdout.flush()
     return 0
 
 

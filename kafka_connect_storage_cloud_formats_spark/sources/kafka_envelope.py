@@ -72,19 +72,69 @@ def with_kafka_envelope(
     return out
 
 
+def decode_value(
+    value_col: F.Column | str,
+    value_schema: T.StructType,
+    value_format: str = "json",
+    avro_schema_json: str | None = None,
+) -> F.Column:
+    """Decode a Kafka ``value`` payload column into a struct of
+    ``value_schema`` fields.
+
+    ``value_format="json"`` — ``from_json`` over the UTF-8 payload (always
+    available). ``value_format="avro"`` — the reference's actual value chain
+    (Connect→Avro→ORC, ``OrcRecordWriter.java:64,71``): builds the
+    ``from_avro`` plan with the Avro-JSON schema derived from
+    ``value_schema`` via :func:`spark_schema_to_avro`. The plan *shape* is
+    identical to the JSON path (one deserializer expression per row, fully
+    JVM-side); availability is gated on the spark-avro package being loaded
+    — when it is not, a RuntimeError explains the gate (this container
+    ships no spark-avro jar, SURVEY.md §2 gate notes).
+    """
+    col = F.col(value_col) if isinstance(value_col, str) else value_col
+    if value_format == "json":
+        return F.from_json(col.cast("string"), value_schema)
+    if value_format == "avro":
+        import json as _json
+
+        from pyspark.sql.avro.functions import from_avro
+
+        from kafka_connect_storage_cloud_formats_spark.schema import spark_schema_to_avro
+
+        schema_json = avro_schema_json or _json.dumps(spark_schema_to_avro(value_schema))
+        # from_avro() constructs lazily and only fails at analysis; probe
+        # availability now (schema-only analysis of a 1-row plan) so callers
+        # get the documented gate error at plan-construction time.
+        spark = SparkSession.getActiveSession()
+        if spark is not None:
+            try:
+                spark.createDataFrame([(bytearray(b""),)], "value binary").select(
+                    from_avro(F.col("value"), schema_json)
+                ).schema
+            except Exception as e:  # AnalysisException AVRO_NOT_LOADED in bare containers
+                raise RuntimeError(
+                    "from_avro plan unavailable: spark-avro package not loaded "
+                    "(start the session with --packages org.apache.spark:spark-avro). "
+                    "JSON decode (value_format='json') is the gated-environment path."
+                ) from e
+        return from_avro(col, schema_json)
+    raise ValueError(f"unknown value_format {value_format!r}")
+
+
 def kafka_stream_source(
     spark: SparkSession,
     brokers: str,
     topic: str,
     value_schema: T.StructType,
     starting_offsets: str = "earliest",
+    value_format: str = "json",
 ) -> DataFrame:
     """Production Kafka source → decoded value columns + envelope.
 
     Returns a streaming DataFrame with the envelope columns plus the struct
-    fields of ``value_schema`` (decoded from the JSON value payload;
-    ``from_avro`` is the drop-in alternative when a schema registry supplies
-    Avro — same plan shape).
+    fields of ``value_schema`` (decoded from the value payload per
+    ``value_format`` — see :func:`decode_value`; ``"avro"`` is the
+    reference's Connect→Avro chain, gated on the spark-avro package).
 
     Gated: raises a clear error when the Kafka connector isn't on the
     classpath (the test container has no broker).
@@ -108,7 +158,7 @@ def kafka_stream_source(
         "partition",
         "offset",
         F.col("timestamp").alias("ts"),
-        F.from_json(F.col("value").cast("string"), value_schema).alias("v"),
+        decode_value(F.col("value"), value_schema, value_format).alias("v"),
     )
     return decoded.select("key", "topic", "partition", "offset", "ts", "v.*")
 

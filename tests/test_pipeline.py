@@ -173,6 +173,39 @@ def test_envelope_synthesis(spark):
         assert r["max(offset)"] == r["count(1)"] - 1
 
 
+def test_decode_value_json_and_avro_gate(spark):
+    """decode_value: the JSON path round-trips; the Avro path either works
+    (spark-avro loaded) or raises the documented gate error — never a raw
+    py4j AnalysisException."""
+    from kafka_connect_storage_cloud_formats_spark.sources.kafka_envelope import decode_value
+
+    schema = T.StructType(
+        [
+            T.StructField("a", T.LongType(), False),
+            T.StructField("b", T.StringType(), True),
+        ]
+    )
+    payloads = spark.range(3).select(
+        F.to_json(F.struct(F.col("id").alias("a"), F.concat(F.lit("x"), "id").alias("b")))
+        .cast("binary")
+        .alias("value")
+    )
+    back = payloads.select(decode_value("value", schema, "json").alias("v")).select("v.*")
+    assert [(r.a, r.b) for r in back.orderBy("a").collect()] == [
+        (0, "x0"),
+        (1, "x1"),
+        (2, "x2"),
+    ]
+    try:
+        col = decode_value("value", schema, "avro")
+        # jar present: the plan must at least analyze against the payload df
+        payloads.select(col.alias("v")).schema
+    except RuntimeError as e:
+        assert "spark-avro" in str(e)
+    with pytest.raises(ValueError):
+        decode_value("value", schema, "protobuf")
+
+
 def test_avro_schema_mapping():
     avro = {
         "type": "record",
