@@ -69,6 +69,44 @@ ORDER BY keep_doc_id
 """
 
 
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalizing dedup tier (between exact and fuzzy): documents that
+    collapse to the same canonical form — lowercased, punctuation stripped,
+    whitespace squeezed — are one group. Catches trivial re-encodings
+    (case, punctuation, spacing) that byte-exact hashing misses, at the
+    same map+groupBy cost as dedup_exact: the shuffle carries a 32-byte
+    hash of the canonical form, never the text."""
+    docs = load_table(spark, sf_dir, "documents")
+    canon = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return (
+        docs.select(F.md5(canon).alias("canon_hash"), "doc_id", "text")
+        .groupBy("canon_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("text").alias("n_raw_variants"),
+        )
+        .orderBy("keep_doc_id")
+    )
+
+
+DEDUP_CANONICAL_SQL = """
+WITH c AS (
+  SELECT doc_id, text,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                 ' +', ' ', 'g'))) AS canon_hash
+  FROM documents)
+SELECT canon_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_docs,
+       COUNT(DISTINCT text) AS n_raw_variants
+FROM c GROUP BY canon_hash
+ORDER BY keep_doc_id
+"""
+
+
 # ------------------------------------------------------- exact n-gram Jaccard
 def _shingle_rows(docs: DataFrame) -> DataFrame:
     """(doc_id, shingle) distinct rows."""
@@ -278,7 +316,7 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bit_votes = [
         F.sum(
-            F.col("c") * (F.floor(F.col(f"v_{h}") / F.lit(2**b)) % 2 * 2 - 1)
+            F.col("c") * (F.shiftright(F.col(f"v_{h}"), b).bitwiseAND(F.lit(1)) * 2 - 1)
         ).alias(f"s_{h}_{b:02d}")
         for h in ("hi", "lo")
         for b in range(half_bits)
@@ -309,7 +347,7 @@ def _simhash_sql_core() -> str:
         )
 
     votes = ",\n       ".join(
-        f"SUM(c * (((v_{h} // {2**b}) % 2) * 2 - 1)) AS s_{h}_{b:02d}"
+        f"SUM(c * (((v_{h} >> {b}) & 1) * 2 - 1)) AS s_{h}_{b:02d}"
         for h in ("hi", "lo")
         for b in range(half_bits)
     )
@@ -616,6 +654,7 @@ ORDER BY d1, d2
 
 DEDUP_QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_canonical": (dedup_canonical, DEDUP_CANONICAL_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
     "minhash_signatures": (minhash_signatures, MINHASH_SIGNATURES_SQL),
     "minhash_lsh_pairs": (minhash_lsh_pairs, MINHASH_LSH_SQL),

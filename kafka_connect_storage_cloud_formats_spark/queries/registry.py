@@ -68,7 +68,14 @@ _ROUND1_FIXED = [
     "events_hourly_rollup", "scalar_function_gallery",
     "scrub_numeric_tokens", "vocab_stats",
 ]
-_NEW_THIS_ROUND: list = []
+_NEW_THIS_ROUND: list = [
+    "q9_product_type_profit",
+    "q11_important_parts",
+    "q12_priority_by_returnflag",
+    "q20_promotion_suppliers",
+    "orders_price_moments",
+    "dedup_canonical",
+]
 _PRIORITY = _ROUND1_UNCHECKED + _ROUND1_FIXED + _NEW_THIS_ROUND
 
 QUERIES: dict = {n: _ALL[n] for n in _PRIORITY if n in _ALL}

@@ -955,6 +955,191 @@ ORDER BY s_suppkey
 """
 
 
+# --- Q9 shape: product-type profit by nation and year. The testdata has no
+# partsupp table, so "profit" is the discounted revenue (the join/agg shape —
+# pattern-filtered part ⋈ lineitem ⋈ supplier ⋈ nation ⋈ orders, grouped by
+# (nation, order year) — is what Q9 exercises).
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(maybe_broadcast(part), li.l_partkey == part.p_partkey)
+        .join(maybe_broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+Q9_SQL = """
+SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+
+# --- Q11 shape: "important" keys by value vs a global scalar threshold
+# (the testdata has no partsupp; per-part shipped value stands in). TPC-H's
+# fixed total-fraction threshold returns 0 rows as part count grows with SF,
+# so the threshold is scale-invariant here: parts above MULT × the average
+# per-part value. The scalar is folded in as a broadcast 1-row cross-join —
+# single lazy plan, no driver collect (same pattern as q22).
+Q11_MULT = 1.4
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("part_value")
+    )
+    threshold = per_part.agg((davg("part_value", 6) * F.lit(Q11_MULT)).alias("thr"))
+    return (
+        per_part.crossJoin(F.broadcast(threshold))
+        .filter(F.col("part_value") > F.col("thr"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+Q11_SQL = f"""
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS part_value
+  FROM lineitem GROUP BY l_partkey),
+thr AS (
+  SELECT CAST(SUM(CAST(part_value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(part_value) * {Q11_MULT} AS thr
+  FROM per_part)
+SELECT l_partkey, part_value
+FROM per_part, thr
+WHERE part_value > thr
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+# --- Q12 shape: conditional priority counting after a fact-fact join (the
+# testdata has no l_shipmode/commitdate; return-flag classes stand in for
+# ship modes, late-in-1998 shipping for the date band).
+def q12_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01")) & (F.col("l_shipdate") < F.lit("1999-01-01"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(is_high.cast("long")).alias("high_line_count"),
+            F.sum((~is_high).cast("long")).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# --- Q20 shape: suppliers of heavily-shipped pattern-matched parts (nested
+# agg threshold → semi-join chain; partsupp availability is replaced by
+# shipped-quantity totals).
+Q20_MIN_QTY = 50
+
+
+def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").startswith("small"))
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    heavy = (
+        li.join(maybe_broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(dsum("l_quantity", 2).alias("total_qty"))
+        .filter(F.col("total_qty") > Q20_MIN_QTY)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        sup.join(heavy, sup.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+Q20_SQL = f"""
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'small%'
+  GROUP BY l_partkey, l_suppkey
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) > {Q20_MIN_QTY})
+ORDER BY s_suppkey
+"""
+
+
+# --- column moments: variance/stddev of the whole-dollar-quantized price.
+# Prices are floored to integer dollars so both engines build the power sums
+# as exact int64 (a DECIMAL power sum has ~20 significant digits and its
+# decimal→double conversion differs by 1 ulp between engines); from
+# bit-identical double inputs, var = (s2 - s1²/n)/n and sqrt are identical
+# IEEE arithmetic. One map-side-combinable aggregation pass — the shape a
+# column profiler uses at 100 TB (quantization error is irrelevant for
+# profiling; the unquantized mean is already covered by q1/dsum).
+def orders_price_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    xq = F.floor("o_totalprice").cast("long")
+    base = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xq).alias("s1"),
+        F.sum(xq * xq).alias("s2"),
+    )
+    s1d, s2d, nd = (F.col(c).cast("double") for c in ("s1", "s2", "n"))
+    var = (s2d - s1d * s1d / nd) / nd
+    return base.select(
+        "o_orderpriority",
+        "n",
+        (s1d / nd).alias("mean_price"),
+        var.alias("var_price"),
+        F.sqrt(var).alias("std_price"),
+    ).orderBy("o_orderpriority")
+
+
+ORDERS_MOMENTS_SQL = """
+WITH base AS (
+  SELECT o_orderpriority, COUNT(*) AS n,
+         CAST(SUM(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS s1,
+         CAST(SUM(CAST(floor(o_totalprice) AS BIGINT) * CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS s2
+  FROM orders GROUP BY o_orderpriority)
+SELECT o_orderpriority, n,
+       CAST(s1 AS DOUBLE) / n AS mean_price,
+       (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / n AS var_price,
+       sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / n) AS std_price
+FROM base
+ORDER BY o_orderpriority
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -983,4 +1168,9 @@ RELATIONAL_QUERIES = {
     "q8_nation_market_share": (q8_nation_market_share, Q8_SQL),
     "q15_top_supplier": (q15_top_supplier, Q15_SQL),
     "part_brand_type_setops": (part_brand_type_setops, SETOPS_SQL),
+    "q9_product_type_profit": (q9_product_type_profit, Q9_SQL),
+    "q11_important_parts": (q11_important_parts, Q11_SQL),
+    "q12_priority_by_returnflag": (q12_priority_by_returnflag, Q12_SQL),
+    "q20_promotion_suppliers": (q20_promotion_suppliers, Q20_SQL),
+    "orders_price_moments": (orders_price_moments, ORDERS_MOMENTS_SQL),
 }

@@ -21,6 +21,7 @@ error (same pattern as the Kafka source).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 FORMAT_COMPRESSIONS: dict[str, tuple[str, ...]] = {
     "orc": ("zlib", "snappy", "zstd", "lz4", "none"),
@@ -28,6 +29,7 @@ FORMAT_COMPRESSIONS: dict[str, tuple[str, ...]] = {
     "json": ("gzip", "none"),
     "csv": ("gzip", "none"),
     "avro": ("snappy", "deflate", "none"),
+    "bytearray": ("gzip", "none"),
 }
 
 DEFAULT_COMPRESSION: dict[str, str] = {
@@ -36,7 +38,15 @@ DEFAULT_COMPRESSION: dict[str, str] = {
     "json": "none",
     "csv": "none",
     "avro": "snappy",
+    "bytearray": "none",
 }
+
+# ByteArray sibling format (upstream family's ByteArrayFormat: raw value
+# bytes, one record per line-separator). Spark's text datasource carries one
+# string column, so payload bytes are base64-armored per line — newline-safe
+# where the upstream's raw concatenation is not (documented divergence;
+# values round-trip exactly).
+BYTEARRAY_VALUE_COL = "value"
 
 
 def write_partitioned(
@@ -54,6 +64,17 @@ def write_partitioned(
     compression = compression or DEFAULT_COMPRESSION[fmt]
     if compression not in FORMAT_COMPRESSIONS[fmt]:
         raise ValueError(f"{fmt} does not support compression {compression!r}")
+    if fmt == "bytearray":
+        payload = [c for c in df.columns if c not in partition_cols]
+        if payload != [BYTEARRAY_VALUE_COL]:
+            raise ValueError(
+                f"bytearray format requires exactly one non-partition column "
+                f"named {BYTEARRAY_VALUE_COL!r} (binary); got {payload}"
+            )
+        df = df.select(
+            *partition_cols, F.base64(F.col(BYTEARRAY_VALUE_COL)).alias(BYTEARRAY_VALUE_COL)
+        )
+        fmt = "text"
     writer = df.write.mode(mode).format(fmt).option("compression", compression)
     if fmt == "csv":
         writer = writer.option("header", "true")
@@ -73,6 +94,12 @@ def write_partitioned(
 
 
 def read_back(spark: SparkSession, path: str, fmt: str = "orc") -> DataFrame:
+    if fmt == "bytearray":
+        raw = spark.read.format("text").load(path)
+        return raw.select(
+            *[c for c in raw.columns if c != BYTEARRAY_VALUE_COL],
+            F.unbase64(F.col(BYTEARRAY_VALUE_COL)).alias(BYTEARRAY_VALUE_COL),
+        )
     reader = spark.read.format(fmt)
     if fmt == "csv":
         reader = reader.option("header", "true").option("inferSchema", "true")

@@ -41,6 +41,30 @@ def test_roundtrip_all_codecs(spark, sample, tmp_path, fmt):
         assert got == expect, f"{fmt}/{codec} roundtrip mismatch"
 
 
+def test_bytearray_roundtrip(spark, sample, tmp_path):
+    """ByteArray family: opaque binary payloads round-trip exactly under
+    every codec, including payloads containing newlines/NULs (base64-armored
+    lines — the documented divergence from raw byte concatenation)."""
+    payload = sample.select(
+        "partition",
+        F.concat(
+            F.encode(F.concat(F.lit("rec\n\x00-"), F.col("event_id")), "utf-8"),
+            F.unhex(F.lit("00ff10")),
+        ).alias("value"),
+    )
+    expect = sorted((r[0], bytes(r[1])) for r in payload.collect())
+    for codec in FORMAT_COMPRESSIONS["bytearray"]:
+        out = str(tmp_path / f"ba_{codec}")
+        write_partitioned(payload, out, fmt="bytearray", compression=codec)
+        back = read_back(spark, out, fmt="bytearray").select(
+            F.col("partition").cast("int"), "value"
+        )
+        got = sorted((r[0], bytes(r[1])) for r in back.collect())
+        assert got == expect, f"bytearray/{codec} roundtrip mismatch"
+    with pytest.raises(ValueError, match="bytearray format requires"):
+        write_partitioned(sample, str(tmp_path / "ba_bad"), fmt="bytearray")
+
+
 def test_codec_reaches_files(spark, sample, tmp_path):
     out = str(tmp_path / "orc_zstd")
     write_partitioned(sample, out, fmt="orc", compression="zstd")

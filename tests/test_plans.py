@@ -20,9 +20,12 @@ def test_no_nested_loop_or_cartesian_joins(spark, sf_dir):
 
 
 def test_allowed_nested_are_documented_exceptions(spark, sf_dir):
-    """The whitelist must stay minimal and each member genuinely broadcast
-    a bounded side (both are O(small × N) by contract)."""
+    """The whitelists must stay minimal and each member genuinely broadcast
+    a bounded side (O(small × N) by contract; scalar-cross = O(1 × N))."""
+    from tools.plan_audit import ALLOWED_SCALAR_CROSS
+
     assert ALLOWED_NESTED == {"knn_bruteforce", "ivf_topk", "ann_recall_at_10"}
+    assert ALLOWED_SCALAR_CROSS == {"q22_rich_inactive_customers", "q11_important_parts"}
 
 
 def test_filter_pushdown_reaches_scans(spark, sf_dir):

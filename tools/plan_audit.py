@@ -31,6 +31,15 @@ ALLOWED_NESTED = {
     "ann_recall_at_10",  # composes the knn_bruteforce baseline by definition
 }
 
+# Queries that fold a GLOBAL SCALAR into the plan via crossJoin(broadcast(
+# 1-row aggregate)) — the canonical single-plan scalar-subquery shape (no
+# driver-side collect). The BroadcastNestedLoopJoin it produces is O(1 × N):
+# bounded by construction, safe at any scale.
+ALLOWED_SCALAR_CROSS = {
+    "q22_rich_inactive_customers",  # avg(c_acctbal) threshold
+    "q11_important_parts",  # avg(part_value) threshold
+}
+
 
 def audit(name: str, df) -> tuple[list[str], dict]:
     plan = df._jdf.queryExecution().executedPlan().toString()
@@ -41,7 +50,7 @@ def audit(name: str, df) -> tuple[list[str], dict]:
         "pushed": len(re.findall(r"PushedFilters: \[[^\]]", plan)),
     }
     problems = []
-    if name not in ALLOWED_NESTED:
+    if name not in ALLOWED_NESTED and name not in ALLOWED_SCALAR_CROSS:
         for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
             if bad in plan:
                 problems.append(bad)
