@@ -368,6 +368,83 @@ ORDER BY q_id, rank
 """
 
 
+def build_ivf_index(spark: SparkSession, sf_dir: str, out_dir: str | None = None) -> str:
+    """Materialize the IVF index: the corpus written to parquet PARTITIONED
+    BY the coarse-quantizer bucket (here the label column, which is what
+    ``ivf_topk`` probes). At 100 TB this is the index-build job; probes then
+    touch only assigned buckets via partition pruning. Returns the path."""
+    import os
+    import tempfile
+
+    if out_dir is None:
+        out_dir = os.path.join(
+            tempfile.gettempdir(),
+            "engine_ivf_index_"
+            + os.path.basename(os.path.normpath(sf_dir))
+            + f"_{os.getpid()}",
+        )
+    if not os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+        _load(spark, sf_dir).write.mode("overwrite").partitionBy("label").parquet(out_dir)
+    return out_dir
+
+
+def ivf_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search against the *materialized* index (nprobe=1): queries are
+    assigned to their nearest centroid, then the bucket scan reads the
+    label-partitioned parquet written by :func:`build_ivf_index` through a
+    broadcast join on the partition column — Spark's dynamic partition
+    pruning (DPP) restricts the file scan to the assigned buckets at
+    runtime (``dynamicpruningexpression`` in the scan's PartitionFilters,
+    asserted in tests/test_similarity.py). Results are identical to
+    :func:`ivf_topk` (same oracle SQL): the index changes the access path,
+    never the answer.
+    """
+    index_path = build_ivf_index(spark, sf_dir)
+    stored = _with_norm(
+        spark.read.parquet(index_path).select(
+            "vec_id", "embedding", F.col("label").cast("long").alias("label")
+        )
+    )
+    base = _with_norm(_load(spark, sf_dir))
+    cents = (
+        ivf_centroids(spark, sf_dir)
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "centroid"))).alias("cd"))
+        .select(
+            F.col("label").alias("c_label"),
+            F.transform("cd", lambda s: s["centroid"]).alias("c_emb"),
+        )
+    )
+    cents = cents.withColumn("c_norm", F.sqrt(_dot("c_emb", "c_emb")))
+    q = base.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    ccos = _dot("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm"))
+    wa = Window.partitionBy("q_id").orderBy(F.desc("ccos"), F.asc("c_label"))
+    assigned = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("ccos", ccos)
+        .withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("q_id", "q_emb", "q_norm", "c_label")
+    )
+    cosine = _dot("q_emb", "embedding") / (F.col("q_norm") * F.col("norm"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(assigned)
+        .join(
+            stored,
+            (F.col("label") == F.col("c_label")) & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), cosine.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("q_id", "rank")
+    )
+
+
 # The synthetic corpus has no true vector dups (max pairwise cosine ≈ 0.51);
 # 0.35 sits at the ~99.9th percentile so the operator exercises realistic
 # candidate volume. Production near-dup dedup would run at ~0.9.
@@ -521,6 +598,7 @@ SIMILARITY_QUERIES = {
     "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
     "ivf_centroids": (ivf_centroids, IVF_CENTROIDS_SQL),
     "ivf_topk": (ivf_topk, IVF_TOPK_SQL),
+    "ivf_topk_pruned": (ivf_topk_pruned, IVF_TOPK_SQL),  # index changes access path, not answer
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_SQL),
     "ann_recall_at_10": (ann_recall_at_10, ANN_RECALL_SQL),
 }

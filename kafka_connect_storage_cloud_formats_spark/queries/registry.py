@@ -75,6 +75,7 @@ _NEW_THIS_ROUND: list = [
     "q20_promotion_suppliers",
     "orders_price_moments",
     "dedup_canonical",
+    "ivf_topk_pruned",
 ]
 _PRIORITY = _ROUND1_UNCHECKED + _ROUND1_FIXED + _NEW_THIS_ROUND
 

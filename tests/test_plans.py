@@ -24,7 +24,12 @@ def test_allowed_nested_are_documented_exceptions(spark, sf_dir):
     a bounded side (O(small × N) by contract; scalar-cross = O(1 × N))."""
     from tools.plan_audit import ALLOWED_SCALAR_CROSS
 
-    assert ALLOWED_NESTED == {"knn_bruteforce", "ivf_topk", "ann_recall_at_10"}
+    assert ALLOWED_NESTED == {
+        "knn_bruteforce",
+        "ivf_topk",
+        "ivf_topk_pruned",
+        "ann_recall_at_10",
+    }
     assert ALLOWED_SCALAR_CROSS == {"q22_rich_inactive_customers", "q11_important_parts"}
 
 

@@ -56,3 +56,18 @@ def test_ivf_topk_stays_in_bucket(spark, sf_dir):
         .agg(F.countDistinct("label").alias("n_labels"))
     )
     assert joined.filter(F.col("n_labels") > 1).count() == 0
+
+
+def test_ivf_pruned_matches_logical_and_prunes_partitions(spark, sf_dir):
+    """The materialized index must change the access path, not the answer:
+    ivf_topk_pruned == ivf_topk row-for-row, AND its executed plan must show
+    dynamic partition pruning on the index scan (the probe reads assigned
+    buckets only — the 100 TB IVF story)."""
+    from kafka_connect_storage_cloud_formats_spark.operators.similarity import ivf_topk_pruned
+
+    pruned = ivf_topk_pruned(spark, sf_dir)
+    logical = {tuple(r) for r in ivf_topk(spark, sf_dir).collect()}
+    got = {tuple(r) for r in pruned.collect()}
+    assert got == logical
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), "index scan must use dynamic partition pruning"

@@ -28,6 +28,7 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ALLOWED_NESTED = {
     "knn_bruteforce",  # exact O(Q·N) baseline, Q tiny + broadcast
     "ivf_topk",  # Q × n_labels centroid assignment, centroids broadcast
+    "ivf_topk_pruned",  # same assignment stage against the materialized index
     "ann_recall_at_10",  # composes the knn_bruteforce baseline by definition
 }
 
