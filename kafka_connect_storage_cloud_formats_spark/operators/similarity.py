@@ -93,25 +93,62 @@ q AS (SELECT * FROM base WHERE vec_id % {QUERY_MOD} = 0)
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 neighbors for each query vector (vec_id % 50 = 0).
 
-    Plan shape: broadcast the query side (tiny) against one corpus scan —
-    no shuffle of the corpus; ranking is a per-query-partition window.
+    Plan shape: ONE corpus scan through ``mapInPandas`` with the query
+    matrix as a captured NumPy constant (Q ≤ 10³ by contract — collecting
+    it is O(Q·dim) metadata, the standard vector-search pattern). Each
+    Arrow batch computes the full Q×B cosine block with per-dimension
+    left-associated accumulation (bit-identical to the oracle's
+    ``0.0 + t1 + … + tN`` chain) and emits only its per-batch exact top-k
+    per query, so the shuffle into the global ranking window carries
+    O(tasks·Q·k) rows — never the O(Q·N) pair stream, and the corpus
+    vectors never cross the Python boundary more than once.
     """
-    base = _with_norm(_load(spark, sf_dir))
-    q = base.select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("norm").alias("q_norm"),
-    ).filter(F.col("q_id") % QUERY_MOD == 0)
-    pairs = F.broadcast(q).join(base, F.col("vec_id") != F.col("q_id"))
-    cosine = _dot("q_emb", "embedding") / (F.col("q_norm") * F.col("norm"))
+    import numpy as np
+    import pandas as pd
+
+    from kafka_connect_storage_cloud_formats_spark.functions.vectors import _seq_dot, _stack64
+
+    base = _load(spark, sf_dir).select("vec_id", "embedding")
+    qrows = base.filter(F.col("vec_id") % QUERY_MOD == 0).collect()
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    Qm = np.stack([np.asarray(r["embedding"])for r in qrows]).astype(np.float64)
+    q_norm = np.sqrt(_seq_dot(Qm, Qm))
+
+    def score_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = _stack64(pdf["embedding"])
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            n_norm = np.sqrt(_seq_dot(E, E))
+            # per-dimension left-associated accumulation over the Q×B block:
+            # same IEEE chain per (q, n) cell as the row-at-a-time oracle
+            acc = np.zeros((len(q_ids), len(ids)), dtype=np.float64)
+            for i in range(E.shape[1]):
+                acc += Qm[:, i : i + 1] * E[None, :, i]
+            cos = acc / (q_norm[:, None] * n_norm[None, :])
+            out_q, out_n, out_c = [], [], []
+            for qi in range(len(q_ids)):
+                mask = ids != q_ids[qi]
+                nb_ids, nb_cos = ids[mask], cos[qi][mask]
+                # exact per-batch top-k (cosine desc, neighbor_id asc):
+                # monotone under the global window's identical ordering
+                order = np.lexsort((nb_ids, -nb_cos))[:TOP_K]
+                out_q.append(np.full(len(order), q_ids[qi], dtype=np.int64))
+                out_n.append(nb_ids[order])
+                out_c.append(nb_cos[order])
+            yield pd.DataFrame(
+                {
+                    "q_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cosine": np.concatenate(out_c),
+                }
+            )
+
+    scored = base.mapInPandas(score_batches, "q_id long, neighbor_id long, cosine double")
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        pairs.select(
-            "q_id",
-            F.col("vec_id").alias("neighbor_id"),
-            cosine.alias("cosine"),
-        )
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .orderBy("q_id", "rank")
     )

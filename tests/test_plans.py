@@ -25,7 +25,6 @@ def test_allowed_nested_are_documented_exceptions(spark, sf_dir):
     from tools.plan_audit import ALLOWED_SCALAR_CROSS
 
     assert ALLOWED_NESTED == {
-        "knn_bruteforce",
         "ivf_topk",
         "ivf_topk_pruned",
         "ann_recall_at_10",

@@ -26,10 +26,12 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 # Operators whose spec is an intentional bounded cross product (documented in
 # their docstrings); everything else must be equi-join only.
 ALLOWED_NESTED = {
-    "knn_bruteforce",  # exact O(Q·N) baseline, Q tiny + broadcast
+    # knn_bruteforce no longer appears here: its mapInPandas formulation
+    # (query matrix as a captured constant, per-batch exact top-k) has no
+    # nested-loop join at all.
     "ivf_topk",  # Q × n_labels centroid assignment, centroids broadcast
     "ivf_topk_pruned",  # same assignment stage against the materialized index
-    "ann_recall_at_10",  # composes the knn_bruteforce baseline by definition
+    "ann_recall_at_10",  # 1-row recall-ratio cross + composed baselines
 }
 
 # Queries that fold a GLOBAL SCALAR into the plan via crossJoin(broadcast(
