@@ -146,8 +146,66 @@ FROM s GROUP BY split ORDER BY split
 """
 
 
+# Per-language sampling rates out of 256 hash buckets (first byte of the
+# salted content hash): downsample the dominant language, keep the tail.
+SAMPLE_SALT = "sample-v1"
+SAMPLE_RATES = {"en": 64, "de": 192, "fr": 192}  # buckets kept of 256
+SAMPLE_DEFAULT_RATE = 256  # all other languages kept whole
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — the rebalancing step of a
+    training-data pipeline (downsample the dominant language, keep the
+    tail). keep ⇔ first byte of md5(salt ‖ doc_id) < rate[lang]: pure
+    map-side expression, no RNG state, no shuffle before the audit
+    aggregate; any engine (including the oracle) recomputes the identical
+    sample. Emits the per-language audit: kept/total docs and kept tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(SAMPLE_SALT), F.col("doc_id"))), 1, 2), 16, 10
+    ).cast("int")
+    rate = F.lit(SAMPLE_DEFAULT_RATE)
+    for lang, r in SAMPLE_RATES.items():
+        rate = F.when(F.col("lang") == lang, r).otherwise(rate)
+    kept = (bucket < rate).cast("long")
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    return (
+        docs.select("lang", kept.alias("kept"), (kept * n_tokens).alias("kept_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept").alias("n_kept"),
+            F.sum("kept_tokens").alias("kept_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _rate_case() -> str:
+    whens = " ".join(f"WHEN lang = '{k}' THEN {v}" for k, v in SAMPLE_RATES.items())
+    return f"CASE {whens} ELSE {SAMPLE_DEFAULT_RATE} END"
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+WITH b AS (
+  SELECT lang, md5('{SAMPLE_SALT}' || CAST(doc_id AS VARCHAR)) AS h,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+k AS (
+  SELECT lang,
+         CASE WHEN ({_HEXVAL2}) < ({_rate_case()}) THEN 1 ELSE 0 END AS kept,
+         n_tokens
+  FROM b)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(kept) AS BIGINT) AS n_kept,
+       CAST(SUM(kept * n_tokens) AS BIGINT) AS kept_tokens
+FROM k GROUP BY lang ORDER BY lang
+"""
+
+
 PROFILING_QUERIES = {
     "corpus_split_stats": (corpus_split_stats, CORPUS_SPLIT_SQL),
+    "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
     "orders_column_profile": (orders_column_profile, ORDERS_PROFILE_SQL),
     "events_value_quantiles": (events_value_quantiles, EVENTS_QUANTILES_SQL),
     "approx_profile": (approx_profile, None),  # sketches: rows-only driver check

@@ -212,18 +212,19 @@ LIMIT {VOCAB_TOP_K}
 
 def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document dominant term: max tf, ties broken by lexicographically
-    smallest term (deterministic). The window partitions by doc_id — same
-    shuffle as the tf aggregate, no extra pass."""
-    from pyspark.sql.window import Window
-
+    smallest term (deterministic). Argmax is a MIN over (−tf, term) structs —
+    struct ordering is field-by-field, so the minimum is exactly (highest
+    tf, then smallest term). Unlike a row_number window (which sorts every
+    partition), a min-aggregate combines map-side: the shuffle carries one
+    candidate struct per (doc, partition), not the full term list."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     per_doc = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("term"))
+    best = F.min(F.struct((-F.col("tf")).alias("neg_tf"), F.col("term").alias("term")))
     return (
-        per_doc.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("term").alias("top_term"), "tf")
+        per_doc.groupBy("doc_id")
+        .agg(best.alias("best"))
+        .select("doc_id", F.col("best.term").alias("top_term"), (-F.col("best.neg_tf")).alias("tf"))
         .orderBy("doc_id")
     )
 
@@ -318,6 +319,123 @@ FROM t ORDER BY doc_id
 """
 
 
+# ------------------------------------------------------ quality-score deciles
+def doc_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile binning of a composite quality score (ttr × (1 − stopword
+    ratio)) — the curriculum/filter-threshold step of a training pipeline.
+
+    Scale shape: decile BOUNDARIES come from one global ``percentile_disc``
+    aggregate (9 actual data values — no interpolation, so both engines
+    agree exactly), folded back as a broadcast 1-row cross-join; bucket
+    assignment is then a map-only comparison chain. No global sort, no
+    single-partition window (ntile would funnel the corpus through one
+    task). At 100 TB the exact percentile aggregate would be swapped for
+    ``approx_percentile`` boundaries with the same downstream plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = tokens("text")
+    stop = F.array([F.lit(s) for s in STOPWORDS])
+    n_tokens = F.size(w)
+    n_stop = F.size(F.filter(w, lambda t: F.array_contains(stop, t)))
+    ttr = F.size(F.array_distinct(w)) / n_tokens.cast("double")
+    score = (ttr * (1 - n_stop / n_tokens.cast("double"))).alias("score")
+    scored = docs.select("doc_id", score)
+    bounds = scored.agg(
+        *[
+            F.expr(f"percentile_disc(0.{d}) WITHIN GROUP (ORDER BY score)").alias(f"b{d}")
+            for d in range(1, 10)
+        ]
+    )
+    decile = F.lit(1)
+    for d in range(1, 10):
+        decile = decile + (F.col("score") > F.col(f"b{d}")).cast("int")
+    return (
+        scored.crossJoin(F.broadcast(bounds))
+        .select("doc_id", "score", decile.alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("decile")
+    )
+
+
+def _quality_deciles_sql() -> str:
+    stop_list = "','".join(STOPWORDS)
+    score = f"""(len(list_distinct(string_split(text, ' ')))
+      / CAST(len(string_split(text, ' ')) AS DOUBLE))
+    * (1 - len(list_filter(string_split(text, ' '), t -> t IN ('{stop_list}')))
+      / CAST(len(string_split(text, ' ')) AS DOUBLE))"""
+    bounds = ", ".join(f"quantile_disc(score, 0.{d}) AS b{d}" for d in range(1, 10))
+    bucket = " + ".join(f"CASE WHEN score > b{d} THEN 1 ELSE 0 END" for d in range(1, 10))
+    return f"""
+WITH scored AS (SELECT doc_id, {score} AS score FROM documents),
+bounds AS (SELECT {bounds} FROM scored),
+bucketed AS (
+  SELECT doc_id, score, 1 + ({bucket}) AS decile FROM scored, bounds)
+SELECT decile, COUNT(*) AS n_docs, MIN(score) AS min_score,
+       MAX(score) AS max_score, MIN(doc_id) AS first_doc
+FROM bucketed GROUP BY decile ORDER BY decile
+"""
+
+
+DOC_QUALITY_DECILES_SQL = _quality_deciles_sql()
+
+
+# ------------------------------------------------- benchmark contamination
+CONTAMINATION_SHINGLE_N = 5
+BENCHMARK_SOURCE = "src0"  # held-out set: the synthetic corpus's src0 slice
+
+
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: corpus documents sharing ≥1 word
+    5-gram with the held-out benchmark slice (source = src0), with shared-
+    shingle and benchmark-doc counts — the decontamination step every
+    training pipeline runs before an eval.
+
+    Scale shape: distinct (doc, shingle) rows on both sides, equi-join on
+    the shingle key (benchmark side is the small side — AQE broadcasts it),
+    then a count aggregate per corpus doc. The corpus text never rides the
+    join — only shingle strings (at 100 TB: xxhash64 of the shingle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", "source", F.explode(word_shingles("text", CONTAMINATION_SHINGLE_N)).alias("s")
+    )
+    bench = (
+        sh.filter(F.col("source") == BENCHMARK_SOURCE)
+        .select(F.col("doc_id").alias("bench_doc"), "s")
+        .distinct()
+    )
+    corpus = sh.filter(F.col("source") != BENCHMARK_SOURCE).select("doc_id", "s")
+    return (
+        corpus.join(bench, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("s").alias("n_shared_shingles"),
+            F.countDistinct("bench_doc").alias("n_bench_docs"),
+        )
+        .orderBy(F.desc("n_shared_shingles"), "doc_id")
+    )
+
+
+BENCHMARK_CONTAMINATION_SQL = f"""
+WITH docs AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, source, s FROM (
+  SELECT doc_id, source,
+         array_to_string(list_slice(w, i, i + {CONTAMINATION_SHINGLE_N - 1}), ' ') AS s
+  FROM docs, unnest(range(1, greatest(len(w) - {CONTAMINATION_SHINGLE_N - 1}, 0) + 1)) AS t(i)) q),
+bench AS (SELECT doc_id AS bench_doc, s FROM sh WHERE source = '{BENCHMARK_SOURCE}'),
+corpus AS (SELECT doc_id, s FROM sh WHERE source <> '{BENCHMARK_SOURCE}')
+SELECT corpus.doc_id AS doc_id, COUNT(DISTINCT corpus.s) AS n_shared_shingles,
+       COUNT(DISTINCT bench_doc) AS n_bench_docs
+FROM corpus JOIN bench ON corpus.s = bench.s
+GROUP BY corpus.doc_id
+ORDER BY n_shared_shingles DESC, doc_id
+"""
+
+
 TEXT_QUERIES = {
     "array_function_gallery": (array_function_gallery, ARRAY_GALLERY_SQL),
     "scrub_numeric_tokens": (scrub_numeric_tokens, SCRUB_SQL),
@@ -327,4 +445,6 @@ TEXT_QUERIES = {
     "lang_id_heuristic": (lang_id_heuristic, LANG_ID_SQL),
     "token_count_bpe": (token_count_bpe, TOKEN_COUNT_SQL),
     "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
+    "doc_quality_deciles": (doc_quality_deciles, DOC_QUALITY_DECILES_SQL),
+    "benchmark_contamination": (benchmark_contamination, BENCHMARK_CONTAMINATION_SQL),
 }

@@ -76,6 +76,9 @@ _NEW_THIS_ROUND: list = [
     "orders_price_moments",
     "dedup_canonical",
     "ivf_topk_pruned",
+    "stratified_sample",
+    "doc_quality_deciles",
+    "benchmark_contamination",
 ]
 _PRIORITY = _ROUND1_UNCHECKED + _ROUND1_FIXED + _NEW_THIS_ROUND
 

@@ -29,7 +29,11 @@ def test_allowed_nested_are_documented_exceptions(spark, sf_dir):
         "ivf_topk_pruned",
         "ann_recall_at_10",
     }
-    assert ALLOWED_SCALAR_CROSS == {"q22_rich_inactive_customers", "q11_important_parts"}
+    assert ALLOWED_SCALAR_CROSS == {
+        "q22_rich_inactive_customers",
+        "q11_important_parts",
+        "doc_quality_deciles",
+    }
 
 
 def test_filter_pushdown_reaches_scans(spark, sf_dir):

@@ -41,6 +41,7 @@ ALLOWED_NESTED = {
 ALLOWED_SCALAR_CROSS = {
     "q22_rich_inactive_customers",  # avg(c_acctbal) threshold
     "q11_important_parts",  # avg(part_value) threshold
+    "doc_quality_deciles",  # 9 percentile_disc boundaries, 1 row
 }
 
 
