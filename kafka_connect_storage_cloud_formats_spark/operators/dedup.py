@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_connect_storage_cloud_formats_spark.catalog import load_table
-from kafka_connect_storage_cloud_formats_spark.functions.text_functions import md5_perm, word_shingles
+from kafka_connect_storage_cloud_formats_spark.functions.text_functions import word_shingles
 
 SHINGLE_N = 3
 # Document-frequency cap for the exact-Jaccard tier: shingles appearing in
@@ -186,18 +186,40 @@ ORDER BY d1, d2
 
 
 # ------------------------------------------------------------- MinHash + LSH
+# 4 signature components are carved out of each md5 (4 × 8 hex chars), so K
+# components cost ceil(K/4) hash calls per shingle instead of K — md5 is the
+# dominant signature cost. Disjoint chunks of a cryptographic hash are
+# independent uniform values, so each chunk is a valid min-wise family
+# member (MIN over lexicographic 8-hex-char strings).
+MINHASH_CHUNKS_PER_MD5 = 4
+MINHASH_GROUPS = (MINHASH_K + MINHASH_CHUNKS_PER_MD5 - 1) // MINHASH_CHUNKS_PER_MD5
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K-component MinHash signature per document (md5-string hash family:
-    component k = MIN over shingles of md5('k:' || shingle))."""
+    """K-component MinHash signature per document: component k = MIN over
+    shingles of hex chunk (k mod 4) of md5('(k div 4):' || shingle)."""
     docs = load_table(spark, sf_dir, "documents")
     sh = _shingle_rows(docs)
-    aggs = [F.min(md5_perm(F.col("s"), k)).alias(f"mh_{k:02d}") for k in range(MINHASH_K)]
+    for g in range(MINHASH_GROUPS):
+        sh = sh.withColumn(f"h{g}", F.md5(F.concat(F.lit(f"{g}:"), F.col("s"))))
+    aggs = [
+        F.min(
+            F.substring(
+                F.col(f"h{k // MINHASH_CHUNKS_PER_MD5}"),
+                (k % MINHASH_CHUNKS_PER_MD5) * 8 + 1,
+                8,
+            )
+        ).alias(f"mh_{k:02d}")
+        for k in range(MINHASH_K)
+    ]
     return sh.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
 
 
 def _minhash_sql_core() -> str:
+    hashes = ", ".join(f"md5('{g}:' || s) AS h{g}" for g in range(MINHASH_GROUPS))
     comps = ",\n       ".join(
-        f"MIN(md5('{k}:' || s)) AS mh_{k:02d}" for k in range(MINHASH_K)
+        f"MIN(substr(h{k // MINHASH_CHUNKS_PER_MD5}, {(k % MINHASH_CHUNKS_PER_MD5) * 8 + 1}, 8)) AS mh_{k:02d}"
+        for k in range(MINHASH_K)
     )
     return f"""
 WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -205,9 +227,10 @@ sh AS (SELECT DISTINCT doc_id, s FROM (
   SELECT doc_id,
          array_to_string(list_slice(w, i, i + {SHINGLE_N - 1}), ' ') AS s
   FROM docs, unnest(range(1, greatest(len(w) - {SHINGLE_N - 1}, 0) + 1)) AS t(i)) q),
+hv AS (SELECT doc_id, {hashes} FROM sh),
 sig AS (SELECT doc_id,
        {comps}
-FROM sh GROUP BY doc_id)
+FROM hv GROUP BY doc_id)
 """
 
 
