@@ -109,10 +109,11 @@ ORDER BY keep_doc_id
 
 # ------------------------------------------------------- exact n-gram Jaccard
 def _shingle_rows(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle) distinct rows."""
-    return docs.select(
-        "doc_id", F.explode(word_shingles("text", SHINGLE_N)).alias("s")
-    ).distinct()
+    """(doc_id, shingle) distinct rows. ``word_shingles`` already emits a
+    per-document ``array_distinct`` array, so exploding it IS distinct —
+    no extra shuffle (a trailing ``.distinct()`` here would re-shuffle the
+    full shingle stream for nothing)."""
+    return docs.select("doc_id", F.explode(word_shingles("text", SHINGLE_N)).alias("s"))
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
