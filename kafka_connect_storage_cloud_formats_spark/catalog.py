@@ -35,14 +35,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS): Spark rejects it natively, so
-        # read nanos-as-long and rebuild the (µs-aligned) timestamp.
+        # events.ts has shipped as parquet TIMESTAMP(NANOS) (Spark rejects it
+        # natively → read nanos-as-long and rebuild) and as µs TIMESTAMP_NTZ
+        # (watermarks/window ops require TIMESTAMP → reinterpret under the
+        # UTC session zone, value-identical). Normalize both to TimestampType.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             # Integer DIV, not `/`: ns epochs exceed 2^53, so double division
             # rounds and shifts some timestamps by ±1 µs.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(table_path(sf_dir, name))
 
