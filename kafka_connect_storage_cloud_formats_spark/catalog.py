@@ -47,6 +47,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # rounds and shifts some timestamps by ±1 µs.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         elif ts_type == "timestamp_ntz":
+            # The NTZ→TZ cast reinterprets wall-clock values in the session
+            # timezone — value-identical ONLY under UTC. session.py pins it,
+            # but load_table must not silently depend on that: pin it here
+            # too so a caller with a foreign session can't shift every
+            # events.ts by its zone offset.
+            if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+                spark.conf.set("spark.sql.session.timeZone", "UTC")
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(table_path(sf_dir, name))

@@ -124,9 +124,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduced (discriminative) shingle sets and the worst-case fan-out of the
     self-join is cap-bounded."""
     docs = load_table(spark, sf_dir, "documents")
-    # No .cache(): recomputing the shingle split is cheaper and keeps the
-    # plan deterministic (cache materialization under AQE caused multi-second
-    # scheduling variance; shingling is a single codegen'd map stage).
     sh_all = _shingle_rows(docs)
     # hot set is tiny by construction (≤ N_shingle_rows / cap entries);
     # left-anti join against it — AQE broadcasts it from runtime stats
@@ -136,7 +133,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") > MAX_SHINGLE_DF)
         .select("s")
     )
-    sh = sh_all.join(hot, "s", "left_anti")
+    # The capped shingle set is consumed three times (per-doc sizes + both
+    # self-join sides), and deriving it already costs a full corpus scan
+    # plus the hot-set aggregate — materialize it ONCE. localCheckpoint
+    # (cluster-memory blocks, lineage truncated) instead of .cache(): the
+    # downstream consumers read settled partitions, so AQE plans each
+    # stage from real materialized stats, and at 100 TB this is the
+    # difference between one corpus scan and four.
+    sh = sh_all.join(hot, "s", "left_anti").localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -266,9 +270,15 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(LSH_BANDS)
         ]
     )
-    bands = sig.select(
-        "doc_id", sig_arr.alias("sig"), F.explode(band_structs).alias("bb")
-    ).select("doc_id", "sig", "bb.band_id", "bb.band_hash")
+    # Materialize the band rows ONCE: both self-join sides consume them, and
+    # deriving them costs the full shingle explode + md5 signature chain —
+    # without this the corpus-scale signature computation runs twice (and
+    # once more per CC round in neardup_clusters).
+    bands = (
+        sig.select("doc_id", sig_arr.alias("sig"), F.explode(band_structs).alias("bb"))
+        .select("doc_id", "sig", "bb.band_id", "bb.band_hash")
+        .localCheckpoint(eager=True)
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     matches = sum(
@@ -321,6 +331,17 @@ MINHASH_LSH_SQL = _minhash_pairs_ctes() + "SELECT d1, d2, est_jaccard FROM pairs
 
 
 # ------------------------------------------------------------------- SimHash
+# Packed vote aggregation: 3 bit-counters per 64-bit aggregate, 20-bit
+# lanes. A bit's signed vote Σ c·(±1) is recoverable from its non-negative
+# set-count Σ c·bit and the doc total Σ c (vote > 0 ⇔ 2·count > total), so
+# the 64 per-bit sums collapse to ceil(64/3)=22 packed sums + 1 total.
+# Lane-carry safety: each lane ≤ doc token total, so a doc must stay under
+# 2^20 (~1M) tokens — asserted at runtime (corpus docs are chunked far
+# below this at ingest).
+SIMHASH_LANE_BITS = 20
+SIMHASH_LANES_PER_AGG = 3
+
+
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document, carried as two 32-bit halves
     (``simhash_hi``, ``simhash_lo``): token-frequency-weighted bit votes
@@ -328,7 +349,8 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     chars 1-8 vote the hi half, chars 9-16 the lo half. Two halves keep
     every materialized value (fingerprint, XOR, block) inside signed-64-bit
     range on both engines, avoiding unsigned/HUGEINT hazards a single
-    64-bit word would hit at bit 63."""
+    64-bit word would hit at bit 63. Bit votes are packed (see above) so
+    the aggregate carries 23 longs per doc, not 64."""
     half_bits = SIMHASH_BITS // 2
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
@@ -338,25 +360,47 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "v_lo", F.conv(F.substring(F.md5(F.col("t")), 9, 8), 16, 10).cast("long")
     )
-    bit_votes = [
-        F.sum(
-            F.col("c") * (F.shiftright(F.col(f"v_{h}"), b).bitwiseAND(F.lit(1)) * 2 - 1)
-        ).alias(f"s_{h}_{b:02d}")
+    groups = [
+        (h, g, list(range(g, min(g + SIMHASH_LANES_PER_AGG, half_bits))))
         for h in ("hi", "lo")
-        for b in range(half_bits)
+        for g in range(0, half_bits, SIMHASH_LANES_PER_AGG)
     ]
-    voted = counted.groupBy("doc_id").agg(*bit_votes)
+    packed_aggs = [F.sum("c").alias("tot")]
+    for h, g, bits in groups:
+        lanes = sum(
+            F.shiftright(F.col(f"v_{h}"), bbit).bitwiseAND(F.lit(1))
+            * F.lit(1 << (SIMHASH_LANE_BITS * lane))
+            for lane, bbit in enumerate(bits)
+        )
+        packed_aggs.append(F.sum(F.col("c") * lanes).alias(f"p_{h}_{g:02d}"))
+    voted = counted.groupBy("doc_id").agg(*packed_aggs)
+
+    lane_mask = (1 << SIMHASH_LANE_BITS) - 1
 
     def _half(h: str):
-        return sum(
-            F.when(F.col(f"s_{h}_{b:02d}") > 0, F.lit(2**b)).otherwise(F.lit(0))
-            for b in range(half_bits)
-        )
+        terms = []
+        for hh, g, bits in groups:
+            if hh != h:
+                continue
+            for lane, bbit in enumerate(bits):
+                cnt = F.shiftright(
+                    F.col(f"p_{h}_{g:02d}"), SIMHASH_LANE_BITS * lane
+                ).bitwiseAND(F.lit(lane_mask))
+                terms.append(F.when(cnt * 2 > F.col("tot"), F.lit(2**bbit)).otherwise(F.lit(0)))
+        return sum(terms)
 
+    # fail loudly if a doc's token total would overflow a 20-bit lane
+    guard = F.coalesce(
+        F.assert_true(
+            F.col("tot") < F.lit(1 << SIMHASH_LANE_BITS),
+            F.lit("simhash packed-vote lane overflow: document exceeds 2^20 tokens"),
+        ).cast("long"),
+        F.lit(0),
+    )
     return voted.select(
         "doc_id",
-        _half("hi").cast("long").alias("simhash_hi"),
-        _half("lo").cast("long").alias("simhash_lo"),
+        (_half("hi") + guard).cast("long").alias("simhash_hi"),
+        (_half("lo") + guard).cast("long").alias("simhash_lo"),
     ).orderBy("doc_id")
 
 
@@ -425,9 +469,13 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Explode to (blk_id, blk_val) rows so the self-join is an equi-join on
     # the composite block key (shuffle-hash/sort-merge), never a
     # BroadcastNestedLoopJoin from an OR-of-equalities condition.
-    blocks = fp.select(
-        "doc_id", "simhash_hi", "simhash_lo", F.explode(block_structs).alias("bb")
-    ).select("doc_id", "simhash_hi", "simhash_lo", "bb.blk_id", "bb.blk_val")
+    # Materialized once (5 longs/row): both self-join sides consume it, and
+    # deriving it costs the token explode + md5 + packed-vote aggregation.
+    blocks = (
+        fp.select("doc_id", "simhash_hi", "simhash_lo", F.explode(block_structs).alias("bb"))
+        .select("doc_id", "simhash_hi", "simhash_lo", "bb.blk_id", "bb.blk_val")
+        .localCheckpoint(eager=True)
+    )
     a = blocks.alias("a")
     b = blocks.alias("b")
     hamming = F.bit_count(

@@ -197,38 +197,36 @@ ORDER BY media_id, frame_no
 
 # ------------------------------------------- feature extraction (mapInPandas)
 def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """8-dim integer feature vector per asset: feature[k] = Σ payload bytes
-    at positions ≡ k (mod 8). Exact ints → order-independent; the Arrow
-    batch path is the same one a real embedding model would ride."""
+    """8-dim integer feature vector per asset, emitted as scalar columns
+    f0..f7: f[k] = Σ payload bytes at positions ≡ k (mod 8). Exact ints →
+    order-independent; the Arrow batch path is the same one a real embedding
+    model would ride. Scalar (not array) output keeps the result hashable by
+    any downstream comparator and columnar-prunable at rest."""
     assets = media_assets(spark, sf_dir).select("media_id", "payload")
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for p in pdf["payload"]:
-                a = fake_decode(p).astype(np.int64)
-                out.append([int(a[k::N_FEATURES].sum()) for k in range(N_FEATURES)])
-            yield pd.DataFrame({"media_id": pdf["media_id"], "features": out})
+            cols = {"media_id": pdf["media_id"]}
+            arrs = [fake_decode(p).astype(np.int64) for p in pdf["payload"]]
+            for k in range(N_FEATURES):
+                cols[f"f{k}"] = [int(a[k::N_FEATURES].sum()) for a in arrs]
+            yield pd.DataFrame(cols)
 
-    return (
-        assets.mapInPandas(feats, "media_id bigint, features array<bigint>")
-        .orderBy("media_id")
-    )
+    schema = "media_id bigint, " + ", ".join(f"f{k} bigint" for k in range(N_FEATURES))
+    return assets.mapInPandas(feats, schema).orderBy("media_id")
 
 
 def _features_sql() -> str:
     sums = ", ".join(
         f"CAST(coalesce(list_sum([ps[CAST(i AS INT)] for i in range(1, len(ps) + 1) "
-        f"if (i - 1) % {N_FEATURES} = {k}]), 0) AS BIGINT) AS s{k}"
+        f"if (i - 1) % {N_FEATURES} = {k}]), 0) AS BIGINT) AS f{k}"
         for k in range(N_FEATURES)
     )
-    arr = ", ".join(f"s{k}" for k in range(N_FEATURES))
     return f"""
 WITH px AS (
   SELECT doc_id AS media_id, [unicode(c) for c in string_split(text, '')] AS ps
-  FROM documents),
-s AS (SELECT media_id, {sums} FROM px)
-SELECT media_id, [{arr}] AS features FROM s ORDER BY media_id
+  FROM documents)
+SELECT media_id, {sums} FROM px ORDER BY media_id
 """
 
 
@@ -240,10 +238,11 @@ THUMB = 4  # thumbnail grid (THUMB × THUMB blocks)
 
 def image_resize_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Downsample each image to a 4×4 block-sum thumbnail through the fake
-    decoder: pixel (r,c) of the ⌈√n⌉-wide grid lands in block
-    (r·4÷height, c·4÷width); each output cell is the exact integer sum of
-    its block. The real-resize drop-in would replace the bincount with a
-    codec + interpolation inside the same mapInPandas stage."""
+    decoder, emitted as scalar cells t0..t15: pixel (r,c) of the ⌈√n⌉-wide
+    grid lands in block (r·4÷height, c·4÷width); each cell is the exact
+    integer sum of its block. The real-resize drop-in would replace the
+    bincount with a codec + interpolation inside the same mapInPandas
+    stage."""
     imgs = media_assets(spark, sf_dir).filter(F.col("kind") == "image").select(
         "media_id", "payload"
     )
@@ -262,10 +261,14 @@ def image_resize_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
                 r, c = idx // width, idx % width
                 block = (r * THUMB // height) * THUMB + (c * THUMB // width)
                 sums = np.bincount(block, weights=a, minlength=THUMB * THUMB)
-                thumbs.append([int(x) for x in sums[: THUMB * THUMB]])
-            yield pd.DataFrame({"media_id": pdf["media_id"], "thumb": thumbs})
+                thumbs.append(sums[: THUMB * THUMB].astype(np.int64))
+            cols = {"media_id": pdf["media_id"]}
+            for k in range(THUMB * THUMB):
+                cols[f"t{k}"] = [int(t[k]) for t in thumbs]
+            yield pd.DataFrame(cols)
 
-    return imgs.mapInPandas(resize, "media_id bigint, thumb array<bigint>").orderBy("media_id")
+    schema = "media_id bigint, " + ", ".join(f"t{k} bigint" for k in range(THUMB * THUMB))
+    return imgs.mapInPandas(resize, schema).orderBy("media_id")
 
 
 def _resize_sql() -> str:
@@ -274,10 +277,9 @@ def _resize_sql() -> str:
     )
     sums = ", ".join(
         f"CAST(coalesce(list_sum([ps[CAST(i AS INT)] for i in range(1, n + 1) "
-        f"if {cell} = {k}]), 0) AS BIGINT) AS s{k}"
+        f"if {cell} = {k}]), 0) AS BIGINT) AS t{k}"
         for k in range(THUMB * THUMB)
     )
-    arr = ", ".join(f"s{k}" for k in range(THUMB * THUMB))
     return f"""
 WITH px AS (
   SELECT doc_id AS media_id,
@@ -286,9 +288,8 @@ WITH px AS (
          CAST(ceil(sqrt(CAST(length(text) AS DOUBLE))) AS BIGINT) AS w,
          CAST(ceil(CAST(length(text) AS DOUBLE)
               / ceil(sqrt(CAST(length(text) AS DOUBLE)))) AS BIGINT) AS h
-  FROM documents WHERE doc_id % 3 = 0),
-s AS (SELECT media_id, {sums} FROM px)
-SELECT media_id, [{arr}] AS thumb FROM s ORDER BY media_id
+  FROM documents WHERE doc_id % 3 = 0)
+SELECT media_id, {sums} FROM px ORDER BY media_id
 """
 
 

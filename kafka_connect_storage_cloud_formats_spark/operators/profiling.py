@@ -93,9 +93,8 @@ def approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("event_type")
         .agg(
             F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-            F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.99)), 10_000).alias(
-                "approx_p50_p99"
-            ),
+            F.percentile_approx("value", F.lit(0.5), 10_000).alias("approx_p50"),
+            F.percentile_approx("value", F.lit(0.99), 10_000).alias("approx_p99"),
             F.count(F.lit(1)).alias("n"),
             dsum("value").alias("total_value"),
         )

@@ -168,6 +168,68 @@ def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _format_roundtrip(spark, sf_dir, "json", "gzip")
 
 
+def _avro_available(spark: SparkSession) -> bool:
+    """True iff the spark-avro package is loaded (from_avro analyzes)."""
+    from pyspark.sql.avro.functions import from_avro
+
+    probe_schema = (
+        '{"type":"record","name":"probe","fields":[{"name":"x","type":"long"}]}'
+    )
+    try:
+        spark.createDataFrame([(bytearray(b""),)], "value binary").select(
+            from_avro(F.col("value"), probe_schema)
+        ).schema
+        return True
+    except Exception:  # AnalysisException AVRO_NOT_LOADED in bare containers
+        return False
+
+
+def avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's actual value chain — Connect→**Avro**→columnar
+    (``OrcRecordWriter.java:64,71``) — as a registered, driver-visible
+    entry. When the spark-avro package is loaded: events rows are encoded
+    to Avro binary with ``to_avro`` (the Kafka value payload), decoded back
+    with ``from_avro`` via the engine's Connect-style Avro-JSON schema, and
+    aggregated — non-degenerate only if the Avro encode/decode is lossless.
+    Without the jar (this container) it returns a single explicit
+    ``status='gated'`` marker row, so the environment gate shows up in
+    driver output instead of hiding in a code comment.
+
+    Registered without an oracle (rows-only check): the availability split
+    is decided at runtime, and SQL engines don't share Spark's Avro codec.
+    The full-chain branch is exercised by tests when the jar is present.
+    """
+    if not _avro_available(spark):
+        return spark.range(1).select(
+            F.lit("gated").alias("status"),
+            F.lit(
+                "spark-avro package not on classpath; Connect->Avro->ORC value "
+                "chain available via decode_value(value_format='avro') when loaded"
+            ).alias("detail"),
+        )
+    import json as _json
+
+    from pyspark.sql.avro.functions import from_avro, to_avro
+
+    from kafka_connect_storage_cloud_formats_spark.schema import spark_schema_to_avro
+
+    events = load_table(spark, sf_dir, "events")
+    schema_json = _json.dumps(spark_schema_to_avro(EVENTS_VALUE_SCHEMA))
+    payload = events.select(
+        to_avro(F.struct(*[f.name for f in EVENTS_VALUE_SCHEMA.fields])).alias("value")
+    )
+    decoded = payload.select(from_avro("value", schema_json).alias("v")).select("v.*")
+    return (
+        decoded.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").alias("sum_event_id"),
+            dsum("value").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 JSON_ROUNDTRIP_SQL = """
 SELECT event_type, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
        COUNT(DISTINCT user_id) AS n_users

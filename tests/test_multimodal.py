@@ -68,12 +68,13 @@ def test_frame_sampling_stride(spark, sf_dir):
 def test_feature_vector_shape(spark, sf_dir):
     feats = media_feature_extract(spark, sf_dir)
     first = feats.first()
-    assert len(first["features"]) == 8
+    fvals = [first[f"f{k}"] for k in range(8)]
+    assert len(fvals) == 8
     # feature sum equals total byte sum
     doc = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
         F.col("doc_id") == first["media_id"]
     ).first()
-    assert sum(first["features"]) == sum(doc["text"].encode())
+    assert sum(fvals) == sum(doc["text"].encode())
 
 
 def test_feature_extract_under_streaming(spark, sf_dir, tmp_path):
@@ -118,5 +119,8 @@ def test_feature_extract_under_streaming(spark, sf_dir, tmp_path):
     got = {r["media_id"]: list(r["features"]) for r in spark.table("stream_feats").collect()}
     from kafka_connect_storage_cloud_formats_spark.operators.multimodal import media_feature_extract
 
-    want = {r["media_id"]: list(r["features"]) for r in media_feature_extract(spark, sf_dir).collect()}
+    want = {
+        r["media_id"]: [r[f"f{k}"] for k in range(N_FEATURES)]
+        for r in media_feature_extract(spark, sf_dir).collect()
+    }
     assert got == want

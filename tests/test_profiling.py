@@ -18,8 +18,7 @@ def test_approx_profile_error_bounds(spark, sf_dir):
     for r in approx_profile(spark, sf_dir).collect():
         est, true = r["approx_users"], exact[r["event_type"]]
         assert abs(est - true) / true <= 0.05, (r["event_type"], est, true)
-        p50, p99 = r["approx_p50_p99"]
-        assert p50 <= p99
+        assert r["approx_p50"] <= r["approx_p99"]
 
 
 def test_neardup_clusters_respect_edges_and_min_label(spark, sf_dir):
