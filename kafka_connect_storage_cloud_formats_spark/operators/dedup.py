@@ -124,23 +124,26 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduced (discriminative) shingle sets and the worst-case fan-out of the
     self-join is cap-bounded."""
     docs = load_table(spark, sf_dir, "documents")
-    sh_all = _shingle_rows(docs)
-    # hot set is tiny by construction (≤ N_shingle_rows / cap entries);
-    # left-anti join against it — AQE broadcasts it from runtime stats
+    # Materialize the RAW shingle stream ONCE (localCheckpoint: settled
+    # cluster-memory blocks, lineage truncated): the hot-set aggregate, the
+    # per-doc sizes, and both self-join sides all read these blocks instead
+    # of re-deriving the corpus-scale tokenize+explode — at 100 TB this is
+    # the difference between one corpus scan and four. Checkpointing BEFORE
+    # the cap (not the capped set) keeps it a single pass: capping first
+    # would need the hot aggregate — a second full derivation — before
+    # anything could materialize.
+    sh_all = _shingle_rows(docs).localCheckpoint(eager=True)
+    # hot set is small by construction (≤ N_shingle_rows / cap entries);
+    # left-anti join, strategy left to AQE: it broadcasts from runtime
+    # stats while the hot set fits and falls back to a shuffle anti-join
+    # on a pathological corpus where it doesn't.
     hot = (
         sh_all.groupBy("s")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") > MAX_SHINGLE_DF)
         .select("s")
     )
-    # The capped shingle set is consumed three times (per-doc sizes + both
-    # self-join sides), and deriving it already costs a full corpus scan
-    # plus the hot-set aggregate — materialize it ONCE. localCheckpoint
-    # (cluster-memory blocks, lineage truncated) instead of .cache(): the
-    # downstream consumers read settled partitions, so AQE plans each
-    # stage from real materialized stats, and at 100 TB this is the
-    # difference between one corpus scan and four.
-    sh = sh_all.join(hot, "s", "left_anti").localCheckpoint(eager=True)
+    sh = sh_all.join(hot, "s", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -200,9 +203,10 @@ MINHASH_CHUNKS_PER_MD5 = 4
 MINHASH_GROUPS = (MINHASH_K + MINHASH_CHUNKS_PER_MD5 - 1) // MINHASH_CHUNKS_PER_MD5
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K-component MinHash signature per document: component k = MIN over
-    shingles of hex chunk (k mod 4) of md5('(k div 4):' || shingle)."""
+def _minhash_sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsorted (doc_id, mh_00..mh_11) signature table — the expensive
+    shingle-explode + md5 + min-aggregate chain, shared by the registered
+    signature query and every LSH consumer."""
     docs = load_table(spark, sf_dir, "documents")
     sh = _shingle_rows(docs)
     for g in range(MINHASH_GROUPS):
@@ -217,7 +221,13 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"mh_{k:02d}")
         for k in range(MINHASH_K)
     ]
-    return sh.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-component MinHash signature per document: component k = MIN over
+    shingles of hex chunk (k mod 4) of md5('(k div 4):' || shingle)."""
+    return _minhash_sig_table(spark, sf_dir).orderBy("doc_id")
 
 
 def _minhash_sql_core() -> str:
@@ -255,7 +265,12 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     single array column (~200 B/row), so est_jaccard is computed inline in
     the join project — one shuffle, no cache, no signature re-join.
     """
-    sig = minhash_signatures(spark, sf_dir)
+    # Materialize the COMPACT signature table (1 row/doc, 12 components)
+    # once: both self-join sides re-derive their band rows from it with a
+    # cheap explode, instead of re-running the corpus-scale shingle+md5
+    # chain per side. (Checkpointing the exploded band rows instead was
+    # measurably worse: 4 rows/doc each duplicating the signature array.)
+    sig = _minhash_sig_table(spark, sf_dir).localCheckpoint(eager=True)
     sig_arr = F.array(*[F.col(f"mh_{k:02d}") for k in range(MINHASH_K)])
     band_structs = F.array(
         *[
@@ -270,15 +285,9 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(LSH_BANDS)
         ]
     )
-    # Materialize the band rows ONCE: both self-join sides consume them, and
-    # deriving them costs the full shingle explode + md5 signature chain —
-    # without this the corpus-scale signature computation runs twice (and
-    # once more per CC round in neardup_clusters).
-    bands = (
-        sig.select("doc_id", sig_arr.alias("sig"), F.explode(band_structs).alias("bb"))
-        .select("doc_id", "sig", "bb.band_id", "bb.band_hash")
-        .localCheckpoint(eager=True)
-    )
+    bands = sig.select(
+        "doc_id", sig_arr.alias("sig"), F.explode(band_structs).alias("bb")
+    ).select("doc_id", "sig", "bb.band_id", "bb.band_hash")
     a = bands.alias("a")
     b = bands.alias("b")
     matches = sum(
@@ -342,15 +351,10 @@ SIMHASH_LANE_BITS = 20
 SIMHASH_LANES_PER_AGG = 3
 
 
-def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document, carried as two 32-bit halves
-    (``simhash_hi``, ``simhash_lo``): token-frequency-weighted bit votes
-    where token bits come from the first 16 hex chars of md5(token) —
-    chars 1-8 vote the hi half, chars 9-16 the lo half. Two halves keep
-    every materialized value (fingerprint, XOR, block) inside signed-64-bit
-    range on both engines, avoiding unsigned/HUGEINT hazards a single
-    64-bit word would hit at bit 63. Bit votes are packed (see above) so
-    the aggregate carries 23 longs per doc, not 64."""
+def _simhash_fp_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsorted (doc_id, simhash_hi, simhash_lo) fingerprint table — the
+    token-explode + md5 + packed-vote chain, shared by the registered
+    fingerprint query and the near-pair self-join."""
     half_bits = SIMHASH_BITS // 2
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
@@ -401,7 +405,19 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (_half("hi") + guard).cast("long").alias("simhash_hi"),
         (_half("lo") + guard).cast("long").alias("simhash_lo"),
-    ).orderBy("doc_id")
+    )
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document, carried as two 32-bit halves
+    (``simhash_hi``, ``simhash_lo``): token-frequency-weighted bit votes
+    where token bits come from the first 16 hex chars of md5(token) —
+    chars 1-8 vote the hi half, chars 9-16 the lo half. Two halves keep
+    every materialized value (fingerprint, XOR, block) inside signed-64-bit
+    range on both engines, avoiding unsigned/HUGEINT hazards a single
+    64-bit word would hit at bit 63. Bit votes are packed (see above) so
+    the aggregate carries 23 longs per doc, not 64."""
+    return _simhash_fp_table(spark, sf_dir).orderBy("doc_id")
 
 
 def _simhash_sql_core() -> str:
@@ -452,7 +468,9 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairing at N docs is O(N²/65536) per block — the candidate set stays
     sub-quadratic until corpus sizes where a second blocking stage (prefix
     on the remaining bits) would be layered on."""
-    fp = simhash_fingerprints(spark, sf_dir)
+    # Materialize the COMPACT fingerprint table (3 longs/row) once; both
+    # self-join sides re-derive block rows from it with a cheap explode.
+    fp = _simhash_fp_table(spark, sf_dir).localCheckpoint(eager=True)
     blk = F.lit(2**SIMHASH_BLOCK_BITS)
     block_structs = F.array(
         F.struct(F.lit(0).alias("blk_id"), (F.col("simhash_lo") % blk).alias("blk_val")),
@@ -469,13 +487,9 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Explode to (blk_id, blk_val) rows so the self-join is an equi-join on
     # the composite block key (shuffle-hash/sort-merge), never a
     # BroadcastNestedLoopJoin from an OR-of-equalities condition.
-    # Materialized once (5 longs/row): both self-join sides consume it, and
-    # deriving it costs the token explode + md5 + packed-vote aggregation.
-    blocks = (
-        fp.select("doc_id", "simhash_hi", "simhash_lo", F.explode(block_structs).alias("bb"))
-        .select("doc_id", "simhash_hi", "simhash_lo", "bb.blk_id", "bb.blk_val")
-        .localCheckpoint(eager=True)
-    )
+    blocks = fp.select(
+        "doc_id", "simhash_hi", "simhash_lo", F.explode(block_structs).alias("bb")
+    ).select("doc_id", "simhash_hi", "simhash_lo", "bb.blk_id", "bb.blk_val")
     a = blocks.alias("a")
     b = blocks.alias("b")
     hamming = F.bit_count(
@@ -533,9 +547,19 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(spark, sf_dir).filter(
         F.col("est_jaccard") >= CLUSTER_MIN_EST_JACCARD
     )
+    # Both edge directions from ONE pass over the pair stream (explode of a
+    # 2-struct array) instead of a union of two selects, which would derive
+    # the LSH pair join twice before the checkpoint.
     edges = (
-        pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
-        .unionAll(pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("d1").alias("src"), F.col("d2").alias("dst")),
+                    F.struct(F.col("d2").alias("src"), F.col("d1").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .localCheckpoint(eager=True)
     )
     labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint(
@@ -547,23 +571,22 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        new_labels = (
+        # Carry the old label through the checkpoint so convergence is a
+        # filter-count over settled blocks — not an extra corpus-scale join
+        # of consecutive label tables per round.
+        stepped = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
-                F.least(F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))).alias(
-                    "cluster_id"
-                ),
+                F.col("cluster_id").alias("old_cid"),
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("cluster_id") != F.col("old_cid")).count()
+        labels = stepped.select("doc_id", "cluster_id")
         if changed == 0:
             break
     else:
@@ -610,9 +633,19 @@ def neardup_clusters_pointer_doubling(spark: SparkSession, sf_dir: str) -> DataF
     pairs = minhash_lsh_pairs(spark, sf_dir).filter(
         F.col("est_jaccard") >= CLUSTER_MIN_EST_JACCARD
     )
+    # Both edge directions from ONE pass over the pair stream (explode of a
+    # 2-struct array) instead of a union of two selects, which would derive
+    # the LSH pair join twice before the checkpoint.
     edges = (
-        pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
-        .unionAll(pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("d1").alias("src"), F.col("d2").alias("dst")),
+                    F.struct(F.col("d2").alias("src"), F.col("d1").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .localCheckpoint(eager=True)
     )
     labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint(
@@ -626,6 +659,7 @@ def neardup_clusters_pointer_doubling(spark: SparkSession, sf_dir: str) -> DataF
         )
         stepped = labels.join(neighbor_min, "doc_id", "left").select(
             "doc_id",
+            F.col("cluster_id").alias("old_cid"),
             F.least(
                 F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
             ).alias("cluster_id"),
@@ -634,23 +668,21 @@ def neardup_clusters_pointer_doubling(spark: SparkSession, sf_dir: str) -> DataF
         parent = stepped.select(
             F.col("doc_id").alias("p_id"), F.col("cluster_id").alias("p_cluster")
         )
+        # old_cid rides through so convergence is a filter-count over the
+        # checkpoint, not another corpus-scale join of label tables.
         shortcut = (
             stepped.join(parent, stepped.cluster_id == parent.p_id, "left")
             .select(
                 "doc_id",
+                "old_cid",
                 F.least(
                     F.col("cluster_id"), F.coalesce(F.col("p_cluster"), F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            shortcut.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = shortcut
+        changed = shortcut.filter(F.col("cluster_id") != F.col("old_cid")).count()
+        labels = shortcut.select("doc_id", "cluster_id")
         if changed == 0:
             break
     else:

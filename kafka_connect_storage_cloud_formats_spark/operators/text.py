@@ -400,9 +400,12 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     then a count aggregate per corpus doc. The corpus text never rides the
     join — only shingle strings (at 100 TB: xxhash64 of the shingle)."""
     docs = load_table(spark, sf_dir, "documents")
+    # One corpus-scale shingle derivation, materialized: the benchmark side
+    # and corpus side both filter these settled blocks instead of each
+    # re-running the tokenize+explode pass.
     sh = docs.select(
         "doc_id", "source", F.explode(word_shingles("text", CONTAMINATION_SHINGLE_N)).alias("s")
-    )
+    ).localCheckpoint(eager=True)
     bench = (
         sh.filter(F.col("source") == BENCHMARK_SOURCE)
         .select(F.col("doc_id").alias("bench_doc"), "s")

@@ -62,7 +62,7 @@ _CHANGED_THIS_ROUND = [
     "simhash_fingerprints", "simhash_near_pairs",
     "neardup_clusters", "dedup_fuzzy_prefix", "knn_bruteforce",
     "ivf_index_build", "ivf_topk_pruned", "training_corpus_stats",
-    "dedup_embedding_cosine",
+    "dedup_embedding_cosine", "benchmark_contamination",
 ]
 _ROUND2_UNCHECKED = [
     # r02 window missed these (all r01-green; ~half changed in round 2)

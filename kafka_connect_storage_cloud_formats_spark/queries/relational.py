@@ -433,11 +433,16 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     sup = load_table(spark, sf_dir, "supplier")
+    # `late` feeds three consumers (candidate base, the NOT-EXISTS side,
+    # and transitively the semi probe); materialize the (orderkey, suppkey)
+    # pairs once instead of re-running the lineitem⋈orders join + distinct
+    # per consumer.
     late = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .filter(F.col("l_shipdate") > F.col("o_orderdate"))
         .select("l_orderkey", "l_suppkey")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     l2 = li.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")).distinct()
     late3 = late.select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))

@@ -82,3 +82,41 @@ def test_unknown_format_and_codec_rejected(sample, tmp_path):
 def test_defaults_are_valid():
     for fmt, codec in DEFAULT_COMPRESSION.items():
         assert codec in FORMAT_COMPRESSIONS[fmt]
+
+
+def test_avro_roundtrip_gate_is_visible(spark, sf_dir):
+    """Without the spark-avro jar the avro_roundtrip entry must return the
+    explicit 1-row gated marker (never silently succeed or crash); with the
+    jar it must return the per-event_type aggregate."""
+    from kafka_connect_storage_cloud_formats_spark.queries.pipeline_queries import (
+        _avro_available,
+        avro_roundtrip,
+    )
+
+    out = avro_roundtrip(spark, sf_dir)
+    if _avro_available(spark):
+        assert "event_type" in out.columns
+        assert out.count() > 0
+    else:
+        rows = out.collect()
+        assert len(rows) == 1
+        assert rows[0]["status"] == "gated"
+
+
+def test_ivf_index_build_inventory_matches_source(spark, sf_dir):
+    """The index-build step's per-bucket inventory must equal the source
+    table's per-label counts (nothing lost or duplicated by the
+    partitioned write)."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_storage_cloud_formats_spark.operators.similarity import ivf_index_build
+
+    inv = {r["label"]: r["n_vectors"] for r in ivf_index_build(spark, sf_dir).collect()}
+    src = {
+        r["label"]: r["n"]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .groupBy(F.col("label").cast("long").alias("label"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert inv == src
