@@ -80,6 +80,7 @@ _ROUND2_UNCHECKED = [
 ]
 _NEW_THIS_ROUND: list = [
     "avro_roundtrip",
+    "sq8_topk",
 ]
 _PRIORITY = _CHANGED_THIS_ROUND + _ROUND2_UNCHECKED + _NEW_THIS_ROUND
 

@@ -71,3 +71,29 @@ def test_ivf_pruned_matches_logical_and_prunes_partitions(spark, sf_dir):
     assert got == logical
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), "index scan must use dynamic partition pruning"
+
+
+def test_sq8_recall_vs_bruteforce(spark, sf_dir):
+    """int8 quantized pre-ranking + exact re-rank must agree with the exact
+    brute-force top-10 for most (q, neighbor) pairs — 64-dim int8 codes
+    lose little ranking fidelity, and the re-rank restores exact order
+    within the candidate set."""
+    from kafka_connect_storage_cloud_formats_spark.operators.similarity import sq8_topk
+
+    bf = {(r["q_id"], r["neighbor_id"]) for r in knn_bruteforce(spark, sf_dir).collect()}
+    sq = {(r["q_id"], r["neighbor_id"]) for r in sq8_topk(spark, sf_dir).collect()}
+    assert bf, "query subset must be non-empty"
+    recall = len(bf & sq) / len(bf)
+    assert recall >= 0.85, f"sq8 recall@10 {recall} too low"
+
+
+def test_sq8_quantize_bounds():
+    """Codes stay in [-127, 127]; zero vectors quantize to all-zero codes."""
+    import numpy as np
+
+    from kafka_connect_storage_cloud_formats_spark.operators.similarity import _sq8_quantize
+
+    M = np.array([[0.5, -1.0, 0.25], [0.0, 0.0, 0.0]], dtype=np.float64)
+    q, n = _sq8_quantize(M)
+    assert q.max() <= 127 and q.min() >= -127
+    assert (q[1] == 0).all() and n[1] == 0
