@@ -235,3 +235,25 @@ def test_stream_stream_left_outer_join(spark, events_src):
     # final watermark, but must never invent matches
     assert {t for t in got if t[2] is None} <= {t for t in want if t[2] is None}
     assert len(matched_got) > 0 and any(t[2] is None for t in got)
+
+
+def test_streaming_dedup_within_watermark(spark, events_src):
+    """At-least-once delivery reduced to exactly-once INSIDE the stream:
+    the same source read twice and unioned (every record delivered 2x),
+    deduplicated by record identity with dropDuplicatesWithinWatermark —
+    the streaming counterpart of the batch replay_dedup query (state is
+    evicted past the watermark horizon, so memory is bounded at 100 TB/day
+    rates, unlike an unbounded dropDuplicates)."""
+    src, schema = events_src
+    s1 = file_stream_source(spark, src, schema)
+    s2 = file_stream_source(spark, src, schema)
+    deduped = (
+        s1.unionAll(s2)
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    run_to_memory(deduped, "stream_dedup", output_mode="append")
+    got = spark.table("stream_dedup")
+    batch = spark.read.parquet(src)
+    assert got.count() == batch.count()
+    assert got.agg(F.sum("event_id")).first()[0] == batch.agg(F.sum("event_id")).first()[0]
