@@ -536,12 +536,16 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (singletons keep their own id). The keep-one-per-cluster rule is then a
     trivial ``doc_id == cluster_id`` filter.
 
-    Algorithm: iterative min-label propagation to a fixpoint — each round is
-    one equi-join + min-aggregate (both shuffle on doc_id), with
-    ``localCheckpoint`` truncating lineage so plans stay flat. Rounds =
-    graph diameter; near-dup graphs are unions of small cliques, so this
-    converges in 2-3 rounds even at corpus scale (a power-law giant
-    component would warrant the pointer-doubling variant, O(log n) rounds).
+    Algorithm: iterative min-label propagation to a fixpoint over the EDGE
+    GRAPH'S VERTEX SET ONLY — documents without a strong near-dup edge are
+    singletons by definition and never enter a propagation round, so each
+    round's join/aggregate is O(|near-dup vertices|), a small fraction of
+    the corpus (the final corpus-wide left-join fills in singleton labels
+    once). ``localCheckpoint`` truncates lineage so plans stay flat.
+    Rounds = graph diameter; near-dup graphs are unions of small cliques,
+    so this converges in 2-3 rounds even at corpus scale (a power-law
+    giant component would warrant the pointer-doubling variant, O(log n)
+    rounds).
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     pairs = minhash_lsh_pairs(spark, sf_dir).filter(
@@ -562,8 +566,11 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("e.src", "e.dst")
         .localCheckpoint(eager=True)
     )
-    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint(
-        eager=True
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        .localCheckpoint(eager=True)
     )
     for _ in range(MAX_CC_ITERATIONS):
         neighbor_min = (
@@ -572,8 +579,8 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
         # Carry the old label through the checkpoint so convergence is a
-        # filter-count over settled blocks — not an extra corpus-scale join
-        # of consecutive label tables per round.
+        # filter-count over settled blocks — not an extra join of
+        # consecutive label tables per round.
         stepped = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
@@ -597,7 +604,11 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"({changed} labels still changing); raise MAX_CC_ITERATIONS or use "
             "neardup_clusters_pointer_doubling for high-diameter graphs"
         )
-    return labels.orderBy("doc_id")
+    # singletons (no edges) keep their own id — one corpus-wide left join,
+    # outside the loop
+    return docs.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id")
+    ).orderBy("doc_id")
 
 
 def _cluster_ctes() -> str:
@@ -648,8 +659,14 @@ def neardup_clusters_pointer_doubling(spark: SparkSession, sf_dir: str) -> DataF
         .select("e.src", "e.dst")
         .localCheckpoint(eager=True)
     )
-    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint(
-        eager=True
+    # Propagate over the edge graph's vertex set only (singletons are
+    # filled in by the final corpus-wide left join, same as
+    # neardup_clusters).
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        .localCheckpoint(eager=True)
     )
     for _ in range(MAX_CC_ITERATIONS):
         neighbor_min = (
@@ -690,7 +707,9 @@ def neardup_clusters_pointer_doubling(spark: SparkSession, sf_dir: str) -> DataF
             f"pointer-doubling components did not converge in {MAX_CC_ITERATIONS} "
             f"rounds ({changed} labels still changing)"
         )
-    return labels.orderBy("doc_id")
+    return docs.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id")
+    ).orderBy("doc_id")
 
 
 # ------------------------------------------------- fuzzy prefix (edit distance)
