@@ -418,6 +418,12 @@ def build_ivf_index(
     ``ivf_topk`` probes). At 100 TB this is the index-build job; probes then
     touch only assigned buckets via partition pruning. Returns the path.
 
+    The index is TWO artifacts: the bucket-partitioned corpus AND the
+    centroid table (`<out_dir>_centroids`) — a probe reads the tiny
+    centroid parquet instead of re-aggregating the full corpus for the
+    coarse quantizer (the serving split of every IVF system: train/build
+    once, probe cheap).
+
     The default path is keyed by the source dir only (NOT the process id),
     so the build is a once-per-corpus setup cost shared by every probe in
     every session — probes never re-pay the build. ``force=True`` rebuilds
@@ -431,8 +437,11 @@ def build_ivf_index(
             tempfile.gettempdir(),
             "engine_ivf_index_" + os.path.basename(os.path.normpath(sf_dir)),
         )
+    cent_dir = out_dir + "_centroids"
     if force or not os.path.exists(os.path.join(out_dir, "_SUCCESS")):
         _load(spark, sf_dir).write.mode("overwrite").partitionBy("label").parquet(out_dir)
+    if force or not os.path.exists(os.path.join(cent_dir, "_SUCCESS")):
+        ivf_centroids(spark, sf_dir).write.mode("overwrite").parquet(cent_dir)
     return out_dir
 
 
@@ -475,8 +484,11 @@ def ivf_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     base = _with_norm(_load(spark, sf_dir))
+    # Coarse quantizer read from the materialized centroid table (doubles
+    # round-trip parquet exactly) — the probe never re-aggregates the
+    # corpus; both index artifacts come from the same build.
     cents = (
-        ivf_centroids(spark, sf_dir)
+        spark.read.parquet(index_path + "_centroids")
         .groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("dim", "centroid"))).alias("cd"))
         .select(
