@@ -439,6 +439,58 @@ ORDER BY n_shared_shingles DESC, doc_id
 """
 
 
+BIGRAM_N = 2
+
+
+def doc_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram novelty profile against corpus statistics — the
+    language-model-flavored quality signal of a curation pipeline: a doc
+    whose bigrams are all corpus-frequent is boilerplate; one with many
+    frequency-1 bigrams is novel text. Emits integer-only columns
+    (n_bigrams, sum_freq of each bigram's corpus occurrence count,
+    min_freq, n_rare = bigrams occurring nowhere else) so the result is
+    hash-exact on any engine.
+
+    Scale shape: one tokenize pass → corpus bigram frequency aggregate
+    (map-side partial, shuffle carries bigram keys — xxhash64 them at
+    100 TB) → equi-join of the doc-bigram stream with the frequency table
+    → per-doc aggregate. No self-join, no candidate explosion: cost is
+    O(tokens) + two key shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (BIGRAM_N - 1), F.lit(0)))
+    bigrams_arr = F.transform(idx, lambda i: F.array_join(F.slice(w, i, BIGRAM_N), " "))
+    bg = docs.select("doc_id", F.explode(bigrams_arr).alias("bg"))
+    freq = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("freq"))
+    return (
+        bg.join(freq, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("freq").alias("sum_freq"),
+            F.min("freq").alias("min_freq"),
+            F.sum(F.when(F.col("freq") == 1, 1).otherwise(0)).alias("n_rare"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOC_BIGRAM_NOVELTY_SQL = f"""
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+bg AS (
+  SELECT doc_id, array_to_string(list_slice(w, i, i + {BIGRAM_N - 1}), ' ') AS bg
+  FROM docs, unnest(range(1, greatest(len(w) - {BIGRAM_N - 1}, 0) + 1)) AS t(i)),
+freq AS (SELECT bg, COUNT(*) AS freq FROM bg GROUP BY bg)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       CAST(SUM(freq) AS BIGINT) AS sum_freq,
+       CAST(MIN(freq) AS BIGINT) AS min_freq,
+       CAST(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+FROM bg JOIN freq USING (bg)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 TEXT_QUERIES = {
     "array_function_gallery": (array_function_gallery, ARRAY_GALLERY_SQL),
     "scrub_numeric_tokens": (scrub_numeric_tokens, SCRUB_SQL),
@@ -450,4 +502,5 @@ TEXT_QUERIES = {
     "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
     "doc_quality_deciles": (doc_quality_deciles, DOC_QUALITY_DECILES_SQL),
     "benchmark_contamination": (benchmark_contamination, BENCHMARK_CONTAMINATION_SQL),
+    "doc_bigram_novelty": (doc_bigram_novelty, DOC_BIGRAM_NOVELTY_SQL),
 }

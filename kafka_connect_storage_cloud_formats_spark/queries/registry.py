@@ -81,6 +81,7 @@ _ROUND2_UNCHECKED = [
 _NEW_THIS_ROUND: list = [
     "avro_roundtrip",
     "sq8_topk",
+    "doc_bigram_novelty",
 ]
 _PRIORITY = _CHANGED_THIS_ROUND + _ROUND2_UNCHECKED + _NEW_THIS_ROUND
 
