@@ -296,10 +296,72 @@ SELECT media_id, {sums} FROM px ORDER BY media_id
 IMAGE_RESIZE_SQL = _resize_sql()
 
 
+AUDIO_WINDOW = 256  # samples per analysis window (fake decoder: 1 byte = 1 sample)
+
+
+def audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed energy analysis for audio assets: one row per
+    AUDIO_WINDOW-sample window with exact integer sum-of-squares energy,
+    peak amplitude and sample count — the feature a VAD / silence-trimming
+    stage computes before segmenting audio for training. Exact ints →
+    order-independent, hash-checkable; a real decoder would replace
+    fake_decode in the same mapInPandas stage (same schema, same batching).
+
+    Scale shape: narrow map over the asset table; each Arrow batch explodes
+    to window rows bounded by batch size × windows-per-asset — no shuffle
+    until the presentation sort."""
+    auds = media_assets(spark, sf_dir).filter(F.col("kind") == "audio").select(
+        "media_id", "payload"
+    )
+
+    def energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, wins, ns, sums, peaks = [], [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                a = fake_decode(p).astype(np.int64)
+                for w0 in range(0, a.size, AUDIO_WINDOW):
+                    seg = a[w0 : w0 + AUDIO_WINDOW]
+                    mids.append(mid)
+                    wins.append(w0 // AUDIO_WINDOW)
+                    ns.append(seg.size)
+                    sums.append(int((seg * seg).sum()))
+                    peaks.append(int(seg.max()) if seg.size else 0)
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "window_no": wins,
+                    "n_samples": ns,
+                    "energy": sums,
+                    "peak": peaks,
+                }
+            )
+
+    schema = "media_id bigint, window_no bigint, n_samples bigint, energy bigint, peak int"
+    return auds.mapInPandas(energy, schema).orderBy("media_id", "window_no")
+
+
+AUDIO_WINDOW_ENERGY_SQL = f"""
+WITH auds AS (
+  SELECT doc_id AS media_id, text, length(text) AS n
+  FROM documents WHERE doc_id % 3 = 1),
+win AS (
+  SELECT media_id, i AS window_no,
+         [unicode(c) for c in string_split(substr(text, CAST(i * {AUDIO_WINDOW} + 1 AS INT), {AUDIO_WINDOW}), '')] AS ps
+  FROM auds, UNNEST(range(0, (n - 1) // {AUDIO_WINDOW} + 1)) AS t(i))
+SELECT media_id, window_no,
+       CAST(len(ps) AS BIGINT) AS n_samples,
+       CAST(list_sum(list_transform(ps, x -> x * x)) AS BIGINT) AS energy,
+       CAST(list_max(ps) AS INT) AS peak
+FROM win
+ORDER BY media_id, window_no
+"""
+
+
 MULTIMODAL_QUERIES = {
     "media_catalog": (media_catalog, MEDIA_CATALOG_SQL),
     "image_decode_stats": (image_decode_stats, IMAGE_DECODE_STATS_SQL),
     "video_frame_index": (video_frame_index, VIDEO_FRAME_INDEX_SQL),
     "media_feature_extract": (media_feature_extract, MEDIA_FEATURES_SQL),
     "image_resize_thumbnail": (image_resize_thumbnail, IMAGE_RESIZE_SQL),
+    "audio_window_energy": (audio_window_energy, AUDIO_WINDOW_ENERGY_SQL),
 }

@@ -82,6 +82,7 @@ _NEW_THIS_ROUND: list = [
     "avro_roundtrip",
     "sq8_topk",
     "doc_bigram_novelty",
+    "audio_window_energy",
 ]
 _PRIORITY = _CHANGED_THIS_ROUND + _ROUND2_UNCHECKED + _NEW_THIS_ROUND
 

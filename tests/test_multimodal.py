@@ -124,3 +124,27 @@ def test_feature_extract_under_streaming(spark, sf_dir, tmp_path):
         for r in media_feature_extract(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_audio_window_energy_matches_python(spark, sf_dir):
+    """Window energies equal a direct NumPy computation on the payload."""
+    from kafka_connect_storage_cloud_formats_spark.operators.multimodal import (
+        AUDIO_WINDOW,
+        audio_window_energy,
+    )
+
+    rows = audio_window_energy(spark, sf_dir).collect()
+    assert rows
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter("doc_id % 3 = 1")
+    for d in docs.limit(10).collect():
+        a = np.frombuffer(d["text"].encode(), dtype=np.uint8).astype(np.int64)
+        got = sorted(by_media[d["doc_id"]], key=lambda r: r["window_no"])
+        assert len(got) == (a.size - 1) // AUDIO_WINDOW + 1
+        for r in got:
+            seg = a[r["window_no"] * AUDIO_WINDOW : (r["window_no"] + 1) * AUDIO_WINDOW]
+            assert r["n_samples"] == seg.size
+            assert r["energy"] == int((seg * seg).sum())
+            assert r["peak"] == int(seg.max())
