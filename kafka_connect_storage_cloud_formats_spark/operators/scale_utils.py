@@ -66,3 +66,73 @@ def salted_join(
     salted_small = small.withColumn("__salt", F.explode(salts))
     out = salted_big.join(salted_small, [key, "__salt"])
     return out.drop("__salt")
+
+
+def bucketed_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered demonstration of the bucketed co-located join: orders and
+    customer persisted bucketed+sorted on the customer key, then joined
+    WITHOUT an Exchange on either side (the recurring fact⋈dim join of a
+    100 TB warehouse — bucket once, join shuffle-free every run; asserted
+    shuffle-free in tests/test_scale_utils.py). Build happens once per
+    (session, sf) — bucketing metadata lives in the session catalog, so a
+    fresh session rebuilds, mirroring a real metastore-backed deployment
+    where the build is a one-time ETL job.
+
+    Returns per-market-segment order counts and revenue — results are
+    identical to the plain join (the oracle), only the physical plan
+    differs."""
+    import os
+    import re
+
+    from kafka_connect_storage_cloud_formats_spark.catalog import load_table
+    from kafka_connect_storage_cloud_formats_spark.queries.relational import dsum
+
+    tag = re.sub(r"\W", "_", os.path.basename(os.path.normpath(sf_dir)))
+    ot, ct = f"orders_bkt_{tag}", f"customer_bkt_{tag}"
+
+    def ensure(table: str, df: DataFrame) -> None:
+        if spark.catalog.tableExists(table):
+            return
+        # The warehouse dir outlives the in-memory catalog (a fresh session
+        # knows nothing of a previous session's managed-table location):
+        # clear any stale location, then build.
+        import shutil
+
+        loc = os.path.join("/tmp/engine_warehouse", table)
+        shutil.rmtree(loc, ignore_errors=True)
+        write_bucketed(df, table, ("custkey",))
+
+    ensure(
+        ot,
+        load_table(spark, sf_dir, "orders").select(
+            F.col("o_custkey").alias("custkey"), "o_totalprice"
+        ),
+    )
+    ensure(
+        ct,
+        load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("custkey"), "c_mktsegment"
+        ),
+    )
+    return (
+        bucketed_join(spark, ot, ct, ["custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+BUCKETED_SEGMENT_REVENUE_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+SCALE_UTILS_QUERIES = {
+    "bucketed_segment_revenue": (bucketed_segment_revenue, BUCKETED_SEGMENT_REVENUE_SQL),
+}

@@ -19,6 +19,7 @@ from kafka_connect_storage_cloud_formats_spark.queries.pipeline_queries import (
     parquet_roundtrip,
 )
 from kafka_connect_storage_cloud_formats_spark.operators.asof import ASOF_QUERIES
+from kafka_connect_storage_cloud_formats_spark.operators.scale_utils import SCALE_UTILS_QUERIES
 from kafka_connect_storage_cloud_formats_spark.operators.compaction import COMPACTION_QUERIES
 from kafka_connect_storage_cloud_formats_spark.operators.dedup import DEDUP_QUERIES
 from kafka_connect_storage_cloud_formats_spark.operators.multimodal import MULTIMODAL_QUERIES
@@ -48,6 +49,7 @@ _ALL.update(PROFILING_QUERIES)
 _ALL.update(COMPACTION_QUERIES)
 _ALL.update(TRAINING_PIPELINE_QUERIES)
 _ALL.update(ASOF_QUERIES)
+_ALL.update(SCALE_UTILS_QUERIES)
 
 # The driver's correctness gate checks a positional window of the first 50
 # registry entries. Rotate each round so the least-evidenced queries lead:
@@ -83,6 +85,7 @@ _NEW_THIS_ROUND: list = [
     "sq8_topk",
     "doc_bigram_novelty",
     "audio_window_energy",
+    "bucketed_segment_revenue",
 ]
 _PRIORITY = _CHANGED_THIS_ROUND + _ROUND2_UNCHECKED + _NEW_THIS_ROUND
 

@@ -64,3 +64,25 @@ def test_salt_spreads_hot_key(spark):
     )
     n_salts = salted.select("__salt").distinct().count()
     assert n_salts == 8, "hot key should scatter across all salt buckets"
+
+
+def test_bucketed_segment_revenue_joins_without_shuffle(spark, sf_dir):
+    """The registered bucketed-join query's SortMergeJoin must read both
+    bucketed tables with NO Exchange below the join (the whole point of
+    bucketing); results gated separately by the DuckDB oracle."""
+    from kafka_connect_storage_cloud_formats_spark.operators.scale_utils import (
+        bucketed_segment_revenue,
+    )
+
+    df = bucketed_segment_revenue(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # both scans must read bucketed tables...
+    assert plan.count("Bucketed: true") == 2, plan
+    # ...and below the join (SMJ at scale; AQE may broadcast the dim at
+    # tiny SF) there must be no hash-partitioning Exchange — the tree
+    # prints parents first, so the join's children are the tail.
+    key = "SortMergeJoin" if "SortMergeJoin" in plan else "HashJoin"
+    assert key in plan, plan
+    join_part = plan.split(key)[-1]
+    assert "Scan" in join_part
+    assert "Exchange hashpartitioning" not in join_part, plan
