@@ -460,7 +460,11 @@ def doc_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = F.split("text", " ")
     idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (BIGRAM_N - 1), F.lit(0)))
     bigrams_arr = F.transform(idx, lambda i: F.array_join(F.slice(w, i, BIGRAM_N), " "))
-    bg = docs.select("doc_id", F.explode(bigrams_arr).alias("bg"))
+    # One tokenize pass, materialized: the frequency aggregate and the join
+    # side both read these blocks.
+    bg = docs.select("doc_id", F.explode(bigrams_arr).alias("bg")).localCheckpoint(
+        eager=True
+    )
     freq = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("freq"))
     return (
         bg.join(freq, "bg")
