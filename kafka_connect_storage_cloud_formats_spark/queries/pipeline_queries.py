@@ -168,6 +168,87 @@ def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _format_roundtrip(spark, sf_dir, "json", "gzip")
 
 
+EVENTS_V1_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("event_type", T.StringType(), False),
+    ]
+)
+
+
+def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution ingest made driver-checkable: even event_ids are
+    written under schema v1 (no ``value`` column), odd event_ids under v2
+    (adds nullable ``value``) — Connect's rotate-on-schema-change
+    (`StorageSchemaCompatibility`, SURVEY.md §1.2) realized as one file
+    generation per schema version. The merged ORC read-back sees the union
+    schema with nulls for pre-evolution rows; the aggregate hash-matches
+    the oracle only if no row was lost and exactly the v1 rows read null.
+    """
+    from kafka_connect_storage_cloud_formats_spark.schema_evolution import (
+        Compatibility,
+        SchemaTracker,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    env = with_kafka_envelope(
+        events,
+        topic="events",
+        num_partitions=3,
+        partition_key="user_id",
+        order_col="event_id",
+        partitioner="mod",
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "engine_schema_evo_"
+        + os.path.basename(os.path.normpath(sf_dir))
+        + f"_{os.getpid()}",
+    )
+    v1 = env.filter(F.col("event_id") % 2 == 0)
+    v2 = env.filter(F.col("event_id") % 2 == 1)
+    tracker = SchemaTracker(Compatibility.BACKWARD)
+    assert tracker.observe(EVENTS_V1_SCHEMA) == "rotate"
+    IngestPipeline(out + "/g1", EVENTS_V1_SCHEMA, flush_size=10_000).run_batch(v1)
+    v2_schema = T.StructType(
+        EVENTS_V1_SCHEMA.fields + [T.StructField("value", T.DoubleType(), True)]
+    )
+    assert tracker.observe(v2_schema) == "rotate"
+    IngestPipeline(out + "/g2", v2_schema, flush_size=10_000).run_batch(v2)
+    merged = (
+        spark.read.format("orc")
+        .option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .load(out)
+    )
+    return (
+        merged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").alias("sum_event_id"),
+            F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias("n_pre_evolution"),
+            dsum("value").alias("total_value_v2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# null(value) after the merge ⇔ the row was written pre-evolution (even
+# event_id) OR its source value was already null — the oracle replays that
+# equivalence exactly.
+SCHEMA_EVOLUTION_SQL = """
+SELECT event_type, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+       CAST(SUM(CASE WHEN event_id % 2 = 0 OR value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pre_evolution,
+       CAST(SUM(CASE WHEN event_id % 2 = 1 THEN CAST(value AS DECIMAL(30,6)) END) AS DOUBLE)
+         AS total_value_v2
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def _avro_available(spark: SparkSession) -> bool:
     """True iff the spark-avro package is loaded (from_avro analyzes)."""
     from pyspark.sql.avro.functions import from_avro

@@ -12,11 +12,13 @@ from kafka_connect_storage_cloud_formats_spark.queries.pipeline_queries import (
     ORC_PARTITIONED_SQL,
     ORC_ROUNDTRIP_SQL,
     PARQUET_ROUNDTRIP_SQL,
+    SCHEMA_EVOLUTION_SQL,
     avro_roundtrip,
     json_roundtrip,
     orc_ingest_roundtrip,
     orc_partitioned_roundtrip,
     parquet_roundtrip,
+    schema_evolution_roundtrip,
 )
 from kafka_connect_storage_cloud_formats_spark.operators.asof import ASOF_QUERIES
 from kafka_connect_storage_cloud_formats_spark.operators.scale_utils import SCALE_UTILS_QUERIES
@@ -38,6 +40,7 @@ _ALL: dict = {
     "json_roundtrip": (json_roundtrip, JSON_ROUNDTRIP_SQL),
     # runtime-gated (spark-avro jar): rows-only driver check by design
     "avro_roundtrip": (avro_roundtrip, None),
+    "schema_evolution_roundtrip": (schema_evolution_roundtrip, SCHEMA_EVOLUTION_SQL),
 }
 _ALL.update(RELATIONAL_QUERIES)
 _ALL.update(TEXT_QUERIES)
@@ -86,6 +89,7 @@ _NEW_THIS_ROUND: list = [
     "doc_bigram_novelty",
     "audio_window_energy",
     "bucketed_segment_revenue",
+    "schema_evolution_roundtrip",
 ]
 _PRIORITY = _CHANGED_THIS_ROUND + _ROUND2_UNCHECKED + _NEW_THIS_ROUND
 
