@@ -136,3 +136,49 @@ ORDER BY c_mktsegment
 SCALE_UTILS_QUERIES = {
     "bucketed_segment_revenue": (bucketed_segment_revenue, BUCKETED_SEGMENT_REVENUE_SQL),
 }
+
+
+def salted_cohort_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered demonstration of the salted skew-join: events (the big,
+    potentially hot-keyed side) joined to a user-cohort dimension through
+    ``salted_join`` — the shuffle key becomes (user_id, salt), spreading
+    any hot user over salt_n reducers. Results are identical to the plain
+    join (the oracle); only the shuffle layout differs. The deterministic
+    heavy hammer for when AQE's skew split isn't enough (a single key
+    larger than one executor's memory)."""
+    from kafka_connect_storage_cloud_formats_spark.catalog import load_table
+    from kafka_connect_storage_cloud_formats_spark.queries.relational import dsum
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "value")
+    dim = (
+        events.select("user_id")
+        .distinct()
+        .filter(F.col("user_id") % 3 != 0)
+        .withColumn("cohort", (F.col("user_id") % 10).cast("long"))
+    )
+    joined = salted_join(events, dim, "user_id", salt_n=8)
+    return (
+        joined.groupBy("cohort")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum("value").alias("total_value"),
+        )
+        .orderBy("cohort")
+    )
+
+
+SALTED_COHORT_SQL = """
+SELECT user_id % 10 AS cohort, COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+FROM events
+WHERE user_id % 3 <> 0
+GROUP BY user_id % 10
+ORDER BY cohort
+"""
+
+SCALE_UTILS_QUERIES["salted_cohort_activity"] = (
+    salted_cohort_activity,
+    SALTED_COHORT_SQL,
+)

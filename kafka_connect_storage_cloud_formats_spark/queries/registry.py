@@ -90,6 +90,7 @@ _NEW_THIS_ROUND: list = [
     "audio_window_energy",
     "bucketed_segment_revenue",
     "schema_evolution_roundtrip",
+    "salted_cohort_activity",
 ]
 _PRIORITY = _CHANGED_THIS_ROUND + _ROUND2_UNCHECKED + _NEW_THIS_ROUND
 
