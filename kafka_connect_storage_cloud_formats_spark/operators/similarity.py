@@ -834,6 +834,91 @@ FROM tot, h
 ANN_RECALL_SQL = _ann_recall_sql()
 
 
+def sq8_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality evaluation of the int8 tier: recall@10 of sq8_topk vs the
+    exact brute-force baseline — like ann_recall_at_10, the evaluation
+    itself is deterministic on both engines and oracle-gated."""
+    bf = knn_bruteforce(spark, sf_dir).select("q_id", "neighbor_id")
+    sq = sq8_topk(spark, sf_dir).select("q_id", "neighbor_id")
+    hits = bf.join(sq, ["q_id", "neighbor_id"], "left_semi")
+    return (
+        bf.agg(
+            F.countDistinct("q_id").alias("n_queries"),
+            F.count(F.lit(1)).alias("possible"),
+        )
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("hits")))
+        .select(
+            "n_queries",
+            "hits",
+            "possible",
+            (F.col("hits").cast("double") / F.col("possible").cast("double")).alias("recall"),
+        )
+    )
+
+
+def _sq8_recall_sql() -> str:
+    idot = " + ".join(f"qa.q[{i}] * cb.q[{i}]" for i in range(1, DIM + 1))
+    return f"""
+WITH {_sql_base()},
+bf_scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+         {_sql_dot('q.embedding', 'c.embedding')} / (q.norm * c.norm) AS cosine
+  FROM q JOIN base c ON c.vec_id <> q.vec_id),
+bf AS (
+  SELECT q_id, neighbor_id FROM (
+    SELECT q_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM bf_scored) r WHERE rank <= {TOP_K}),
+quant AS (
+  SELECT vec_id, embedding, norm,
+         CASE WHEN s = 0 THEN 1.0 ELSE s END AS s
+  FROM (SELECT vec_id, embedding, norm,
+               list_max(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE)))) AS s
+        FROM base) t),
+codes AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) / s * {SQ8_LEVELS}) AS BIGINT)) AS q
+  FROM quant),
+cn AS (
+  SELECT vec_id, q,
+         CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn
+  FROM codes),
+approx AS (
+  SELECT qa.vec_id AS q_id, cb.vec_id AS neighbor_id,
+         CAST(({idot}) AS DOUBLE)
+           / (sqrt(CAST(qa.qn AS DOUBLE)) * sqrt(CAST(cb.qn AS DOUBLE))) AS approx_cos
+  FROM cn qa JOIN cn cb ON cb.vec_id <> qa.vec_id
+  WHERE qa.vec_id % {QUERY_MOD} = 0),
+cand AS (
+  SELECT q_id, neighbor_id FROM (
+    SELECT q_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY approx_cos DESC, neighbor_id) AS crank
+    FROM approx) r WHERE crank <= {RERANK_CANDIDATES}),
+rescored AS (
+  SELECT cand.q_id, cand.neighbor_id,
+         {_sql_dot('qv.embedding', 'cv.embedding')} / (qv.norm * cv.norm) AS cosine
+  FROM cand
+  JOIN base qv ON qv.vec_id = cand.q_id
+  JOIN base cv ON cv.vec_id = cand.neighbor_id),
+sq AS (
+  SELECT q_id, neighbor_id FROM (
+    SELECT q_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM rescored) r WHERE rank <= {TOP_K}),
+h AS (SELECT COUNT(*) AS hits FROM bf JOIN sq USING (q_id, neighbor_id)),
+tot AS (SELECT COUNT(DISTINCT q_id) AS n_queries, COUNT(*) AS possible FROM bf)
+SELECT n_queries, hits, possible,
+       CAST(hits AS DOUBLE) / CAST(possible AS DOUBLE) AS recall
+FROM tot, h
+"""
+
+
+SQ8_RECALL_SQL = _sq8_recall_sql()
+
+
 SIMILARITY_QUERIES = {
     "knn_bruteforce": (knn_bruteforce, KNN_BRUTEFORCE_SQL),
     "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
@@ -842,6 +927,7 @@ SIMILARITY_QUERIES = {
     "ivf_index_build": (ivf_index_build, IVF_INDEX_BUILD_SQL),
     "ivf_topk_pruned": (ivf_topk_pruned, IVF_TOPK_SQL),  # index changes access path, not answer
     "sq8_topk": (sq8_topk, SQ8_TOPK_SQL),
+    "sq8_recall_at_10": (sq8_recall_at_10, SQ8_RECALL_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_SQL),
     "ann_recall_at_10": (ann_recall_at_10, ANN_RECALL_SQL),
 }

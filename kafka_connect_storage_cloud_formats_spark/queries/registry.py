@@ -91,6 +91,7 @@ _NEW_THIS_ROUND: list = [
     "bucketed_segment_revenue",
     "schema_evolution_roundtrip",
     "salted_cohort_activity",
+    "sq8_recall_at_10",
 ]
 _PRIORITY = _CHANGED_THIS_ROUND + _ROUND2_UNCHECKED + _NEW_THIS_ROUND
 

@@ -32,6 +32,7 @@ ALLOWED_NESTED = {
     "ivf_topk",  # Q × n_labels centroid assignment, centroids broadcast
     "ivf_topk_pruned",  # same assignment stage against the materialized index
     "ann_recall_at_10",  # 1-row recall-ratio cross + composed baselines
+    "sq8_recall_at_10",  # same 1-row recall-ratio cross for the int8 tier
 }
 
 # Queries that fold a GLOBAL SCALAR into the plan via crossJoin(broadcast(
