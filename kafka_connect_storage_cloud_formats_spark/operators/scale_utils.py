@@ -95,11 +95,15 @@ def bucketed_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             return
         # The warehouse dir outlives the in-memory catalog (a fresh session
         # knows nothing of a previous session's managed-table location):
-        # clear any stale location, then build.
+        # clear any stale location, then build. The location is derived
+        # from THIS session's warehouse conf (an external session may not
+        # use our /tmp warehouse).
         import shutil
+        from urllib.parse import urlparse
 
-        loc = os.path.join("/tmp/engine_warehouse", table)
-        shutil.rmtree(loc, ignore_errors=True)
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        wh_path = urlparse(wh).path or wh
+        shutil.rmtree(os.path.join(wh_path, table), ignore_errors=True)
         write_bucketed(df, table, ("custkey",))
 
     ensure(
