@@ -252,10 +252,10 @@ FROM hv GROUP BY doc_id)
 MINHASH_SIGNATURES_SQL = _minhash_sql_core() + "SELECT * FROM sig ORDER BY doc_id"
 
 
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidate pairs: documents sharing ≥1 of B=4 bands (each band a
-    hash of R=3 signature components); est_jaccard = matching-component
-    fraction.
+def _minhash_pairs_unsorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs WITHOUT the presentation sort — the form every
+    downstream consumer (clustering, training pipeline) uses; a global
+    sort in the middle of a chain is a pure range-shuffle tax.
 
     Scale shape: bands are EXPLODED to (band_id, band_hash) rows and the
     self-join is a plain equi-join on that composite key — Spark picks
@@ -307,8 +307,13 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (matches.cast("double") / MINHASH_K).alias("est_jaccard"),
         )
         .distinct()
-        .orderBy("d1", "d2")
     )
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of :func:`_minhash_pairs_unsorted` with the
+    deterministic presentation sort."""
+    return _minhash_pairs_unsorted(spark, sf_dir).orderBy("d1", "d2")
 
 
 def _minhash_pairs_ctes() -> str:
@@ -529,8 +534,8 @@ CLUSTER_MIN_EST_JACCARD = 0.5
 MAX_CC_ITERATIONS = 20
 
 
-def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonicalization step of a dedup pipeline: connected components over
+def _neardup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsorted (doc_id, cluster_id) labels — connected components over
     strong LSH candidate pairs (est_jaccard ≥ 0.5); every document gets the
     minimum doc_id reachable through the near-dup graph as its cluster_id
     (singletons keep their own id). The keep-one-per-cluster rule is then a
@@ -548,7 +553,7 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds).
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    pairs = minhash_lsh_pairs(spark, sf_dir).filter(
+    pairs = _minhash_pairs_unsorted(spark, sf_dir).filter(
         F.col("est_jaccard") >= CLUSTER_MIN_EST_JACCARD
     )
     # Both edge directions from ONE pass over the pair stream (explode of a
@@ -608,7 +613,14 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # outside the loop
     return docs.join(labels, "doc_id", "left").select(
         "doc_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id")
-    ).orderBy("doc_id")
+    )
+
+
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of :func:`_neardup_labels` with the deterministic
+    presentation sort (downstream consumers use the unsorted labels — a
+    global sort mid-chain is a pure range-shuffle tax)."""
+    return _neardup_labels(spark, sf_dir).orderBy("doc_id")
 
 
 def _cluster_ctes() -> str:
@@ -641,7 +653,7 @@ def neardup_clusters_pointer_doubling(spark: SparkSession, sf_dir: str) -> DataF
     scale path for power-law duplicate graphs.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    pairs = minhash_lsh_pairs(spark, sf_dir).filter(
+    pairs = _minhash_pairs_unsorted(spark, sf_dir).filter(
         F.col("est_jaccard") >= CLUSTER_MIN_EST_JACCARD
     )
     # Both edge directions from ONE pass over the pair stream (explode of a

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from kafka_connect_storage_cloud_formats_spark.catalog import load_table
 from kafka_connect_storage_cloud_formats_spark.operators.dedup import (
     _cluster_ctes,
-    neardup_clusters,
+    _neardup_labels,
 )
 
 MIN_CHARS = 60
@@ -34,7 +34,7 @@ MAX_CHARS = 5000
 
 def training_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    clusters = neardup_clusters(spark, sf_dir)
+    clusters = _neardup_labels(spark, sf_dir)
     kept = (
         docs.join(clusters, "doc_id")
         .filter(F.col("doc_id") == F.col("cluster_id"))
@@ -74,7 +74,7 @@ def write_training_corpus(spark: SparkSession, sf_dir: str, out_dir: str) -> Dat
     lang (the layout a downstream tokenizer job scans with partition
     pruning); returns the kept DataFrame."""
     docs = load_table(spark, sf_dir, "documents")
-    clusters = neardup_clusters(spark, sf_dir)
+    clusters = _neardup_labels(spark, sf_dir)
     kept = (
         docs.join(clusters, "doc_id")
         .filter(F.col("doc_id") == F.col("cluster_id"))
