@@ -168,6 +168,21 @@ def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _format_roundtrip(spark, sf_dir, "json", "gzip")
 
 
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV member of the format family (integer/string columns only — text
+    float round-trips are representation-hazardous by design)."""
+    return _format_roundtrip(spark, sf_dir, "csv", "gzip")
+
+
+CSV_ROUNDTRIP_SQL = """
+SELECT event_type, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 EVENTS_V1_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType(), False),

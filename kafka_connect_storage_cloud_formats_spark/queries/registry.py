@@ -12,8 +12,10 @@ from kafka_connect_storage_cloud_formats_spark.queries.pipeline_queries import (
     ORC_PARTITIONED_SQL,
     ORC_ROUNDTRIP_SQL,
     PARQUET_ROUNDTRIP_SQL,
+    CSV_ROUNDTRIP_SQL,
     SCHEMA_EVOLUTION_SQL,
     avro_roundtrip,
+    csv_roundtrip,
     json_roundtrip,
     orc_ingest_roundtrip,
     orc_partitioned_roundtrip,
@@ -41,6 +43,7 @@ _ALL: dict = {
     # runtime-gated (spark-avro jar): rows-only driver check by design
     "avro_roundtrip": (avro_roundtrip, None),
     "schema_evolution_roundtrip": (schema_evolution_roundtrip, SCHEMA_EVOLUTION_SQL),
+    "csv_roundtrip": (csv_roundtrip, CSV_ROUNDTRIP_SQL),
 }
 _ALL.update(RELATIONAL_QUERIES)
 _ALL.update(TEXT_QUERIES)
@@ -92,6 +95,7 @@ _NEW_THIS_ROUND: list = [
     "schema_evolution_roundtrip",
     "salted_cohort_activity",
     "sq8_recall_at_10",
+    "csv_roundtrip",
 ]
 _PRIORITY = _CHANGED_THIS_ROUND + _ROUND2_UNCHECKED + _NEW_THIS_ROUND
 
