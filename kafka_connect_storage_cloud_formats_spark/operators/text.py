@@ -458,7 +458,16 @@ def doc_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(tokens) + two key shuffles."""
     docs = load_table(spark, sf_dir, "documents")
     w = F.split("text", " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (BIGRAM_N - 1), F.lit(0)))
+    # Guard short docs: for size(w) < BIGRAM_N the naive
+    # sequence(1, size - 1) has start > stop, which Spark runs DESCENDING
+    # (default step -1) — producing [1, 0] and a runtime slice(w, 0, ·)
+    # error — while the oracle's range(1, 1) correctly emits nothing. Emit
+    # an explicitly empty index array instead, so 0/1-token documents yield
+    # no bigrams on both engines.
+    idx = F.when(
+        F.size(w) >= BIGRAM_N,
+        F.sequence(F.lit(1), F.size(w) - (BIGRAM_N - 1)),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<INT>)"))
     bigrams_arr = F.transform(idx, lambda i: F.array_join(F.slice(w, i, BIGRAM_N), " "))
     # One tokenize pass, materialized: the frequency aggregate and the join
     # side both read these blocks.

@@ -1,0 +1,50 @@
+"""Edge-case tests for text operators (oracle parity is covered by
+tools/check_correctness.py; these target corpus shapes the sf testdata
+doesn't contain)."""
+
+import os
+
+import pandas as pd
+import pytest
+
+from kafka_connect_storage_cloud_formats_spark.operators.text import doc_bigram_novelty
+
+
+@pytest.fixture(scope="module")
+def short_doc_sf_dir(tmp_path_factory):
+    """A documents table containing 0/1-token docs alongside normal ones —
+    the corpus shape where an unguarded sequence(1, size-1) runs DESCENDING
+    ([1, 0]) and crashes slice(w, 0, ·) at runtime."""
+    d = tmp_path_factory.mktemp("short_docs")
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["single", "two tokens", "three word doc", "two tokens"],
+            "lang": ["en"] * 4,
+            "source": ["web"] * 4,
+            "n_chars": [6, 10, 14, 10],
+        }
+    ).to_parquet(os.path.join(d, "documents.parquet"))
+    return str(d)
+
+
+def test_bigram_novelty_survives_single_token_docs(spark, short_doc_sf_dir):
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in doc_bigram_novelty(spark, short_doc_sf_dir).collect()
+    }
+    # the 1-token doc emits no bigrams → absent from the per-doc aggregate,
+    # exactly like the oracle's range(1, 1)
+    assert 1 not in rows
+    # "two tokens" appears twice → its single bigram has corpus freq 2
+    assert rows[2] == {
+        "doc_id": 2,
+        "n_bigrams": 1,
+        "sum_freq": 2,
+        "min_freq": 2,
+        "n_rare": 0,
+    }
+    assert rows[4]["sum_freq"] == 2
+    # the unique 3-word doc has 2 bigrams, both corpus-unique
+    assert rows[3]["n_bigrams"] == 2
+    assert rows[3]["n_rare"] == 2
