@@ -1,0 +1,89 @@
+"""Corpus-keyed on-disk artifact cache (derived indexes / signature tables).
+
+Expensive corpus-scale derivations (the IVF index, the MinHash signature
+table) are built once per CORPUS CONTENT and shared by every consumer in
+every session. Two properties make the cache safe (round-3 ADVICE items):
+
+- **Content-keyed paths**: the cache path embeds a fingerprint of the
+  source parquet (file names + sizes + mtime_ns). Regenerating the corpus
+  at the same sf_dir changes the fingerprint, so a stale index can never be
+  silently reused — the old artifact is simply a different path.
+- **Atomic publication**: builders write into a fresh ``<path>.tmp.<rand>``
+  directory and publish with a single ``os.rename``. A reader either sees
+  the complete artifact or none; a concurrent builder that loses the rename
+  race discards its tmp output (the content is identical by construction —
+  the path IS the content key).
+
+At 100 TB the same protocol holds on any Hadoop-compatible FS with atomic
+directory rename (HDFS; on S3 the publish step becomes a manifest commit,
+as in the streaming sink's ``_spark_metadata``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+import uuid
+from typing import Callable
+
+from kafka_connect_storage_cloud_formats_spark.catalog import table_path
+
+
+def corpus_fingerprint(sf_dir: str, table: str) -> str:
+    """Fingerprint of a source table's on-disk content: relative file
+    names, byte sizes and mtime_ns of the parquet file (or every file under
+    the parquet directory). Cheap (stat-only, no data read) and changes
+    whenever the corpus is regenerated."""
+    p = table_path(sf_dir, table)
+    if os.path.isdir(p):
+        files = [
+            os.path.join(root, f)
+            for root, _, names in os.walk(p)
+            for f in names
+        ]
+    else:
+        files = [p]
+    h = hashlib.md5()
+    for fp in sorted(files):
+        st = os.stat(fp)
+        h.update(f"{os.path.relpath(fp, p)}|{st.st_size}|{st.st_mtime_ns};".encode())
+    return h.hexdigest()[:12]
+
+
+def artifact_path(kind: str, sf_dir: str, table: str) -> str:
+    """Default cache location for an artifact derived from ``table`` at
+    ``sf_dir``: keyed by sf basename AND content fingerprint."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"engine_{kind}_{tag}_{corpus_fingerprint(sf_dir, table)}",
+    )
+
+
+def ensure_artifact(
+    path: str, build: Callable[[str], None], force: bool = False
+) -> str:
+    """Ensure the artifact at ``path`` exists, building it atomically.
+
+    ``build(tmp_dir)`` must write the complete artifact (including a
+    ``_SUCCESS`` marker — Spark writers emit one) into ``tmp_dir``; it is
+    then published via ``os.rename``. If a complete artifact already
+    exists, it is returned as-is (``force=True`` still re-runs ``build`` —
+    that's what an index-build benchmark measures — but never replaces the
+    published copy: same content key ⇒ same content)."""
+    done = os.path.exists(os.path.join(path, "_SUCCESS"))
+    if done and not force:
+        return path
+    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+    try:
+        build(tmp)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            try:
+                os.rename(tmp, path)
+            except OSError:
+                pass  # concurrent builder published first; ours is identical
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return path

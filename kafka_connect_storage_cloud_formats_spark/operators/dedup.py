@@ -230,6 +230,24 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_sig_table(spark, sf_dir).orderBy("doc_id")
 
 
+def _ensure_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-fingerprinted MATERIALIZED signature table (parquet, atomic
+    publish — artifacts.py), shared by every LSH consumer: ``minhash_lsh_
+    pairs``, near-dup clustering and the training pipeline all read these
+    12 hex-string columns per doc instead of each re-running the
+    corpus-scale shingle+md5+min chain. At 100 TB the signature table is
+    the standard persisted intermediate of a dedup pipeline — ~100 B/doc,
+    built once per corpus, consumed by every downstream stage. Signatures
+    are hex strings, so the parquet roundtrip is exact (hash-neutral)."""
+    from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_path, ensure_artifact
+
+    path = artifact_path("minhash_sigs", sf_dir, "documents")
+    ensure_artifact(
+        path, lambda tmp: _minhash_sig_table(spark, sf_dir).write.parquet(tmp)
+    )
+    return spark.read.parquet(path)
+
+
 def _minhash_sql_core() -> str:
     hashes = ", ".join(f"md5('{g}:' || s) AS h{g}" for g in range(MINHASH_GROUPS))
     comps = ",\n       ".join(
@@ -265,12 +283,14 @@ def _minhash_pairs_unsorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     single array column (~200 B/row), so est_jaccard is computed inline in
     the join project — one shuffle, no cache, no signature re-join.
     """
-    # Materialize the COMPACT signature table (1 row/doc, 12 components)
-    # once: both self-join sides re-derive their band rows from it with a
-    # cheap explode, instead of re-running the corpus-scale shingle+md5
-    # chain per side. (Checkpointing the exploded band rows instead was
-    # measurably worse: 4 rows/doc each duplicating the signature array.)
-    sig = _minhash_sig_table(spark, sf_dir).localCheckpoint(eager=True)
+    # The COMPACT signature table (1 row/doc, 12 components) comes from the
+    # corpus-keyed materialized artifact: both self-join sides re-derive
+    # their band rows from it with a cheap explode, and every OTHER LSH
+    # consumer in the session (clustering, training pipeline) reads the
+    # same parquet instead of re-running the corpus-scale shingle+md5
+    # chain. (Checkpointing the exploded band rows instead was measurably
+    # worse: 4 rows/doc each duplicating the signature array.)
+    sig = _ensure_minhash_sigs(spark, sf_dir)
     sig_arr = F.array(*[F.col(f"mh_{k:02d}") for k in range(MINHASH_K)])
     band_structs = F.array(
         *[

@@ -424,24 +424,27 @@ def build_ivf_index(
     coarse quantizer (the serving split of every IVF system: train/build
     once, probe cheap).
 
-    The default path is keyed by the source dir only (NOT the process id),
-    so the build is a once-per-corpus setup cost shared by every probe in
-    every session — probes never re-pay the build. ``force=True`` rebuilds
-    unconditionally (used by the ``ivf_index_build`` registry entry, whose
-    job IS the build)."""
-    import os
-    import tempfile
+    The default path is CONTENT-KEYED (sf basename + a fingerprint of the
+    embeddings parquet, see artifacts.py): the build is a once-per-corpus
+    setup cost shared by every probe in every session, a regenerated corpus
+    can never silently hit a stale index, and publication is an atomic
+    rename so concurrent builders/readers never observe partial state.
+    ``force=True`` re-runs the build (the ``ivf_index_build`` registry
+    entry benches exactly that) without ever un-publishing the index."""
+    from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_path, ensure_artifact
 
     if out_dir is None:
-        out_dir = os.path.join(
-            tempfile.gettempdir(),
-            "engine_ivf_index_" + os.path.basename(os.path.normpath(sf_dir)),
-        )
-    cent_dir = out_dir + "_centroids"
-    if force or not os.path.exists(os.path.join(out_dir, "_SUCCESS")):
-        _load(spark, sf_dir).write.mode("overwrite").partitionBy("label").parquet(out_dir)
-    if force or not os.path.exists(os.path.join(cent_dir, "_SUCCESS")):
-        ivf_centroids(spark, sf_dir).write.mode("overwrite").parquet(cent_dir)
+        out_dir = artifact_path("ivf_index", sf_dir, "embeddings")
+    ensure_artifact(
+        out_dir,
+        lambda tmp: _load(spark, sf_dir).write.partitionBy("label").parquet(tmp),
+        force=force,
+    )
+    ensure_artifact(
+        out_dir + "_centroids",
+        lambda tmp: ivf_centroids(spark, sf_dir).write.parquet(tmp),
+        force=force,
+    )
     return out_dir
 
 

@@ -1,0 +1,73 @@
+"""Artifact-cache protocol tests (no Spark needed): content-keyed paths and
+atomic publication — the two safety properties from the round-3 advice."""
+
+import os
+
+from kafka_connect_storage_cloud_formats_spark.artifacts import (
+    artifact_path,
+    corpus_fingerprint,
+    ensure_artifact,
+)
+
+
+def _fake_corpus(tmp_path, payload=b"v1"):
+    (tmp_path / "documents.parquet").write_bytes(payload)
+    return str(tmp_path)
+
+
+def test_fingerprint_changes_when_corpus_regenerated(tmp_path):
+    sf = _fake_corpus(tmp_path)
+    fp1 = corpus_fingerprint(sf, "documents")
+    p1 = artifact_path("x", sf, "documents")
+    # same content → stable key
+    assert corpus_fingerprint(sf, "documents") == fp1
+    # regenerated corpus (different bytes ⇒ different size/mtime) → new key,
+    # therefore a different cache path: stale reuse is impossible
+    _fake_corpus(tmp_path, b"v2-regenerated")
+    assert corpus_fingerprint(sf, "documents") != fp1
+    assert artifact_path("x", sf, "documents") != p1
+
+
+def test_ensure_artifact_publishes_atomically(tmp_path):
+    target = str(tmp_path / "artifact")
+    calls = []
+
+    def build(tmp_dir):
+        calls.append(tmp_dir)
+        # builder writes into a PRIVATE tmp dir, never the target
+        assert tmp_dir != target and tmp_dir.startswith(target + ".tmp.")
+        os.makedirs(tmp_dir)
+        open(os.path.join(tmp_dir, "part-0"), "w").write("data")
+        open(os.path.join(tmp_dir, "_SUCCESS"), "w").close()
+
+    assert ensure_artifact(target, build) == target
+    assert os.path.exists(os.path.join(target, "_SUCCESS"))
+    # cached: second call doesn't rebuild
+    ensure_artifact(target, build)
+    assert len(calls) == 1
+    # force re-runs the build (what an index-build bench measures) but the
+    # published artifact survives untouched
+    before = os.stat(target).st_ino
+    ensure_artifact(target, build, force=True)
+    assert len(calls) == 2
+    assert os.stat(target).st_ino == before
+    assert open(os.path.join(target, "part-0")).read() == "data"
+    # no tmp litter
+    assert [p for p in os.listdir(str(tmp_path)) if ".tmp." in p] == []
+
+
+def test_failed_build_leaves_no_partial_artifact(tmp_path):
+    target = str(tmp_path / "artifact")
+
+    def broken(tmp_dir):
+        os.makedirs(tmp_dir)
+        open(os.path.join(tmp_dir, "part-0"), "w").write("partial")
+        raise RuntimeError("builder died mid-write")
+
+    try:
+        ensure_artifact(target, broken)
+    except RuntimeError:
+        pass
+    # a reader can never observe the partial output
+    assert not os.path.exists(target)
+    assert [p for p in os.listdir(str(tmp_path)) if ".tmp." in p] == []
