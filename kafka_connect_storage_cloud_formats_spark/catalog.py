@@ -48,12 +48,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         elif ts_type == "timestamp_ntz":
             # The NTZ→TZ cast reinterprets wall-clock values in the session
-            # timezone — value-identical ONLY under UTC. session.py pins it,
-            # but load_table must not silently depend on that: pin it here
-            # too so a caller with a foreign session can't shift every
-            # events.ts by its zone offset.
-            if spark.conf.get("spark.sql.session.timeZone") != "UTC":
-                spark.conf.set("spark.sql.session.timeZone", "UTC")
+            # timezone — value-identical ONLY under UTC. session.py pins it;
+            # a caller with a foreign-zone session must not get silently
+            # shifted timestamps (nor, per the round-3 advice, have their
+            # session timezone mutated behind their back as the old code
+            # did) — fail loudly and let the caller choose.
+            tz = spark.conf.get("spark.sql.session.timeZone")
+            if tz != "UTC":
+                raise ValueError(
+                    f"events.ts is TIMESTAMP_NTZ (UTC wall-clock); reading it "
+                    f"under session timezone {tz!r} would shift every value. "
+                    'Set spark.sql.session.timeZone=UTC (session.get_spark does).'
+                )
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(table_path(sf_dir, name))

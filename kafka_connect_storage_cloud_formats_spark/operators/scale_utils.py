@@ -87,17 +87,28 @@ def bucketed_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_connect_storage_cloud_formats_spark.catalog import load_table
     from kafka_connect_storage_cloud_formats_spark.queries.relational import dsum
 
-    tag = re.sub(r"\W", "_", os.path.basename(os.path.normpath(sf_dir)))
+    # SESSION-UNIQUE table names (round-3 advice): the warehouse dir can be
+    # shared by concurrent sessions, and deleting a shared location by name
+    # (the old rmtree-then-rebuild) races another session's in-progress
+    # build. The applicationId is unique per session, so each session owns
+    # its table locations outright — no deletes of anything another session
+    # could be writing. Within a session the catalog check keeps the build
+    # once-per-(session, sf).
+    tag = re.sub(
+        r"\W",
+        "_",
+        os.path.basename(os.path.normpath(sf_dir))
+        + "_"
+        + spark.sparkContext.applicationId,
+    )
     ot, ct = f"orders_bkt_{tag}", f"customer_bkt_{tag}"
 
     def ensure(table: str, df: DataFrame) -> None:
         if spark.catalog.tableExists(table):
             return
-        # The warehouse dir outlives the in-memory catalog (a fresh session
-        # knows nothing of a previous session's managed-table location):
-        # clear any stale location, then build. The location is derived
-        # from THIS session's warehouse conf (an external session may not
-        # use our /tmp warehouse).
+        # A fresh session can still collide with its own earlier crashed
+        # write at this (session-unique) location — clearing it touches no
+        # other session's files.
         import shutil
         from urllib.parse import urlparse
 
