@@ -315,24 +315,43 @@ def audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        W = AUDIO_WINDOW
         for pdf in batches:
-            mids, wins, ns, sums, peaks = [], [], [], [], []
-            for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                a = fake_decode(p).astype(np.int64)
-                for w0 in range(0, a.size, AUDIO_WINDOW):
-                    seg = a[w0 : w0 + AUDIO_WINDOW]
-                    mids.append(mid)
-                    wins.append(w0 // AUDIO_WINDOW)
-                    ns.append(seg.size)
-                    sums.append(int((seg * seg).sum()))
-                    peaks.append(int(seg.max()) if seg.size else 0)
+            # Decode is inherently per-payload (variable-length binary);
+            # EVERYTHING after it is batch-level vectorized: concatenate all
+            # assets' samples, derive each window's start offset, and
+            # reduce with np.{add,maximum}.reduceat — windows tile each
+            # asset exactly and assets are adjacent in the concatenation,
+            # so consecutive reduceat segments ARE the windows. No
+            # per-window (or per-asset) Python arithmetic.
+            arrs = [fake_decode(p) for p in pdf["payload"]]
+            lens = np.array([a.size for a in arrs], dtype=np.int64)
+            nwin = -(-lens // W)  # ceil-div; 0 for empty payloads
+            total = int(nwin.sum())
+            if not total:
+                yield pd.DataFrame(
+                    {
+                        "media_id": pd.Series([], dtype=np.int64),
+                        "window_no": pd.Series([], dtype=np.int64),
+                        "n_samples": pd.Series([], dtype=np.int64),
+                        "energy": pd.Series([], dtype=np.int64),
+                        "peak": pd.Series([], dtype=np.int32),
+                    }
+                )
+                continue
+            cat = np.concatenate(arrs).astype(np.int64)
+            offs = np.concatenate(([0], np.cumsum(lens)[:-1]))  # asset starts
+            aidx = np.repeat(np.arange(len(arrs)), nwin)  # window → asset
+            win_no = np.arange(total) - np.repeat(np.cumsum(nwin) - nwin, nwin)
+            starts = offs[aidx] + win_no * W
+            ends = np.minimum(starts + W, (offs + lens)[aidx])
             yield pd.DataFrame(
                 {
-                    "media_id": mids,
-                    "window_no": wins,
-                    "n_samples": ns,
-                    "energy": sums,
-                    "peak": peaks,
+                    "media_id": pdf["media_id"].to_numpy(dtype=np.int64)[aidx],
+                    "window_no": win_no,
+                    "n_samples": ends - starts,
+                    "energy": np.add.reduceat(cat * cat, starts),
+                    "peak": np.maximum.reduceat(cat, starts).astype(np.int32),
                 }
             )
 
