@@ -1,0 +1,200 @@
+"""Pure-Python Avro BINARY codec for flat Connect-style record schemas.
+
+Implements the public Avro 1.x binary encoding (zigzag-varint longs,
+length-prefixed UTF-8 strings, IEEE-754 little-endian floats/doubles,
+union-index prefixes, record fields in declaration order) for the subset
+of schemas the Connect value path uses: a record of primitive fields,
+optionally nullable via ``["null", T]`` unions — exactly what
+``schema.spark_schema_to_avro`` emits.
+
+Why it exists: the reference's value chain is Connect→Avro→ORC
+(``OrcRecordWriter.java:64,71`` reads Avro-decoded Connect values), but
+this container ships no spark-avro module jar, so Spark's own
+``to_avro``/``from_avro`` cannot load. This codec makes the Avro leg REAL
+anyway — byte-level Avro binary, not a marker row — and is
+cross-validated in tests/test_avro_codec.py against the JVM Avro library
+(`avro-1.12.1.jar`, already on Spark's classpath) in BOTH directions:
+Python-encoded payloads decode with ``GenericDatumReader``, and
+JVM-encoded payloads decode with this module. When the spark-avro jar IS
+present, the engine prefers the JVM ``to_avro``/``from_avro`` path
+(queries/pipeline_queries.py:avro_roundtrip) — this is the fallback, and
+a format-boundary codec is inherently per-record on any engine.
+
+Scale shape: invoked through Arrow-batched pandas UDFs
+(:func:`avro_encode_udf` / :func:`avro_decode_udf`) — a narrow map over
+the event stream, embarrassingly parallel, no shuffle.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Any
+
+_PRIMITIVES = {"null", "boolean", "int", "long", "float", "double", "bytes", "string"}
+
+
+def _check_supported(schema: dict) -> list[tuple[str, Any]]:
+    """Validate the record schema; return [(field_name, field_type), ...]
+    where field_type is a primitive name or a ["null", primitive] union."""
+    if schema.get("type") != "record":
+        raise ValueError(f"unsupported root schema: {schema.get('type')!r}")
+    out = []
+    for f in schema["fields"]:
+        t = f["type"]
+        if isinstance(t, list):
+            if len(t) != 2 or t[0] != "null" or t[1] not in _PRIMITIVES:
+                raise ValueError(f"unsupported union for field {f['name']!r}: {t}")
+        elif t not in _PRIMITIVES:
+            raise ValueError(f"unsupported type for field {f['name']!r}: {t}")
+        out.append((f["name"], t))
+    return out
+
+
+# --------------------------------------------------------------- primitives
+def _write_long(out: bytearray, n: int) -> None:
+    z = (n << 1) ^ (n >> 63)  # zigzag (arithmetic shift: -1 for negatives)
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def _read_long(buf: bytes, pos: int) -> tuple[int, int]:
+    z, shift = 0, 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        z |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (z >> 1) ^ -(z & 1), pos
+
+
+def _write_value(out: bytearray, t: str, v: Any) -> None:
+    if t == "null":
+        return
+    if t == "boolean":
+        out.append(1 if v else 0)
+    elif t in ("int", "long"):
+        _write_long(out, int(v))
+    elif t == "float":
+        out += struct.pack("<f", float(v))
+    elif t == "double":
+        out += struct.pack("<d", float(v))
+    elif t == "string":
+        b = str(v).encode("utf-8")
+        _write_long(out, len(b))
+        out += b
+    elif t == "bytes":
+        b = bytes(v)
+        _write_long(out, len(b))
+        out += b
+    else:  # pragma: no cover - guarded by _check_supported
+        raise ValueError(f"unsupported type {t!r}")
+
+
+def _read_value(buf: bytes, pos: int, t: str) -> tuple[Any, int]:
+    if t == "null":
+        return None, pos
+    if t == "boolean":
+        return buf[pos] != 0, pos + 1
+    if t in ("int", "long"):
+        return _read_long(buf, pos)
+    if t == "float":
+        return struct.unpack_from("<f", buf, pos)[0], pos + 4
+    if t == "double":
+        return struct.unpack_from("<d", buf, pos)[0], pos + 8
+    if t in ("string", "bytes"):
+        n, pos = _read_long(buf, pos)
+        raw = bytes(buf[pos : pos + n])
+        return (raw.decode("utf-8") if t == "string" else raw), pos + n
+    raise ValueError(f"unsupported type {t!r}")  # pragma: no cover
+
+
+# ------------------------------------------------------------------ records
+def encode_record(schema: dict, values: dict) -> bytes:
+    """Encode one record (field-name → python value) to Avro binary."""
+    out = bytearray()
+    for name, t in _check_supported(schema):
+        v = values.get(name)
+        if isinstance(t, list):  # ["null", T]
+            if v is None:
+                _write_long(out, 0)
+            else:
+                _write_long(out, 1)
+                _write_value(out, t[1], v)
+        elif v is None:
+            raise ValueError(f"null for non-nullable field {name!r}")
+        else:
+            _write_value(out, t, v)
+    return bytes(out)
+
+
+def decode_record(schema: dict, data: bytes) -> dict:
+    """Decode Avro binary back to field-name → python value; validates the
+    payload is consumed exactly (a lossy codec would leave trailing bytes)."""
+    pos, out = 0, {}
+    for name, t in _check_supported(schema):
+        if isinstance(t, list):
+            branch, pos = _read_long(data, pos)
+            if branch == 0:
+                out[name] = None
+            else:
+                out[name], pos = _read_value(data, pos, t[1])
+        else:
+            out[name], pos = _read_value(data, pos, t)
+    if pos != len(data):
+        raise ValueError(f"trailing bytes: consumed {pos} of {len(data)}")
+    return out
+
+
+# ------------------------------------------------------------- Spark surface
+def avro_encode_df(df, schema: dict):
+    """Arrow-batched encode: DataFrame with the schema's columns → DataFrame
+    with a single Avro-binary ``value`` column (``mapInPandas`` — a narrow
+    map, no shuffle; per-record byte assembly is inherent to the format)."""
+    import pandas as pd
+
+    fields = _check_supported(schema)
+
+    def enc(batches):
+        for pdf in batches:
+            cols = {
+                name: list(pdf[name].astype(object).where(pdf[name].notna(), None))
+                for name, _ in fields
+            }
+            yield pd.DataFrame(
+                {
+                    "value": [
+                        encode_record(
+                            schema, {name: cols[name][i] for name, _ in fields}
+                        )
+                        for i in range(len(pdf))
+                    ]
+                },
+                dtype=object,
+            )
+
+    return df.mapInPandas(enc, "value binary")
+
+
+def avro_decode_df(df, schema: dict, spark_struct):
+    """Arrow-batched decode: DataFrame with a binary ``value`` column →
+    DataFrame typed as ``spark_struct`` (inverse of :func:`avro_encode_df`)."""
+    import pandas as pd
+
+    fields = _check_supported(schema)
+
+    def dec(batches):
+        for pdf in batches:
+            recs = [decode_record(schema, b) for b in pdf["value"]]
+            yield pd.DataFrame(
+                {name: [r[name] for r in recs] for name, _ in fields}, dtype=object
+            )
+
+    return df.mapInPandas(dec, spark_struct)

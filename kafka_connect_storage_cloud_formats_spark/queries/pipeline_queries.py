@@ -282,41 +282,49 @@ def _avro_available(spark: SparkSession) -> bool:
 
 def avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's actual value chain — Connect→**Avro**→columnar
-    (``OrcRecordWriter.java:64,71``) — as a registered, driver-visible
-    entry. When the spark-avro package is loaded: events rows are encoded
-    to Avro binary with ``to_avro`` (the Kafka value payload), decoded back
-    with ``from_avro`` via the engine's Connect-style Avro-JSON schema, and
-    aggregated — non-degenerate only if the Avro encode/decode is lossless.
-    Without the jar (this container) it returns a single explicit
-    ``status='gated'`` marker row, so the environment gate shows up in
-    driver output instead of hiding in a code comment.
+    (``OrcRecordWriter.java:64,71``) — as a registered, ORACLE-GATED entry.
+    Events rows are encoded to real Avro binary (the Kafka value payload)
+    and decoded back through the engine's Connect-style Avro-JSON schema,
+    then aggregated — the aggregate is non-degenerate only if the Avro
+    encode/decode is lossless, and the DuckDB oracle (the same aggregate
+    over the source table) hash-certifies exactly that.
 
-    Registered without an oracle (rows-only check): the availability split
-    is decided at runtime, and SQL engines don't share Spark's Avro codec.
-    The full-chain branch is exercised by tests when the jar is present.
+    Two codec paths, same bytes-on-the-wire format:
+
+    - spark-avro jar present → JVM ``to_avro``/``from_avro`` (preferred;
+      whole-stage, zero Python);
+    - otherwise (this container) → the engine's spec-compliant pure-Python
+      binary codec (functions/avro_codec.py), Arrow-batched, cross-validated
+      against the JVM Avro library in tests/test_avro_codec.py.
     """
-    if not _avro_available(spark):
-        return spark.range(1).select(
-            F.lit("gated").alias("status"),
-            F.lit(
-                "spark-avro package not on classpath; Connect->Avro->ORC value "
-                "chain available via decode_value(value_format='avro') when loaded"
-            ).alias("detail"),
-        )
     import json as _json
-
-    from pyspark.sql.avro.functions import from_avro, to_avro
 
     from kafka_connect_storage_cloud_formats_spark.schema import spark_schema_to_avro
 
     events = load_table(spark, sf_dir, "events")
-    schema_json = _json.dumps(spark_schema_to_avro(EVENTS_VALUE_SCHEMA))
-    payload = events.select(
-        to_avro(F.struct(*[f.name for f in EVENTS_VALUE_SCHEMA.fields])).alias("value")
-    )
-    decoded = payload.select(from_avro("value", schema_json).alias("v")).select("v.*")
+    avro_schema = spark_schema_to_avro(EVENTS_VALUE_SCHEMA)
+    struct_col = F.struct(*[f.name for f in EVENTS_VALUE_SCHEMA.fields])
+    if _avro_available(spark):
+        from pyspark.sql.avro.functions import from_avro, to_avro
+
+        schema_json = _json.dumps(avro_schema)
+        payload = events.select(to_avro(struct_col).alias("value"))
+        decoded = payload.select(from_avro("value", schema_json).alias("v"))
+    else:
+        from kafka_connect_storage_cloud_formats_spark.functions.avro_codec import (
+            avro_decode_df,
+            avro_encode_df,
+        )
+
+        payload = avro_encode_df(
+            events.select(*[f.name for f in EVENTS_VALUE_SCHEMA.fields]), avro_schema
+        )
+        decoded = avro_decode_df(payload, avro_schema, EVENTS_VALUE_SCHEMA).select(
+            F.struct(*[f.name for f in EVENTS_VALUE_SCHEMA.fields]).alias("v")
+        )
     return (
-        decoded.groupBy("event_type")
+        decoded.select("v.*")
+        .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("event_id").alias("sum_event_id"),
@@ -324,6 +332,15 @@ def avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+AVRO_ROUNDTRIP_SQL = """
+SELECT event_type, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
 
 
 JSON_ROUNDTRIP_SQL = """

@@ -8,6 +8,7 @@ operators (driver records a rows-only check).
 from __future__ import annotations
 
 from kafka_connect_storage_cloud_formats_spark.queries.pipeline_queries import (
+    AVRO_ROUNDTRIP_SQL,
     JSON_ROUNDTRIP_SQL,
     ORC_PARTITIONED_SQL,
     ORC_ROUNDTRIP_SQL,
@@ -40,8 +41,9 @@ _ALL: dict = {
     "orc_partitioned_roundtrip": (orc_partitioned_roundtrip, ORC_PARTITIONED_SQL),
     "parquet_roundtrip": (parquet_roundtrip, PARQUET_ROUNDTRIP_SQL),
     "json_roundtrip": (json_roundtrip, JSON_ROUNDTRIP_SQL),
-    # runtime-gated (spark-avro jar): rows-only driver check by design
-    "avro_roundtrip": (avro_roundtrip, None),
+    # real Avro binary on both paths (JVM to_avro/from_avro when the jar is
+    # loaded, else the engine's spec-compliant codec) — oracle-gated
+    "avro_roundtrip": (avro_roundtrip, AVRO_ROUNDTRIP_SQL),
     "schema_evolution_roundtrip": (schema_evolution_roundtrip, SCHEMA_EVOLUTION_SQL),
     "csv_roundtrip": (csv_roundtrip, CSV_ROUNDTRIP_SQL),
 }

@@ -1,0 +1,122 @@
+"""Spec-compliance tests for the pure-Python Avro binary codec,
+cross-validated against the JVM Avro library (avro-1.12.1.jar ships on
+Spark's classpath even without the spark-avro module) in BOTH directions:
+our bytes must decode on the JVM, JVM bytes must decode here."""
+
+import json
+import math
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kafka_connect_storage_cloud_formats_spark.functions.avro_codec import (
+    decode_record,
+    encode_record,
+)
+from kafka_connect_storage_cloud_formats_spark.queries.pipeline_queries import (
+    EVENTS_VALUE_SCHEMA,
+    avro_roundtrip,
+)
+from kafka_connect_storage_cloud_formats_spark.schema import spark_schema_to_avro
+
+SCHEMA = spark_schema_to_avro(EVENTS_VALUE_SCHEMA)
+
+RECORDS = st.fixed_dictionaries(
+    {
+        "event_id": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        "user_id": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        "event_type": st.text(max_size=40),
+        "value": st.one_of(
+            st.none(), st.floats(allow_nan=False, width=64, allow_infinity=True)
+        ),
+        "props": st.one_of(st.none(), st.text(max_size=40)),
+    }
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(RECORDS)
+def test_python_roundtrip_is_lossless(rec):
+    assert decode_record(SCHEMA, encode_record(SCHEMA, rec)) == rec
+
+
+def _jvm_decode(spark, payload: bytes) -> dict:
+    jvm = spark._jvm
+    schema = jvm.org.apache.avro.Schema.Parser().parse(json.dumps(SCHEMA))
+    reader = jvm.org.apache.avro.generic.GenericDatumReader(schema)
+    dec = jvm.org.apache.avro.io.DecoderFactory.get().binaryDecoder(payload, None)
+    rec = reader.read(None, dec)
+    out = {}
+    for f in ("event_id", "user_id", "event_type", "value", "props"):
+        v = rec.get(f)
+        # JVM strings arrive as org.apache.avro.util.Utf8
+        out[f] = str(v) if v is not None and f in ("event_type", "props") else v
+    return out
+
+
+def _jvm_encode(spark, rec: dict) -> bytes:
+    jvm = spark._jvm
+    schema = jvm.org.apache.avro.Schema.Parser().parse(json.dumps(SCHEMA))
+    grec = jvm.org.apache.avro.generic.GenericData.Record(schema)
+    for k, v in rec.items():
+        grec.put(k, v)
+    writer = jvm.org.apache.avro.generic.GenericDatumWriter(schema)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    enc = jvm.org.apache.avro.io.EncoderFactory.get().binaryEncoder(baos, None)
+    writer.write(grec, enc)
+    enc.flush()
+    return bytes(baos.toByteArray())
+
+
+SAMPLES = [
+    {"event_id": 0, "user_id": 0, "event_type": "", "value": None, "props": None},
+    {"event_id": 1, "user_id": -1, "event_type": "click", "value": 1.5, "props": "{}"},
+    {
+        "event_id": 2**62,
+        "user_id": -(2**62),
+        "event_type": "päge_view ✓",
+        "value": -0.0,
+        "props": None,
+    },
+    {"event_id": -127, "user_id": 63, "event_type": "x" * 300, "value": 1e308, "props": "p"},
+]
+
+
+def test_python_bytes_decode_on_the_jvm(spark):
+    for rec in SAMPLES:
+        got = _jvm_decode(spark, encode_record(SCHEMA, rec))
+        assert got == rec, rec
+
+
+def test_jvm_bytes_decode_in_python(spark):
+    for rec in SAMPLES:
+        got = decode_record(SCHEMA, _jvm_encode(spark, rec))
+        assert got == rec, rec
+
+
+def test_avro_roundtrip_query_matches_direct_aggregate(spark, sf_dir):
+    """The registered query's whole encode→decode→aggregate chain equals
+    the aggregate computed directly on the source (losslessness end-to-end
+    through the Spark plan, not just per-record)."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_storage_cloud_formats_spark.catalog import load_table
+    from kafka_connect_storage_cloud_formats_spark.queries.relational import dsum
+
+    got = {r["event_type"]: r.asDict() for r in avro_roundtrip(spark, sf_dir).collect()}
+    want = {
+        r["event_type"]: r.asDict()
+        for r in (
+            load_table(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("event_id").alias("sum_event_id"),
+                dsum("value").alias("total_value"),
+            )
+            .collect()
+        )
+    }
+    assert got == want
+    assert len(got) > 0

@@ -91,4 +91,4 @@ def test_oracle_less_queries_are_documented_exceptions():
     from kafka_connect_storage_cloud_formats_spark.queries.registry import QUERIES
 
     no_oracle = {n for n, (_, sql) in QUERIES.items() if sql is None}
-    assert no_oracle == {"approx_profile", "avro_roundtrip"}, no_oracle
+    assert no_oracle == {"approx_profile"}, no_oracle
