@@ -84,23 +84,18 @@ def test_defaults_are_valid():
         assert codec in FORMAT_COMPRESSIONS[fmt]
 
 
-def test_avro_roundtrip_gate_is_visible(spark, sf_dir):
-    """Without the spark-avro jar the avro_roundtrip entry must return the
-    explicit 1-row gated marker (never silently succeed or crash); with the
-    jar it must return the per-event_type aggregate."""
+def test_avro_roundtrip_works_with_or_without_the_jar(spark, sf_dir):
+    """avro_roundtrip must produce the real per-event_type aggregate on BOTH
+    codec paths: JVM to_avro/from_avro when the spark-avro jar is loaded,
+    else the engine's spec-compliant pure-Python binary codec (round-3
+    verdict ask #3 — the formerly-gated marker row is gone)."""
     from kafka_connect_storage_cloud_formats_spark.queries.pipeline_queries import (
-        _avro_available,
         avro_roundtrip,
     )
 
     out = avro_roundtrip(spark, sf_dir)
-    if _avro_available(spark):
-        assert "event_type" in out.columns
-        assert out.count() > 0
-    else:
-        rows = out.collect()
-        assert len(rows) == 1
-        assert rows[0]["status"] == "gated"
+    assert set(out.columns) == {"event_type", "n", "sum_event_id", "total_value"}
+    assert out.count() > 0
 
 
 def test_ivf_index_build_inventory_matches_source(spark, sf_dir):
