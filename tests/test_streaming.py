@@ -74,6 +74,60 @@ def test_exactly_once_ingest_rerun(spark, events_src, tmp_path):
     assert spark.read.orc(out).count() == n_events + 100
 
 
+def test_mid_run_kill_and_checkpoint_restart_is_exactly_once(spark, events_src, tmp_path):
+    """The reference's recovery-with-partial-file scenario
+    (DataWriterOrcTest.java:102-124) at streaming granularity: KILL the
+    ingest query between micro-batches (possibly mid-batch, leaving
+    uncommitted part-files), restart it from the same checkpoint, and
+    repeat until the source is drained. The committed ORC output — as
+    resolved through the ``_spark_metadata`` commit log — must equal the
+    source EXACTLY once: an interrupted batch may neither drop its rows
+    nor commit them twice across restarts."""
+    import time as _time
+
+    shared_src, schema = events_src
+    ev = spark.read.parquet(shared_src)
+    total = ev.count()
+    src = str(tmp_path / "src")
+    # 6 single-file chunks → 6 micro-batches at maxFilesPerTrigger=1
+    for k in range(6):
+        ev.filter(F.col("event_id") % 6 == k).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(0.05)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def committed_count() -> int:
+        try:
+            return spark.read.orc(out).count()
+        except Exception:  # no batch committed yet → no readable sink
+            return 0
+
+    runs = 0
+    while runs < 24 and committed_count() < total:
+        q = (
+            file_stream_source(spark, src, schema, max_files_per_trigger=1)
+            .writeStream.format("orc")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        # kill as soon as the first micro-batch of THIS run commits —
+        # the next batch is typically in flight, so the stop also
+        # exercises the partial-write path
+        deadline = _time.time() + 120
+        while q.isActive and not q.recentProgress and _time.time() < deadline:
+            _time.sleep(0.02)
+        q.stop()
+        runs += 1
+    assert committed_count() == total, f"undrained after {runs} interrupted runs"
+    assert runs >= 2, "stream completed before it could be interrupted"
+
+    # exactly-once, as a multiset: no row dropped, none duplicated
+    got = sorted(r[0] for r in spark.read.orc(out).select("event_id").collect())
+    want = sorted(r[0] for r in ev.select("event_id").collect())
+    assert got == want
+
+
 def test_streaming_tumbling_equals_batch(spark, events_src):
     """The same tumbling plan through the streaming engine (complete mode)
     must produce the batch answer."""
