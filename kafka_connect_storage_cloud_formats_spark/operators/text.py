@@ -457,21 +457,24 @@ def doc_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     → per-doc aggregate. No self-join, no candidate explosion: cost is
     O(tokens) + two key shuffles."""
     docs = load_table(spark, sf_dir, "documents")
-    w = F.split("text", " ")
-    # Guard short docs: for size(w) < BIGRAM_N the naive
-    # sequence(1, size - 1) has start > stop, which Spark runs DESCENDING
-    # (default step -1) — producing [1, 0] and a runtime slice(w, 0, ·)
-    # error — while the oracle's range(1, 1) correctly emits nothing. Emit
-    # an explicitly empty index array instead, so 0/1-token documents yield
-    # no bigrams on both engines.
-    idx = F.when(
-        F.size(w) >= BIGRAM_N,
-        F.sequence(F.lit(1), F.size(w) - (BIGRAM_N - 1)),
-    ).otherwise(F.expr("CAST(array() AS ARRAY<INT>)"))
-    bigrams_arr = F.transform(idx, lambda i: F.array_join(F.slice(w, i, BIGRAM_N), " "))
+    # Guard short docs BEFORE the index sequence: for size(w) < BIGRAM_N the
+    # naive sequence(1, size - 1) has start > stop, which Spark runs
+    # DESCENDING (default step -1) — producing [1, 0] and a runtime
+    # slice(w, 0, ·) error — while the oracle's range(1, 1) correctly emits
+    # nothing. Filtering size(w) >= BIGRAM_N is equivalent (a 0/1-token doc
+    # contributes no bigrams, so it vanishes from the per-doc aggregate on
+    # both engines) and stays a plain pushable predicate instead of a
+    # per-row conditional in the projection.
+    toks = docs.select("doc_id", F.split("text", " ").alias("w")).filter(
+        F.size("w") >= BIGRAM_N
+    )
+    idx = F.sequence(F.lit(1), F.size("w") - (BIGRAM_N - 1))
+    bigrams_arr = F.transform(
+        idx, lambda i: F.array_join(F.slice("w", i, BIGRAM_N), " ")
+    )
     # One tokenize pass, materialized: the frequency aggregate and the join
     # side both read these blocks.
-    bg = docs.select("doc_id", F.explode(bigrams_arr).alias("bg")).localCheckpoint(
+    bg = toks.select("doc_id", F.explode(bigrams_arr).alias("bg")).localCheckpoint(
         eager=True
     )
     freq = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("freq"))
