@@ -73,6 +73,21 @@ def _with_norm(df: DataFrame) -> DataFrame:
     return df.withColumn("norm", l2_norm_vec(F.col("embedding")))
 
 
+def _jvm_dot(a: str, b: str):
+    """JVM-side higher-order-function dot (functions/vectors.py:24): the
+    same left-associated double chain as ``_dot``/the oracle — bit-identical
+    results — but evaluated entirely in the JVM. Used for the tiny
+    query→centroid ASSIGNMENT subtree (Q·C rows) so plans that embed it as
+    a dynamic-partition-pruning subquery stay pure-JVM: the DPP probe then
+    costs a metadata-scale job instead of spinning Python worker stages
+    before the main scan ever starts. Corpus-scale cosines keep the
+    Arrow/NumPy path (vectorized beats interpreted per-element folds there).
+    """
+    from kafka_connect_storage_cloud_formats_spark.functions.vectors import dot
+
+    return dot(F.col(a), F.col(b))
+
+
 def _sql_dot(a: str, b: str) -> str:
     terms = " + ".join(
         f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)" for i in range(1, DIM + 1)
@@ -332,7 +347,10 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the centroid table is tiny (n_labels rows) and broadcast;
     the bucket restriction turns the O(Q·N) scan into O(Q·N/n_labels), and
-    the corpus side is partition-prunable by label.
+    the corpus side is partition-prunable by label. The assignment subtree
+    (query→centroid, Q·C rows) is pure-JVM (``_jvm_dot``) so it is cheap to
+    re-evaluate wherever the optimizer embeds it (e.g. as a pruning
+    subquery); the corpus-scale re-rank keeps the Arrow path.
     """
     base = _with_norm(_load(spark, sf_dir))
     cents = (
@@ -344,13 +362,13 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("cd", lambda s: s["centroid"]).alias("c_emb"),
         )
     )
-    cents = cents.withColumn("c_norm", F.sqrt(_dot("c_emb", "c_emb")))
-    q = base.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+    cents = cents.withColumn("c_norm", F.sqrt(_jvm_dot("c_emb", "c_emb")))
+    q = _load(spark, sf_dir).filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
-        F.col("norm").alias("q_norm"),
     )
-    ccos = _dot("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm"))
+    q = q.withColumn("q_norm", F.sqrt(_jvm_dot("q_emb", "q_emb")))
+    ccos = _jvm_dot("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm"))
     wa = Window.partitionBy("q_id").orderBy(F.desc("ccos"), F.asc("c_label"))
     assigned = (
         q.crossJoin(F.broadcast(cents))
@@ -486,10 +504,15 @@ def ivf_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "embedding", F.col("label").cast("long").alias("label")
         )
     )
-    base = _with_norm(_load(spark, sf_dir))
     # Coarse quantizer read from the materialized centroid table (doubles
     # round-trip parquet exactly) — the probe never re-aggregates the
-    # corpus; both index artifacts come from the same build.
+    # corpus; both index artifacts come from the same build. The whole
+    # assignment subtree is pure-JVM (``_jvm_dot``): DPP re-executes it as
+    # the pruning subquery BEFORE the index scan, and a subquery that spins
+    # Python worker stages would put an Arrow round-trip on the critical
+    # path of every probe (measured: 1–3 s of added latency/variance at
+    # sf0.1; at 100 TB the probe's time-to-first-byte would eat the same
+    # stall).
     cents = (
         spark.read.parquet(index_path + "_centroids")
         .groupBy("label")
@@ -499,13 +522,13 @@ def ivf_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("cd", lambda s: s["centroid"]).alias("c_emb"),
         )
     )
-    cents = cents.withColumn("c_norm", F.sqrt(_dot("c_emb", "c_emb")))
-    q = base.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+    cents = cents.withColumn("c_norm", F.sqrt(_jvm_dot("c_emb", "c_emb")))
+    q = _load(spark, sf_dir).filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
-        F.col("norm").alias("q_norm"),
     )
-    ccos = _dot("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm"))
+    q = q.withColumn("q_norm", F.sqrt(_jvm_dot("q_emb", "q_emb")))
+    ccos = _jvm_dot("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm"))
     wa = Window.partitionBy("q_id").orderBy(F.desc("ccos"), F.asc("c_label"))
     assigned = (
         q.crossJoin(F.broadcast(cents))
