@@ -71,6 +71,18 @@ def test_ivf_pruned_matches_logical_and_prunes_partitions(spark, sf_dir):
     assert got == logical
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), "index scan must use dynamic partition pruning"
+    # The DPP subquery re-executes the assignment subtree before the index
+    # scan: it must stay pure-JVM (the probe's time-to-first-byte would
+    # otherwise pay an Arrow round-trip per execution). Exactly two Python
+    # stages remain — the corpus-side norm and the final cosine re-rank —
+    # and neither sits in the assignment/pruning subtree. Count DISTINCT
+    # nodes: reused exchanges print the same node (same expr ids) twice.
+    py_nodes = {
+        line.strip() for line in plan.splitlines() if "ArrowEvalPython" in line
+    }
+    assert len(py_nodes) <= 2, (
+        "assignment/DPP subtree must not contain Python stages:\n" + plan
+    )
 
 
 def test_sq8_recall_vs_bruteforce(spark, sf_dir):
