@@ -117,10 +117,11 @@ def _read_value(buf: bytes, pos: int, t: str) -> tuple[Any, int]:
 
 
 # ------------------------------------------------------------------ records
-def encode_record(schema: dict, values: dict) -> bytes:
-    """Encode one record (field-name → python value) to Avro binary."""
+def _encode_record_fields(fields: list, values: dict) -> bytes:
+    """Encode one record against a pre-validated field list (the per-batch
+    hot path: schema validation is lifted out of the per-record loop)."""
     out = bytearray()
-    for name, t in _check_supported(schema):
+    for name, t in fields:
         v = values.get(name)
         if isinstance(t, list):  # ["null", T]
             if v is None:
@@ -135,11 +136,9 @@ def encode_record(schema: dict, values: dict) -> bytes:
     return bytes(out)
 
 
-def decode_record(schema: dict, data: bytes) -> dict:
-    """Decode Avro binary back to field-name → python value; validates the
-    payload is consumed exactly (a lossy codec would leave trailing bytes)."""
+def _decode_record_fields(fields: list, data: bytes) -> dict:
     pos, out = 0, {}
-    for name, t in _check_supported(schema):
+    for name, t in fields:
         if isinstance(t, list):
             branch, pos = _read_long(data, pos)
             if branch == 0:
@@ -151,6 +150,17 @@ def decode_record(schema: dict, data: bytes) -> dict:
     if pos != len(data):
         raise ValueError(f"trailing bytes: consumed {pos} of {len(data)}")
     return out
+
+
+def encode_record(schema: dict, values: dict) -> bytes:
+    """Encode one record (field-name → python value) to Avro binary."""
+    return _encode_record_fields(_check_supported(schema), values)
+
+
+def decode_record(schema: dict, data: bytes) -> dict:
+    """Decode Avro binary back to field-name → python value; validates the
+    payload is consumed exactly (a lossy codec would leave trailing bytes)."""
+    return _decode_record_fields(_check_supported(schema), data)
 
 
 # ------------------------------------------------------------- Spark surface
@@ -171,8 +181,8 @@ def avro_encode_df(df, schema: dict):
             yield pd.DataFrame(
                 {
                     "value": [
-                        encode_record(
-                            schema, {name: cols[name][i] for name, _ in fields}
+                        _encode_record_fields(
+                            fields, {name: cols[name][i] for name, _ in fields}
                         )
                         for i in range(len(pdf))
                     ]
@@ -192,7 +202,7 @@ def avro_decode_df(df, schema: dict, spark_struct):
 
     def dec(batches):
         for pdf in batches:
-            recs = [decode_record(schema, b) for b in pdf["value"]]
+            recs = [_decode_record_fields(fields, b) for b in pdf["value"]]
             yield pd.DataFrame(
                 {name: [r[name] for r in recs] for name, _ in fields}, dtype=object
             )
