@@ -83,6 +83,8 @@ _STALE_AFTER_R3 = [
     "q11_important_parts", "q12_priority_by_returnflag",
     "q20_promotion_suppliers", "orders_price_moments",
     "scrub_numeric_tokens", "vocab_stats", "doc_quality_deciles",
+    # NOTE: ivf_topk also changed in round 4 (pure-JVM assignment subtree,
+    # operators/similarity.py::_jvm_dot) — its fresh row certifies that code.
     "dedup_canonical", "ivf_topk", "ann_recall_at_10",
     "media_catalog", "image_decode_stats", "video_frame_index",
     "events_funnel", "events_interval_join", "events_tumbling_15m",
