@@ -56,6 +56,28 @@ def test_ensure_artifact_publishes_atomically(tmp_path):
     assert [p for p in os.listdir(str(tmp_path)) if ".tmp." in p] == []
 
 
+def test_losing_concurrent_builder_discards_quietly(tmp_path):
+    """Two builders race: the one whose publish loses must leave the
+    winner's artifact untouched and clean up its own tmp dir. Simulated by
+    a build fn that 'loses' — the target appears (winner publishes) while
+    it is still writing."""
+    target = str(tmp_path / "artifact")
+
+    def winner_publishes_mid_build(tmp_dir):
+        os.makedirs(tmp_dir)
+        open(os.path.join(tmp_dir, "part-0"), "w").write("loser")
+        open(os.path.join(tmp_dir, "_SUCCESS"), "w").close()
+        # concurrent winner publishes first
+        os.makedirs(target)
+        open(os.path.join(target, "part-0"), "w").write("winner")
+        open(os.path.join(target, "_SUCCESS"), "w").close()
+
+    assert ensure_artifact(target, winner_publishes_mid_build) == target
+    # winner's content survives; loser's bytes never reach the target
+    assert open(os.path.join(target, "part-0")).read() == "winner"
+    assert [p for p in os.listdir(str(tmp_path)) if ".tmp." in p] == []
+
+
 def test_failed_build_leaves_no_partial_artifact(tmp_path):
     target = str(tmp_path / "artifact")
 
