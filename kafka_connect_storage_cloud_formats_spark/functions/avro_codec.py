@@ -173,21 +173,31 @@ def avro_encode_df(df, schema: dict):
     fields = _check_supported(schema)
 
     def enc(batches):
+        # Positional hot loop: columns are materialized once per batch in
+        # field-declaration order and rows stream through zip() — no
+        # per-record dict construction.
+        def enc_row(row):
+            out = bytearray()
+            for (name, t), v in zip(fields, row):
+                if isinstance(t, list):  # ["null", T]
+                    if v is None:
+                        _write_long(out, 0)
+                    else:
+                        _write_long(out, 1)
+                        _write_value(out, t[1], v)
+                elif v is None:
+                    raise ValueError(f"null for non-nullable field {name!r}")
+                else:
+                    _write_value(out, t, v)
+            return bytes(out)
+
         for pdf in batches:
-            cols = {
-                name: list(pdf[name].astype(object).where(pdf[name].notna(), None))
+            cols = [
+                list(pdf[name].astype(object).where(pdf[name].notna(), None))
                 for name, _ in fields
-            }
+            ]
             yield pd.DataFrame(
-                {
-                    "value": [
-                        _encode_record_fields(
-                            fields, {name: cols[name][i] for name, _ in fields}
-                        )
-                        for i in range(len(pdf))
-                    ]
-                },
-                dtype=object,
+                {"value": [enc_row(row) for row in zip(*cols)]}, dtype=object
             )
 
     return df.mapInPandas(enc, "value binary")
@@ -201,10 +211,28 @@ def avro_decode_df(df, schema: dict, spark_struct):
     fields = _check_supported(schema)
 
     def dec(batches):
+        # Decode straight into per-column lists (no per-record dict).
+        def dec_row(data, cols):
+            pos = 0
+            for (_, t), col in zip(fields, cols):
+                if isinstance(t, list):
+                    branch, pos = _read_long(data, pos)
+                    if branch == 0:
+                        col.append(None)
+                        continue
+                    v, pos = _read_value(data, pos, t[1])
+                else:
+                    v, pos = _read_value(data, pos, t)
+                col.append(v)
+            if pos != len(data):
+                raise ValueError(f"trailing bytes: consumed {pos} of {len(data)}")
+
         for pdf in batches:
-            recs = [_decode_record_fields(fields, b) for b in pdf["value"]]
+            cols = [[] for _ in fields]
+            for b in pdf["value"]:
+                dec_row(b, cols)
             yield pd.DataFrame(
-                {name: [r[name] for r in recs] for name, _ in fields}, dtype=object
+                {name: col for (name, _), col in zip(fields, cols)}, dtype=object
             )
 
     return df.mapInPandas(dec, spark_struct)
