@@ -110,11 +110,25 @@ def bucketed_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         # write at this (session-unique) location — clearing it touches no
         # other session's files.
         import shutil
+        import time
         from urllib.parse import urlparse
 
         wh = spark.conf.get("spark.sql.warehouse.dir")
         wh_path = urlparse(wh).path or wh
         shutil.rmtree(os.path.join(wh_path, table), ignore_errors=True)
+        # Session-unique names can't race live sessions, but they also mean
+        # nothing ever deletes a DEAD session's tables — sweep leftovers
+        # older than 6h (a live build's dir mtime is recent, so the age
+        # guard preserves the no-deleting-concurrent-work property). A
+        # metastore-backed deployment would use table retention instead.
+        cutoff = time.time() - 6 * 3600
+        try:
+            for d in os.listdir(wh_path):
+                p = os.path.join(wh_path, d)
+                if re.match(r"(orders|customer)_bkt_", d) and os.path.getmtime(p) < cutoff:
+                    shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
         write_bucketed(df, table, ("custkey",))
 
     ensure(
