@@ -48,3 +48,26 @@ def test_simhash_pairs_within_distance(spark, sf_dir):
     dupes = dedup_exact(spark, sf_dir).filter(F.col("n_copies") > 1)
     if dupes.count():
         assert pairs.filter(F.col("hamming") == 0).count() > 0
+
+
+def test_minhash_signature_artifact_built_once_and_consistent(spark, sf_dir):
+    """The materialized signature table must (a) publish at the
+    content-keyed path, (b) NOT rebuild on a second consumer call, and
+    (c) hold exactly the rows the in-session derivation produces."""
+    import os
+
+    from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_path
+    from kafka_connect_storage_cloud_formats_spark.operators.dedup import (
+        _ensure_minhash_sigs,
+        _minhash_sig_table,
+    )
+
+    path = artifact_path("minhash_sigs", sf_dir, "documents")
+    art = _ensure_minhash_sigs(spark, sf_dir)
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    stamp = os.stat(path).st_mtime_ns
+    _ensure_minhash_sigs(spark, sf_dir)  # second consumer: cache hit
+    assert os.stat(path).st_mtime_ns == stamp, "artifact rebuilt on cache hit"
+    got = {tuple(r) for r in art.collect()}
+    want = {tuple(r) for r in _minhash_sig_table(spark, sf_dir).collect()}
+    assert got == want
