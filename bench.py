@@ -39,34 +39,38 @@ def main() -> int:
     spark = get_spark("bench")
     queries = entry_mod.queries()
 
-    timings: dict[str, float] = {}
-    total = 0.0
-    for name, fn in queries.items():
-        # min of 2 executions: the first also pays one-time Janino/C2
-        # compilation for the query's generated code, and the shared host
-        # shows sporadic multi-second stalls unrelated to the plan;
-        # min-of-2 reports the steady-state cost a long-running cluster
-        # sees. Queries still slow after two runs get ONE more attempt —
-        # a host-stall window can swallow both back-to-back runs, and the
-        # slow tail is where a stale stall most distorts the total. Bounded:
-        # at most one extra run per slow query.
-        best, n = None, 0
-        runs = 2
-        done = 0
-        while done < runs:
-            t0 = time.perf_counter()
-            n = fn(spark, SF_DIR).count()
-            secs = time.perf_counter() - t0
-            best = secs if best is None else min(best, secs)
-            # Operators may cache intermediates; drop them so measurements
-            # are independent.
-            spark.catalog.clearCache()
-            done += 1
-            if done == 2 and best > 2.0:
-                runs = 3
-        timings[name] = round(best, 3)
-        total += timings[name]
-        print(f"# {name}: {n} rows in {timings[name]:.2f}s", file=sys.stderr)
+    # min of 2 executions per query: the first also pays one-time Janino/C2
+    # compilation for the query's generated code, and the shared host shows
+    # sporadic multi-second (sometimes multi-minute) stall windows unrelated
+    # to the plan; min-of-N reports the steady-state cost a long-running
+    # cluster sees. The two trials run as two INTERLEAVED full passes —
+    # back-to-back trials of one query land in the same stall window
+    # (correlated noise: min-of-2 can't help), while passes separated by the
+    # rest of the suite sample different windows. Queries still slow after
+    # both passes get ONE bounded extra trial in a final retry pass.
+    best: dict[str, float] = {}
+    rows: dict[str, int] = {}
+
+    def trial(name, fn) -> None:
+        t0 = time.perf_counter()
+        rows[name] = fn(spark, SF_DIR).count()
+        secs = time.perf_counter() - t0
+        best[name] = min(best.get(name, secs), secs)
+        # Operators may cache intermediates; drop them so trials are
+        # independent.
+        spark.catalog.clearCache()
+
+    for _pass in range(2):
+        for name, fn in queries.items():
+            trial(name, fn)
+    for name, fn in queries.items():  # bounded retry pass for the slow tail
+        if best[name] > 2.0:
+            trial(name, fn)
+
+    timings = {name: round(best[name], 3) for name in queries}
+    total = sum(timings.values())
+    for name in queries:
+        print(f"# {name}: {rows[name]} rows in {timings[name]:.2f}s", file=sys.stderr)
 
     payload = json.dumps(
         {
