@@ -83,7 +83,17 @@ def ensure_artifact(
             try:
                 os.rename(tmp, path)
             except OSError:
-                pass  # concurrent builder published first; ours is identical
+                pass  # rename contention — adjudicated below, not assumed benign
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+    # Verify the publish actually happened: a swallowed rename failure is
+    # only benign when a concurrent builder won the race (same content key
+    # ⇒ identical artifact). Any other cause — e.g. a stale directory at
+    # ``path`` with no ``_SUCCESS`` blocking the rename — must fail loudly
+    # here rather than let a reader consume a partial artifact.
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        raise RuntimeError(
+            f"artifact publish failed: {path} exists without _SUCCESS "
+            "(stale/partial directory blocking atomic rename — remove it)"
+        )
     return path

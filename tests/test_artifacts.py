@@ -78,6 +78,27 @@ def test_losing_concurrent_builder_discards_quietly(tmp_path):
     assert [p for p in os.listdir(str(tmp_path)) if ".tmp." in p] == []
 
 
+def test_stale_blocking_directory_fails_loudly(tmp_path):
+    """A directory squatting at the target WITHOUT a _SUCCESS marker (e.g.
+    a manually-created or legacy-layout dir) blocks the atomic rename; the
+    cache must raise rather than hand a reader the broken directory."""
+    target = str(tmp_path / "artifact")
+    os.makedirs(target)
+    open(os.path.join(target, "junk"), "w").write("not an artifact")
+
+    def build(tmp_dir):
+        os.makedirs(tmp_dir)
+        open(os.path.join(tmp_dir, "part-0"), "w").write("data")
+        open(os.path.join(tmp_dir, "_SUCCESS"), "w").close()
+
+    import pytest
+
+    with pytest.raises(RuntimeError, match="_SUCCESS"):
+        ensure_artifact(target, build)
+    # and its own tmp dir is still cleaned up
+    assert [p for p in os.listdir(str(tmp_path)) if ".tmp." in p] == []
+
+
 def test_failed_build_leaves_no_partial_artifact(tmp_path):
     target = str(tmp_path / "artifact")
 
