@@ -51,21 +51,25 @@ def main() -> int:
     best: dict[str, float] = {}
     rows: dict[str, int] = {}
 
-    def trial(name, fn) -> None:
+    def trial(name, fn, tag) -> None:
         t0 = time.perf_counter()
         rows[name] = fn(spark, SF_DIR).count()
         secs = time.perf_counter() - t0
         best[name] = min(best.get(name, secs), secs)
+        # Stream each trial as it completes: if the run wedges or is killed
+        # mid-pass (the documented host stall windows), stderr still shows
+        # which query it died in and every timing up to that point.
+        print(f"# [{tag}] {name}: {rows[name]} rows in {secs:.2f}s", file=sys.stderr)
         # Operators may cache intermediates; drop them so trials are
         # independent.
         spark.catalog.clearCache()
 
     for _pass in range(2):
         for name, fn in queries.items():
-            trial(name, fn)
+            trial(name, fn, f"pass{_pass + 1}")
     for name, fn in queries.items():  # bounded retry pass for the slow tail
         if best[name] > 2.0:
-            trial(name, fn)
+            trial(name, fn, "retry")
 
     timings = {name: round(best[name], 3) for name in queries}
     total = sum(timings.values())

@@ -52,13 +52,20 @@ def corpus_fingerprint(sf_dir: str, table: str) -> str:
     return h.hexdigest()[:12]
 
 
-def artifact_path(kind: str, sf_dir: str, table: str) -> str:
+def artifact_path(kind: str, sf_dir: str, table: str, params: str = "") -> str:
     """Default cache location for an artifact derived from ``table`` at
-    ``sf_dir``: keyed by sf basename AND content fingerprint."""
+    ``sf_dir``: keyed by sf basename, SOURCE content fingerprint, and a
+    ``params`` token naming the derivation's constants (K, shingle width,
+    cluster count, …). The params token closes the other half of the
+    staleness surface: the content fingerprint invalidates on corpus
+    regeneration, the params token on derivation changes — without it, a
+    round that retunes MINHASH_K would silently serve the previous
+    round's signatures from the same path."""
     tag = os.path.basename(os.path.normpath(sf_dir))
+    ptag = f"_{params}" if params else ""
     return os.path.join(
         tempfile.gettempdir(),
-        f"engine_{kind}_{tag}_{corpus_fingerprint(sf_dir, table)}",
+        f"engine_{kind}{ptag}_{tag}_{corpus_fingerprint(sf_dir, table)}",
     )
 
 
@@ -77,23 +84,26 @@ def ensure_artifact(
     if done and not force:
         return path
     tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+    rename_err: OSError | None = None
     try:
         build(tmp)
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
             try:
                 os.rename(tmp, path)
-            except OSError:
-                pass  # rename contention — adjudicated below, not assumed benign
+            except OSError as e:
+                rename_err = e  # adjudicated below, not assumed benign
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     # Verify the publish actually happened: a swallowed rename failure is
     # only benign when a concurrent builder won the race (same content key
-    # ⇒ identical artifact). Any other cause — e.g. a stale directory at
-    # ``path`` with no ``_SUCCESS`` blocking the rename — must fail loudly
-    # here rather than let a reader consume a partial artifact.
+    # ⇒ identical artifact, observable as _SUCCESS at the target). Any
+    # other cause — a stale no-_SUCCESS directory squatting at ``path``,
+    # EACCES/EROFS on the shared tmp dir — must fail loudly, chaining the
+    # real errno rather than letting a reader consume a partial artifact
+    # (or misdirecting the operator at the wrong cause).
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         raise RuntimeError(
-            f"artifact publish failed: {path} exists without _SUCCESS "
-            "(stale/partial directory blocking atomic rename — remove it)"
-        )
+            f"artifact publish failed: {path} has no _SUCCESS after build "
+            f"(rename error: {rename_err!r})"
+        ) from rename_err
     return path

@@ -167,10 +167,44 @@ def decode_record(schema: dict, data: bytes) -> dict:
 def avro_encode_df(df, schema: dict):
     """Arrow-batched encode: DataFrame with the schema's columns → DataFrame
     with a single Avro-binary ``value`` column (``mapInPandas`` — a narrow
-    map, no shuffle; per-record byte assembly is inherent to the format)."""
+    map, no shuffle; per-record byte assembly is inherent to the format).
+
+    NaN payloads fail LOUDLY: after the Arrow→pandas conversion a genuine
+    NaN double is indistinguishable from SQL NULL (both surface as NaN in a
+    float64 column), so a silent pass would rewrite NaN → null while the
+    JVM ``to_avro`` path preserves it. The guard is a JVM-side
+    ``assert_true`` column riding the UDF input (mapInPandas receives its
+    child's full schema, so the column cannot be pruned away); the encoder
+    itself never reads it."""
     import pandas as pd
+    from pyspark.sql import functions as F
 
     fields = _check_supported(schema)
+
+    float_fields = [
+        name
+        for name, t in fields
+        if (t[1] if isinstance(t, list) else t) in ("float", "double")
+    ]
+    if float_fields:
+        cond = None
+        for name in float_fields:
+            g = F.isnull(F.col(name)) | ~F.isnan(F.col(name))
+            cond = g if cond is None else cond & g
+        df = df.withColumn(
+            "__nan_guard",
+            F.coalesce(
+                F.assert_true(
+                    cond,
+                    F.lit(
+                        "NaN in a float/double field: not representable across "
+                        "the Arrow-pandas boundary (conflates with null); use "
+                        "the JVM to_avro path for NaN payloads"
+                    ),
+                ).cast("int"),
+                F.lit(0),
+            ),
+        )
 
     def enc(batches):
         # Positional hot loop: columns are materialized once per batch in
@@ -214,7 +248,7 @@ def avro_decode_df(df, schema: dict, spark_struct):
         # Decode straight into per-column lists (no per-record dict).
         def dec_row(data, cols):
             pos = 0
-            for (_, t), col in zip(fields, cols):
+            for (name, t), col in zip(fields, cols):
                 if isinstance(t, list):
                     branch, pos = _read_long(data, pos)
                     if branch == 0:
@@ -223,6 +257,15 @@ def avro_decode_df(df, schema: dict, spark_struct):
                     v, pos = _read_value(data, pos, t[1])
                 else:
                     v, pos = _read_value(data, pos, t)
+                # A decoded NaN would silently become SQL NULL at the
+                # pandas→Arrow boundary on the way back — refuse loudly
+                # (mirror of the encode-side guard).
+                if isinstance(v, float) and v != v:
+                    raise ValueError(
+                        f"NaN decoded for field {name!r}: not representable "
+                        "across the Arrow-pandas boundary; use the JVM "
+                        "from_avro path for NaN payloads"
+                    )
                 col.append(v)
             if pos != len(data):
                 raise ValueError(f"trailing bytes: consumed {pos} of {len(data)}")

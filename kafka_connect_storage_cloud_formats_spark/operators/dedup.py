@@ -241,7 +241,9 @@ def _ensure_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     are hex strings, so the parquet roundtrip is exact (hash-neutral)."""
     from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_path, ensure_artifact
 
-    path = artifact_path("minhash_sigs", sf_dir, "documents")
+    path = artifact_path(
+        "minhash_sigs", sf_dir, "documents", params=f"k{MINHASH_K}n{SHINGLE_N}"
+    )
     ensure_artifact(
         path, lambda tmp: _minhash_sig_table(spark, sf_dir).write.parquet(tmp)
     )

@@ -103,32 +103,49 @@ def bucketed_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ot, ct = f"orders_bkt_{tag}", f"customer_bkt_{tag}"
 
+    import shutil
+    import time
+    from urllib.parse import urlparse
+
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    wh_path = urlparse(wh).path or wh
+
     def ensure(table: str, df: DataFrame) -> None:
+        loc = os.path.join(wh_path, table)
         if spark.catalog.tableExists(table):
-            return
+            if os.path.isdir(loc):
+                # Refresh mtime on EVERY use: the dead-session sweep below
+                # keys on age, and a table a live session keeps querying
+                # must never age past the guard (its build mtime alone
+                # would, after 6h of steady use).
+                os.utime(loc)
+                return
+            # Files vanished under a live catalog entry (external cleanup /
+            # an over-eager sweep): self-heal by rebuilding instead of
+            # returning a table that fails at scan time.
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
         # A fresh session can still collide with its own earlier crashed
         # write at this (session-unique) location — clearing it touches no
         # other session's files.
-        import shutil
-        import time
-        from urllib.parse import urlparse
-
-        wh = spark.conf.get("spark.sql.warehouse.dir")
-        wh_path = urlparse(wh).path or wh
-        shutil.rmtree(os.path.join(wh_path, table), ignore_errors=True)
+        shutil.rmtree(loc, ignore_errors=True)
         # Session-unique names can't race live sessions, but they also mean
         # nothing ever deletes a DEAD session's tables — sweep leftovers
-        # older than 6h (a live build's dir mtime is recent, so the age
-        # guard preserves the no-deleting-concurrent-work property). A
+        # older than 6h. Live tables are protected by the per-use utime
+        # above (age here means 6h UNTOUCHED, not 6h since build); a
+        # swept-while-idle table self-heals via the rebuild path. A
         # metastore-backed deployment would use table retention instead.
         cutoff = time.time() - 6 * 3600
         try:
-            for d in os.listdir(wh_path):
-                p = os.path.join(wh_path, d)
+            entries = os.listdir(wh_path)
+        except OSError:
+            entries = []
+        for d in entries:
+            p = os.path.join(wh_path, d)
+            try:
                 if re.match(r"(orders|customer)_bkt_", d) and os.path.getmtime(p) < cutoff:
                     shutil.rmtree(p, ignore_errors=True)
-        except OSError:
-            pass
+            except OSError:
+                continue  # raced another process on this entry; keep sweeping
         write_bucketed(df, table, ("custkey",))
 
     ensure(

@@ -452,7 +452,10 @@ def build_ivf_index(
     from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_path, ensure_artifact
 
     if out_dir is None:
-        out_dir = artifact_path("ivf_index", sf_dir, "embeddings")
+        # params token = derivation version + vector dim: bump "v1" if the
+        # index layout or centroid math ever changes, so a retuned build
+        # can't silently serve the previous scheme's artifact.
+        out_dir = artifact_path("ivf_index", sf_dir, "embeddings", params=f"v1d{DIM}")
     ensure_artifact(
         out_dir,
         lambda tmp: _load(spark, sf_dir).write.partitionBy("label").parquet(tmp),

@@ -308,7 +308,12 @@ def avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyspark.sql.avro.functions import from_avro, to_avro
 
         schema_json = _json.dumps(avro_schema)
-        payload = events.select(to_avro(struct_col).alias("value"))
+        # Encode against the SAME explicit schema the decoder uses: without
+        # it, spark-avro derives nullable unions as [T, "null"] (null LAST)
+        # while the engine's Connect-style schema is ["null", T], and
+        # from_avro does no writer/reader resolution — branch indices would
+        # be misread and nullable fields would decode corrupt.
+        payload = events.select(to_avro(struct_col, schema_json).alias("value"))
         decoded = payload.select(from_avro("value", schema_json).alias("v"))
     else:
         from kafka_connect_storage_cloud_formats_spark.functions.avro_codec import (

@@ -49,13 +49,30 @@ def test_unevidenced_queries_lead_the_driver_window():
     outside it legitimately carry only older rows — so the assertion is
     scoped to rounds the current rotation still targets (the round-3
     verdict's time-dependency fix)."""
+    import pytest
+
     from kafka_connect_storage_cloud_formats_spark.queries.registry import (
         QUERIES,
         ROTATED_FOR_ROUND,
     )
 
-    if _latest_round() >= ROTATED_FOR_ROUND:
-        return  # this rotation's driver run already happened; see docstring
+    latest = _latest_round()
+    # Forcing function: the rotation may lag the driver by at most one
+    # round (the round that consumed it). If CORRECTNESS_r{N+1} exists
+    # while ROTATED_FOR_ROUND is still N, a new round started without
+    # rotating the registry — the exact silent lapse this test exists to
+    # catch. Bump ROTATED_FOR_ROUND (and reorder _PRIORITY) each round.
+    assert latest <= ROTATED_FOR_ROUND, (
+        f"registry rotation is stale: latest driver round is r{latest} but "
+        f"ROTATED_FOR_ROUND={ROTATED_FOR_ROUND}; rotate _PRIORITY in "
+        "queries/registry.py for the new round"
+    )
+    if latest == ROTATED_FOR_ROUND:
+        pytest.skip(
+            f"window consumed: driver already recorded r{latest} for this "
+            "rotation; positional invariant legitimately lapsed (visible "
+            "skip, not silent pass)"
+        )
     evidenced = _latest_driver_rows()
     names = list(QUERIES)
     window = set(names[:50])
