@@ -114,3 +114,15 @@ def test_failed_build_leaves_no_partial_artifact(tmp_path):
     # a reader can never observe the partial output
     assert not os.path.exists(target)
     assert [p for p in os.listdir(str(tmp_path)) if ".tmp." in p] == []
+
+
+def test_params_token_changes_the_key(tmp_path):
+    """Same corpus, different derivation constants → different cache path:
+    retuning K/shingle width can never silently serve the old artifact."""
+    sf = _fake_corpus(tmp_path)
+    assert artifact_path("sigs", sf, "documents", params="k12n3") != artifact_path(
+        "sigs", sf, "documents", params="k16n3"
+    )
+    assert artifact_path("sigs", sf, "documents", params="k12n3") != artifact_path(
+        "sigs", sf, "documents"
+    )

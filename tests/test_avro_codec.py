@@ -120,3 +120,32 @@ def test_avro_roundtrip_query_matches_direct_aggregate(spark, sf_dir):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_nan_payload_fails_loudly_on_encode(spark):
+    """A NaN double is indistinguishable from SQL NULL after the
+    Arrow→pandas conversion, so the fallback encoder must refuse it rather
+    than silently rewrite NaN → null (the JVM to_avro path preserves NaN)."""
+    from pyspark.sql.utils import PythonException
+
+    from kafka_connect_storage_cloud_formats_spark.functions.avro_codec import (
+        avro_encode_df,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2, "t", float("nan"), None)],
+        "event_id long, user_id long, event_type string, value double, props string",
+    )
+    with pytest.raises(Exception, match="NaN"):
+        avro_encode_df(df, SCHEMA).collect()
+
+
+def test_nan_decode_fails_loudly():
+    """Mirror guard on decode: Avro bytes carrying a genuine NaN must not
+    silently become NULL on the pandas→Arrow return path. The raw
+    per-record codec still roundtrips NaN (no Arrow boundary there) — only
+    the DataFrame surface refuses."""
+    rec = {"event_id": 1, "user_id": 2, "event_type": "t", "value": float("nan"), "props": None}
+    data = encode_record(SCHEMA, rec)
+    out = decode_record(SCHEMA, data)  # record-level API: lossless
+    assert math.isnan(out["value"])

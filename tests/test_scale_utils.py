@@ -143,3 +143,30 @@ def test_bucketed_segment_revenue_joins_without_shuffle(spark, sf_dir):
     join_part = plan.split(key)[-1]
     assert "Scan" in join_part
     assert "Exchange hashpartitioning" not in join_part, plan
+
+
+def test_bucketed_segment_revenue_self_heals_after_sweep(spark, sf_dir):
+    """If the warehouse files vanish under a live catalog entry (external
+    cleanup / a dead-session sweep that fired while this session was
+    idle), the next call must rebuild instead of failing at scan time."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    from kafka_connect_storage_cloud_formats_spark.operators.scale_utils import (
+        bucketed_segment_revenue,
+    )
+
+    first = bucketed_segment_revenue(spark, sf_dir).collect()
+    assert len(first) == 5
+    # simulate the sweep: delete this session's own table files while the
+    # catalog still believes the tables exist
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    wh_path = urlparse(wh).path or wh
+    app = spark.sparkContext.applicationId
+    victims = [d for d in os.listdir(wh_path) if app.replace("-", "_") in d]
+    assert victims, "expected this session's bucketed tables in the warehouse"
+    for d in victims:
+        shutil.rmtree(os.path.join(wh_path, d))
+    healed = bucketed_segment_revenue(spark, sf_dir).collect()
+    assert sorted(map(tuple, healed)) == sorted(map(tuple, first))
