@@ -9,19 +9,34 @@ reports: join strategies, shuffle (Exchange) count, scan pushdown
   Allowed only for operators whose *contract* is a bounded cross product
   (brute-force kNN baseline: tiny broadcast query side × corpus; IVF
   centroid assignment: queries × n_labels).
+- ``BatchEvalPython`` — a row-at-a-time Python UDF. NO whitelist: the
+  engine's contract is that every Python boundary is Arrow-batched
+  (``ArrowEvalPython`` / ``MapInPandas`` / pandas grouped ops), which is
+  10-100× cheaper per row; a plain UDF sneaking in is a scale bug.
 
-Usage: python3 tools/plan_audit.py [sf_dir]  — exits 1 on violations.
+Also records whole-stage-codegen span counts per plan and (with
+``--json PATH``) dumps per-query stats for round-over-round plan diffing.
+
+Usage: python3 tools/plan_audit.py [sf_dir] [--json PATH]  — exits 1 on
+violations.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+_ARGS = sys.argv[1:]
+JSON_OUT = None
+if "--json" in _ARGS:
+    i = _ARGS.index("--json")
+    JSON_OUT = _ARGS[i + 1]
+    _ARGS = _ARGS[:i] + _ARGS[i + 2 :]
+SF_DIR = _ARGS[0] if _ARGS else "/root/testdata/sf0.01"
 
 # Operators whose spec is an intentional bounded cross product (documented in
 # their docstrings); everything else must be equi-join only.
@@ -53,12 +68,19 @@ def audit(name: str, df) -> tuple[list[str], dict]:
         "exchanges": len(re.findall(r"\bExchange (?:hash|range|SinglePartition)", plan)),
         "scans": len(re.findall(r"FileScan|BatchScan", plan)),
         "pushed": len(re.findall(r"PushedFilters: \[[^\]]", plan)),
+        "codegen_spans": len(re.findall(r"WholeStageCodegen \(\d+\)", plan)),
+        "arrow_python": len(
+            re.findall(r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", plan)
+        ),
     }
     problems = []
     if name not in ALLOWED_NESTED and name not in ALLOWED_SCALAR_CROSS:
         for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
             if bad in plan:
                 problems.append(bad)
+    # No whitelist: a row-at-a-time Python UDF is a scale bug anywhere.
+    if "BatchEvalPython" in plan:
+        problems.append("BatchEvalPython(row-at-a-time UDF)")
     return problems, stats
 
 
@@ -68,6 +90,7 @@ def main() -> int:
 
     spark = get_spark("plan_audit")
     failures = 0
+    all_stats: dict = {}
     for name, fn in entry_mod.queries().items():
         try:
             df = fn(spark, SF_DIR)
@@ -75,16 +98,22 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: {e}")
             failures += 1
+            all_stats[name] = {"error": str(e)}
             continue
         tag = "FAIL " if problems else "ok   "
         if problems:
             failures += 1
+        all_stats[name] = {**stats, "violations": problems}
         print(
             f"{tag} {name}: joins={','.join(stats['joins']) or '-'} "
             f"exchanges={stats['exchanges']} scans={stats['scans']} "
-            f"pushed_filter_scans={stats['pushed']}"
+            f"pushed_filter_scans={stats['pushed']} codegen={stats['codegen_spans']}"
             + (f"  VIOLATIONS={problems}" if problems else "")
         )
+    if JSON_OUT:
+        with open(JSON_OUT, "w") as f:
+            json.dump({"sf_dir": SF_DIR, "queries": all_stats}, f, indent=1, sort_keys=True)
+        print(f"# per-query plan stats -> {JSON_OUT}")
     print("RESULT:", "FAIL" if failures else "PASS")
     return 1 if failures else 0
 
