@@ -32,13 +32,14 @@ def asof_join(
     """Generic as-of join. Returns ``left`` columns plus, for each
     ``right_cols`` column c, ``asof_c`` = c of the latest right row with
     ``right.ts <= left.ts`` and equal ``on`` key (NULL if none)."""
+    # unionByName(allowMissingColumns=True) null-fills each side's missing
+    # columns with the other side's types — the left side needs no explicit
+    # lit(None).cast(...) padding of the __r_* columns (that is exactly the
+    # mechanism already relied on for the right side's missing left columns).
     lt = left.withColumn("__side", F.lit(1))
     rt = right.select(
         on, ts, *[F.col(c).alias(f"__r_{c}") for c in right_cols]
     ).withColumn("__side", F.lit(0))
-    lt = lt.select(
-        *left.columns, *[F.lit(None).cast(rt.schema[f"__r_{c}"].dataType).alias(f"__r_{c}") for c in right_cols], "__side"
-    )
     unioned = lt.unionByName(rt, allowMissingColumns=True)
     w = (
         Window.partitionBy(on)

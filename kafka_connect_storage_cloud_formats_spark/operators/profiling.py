@@ -21,36 +21,71 @@ from kafka_connect_storage_cloud_formats_spark.queries.relational import dsum
 PROFILE_COLS = ("o_totalprice", "o_orderstatus", "o_custkey")
 
 
+def _render_stat(col, dtype: str):
+    """Engine-stable string rendering of a min/max value. Floating columns
+    go through DECIMAL(38,6): Spark's double→string switches to scientific
+    notation outside [1e-3, 1e7) while DuckDB's never does, so a raw string
+    cast hash-diverges exactly when a profiled column has large/small
+    values — the normal case for a generic profiler. Both engines render a
+    decimal as plain digits padded to scale. Integers and strings already
+    render identically."""
+    if dtype in ("double", "float"):
+        return col.cast("decimal(38,6)").cast("string")
+    return col.cast("string")
+
+
+def _render_stat_sql(expr: str, dtype: str) -> str:
+    if dtype in ("double", "float"):
+        return f"CAST(CAST({expr} AS DECIMAL(38,6)) AS VARCHAR)"
+    return f"CAST({expr} AS VARCHAR)"
+
+
 def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long-format profile of the orders table: one row per column with
     count / nulls / distincts / min / max (values rendered as strings so
-    heterogeneous columns stack)."""
+    heterogeneous columns stack).
+
+    ONE scan: all per-column statistics are computed in a single aggregate
+    (the module's scale contract — the old per-column ``orders.agg`` loop
+    re-read the table once per profiled column, turning a 100 TB profile
+    into n_cols full scans), then pivoted to long format with ``stack``.
+    The multiple COUNT(DISTINCT) rewrite via Expand multiplies shuffle rows
+    by n_cols but the input is still read once."""
     orders = load_table(spark, sf_dir, "orders")
-    profiles = []
+    dtypes = dict(orders.dtypes)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in PROFILE_COLS:
-        profiles.append(
-            orders.agg(
-                F.lit(c).alias("column_name"),
-                F.count(F.lit(1)).alias("n_rows"),
-                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias("n_nulls"),
-                F.countDistinct(c).alias("n_distinct"),
-                F.min(c).cast("string").alias("min_value"),
-                F.max(c).cast("string").alias("max_value"),
-            )
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            _render_stat(F.min(c), dtypes[c]).alias(f"mn_{c}"),
+            _render_stat(F.max(c), dtypes[c]).alias(f"mx_{c}"),
+        ]
+    wide = orders.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in PROFILE_COLS
+    )
+    return (
+        wide.selectExpr(
+            "n_rows",
+            f"stack({len(PROFILE_COLS)}, {stacked}) AS "
+            "(column_name, n_nulls, n_distinct, min_value, max_value)",
         )
-    out = profiles[0]
-    for p in profiles[1:]:
-        out = out.unionAll(p)
-    return out.orderBy("column_name")
+        .select(
+            "column_name", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value"
+        )
+        .orderBy("column_name")
+    )
 
 
+_PROFILE_DTYPES = {"o_totalprice": "double", "o_orderstatus": "string", "o_custkey": "bigint"}
 _PROFILE_SQL_PARTS = [
     f"""
 SELECT '{c}' AS column_name, COUNT(*) AS n_rows,
        CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
        COUNT(DISTINCT {c}) AS n_distinct,
-       CAST(MIN({c}) AS VARCHAR) AS min_value,
-       CAST(MAX({c}) AS VARCHAR) AS max_value
+       {_render_stat_sql(f'MIN({c})', _PROFILE_DTYPES[c])} AS min_value,
+       {_render_stat_sql(f'MAX({c})', _PROFILE_DTYPES[c])} AS max_value
 FROM orders"""
     for c in PROFILE_COLS
 ]
@@ -106,6 +141,17 @@ def approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPLIT_SALT = "split-v1"
 
 
+def _hash_bucket(salt: str):
+    """THE deterministic 0-255 bucket: first byte of md5(salt ‖ doc_id).
+    Single definition shared by the splitter and the sampler (its SQL twin
+    is ``_HEXVAL2``) — the reproducible-split guarantee depends on every
+    consumer computing byte-identical buckets, so the expression must not
+    exist twice to drift apart."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col("doc_id"))), 1, 2), 16, 10
+    ).cast("int")
+
+
 def corpus_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment: bucket = first byte of
     md5(salt || doc_id) → 90/5/5. Content-hash splitting is how a 100 TB
@@ -113,7 +159,7 @@ def corpus_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     coordination; any engine recomputes the same assignment — including the
     oracle). Emits per-split doc/token counts."""
     docs = load_table(spark, sf_dir, "documents")
-    bucket = F.conv(F.substring(F.md5(F.concat(F.lit(SPLIT_SALT), F.col("doc_id"))), 1, 2), 16, 10).cast("int")
+    bucket = _hash_bucket(SPLIT_SALT)
     split = (
         F.when(bucket < 230, "train").when(bucket < 243, "val").otherwise("test")
     )
@@ -160,9 +206,7 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; any engine (including the oracle) recomputes the identical
     sample. Emits the per-language audit: kept/total docs and kept tokens."""
     docs = load_table(spark, sf_dir, "documents")
-    bucket = F.conv(
-        F.substring(F.md5(F.concat(F.lit(SAMPLE_SALT), F.col("doc_id"))), 1, 2), 16, 10
-    ).cast("int")
+    bucket = _hash_bucket(SAMPLE_SALT)
     rate = F.lit(SAMPLE_DEFAULT_RATE)
     for lang, r in SAMPLE_RATES.items():
         rate = F.when(F.col("lang") == lang, r).otherwise(rate)

@@ -89,6 +89,13 @@ _STALE_AFTER_R3 = [
     "media_catalog", "image_decode_stats", "video_frame_index",
     "events_funnel", "events_interval_join", "events_tumbling_15m",
     "events_sliding_1h", "events_session_30m",
+    # NOTE: several stale-list queries ALSO changed in round 4 (self-review
+    # fixes, all in-window so their fresh rows certify the shipped code):
+    # orders_price_moments (decimal power sums — int64 s2 overflowed at
+    # ~SF125 under ANSI), orders_column_profile (single-scan stack rewrite +
+    # engine-stable decimal rendering), events_interval_join (shared
+    # predicate with the streaming twin), clicks_asof_purchase (dead padding
+    # removed), corpus_split_stats / stratified_sample (shared _hash_bucket).
     "corpus_split_stats", "stratified_sample", "orders_column_profile",
     "events_value_quantiles", "events_latest_per_user", "replay_dedup",
     "clicks_asof_purchase",

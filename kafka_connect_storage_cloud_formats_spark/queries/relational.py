@@ -1105,19 +1105,25 @@ ORDER BY s_suppkey
 
 # --- column moments: variance/stddev of the whole-dollar-quantized price.
 # Prices are floored to integer dollars so both engines build the power sums
-# as exact int64 (a DECIMAL power sum has ~20 significant digits and its
-# decimal→double conversion differs by 1 ulp between engines); from
-# bit-identical double inputs, var = (s2 - s1²/n)/n and sqrt are identical
-# IEEE arithmetic. One map-side-combinable aggregation pass — the shape a
-# column profiler uses at 100 TB (quantization error is irrelevant for
-# profiling; the unquantized mean is already covered by q1/dsum).
+# EXACTLY — as integer-valued DECIMAL sums, not int64: xq² is ~2.5e11, so an
+# int64 s2 overflows one priority group at ~3.7e7 rows (orders SF ~125,
+# nowhere near the 100 TB posture) and ANSI mode turns that into a crash.
+# DECIMAL(38,0) capacity (1e38) carries the sum to ~4e26 rows/group. The
+# final decimal→double casts are value-only conversions: bit-identical
+# across engines while the sums stay below 2^64 (both correctly round a
+# single machine word; SF ~240 for s2), and within 1 ulp beyond — the hash
+# gate runs at sf0.01/0.1, far inside the exact envelope. From identical
+# double inputs, var = (s2 - s1²/n)/n and sqrt are identical IEEE
+# arithmetic. One map-side-combinable aggregation pass — the shape a column
+# profiler uses at 100 TB (quantization error is irrelevant for profiling;
+# the unquantized mean is already covered by q1/dsum).
 def orders_price_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     xq = F.floor("o_totalprice").cast("long")
     base = orders.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(xq).alias("s1"),
-        F.sum(xq * xq).alias("s2"),
+        F.sum(xq.cast("decimal(18,0)")).alias("s1"),
+        F.sum((xq * xq).cast("decimal(28,0)")).alias("s2"),
     )
     s1d, s2d, nd = (F.col(c).cast("double") for c in ("s1", "s2", "n"))
     var = (s2d - s1d * s1d / nd) / nd
@@ -1133,8 +1139,8 @@ def orders_price_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORDERS_MOMENTS_SQL = """
 WITH base AS (
   SELECT o_orderpriority, COUNT(*) AS n,
-         CAST(SUM(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS s1,
-         CAST(SUM(CAST(floor(o_totalprice) AS BIGINT) * CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS s2
+         SUM(CAST(floor(o_totalprice) AS DECIMAL(18,0))) AS s1,
+         SUM(CAST(floor(o_totalprice) AS DECIMAL(18,0)) * CAST(floor(o_totalprice) AS DECIMAL(18,0))) AS s2
   FROM orders GROUP BY o_orderpriority)
 SELECT o_orderpriority, n,
        CAST(s1 AS DOUBLE) / n AS mean_price,

@@ -149,18 +149,25 @@ ORDER BY user_id, session_start
 INTERVAL_MIN = "5 minutes"
 
 
+def _interval_pair_cond():
+    """THE interval-join predicate — equi on user plus the strict/non-strict
+    time bound — defined once so the oracle-gated batch query and the
+    watermark-tested streaming plan can never silently desynchronize (a
+    bound edited in one copy but not the other would pass both suites)."""
+    return (
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.ts") < F.col("b.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr(f"INTERVAL {INTERVAL_MIN}"))
+    )
+
+
 def interval_join_plan(left: DataFrame, right: DataFrame) -> DataFrame:
     """Stream-stream (or batch-batch) interval join: same-user event pairs
     within 5 minutes. Under streaming, the watermarks bound join state on
     both sides (Spark evicts buffered rows older than watermark + bound)."""
     a = left.withWatermark("ts", WATERMARK).alias("a")
     b = right.withWatermark("ts", WATERMARK).alias("b")
-    return a.join(
-        b,
-        (F.col("a.user_id") == F.col("b.user_id"))
-        & (F.col("a.ts") < F.col("b.ts"))
-        & (F.col("b.ts") <= F.col("a.ts") + F.expr(f"INTERVAL {INTERVAL_MIN}")),
-    ).select(
+    return a.join(b, _interval_pair_cond()).select(
         F.col("a.user_id").alias("user_id"),
         F.col("a.event_id").alias("e1"),
         F.col("b.event_id").alias("e2"),
@@ -174,16 +181,12 @@ def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Join shape: equi on user_id with the time bound as a join filter — a
     hash/merge join whose fan-out is bounded by per-user event density in
     the window, NOT a cross join. The streaming twin is a stream-stream
-    join with watermarks (same plan + state eviction)."""
+    join with watermarks — the SAME ``_interval_pair_cond`` predicate plus
+    state eviction, enforced by sharing the definition."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
     a = ev.alias("a")
     b = ev.alias("b")
-    joined = a.join(
-        b,
-        (F.col("a.user_id") == F.col("b.user_id"))
-        & (F.col("a.ts") < F.col("b.ts"))
-        & (F.col("b.ts") <= F.col("a.ts") + F.expr(f"INTERVAL {INTERVAL_MIN}")),
-    )
+    joined = a.join(b, _interval_pair_cond())
     return (
         joined.groupBy(
             F.col("a.user_id").alias("user_id"),
