@@ -23,16 +23,26 @@ def tokens(text: Column | str) -> Column:
 
 
 def word_shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as an array<string>.
+    """Distinct word n-gram shingles as an array<string>; a document with
+    fewer than ``n`` tokens yields the empty array.
 
     ``transform(sequence(...))`` + ``slice`` keeps the whole computation in
-    one codegen stage — no explode/re-group round trip.
+    one codegen stage — no explode/re-group round trip. The short-doc case
+    MUST be a ``when`` branch, not a clamped sequence bound: for
+    ``size(w) < n`` the old ``greatest(size-(n-1), 0)`` produced
+    ``sequence(1, 0)``, which Spark runs DESCENDING (default step -1) to
+    ``[1, 0]`` — and ``slice(w, 0, n)`` is a runtime error (array indices
+    start at 1), crashing the whole job on any sub-``n``-token document
+    while the SQL oracles' ``range(1, 1)`` correctly emit nothing.
     """
     c = F.col(text) if isinstance(text, str) else text
     w = F.split(c, " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0)))
+    shingled = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        lambda i: F.array_join(F.slice(w, i, n), " "),
+    )
     return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(w, i, n), " "))
+        F.when(F.size(w) >= n, shingled).otherwise(F.array().cast("array<string>"))
     )
 
 

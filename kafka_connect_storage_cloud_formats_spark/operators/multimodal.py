@@ -126,8 +126,10 @@ def image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "media_id": pdf["media_id"],
                     "n_px": [a.size for a in px],
                     "sum_px": [int(a.sum()) for a in px],
-                    "min_px": [int(a.min()) if a.size else 0 for a in px],
-                    "max_px": [int(a.max()) if a.size else 0 for a in px],
+                    # empty payload → NULL min/max, matching the oracle's
+                    # list_min/list_max of [] (0 would silently diverge)
+                    "min_px": [int(a.min()) if a.size else None for a in px],
+                    "max_px": [int(a.max()) if a.size else None for a in px],
                 }
             )
 
@@ -159,13 +161,18 @@ def video_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("kind") == "video")
         .withColumn("n_bytes", F.length("payload").cast("long"))
     )
-    frames = vids.select(
-        "media_id",
-        "text",
-        F.explode(
-            F.sequence(F.lit(0).cast("long"), F.floor((F.col("n_bytes") - 1) / FRAME_STRIDE))
-        ).alias("frame_no"),
-    )
+    # Guard the empty payload: for n_bytes = 0 the naive bound
+    # floor((0-1)/STRIDE) = -1 makes sequence(0, -1) emit a DESCENDING
+    # [0, -1] (two bogus frames, one with a negative offset) while the
+    # oracle's range(0, 0) correctly emits none — same hazard class as the
+    # word_shingles/doc_bigram_novelty short-input bugs.
+    idx = F.when(
+        F.col("n_bytes") > 0,
+        F.sequence(
+            F.lit(0).cast("long"), F.floor((F.col("n_bytes") - 1) / FRAME_STRIDE)
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    frames = vids.select("media_id", "text", F.explode(idx).alias("frame_no"))
     return (
         frames.select(
             "media_id",

@@ -27,8 +27,9 @@ LANG_MARKERS = {
 
 
 def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document quality metrics: token count, mean token length,
-    stopword ratio, uppercase/punct ratios, and a composite quality score."""
+    """Per-document quality metrics: token/char counts, mean token length,
+    stopword ratio, distinct tokens and type-token ratio. (The composite
+    quality score built on these lives in ``doc_quality_deciles``.)"""
     docs = load_table(spark, sf_dir, "documents")
     w = tokens("text")
     stop = F.array([F.lit(s) for s in STOPWORDS])

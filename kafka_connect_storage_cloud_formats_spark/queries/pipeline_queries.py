@@ -265,19 +265,14 @@ ORDER BY event_type
 
 
 def _avro_available(spark: SparkSession) -> bool:
-    """True iff the spark-avro package is loaded (from_avro analyzes)."""
-    from pyspark.sql.avro.functions import from_avro
-
-    probe_schema = (
-        '{"type":"record","name":"probe","fields":[{"name":"x","type":"long"}]}'
+    """True iff the spark-avro package is loaded (delegates to THE shared
+    probe in sources/kafka_envelope.py — one place to update if Spark's
+    error class changes)."""
+    from kafka_connect_storage_cloud_formats_spark.sources.kafka_envelope import (
+        avro_plan_available,
     )
-    try:
-        spark.createDataFrame([(bytearray(b""),)], "value binary").select(
-            from_avro(F.col("value"), probe_schema)
-        ).schema
-        return True
-    except Exception:  # AnalysisException AVRO_NOT_LOADED in bare containers
-        return False
+
+    return avro_plan_available(spark)
 
 
 def avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -68,10 +68,15 @@ def avro_field_type(avro_type: Any) -> tuple[T.DataType, bool]:
     """
     if isinstance(avro_type, list):
         non_null = [t for t in avro_type if t != "null"]
-        if len(non_null) != 1 or len(avro_type) > 2:
+        # A union is nullable ONLY if it actually carries a null branch: a
+        # single-branch union like ["long"] is legal Avro and non-nullable —
+        # reporting it nullable would rewrite the schema contract on a
+        # round-trip (["long"] → ["null","long"]) and admit nulls the writer
+        # schema forbids.
+        if len(non_null) != 1 or len(avro_type) - len(non_null) > 1:
             raise UnsupportedTypeError(f"only [null, T] unions supported, got {avro_type!r}")
         inner, _ = avro_field_type(non_null[0])
-        return inner, True
+        return inner, "null" in avro_type
     if isinstance(avro_type, dict):  # e.g. {"type": "string"} long-form
         return avro_field_type(avro_type["type"])
     if isinstance(avro_type, str):

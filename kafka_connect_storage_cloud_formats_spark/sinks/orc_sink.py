@@ -129,10 +129,17 @@ def write_orc_parity(
             "__start_offset",
             (F.floor(F.col(offset_col) / F.lit(flush_size)) * F.lit(flush_size)).cast("long"),
         )
-        .select(*group_cols, *[F.col(c) for c in value_cols])
+        .select(*group_cols, F.col(offset_col).alias("__offset"), *[F.col(c) for c in value_cols])
         # one shuffle, keyed by file group → each output file written by one task
         .repartition(*[F.col(c) for c in group_cols])
-        .sortWithinPartitions(*group_cols)
+        # Sort by OFFSET within each group — the reference appends records
+        # in Kafka offset order, so file content order is part of the parity
+        # contract (sorting by group_cols alone is a no-op inside a group
+        # and leaves rows in nondeterministic shuffle-arrival order). The
+        # projection dropping __offset afterwards preserves row order; only
+        # the value columns land in the file.
+        .sortWithinPartitions(*group_cols, "__offset")
+        .drop("__offset")
     )
     out.write.mode("overwrite").partitionBy(*group_cols).orc(staged)
 

@@ -51,14 +51,21 @@ def with_kafka_envelope(
     ``partitioner``: ``"hash"`` (xxhash64, Kafka's murmur2 analog) or
     ``"mod"`` (key % N — SQL-reproducible, used by oracle-gated queries).
     """
+    if partitioner not in ("hash", "mod"):
+        # validate unconditionally: an unknown partitioner must fail even on
+        # the keyless path, not be silently swallowed
+        raise ValueError(f"unknown partitioner {partitioner!r}")
     if partition_key and partitioner == "hash":
         part = F.pmod(F.xxhash64(F.col(partition_key)), F.lit(num_partitions))
-    elif partition_key and partitioner == "mod":
+    elif partition_key:  # "mod"
         part = F.pmod(F.col(partition_key), F.lit(num_partitions))
-    elif partition_key:
-        raise ValueError(f"unknown partitioner {partitioner!r}")
     else:
-        part = F.pmod(F.monotonically_increasing_id(), F.lit(num_partitions))
+        # Keyless default must still honor the documented DETERMINISTIC
+        # contract: hash the full row content. monotonically_increasing_id
+        # encodes the physical partition index, so assignment would change
+        # with input split count / parallelism — same table, different
+        # envelope per run.
+        part = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(num_partitions))
     part = part.cast("int")
     out = df.withColumn("topic", F.lit(topic)).withColumn("partition", part)
     order = order_col or partition_key
@@ -70,6 +77,26 @@ def with_kafka_envelope(
         "key", F.col(key_col).cast("string") if key_col else F.lit(None).cast("string")
     )
     return out
+
+
+def avro_plan_available(spark: SparkSession) -> bool:
+    """True iff ``from_avro`` plans analyze (the spark-avro module jar is
+    loaded). THE availability probe — a schema-only analysis of a 1-row
+    plan — shared by :func:`decode_value`'s gate and the registered
+    ``avro_roundtrip`` query so a future Spark error-class change is
+    handled in exactly one place."""
+    from pyspark.sql.avro.functions import from_avro
+
+    probe_schema = (
+        '{"type":"record","name":"probe","fields":[{"name":"x","type":"long"}]}'
+    )
+    try:
+        spark.createDataFrame([(bytearray(b""),)], "value binary").select(
+            from_avro(F.col("value"), probe_schema)
+        ).schema
+        return True
+    except Exception:  # AnalysisException AVRO_NOT_LOADED in bare containers
+        return False
 
 
 def decode_value(
@@ -103,20 +130,15 @@ def decode_value(
 
         schema_json = avro_schema_json or _json.dumps(spark_schema_to_avro(value_schema))
         # from_avro() constructs lazily and only fails at analysis; probe
-        # availability now (schema-only analysis of a 1-row plan) so callers
-        # get the documented gate error at plan-construction time.
+        # availability now so callers get the documented gate error at
+        # plan-construction time.
         spark = SparkSession.getActiveSession()
-        if spark is not None:
-            try:
-                spark.createDataFrame([(bytearray(b""),)], "value binary").select(
-                    from_avro(F.col("value"), schema_json)
-                ).schema
-            except Exception as e:  # AnalysisException AVRO_NOT_LOADED in bare containers
-                raise RuntimeError(
-                    "from_avro plan unavailable: spark-avro package not loaded "
-                    "(start the session with --packages org.apache.spark:spark-avro). "
-                    "JSON decode (value_format='json') is the gated-environment path."
-                ) from e
+        if spark is not None and not avro_plan_available(spark):
+            raise RuntimeError(
+                "from_avro plan unavailable: spark-avro package not loaded "
+                "(start the session with --packages org.apache.spark:spark-avro). "
+                "JSON decode (value_format='json') is the gated-environment path."
+            )
         return from_avro(col, schema_json)
     raise ValueError(f"unknown value_format {value_format!r}")
 

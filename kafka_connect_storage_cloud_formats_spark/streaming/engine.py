@@ -15,32 +15,16 @@ same plans through a schema'd file source, per SURVEY.md §7 stage 1.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructType
+from pyspark.sql import DataFrame
 
-
-def file_stream_source(
-    spark: SparkSession, src_dir: str, schema: StructType, max_files_per_trigger: int | None = None
-) -> DataFrame:
-    """Schema'd parquet file source (the test stand-in for the Kafka source;
-    same downstream plans)."""
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.parquet(src_dir)
-
-
-def kafka_stream_source(spark: SparkSession, bootstrap: str, topic: str) -> DataFrame:
-    """Production source: Kafka envelope columns (key, value, topic,
-    partition, offset, timestamp). Decode with
-    sources.kafka_envelope / from_avro downstream. Not exercised in tests —
-    no broker in this environment."""
-    return (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap)
-        .option("subscribe", topic)
-        .load()
-    )
+# Single source-API definition: the engine re-exports the canonical sources
+# from sources/kafka_envelope.py rather than carrying drifting copies (an
+# earlier duplicate here lacked the Kafka gate's RuntimeError wrapper and
+# the file source's fmt parameter).
+from kafka_connect_storage_cloud_formats_spark.sources.kafka_envelope import (  # noqa: F401
+    file_stream_source,
+    kafka_stream_source,
+)
 
 
 def run_orc_ingest(

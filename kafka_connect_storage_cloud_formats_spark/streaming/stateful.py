@@ -75,7 +75,19 @@ def _sessionize_group(
             closed.append((start, last, n, total))
             start, last, n, total = t, t, 1, float(v)
         else:
-            last, n, total = t, n + 1, total + float(v)
+            # Merge WITHOUT rewinding: a late-but-within-watermark event
+            # (t < last, admitted across micro-batches) must extend the
+            # session's span, never shrink it — `last = t` here would move
+            # session_end backwards and mis-close the session on the next
+            # event (hazard whenever watermark ≫ gap). Policy note: a late
+            # event more than GAP before `start` is also merged into the
+            # open session; retroactively giving it its own earlier session
+            # would require buffering raw events until the watermark (the
+            # batch session_window oracle, which sees all events at once,
+            # splits that case). State stays O(1)/user at that price.
+            start = min(start, t)
+            last = max(last, t)
+            n, total = n + 1, total + float(v)
 
     state.update((start, last, n, total))
     # fire when the event-time watermark passes the open session's end
