@@ -141,7 +141,18 @@ def write_orc_parity(
         .sortWithinPartitions(*group_cols, "__offset")
         .drop("__offset")
     )
-    out.write.mode("overwrite").partitionBy(*group_cols).orc(staged)
+    # Planned write (V1Writes) stacks its own Sort(partition cols) on the
+    # plan and EliminateSorts then removes the finer (group, offset) sort
+    # above — silently un-ordering the file content. With it disabled, the
+    # writer checks the PHYSICAL child ordering, sees the partition-column
+    # prefix satisfied, and preserves our row order.
+    spark_ = df.sparkSession
+    planned = spark_.conf.get("spark.sql.optimizer.plannedWrite.enabled", "true")
+    spark_.conf.set("spark.sql.optimizer.plannedWrite.enabled", "false")
+    try:
+        out.write.mode("overwrite").partitionBy(*group_cols).orc(staged)
+    finally:
+        spark_.conf.set("spark.sql.optimizer.plannedWrite.enabled", planned)
 
     # Metadata-only finalize through the Hadoop FileSystem API: one
     # listStatus per directory level + one rename per output file, so the

@@ -329,3 +329,45 @@ def test_corrupt_json_records_permissive(spark, tmp_path):
         assert df.filter(F.col("_corrupt_record").isNull()).count() == 5
     finally:
         df.unpersist()
+
+
+def test_envelope_keyless_default_is_deterministic_and_validates(spark):
+    """The keyless partition default must be content-deterministic (stable
+    across parallelism — monotonically_increasing_id was split-dependent),
+    and an unknown partitioner must fail on EVERY path, including keyless."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kafka_connect_storage_cloud_formats_spark.sources.kafka_envelope import (
+        with_kafka_envelope,
+    )
+
+    rows = spark.range(64).select(F.col("id").alias("event_id"))
+    one = with_kafka_envelope(rows.coalesce(1), topic="t", num_partitions=4, order_col="event_id")
+    many = with_kafka_envelope(rows.repartition(8), topic="t", num_partitions=4, order_col="event_id")
+    a = {r["event_id"]: r["partition"] for r in one.collect()}
+    b = {r["event_id"]: r["partition"] for r in many.collect()}
+    assert a == b, "partition assignment must not depend on input split layout"
+    with pytest.raises(ValueError, match="partitioner"):
+        with_kafka_envelope(rows, topic="t", partitioner="bogus")
+
+
+def test_parity_file_rows_are_in_offset_order(spark, tmp_path):
+    """The reference appends records in Kafka offset order, so row order
+    INSIDE each parity-named ORC file is part of the contract — sorting by
+    the group key alone left file content in nondeterministic
+    shuffle-arrival order. Read each single file directly (one file, one
+    task → file order preserved) and assert the offset-correlated column is
+    strictly increasing."""
+    from kafka_connect_storage_cloud_formats_spark.sinks.orc_sink import write_orc_parity
+
+    out = str(tmp_path / "out")
+    # shuffle the input rows first so arrival order ≠ offset order
+    records = make_records(spark, 12).repartition(8)
+    written = write_orc_parity(records, out, flush_size=6)
+    assert len(written) == 2
+    for key in written:
+        rows = spark.read.orc(os.path.join(out, key)).collect()
+        longs = [r["long_col"] for r in rows]  # long_col = offset * 1_000_003
+        assert longs == sorted(longs), f"rows in {key} not in offset order"
+        assert len(longs) == 6

@@ -88,3 +88,24 @@ def test_file_key_shape(topic, partition, offset):
     assert key.endswith(".orc")
     m = re.search(r"_(\d+)_(\d{10,})\.orc$", key)
     assert m and int(m.group(1)) == partition and int(m.group(2)) == offset
+
+
+def test_single_branch_union_is_not_nullable():
+    """A one-branch union like ["long"] is legal Avro and NON-nullable; it
+    was reported nullable, which rewrote the schema contract on round-trip
+    (["long"] -> ["null","long"]) and admitted nulls the writer forbids."""
+    import pyspark.sql.types as T
+    import pytest
+
+    from kafka_connect_storage_cloud_formats_spark.schema import (
+        UnsupportedTypeError,
+        avro_field_type,
+    )
+
+    assert avro_field_type(["long"]) == (T.LongType(), False)
+    assert avro_field_type(["null", "long"]) == (T.LongType(), True)
+    assert avro_field_type(["long", "null"]) == (T.LongType(), True)
+    with pytest.raises(UnsupportedTypeError):
+        avro_field_type(["null", "null", "long"])
+    with pytest.raises(UnsupportedTypeError):
+        avro_field_type(["long", "int"])

@@ -311,3 +311,62 @@ def test_streaming_dedup_within_watermark(spark, events_src):
     batch = spark.read.parquet(src)
     assert got.count() == batch.count()
     assert got.agg(F.sum("event_id")).first()[0] == batch.agg(F.sum("event_id")).first()[0]
+
+
+def test_sessionizer_late_event_does_not_rewind_session(spark):
+    """A late-but-within-watermark event (t < state's last) must extend the
+    open session's span, never rewind it: with the old `last = t` merge, a
+    09:00 late arrival after a 10:00 event moved session_end backwards and
+    the next 09:40 event mis-closed the session (09:40 - 09:00 >= gap) even
+    though 10:00 sits inside it. Driven at the unit level with a fake
+    GroupState so each micro-batch boundary is explicit."""
+    import pandas as pd
+
+    from kafka_connect_storage_cloud_formats_spark.streaming.stateful import (
+        GAP_US,
+        _sessionize_group,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+            self.hasTimedOut = False
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def remove(self):
+            self._v = None
+
+        def setTimeoutTimestamp(self, ts):
+            pass
+
+    def batch(*ts_minutes):
+        base = pd.Timestamp("2024-01-01 09:00:00")
+        return pd.DataFrame(
+            {
+                "user_id": [1] * len(ts_minutes),
+                "ts": [base + pd.Timedelta(minutes=m) for m in ts_minutes],
+                "value": [1.0] * len(ts_minutes),
+            }
+        )
+
+    state = FakeState()
+    closed = []
+    for b in (batch(60), batch(0), batch(40)):  # 10:00, then LATE 09:00, then 09:40
+        closed.extend(list(_sessionize_group((1,), iter([b]), state)))
+    assert closed == [], "no session may close: all three events span < gap around each other"
+    start, last, n, _total = state.get
+    base_us = int(pd.Timestamp("2024-01-01 09:00:00").value // 1000)
+    assert start == base_us, "session start must extend back to the late 09:00 event"
+    assert last == base_us + 60 * 60 * 1_000_000, "session last must stay at 10:00, not rewind"
+    assert n == 3
+    assert GAP_US > 0  # constant sanity; span checks above pin the boundaries

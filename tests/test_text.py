@@ -48,3 +48,17 @@ def test_bigram_novelty_survives_single_token_docs(spark, short_doc_sf_dir):
     # the unique 3-word doc has 2 bigrams, both corpus-unique
     assert rows[3]["n_bigrams"] == 2
     assert rows[3]["n_rare"] == 2
+
+
+def test_word_shingles_short_documents_yield_empty(spark):
+    """Documents with fewer than n tokens produce the EMPTY shingle array —
+    the old clamped sequence bound produced a descending [1, 0] index and
+    slice(w, 0, n) crashed the whole job at runtime."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_storage_cloud_formats_spark.functions.text_functions import word_shingles
+
+    df = spark.createDataFrame([("",), ("one",), ("one two",), ("a b c d",)], "text string")
+    got = [r["s"] for r in df.select(word_shingles("text", 3).alias("s")).collect()]
+    assert got[0] == [] and got[1] == [] and got[2] == []
+    assert got[3] == ["a b c", "b c d"]
