@@ -352,17 +352,30 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-evaluate wherever the optimizer embeds it (e.g. as a pruning
     subquery); the corpus-scale re-rank keeps the Arrow path.
     """
-    base = _with_norm(_load(spark, sf_dir))
+    return _ivf_probe(
+        spark, sf_dir, ivf_centroids(spark, sf_dir), _with_norm(_load(spark, sf_dir))
+    )
+
+
+def _ivf_probe(
+    spark: SparkSession, sf_dir: str, cent_long: DataFrame, corpus: DataFrame
+) -> DataFrame:
+    """THE IVF probe (nprobe=1), shared by ``ivf_topk`` (live-derived
+    centroids + live corpus) and ``ivf_topk_pruned`` (materialized centroid
+    parquet + label-partitioned index): both registry entries assert the
+    same oracle, so the assignment tie-break / nprobe / re-rank logic must
+    not exist in two copies that can drift. ``cent_long`` is the coarse
+    quantizer in long (label, dim, centroid) form; ``corpus`` carries
+    (vec_id, embedding, norm, label)."""
     cents = (
-        ivf_centroids(spark, sf_dir)
-        .groupBy("label")
+        cent_long.groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("dim", "centroid"))).alias("cd"))
         .select(
             F.col("label").alias("c_label"),
             F.transform("cd", lambda s: s["centroid"]).alias("c_emb"),
         )
+        .withColumn("c_norm", F.sqrt(_jvm_dot("c_emb", "c_emb")))
     )
-    cents = cents.withColumn("c_norm", F.sqrt(_jvm_dot("c_emb", "c_emb")))
     q = _load(spark, sf_dir).filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
@@ -381,7 +394,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         F.broadcast(assigned)
-        .join(base, (F.col("label") == F.col("c_label")) & (F.col("vec_id") != F.col("q_id")))
+        .join(corpus, (F.col("label") == F.col("c_label")) & (F.col("vec_id") != F.col("q_id")))
         .select("q_id", F.col("vec_id").alias("neighbor_id"), cosine.alias("cosine"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
@@ -516,43 +529,7 @@ def ivf_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # path of every probe (measured: 1–3 s of added latency/variance at
     # sf0.1; at 100 TB the probe's time-to-first-byte would eat the same
     # stall).
-    cents = (
-        spark.read.parquet(index_path + "_centroids")
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("dim", "centroid"))).alias("cd"))
-        .select(
-            F.col("label").alias("c_label"),
-            F.transform("cd", lambda s: s["centroid"]).alias("c_emb"),
-        )
-    )
-    cents = cents.withColumn("c_norm", F.sqrt(_jvm_dot("c_emb", "c_emb")))
-    q = _load(spark, sf_dir).filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-    )
-    q = q.withColumn("q_norm", F.sqrt(_jvm_dot("q_emb", "q_emb")))
-    ccos = _jvm_dot("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm"))
-    wa = Window.partitionBy("q_id").orderBy(F.desc("ccos"), F.asc("c_label"))
-    assigned = (
-        q.crossJoin(F.broadcast(cents))
-        .withColumn("ccos", ccos)
-        .withColumn("rn", F.row_number().over(wa))
-        .filter(F.col("rn") == 1)
-        .select("q_id", "q_emb", "q_norm", "c_label")
-    )
-    cosine = _dot("q_emb", "embedding") / (F.col("q_norm") * F.col("norm"))
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        F.broadcast(assigned)
-        .join(
-            stored,
-            (F.col("label") == F.col("c_label")) & (F.col("vec_id") != F.col("q_id")),
-        )
-        .select("q_id", F.col("vec_id").alias("neighbor_id"), cosine.alias("cosine"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .orderBy("q_id", "rank")
-    )
+    return _ivf_probe(spark, sf_dir, spark.read.parquet(index_path + "_centroids"), stored)
 
 
 # ------------------------------------------------- scalar-quantized (int8) kNN

@@ -32,14 +32,24 @@ MIN_CHARS = 60
 MAX_CHARS = 5000
 
 
-def training_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _kept_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE pipeline's kept set — cluster join, representative filter, and
+    quality gate — defined once: the oracle-gated stats and the
+    materialization variant must select the identical corpus, so the
+    keep-rule cannot exist in two copies that drift (a bound edited in one
+    would silently make the written corpus differ from the certified
+    stats)."""
     docs = load_table(spark, sf_dir, "documents")
     clusters = _neardup_labels(spark, sf_dir)
-    kept = (
+    return (
         docs.join(clusters, "doc_id")
         .filter(F.col("doc_id") == F.col("cluster_id"))
         .filter((F.length("text") >= MIN_CHARS) & (F.length("text") <= MAX_CHARS))
     )
+
+
+def training_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kept = _kept_docs(spark, sf_dir)
     n_tokens = F.size(F.split("text", " "))
     return (
         kept.groupBy("lang")
@@ -73,14 +83,7 @@ def write_training_corpus(spark: SparkSession, sf_dir: str, out_dir: str) -> Dat
     """Materialization variant: write the kept documents partitioned by
     lang (the layout a downstream tokenizer job scans with partition
     pruning); returns the kept DataFrame."""
-    docs = load_table(spark, sf_dir, "documents")
-    clusters = _neardup_labels(spark, sf_dir)
-    kept = (
-        docs.join(clusters, "doc_id")
-        .filter(F.col("doc_id") == F.col("cluster_id"))
-        .filter((F.length("text") >= MIN_CHARS) & (F.length("text") <= MAX_CHARS))
-        .select("doc_id", "text", "lang", "source", "n_chars")
-    )
+    kept = _kept_docs(spark, sf_dir).select("doc_id", "text", "lang", "source", "n_chars")
     kept.write.mode("overwrite").partitionBy("lang").parquet(out_dir)
     return kept
 

@@ -70,9 +70,33 @@ class IngestPipeline:
             )
         keep = [c for c in self.partition_cols if c in records.columns]
         df = records.select(*keep, *value_cols)
+        # Per-poll semantics without data loss: a bare mode="overwrite" at
+        # out_dir would TRUNCATE every earlier batch on the second put().
+        # Instead each batch lands in a deterministic batch=<id> subdir
+        # (id = hash of the batch's per-(topic,partition) offset ranges —
+        # Kafka batch identity) and overwrites only itself: re-running the
+        # same batch is idempotent (the reference's deterministic-name
+        # recovery, directory-granular), successive batches accumulate.
+        # Costs one metadata-scale agg job per batch.
+        batch_dir = self.out_dir
+        if "offset" in records.columns:
+            import hashlib
+
+            from pyspark.sql import functions as F
+
+            id_cols = [c for c in ("topic", "partition") if c in records.columns]
+            ranges = (
+                records.groupBy(*id_cols)
+                .agg(F.min("offset"), F.max("offset"), F.count(F.lit(1)))
+                .collect()
+            )
+            tag = hashlib.md5(
+                repr(sorted(tuple(r) for r in ranges)).encode()
+            ).hexdigest()[:12]
+            batch_dir = f"{self.out_dir}/batch={tag}"
         write_orc_partitioned(
             df,
-            self.out_dir,
+            batch_dir,
             partition_cols=tuple(keep),
             max_records_per_file=self.flush_size,
         )
@@ -107,7 +131,10 @@ class IngestPipeline:
                 .option("recursiveFileLookup", "false")
                 .load(self.out_dir)
             )
-        return read_orc(spark, self.out_dir)
+        back = read_orc(spark, self.out_dir)
+        # batch=<id> is write-layout bookkeeping, not data (discovered as a
+        # partition column when enveloped batches were written)
+        return back.drop("batch") if "batch" in back.columns else back
 
 
 class EvolvingIngest:
@@ -151,17 +178,19 @@ class EvolvingIngest:
                 flush_size=self.flush_size,
                 parity_naming=self.parity_naming,
             )
-        # project the batch onto the current schema (envelope passes through,
-        # missing nullable value fields become NULL)
-        current = self.tracker.current
-        cols = [F.col(c) for c in ENVELOPE_COLS if c in records.columns]
-        have = set(records.columns)
-        for f in current.fields:
-            if f.name in have:
-                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
-            else:
-                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
-        return self._pipe.run_batch(records.select(*cols))
+        # Project the batch onto the current schema via THE projector
+        # (schema_evolution.project_to_schema): envelope passes through,
+        # missing nullable value fields become NULL, and a missing
+        # NON-nullable field fails loudly — an inline copy here previously
+        # dropped that guard and would silently NULL-fill if a tracker/mode
+        # change ever let such a batch through.
+        from kafka_connect_storage_cloud_formats_spark.schema_evolution import (
+            project_to_schema,
+        )
+
+        return self._pipe.run_batch(
+            project_to_schema(records, self.tracker.current, passthrough=ENVELOPE_COLS)
+        )
 
     def read_back(self, spark: SparkSession) -> DataFrame:
         reader = spark.read.format("orc").option("mergeSchema", "true")

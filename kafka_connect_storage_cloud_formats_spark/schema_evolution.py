@@ -121,13 +121,17 @@ class SchemaTracker:
         return "rotate"
 
 
-def project_to_schema(df: DataFrame, target: T.StructType) -> DataFrame:
+def project_to_schema(
+    df: DataFrame, target: T.StructType, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
     """Connect ``SchemaProjector.project`` as one Spark select: target field
     order, NULL-fill for missing nullable fields, drop extras, exact types.
-    Raises on a missing non-nullable field or a type conflict."""
+    Raises on a missing non-nullable field or a type conflict.
+    ``passthrough``: extra columns (e.g. the Kafka envelope) carried through
+    unchanged ahead of the value fields when present."""
     validate_engine_schema(target)
     have = dict(df.dtypes)
-    cols = []
+    cols = [F.col(c) for c in passthrough if c in have]
     for f in target.fields:
         if f.name in have:
             cols.append(F.col(f.name).cast(f.dataType).alias(f.name))

@@ -143,13 +143,16 @@ def test_golden_content_varying_rows(spark, tmp_path):
 
 
 def test_spark_native_sink_partition_pruning(spark, tmp_path):
-    """Idiomatic sink: Hive-style partition=N dirs; reading one partition
+    """Idiomatic sink: Hive-style partition=N dirs (under the deterministic
+    batch=<id> layer that gives per-poll idempotence); reading one partition
     prunes the others (scan shows partition filters, no full-data read)."""
     out = str(tmp_path / "out")
     pipe = IngestPipeline(out, SIX_TYPE_SCHEMA, flush_size=1000, parity_naming=False)
     pipe.run_batch(make_records(spark, 30, num_partitions=3))
-    assert sorted(os.listdir(out))[:1] == ["_SUCCESS"] or any(
-        d.startswith("partition=") for d in os.listdir(out)
+    batch_dirs = [d for d in os.listdir(out) if d.startswith("batch=")]
+    assert batch_dirs, "enveloped batch must land under a deterministic batch=<id> dir"
+    assert any(
+        d.startswith("partition=") for d in os.listdir(os.path.join(out, batch_dirs[0]))
     )
     back = spark.read.orc(out)
     one = back.filter(F.col("partition") == 1)
@@ -371,3 +374,22 @@ def test_parity_file_rows_are_in_offset_order(spark, tmp_path):
         longs = [r["long_col"] for r in rows]  # long_col = offset * 1_000_003
         assert longs == sorted(longs), f"rows in {key} not in offset order"
         assert len(longs) == 6
+
+
+def test_native_mode_multi_batch_accumulates_and_rerun_is_idempotent(spark, tmp_path):
+    """The Spark-native (non-parity) sink must honor the reference's
+    per-poll put() contract: successive batches ACCUMULATE (the old bare
+    overwrite truncated every earlier batch) and re-running the same batch
+    changes nothing (deterministic batch=<id> dir, directory-granular
+    overwrite)."""
+    out = str(tmp_path / "out")
+    pipe = IngestPipeline(out, SIX_TYPE_SCHEMA, flush_size=1000, parity_naming=False)
+    b1 = make_records(spark, 5)
+    b2 = make_records(spark, 9).filter(F.col("offset") >= 5)  # disjoint offsets
+    pipe.run_batch(b1)
+    pipe.run_batch(b2)
+    assert pipe.read_back(spark).count() == 9, "second batch must not erase the first"
+    pipe.run_batch(b2)  # replay of an already-committed poll
+    back = pipe.read_back(spark)
+    assert back.count() == 9, "re-running the same batch must be idempotent"
+    assert "batch" not in back.columns
