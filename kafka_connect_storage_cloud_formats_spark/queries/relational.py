@@ -280,19 +280,32 @@ ORDER BY hour, event_type
 
 # --- set operation: union + except over part brands/types
 def part_brand_type_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT and EXCEPT ALL exercised on real data, tagged by branch so
+    the union is observable (not a trivially-reconstructible set): brands
+    both big and pricey vs brands big but never pricey. The oracle models
+    both branches verbatim (an earlier ``exceptAll(big)`` self-difference
+    was provably empty and unmodeled by the oracle; KNOWN_ISSUES r4 #2)."""
     part = load_table(spark, sf_dir, "part")
     big = part.filter(F.col("p_size") >= 25).select("p_brand").distinct()
     pricey = part.filter(F.col("p_retailprice") > 950).select("p_brand").distinct()
-    return big.intersect(pricey).union(big.exceptAll(big)).orderBy("p_brand")
+    both = big.intersect(pricey).withColumn("branch", F.lit("both"))
+    only_big = big.exceptAll(pricey).withColumn("branch", F.lit("only_big"))
+    return both.union(only_big).orderBy("p_brand", "branch")
 
 
 SETOPS_SQL = """
-SELECT p_brand FROM (
-  SELECT DISTINCT p_brand FROM part WHERE p_size >= 25
-  INTERSECT
-  SELECT DISTINCT p_brand FROM part WHERE p_retailprice > 950
+SELECT p_brand, branch FROM (
+  SELECT p_brand, 'both' AS branch FROM (
+    SELECT DISTINCT p_brand FROM part WHERE p_size >= 25
+    INTERSECT
+    SELECT DISTINCT p_brand FROM part WHERE p_retailprice > 950)
+  UNION ALL
+  SELECT p_brand, 'only_big' AS branch FROM (
+    SELECT DISTINCT p_brand FROM part WHERE p_size >= 25
+    EXCEPT ALL
+    SELECT DISTINCT p_brand FROM part WHERE p_retailprice > 950)
 ) t
-ORDER BY p_brand
+ORDER BY p_brand, branch
 """
 
 
@@ -433,16 +446,19 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     sup = load_table(spark, sf_dir, "supplier")
-    # `late` feeds three consumers (candidate base, the NOT-EXISTS side,
-    # and transitively the semi probe); materialize the (orderkey, suppkey)
-    # pairs once instead of re-running the lineitem⋈orders join + distinct
-    # per consumer.
+    # `late` feeds two consumers (the candidate base and the NOT-EXISTS
+    # side). The plan stays LAZY — building it must run no job (an earlier
+    # eager localCheckpoint here executed the most expensive join in the
+    # suite at plan-BUILD time and hid the subtree from plan inspection as
+    # `Scan ExistingRDD`; KNOWN_ISSUES r4 #1). Both consumers shuffle the
+    # identical distinct subtree on the same key, so Spark's ReusedExchange
+    # materializes it once at execution time — the sharing the checkpoint
+    # bought, without the hidden job or the audit blindness.
     late = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .filter(F.col("l_shipdate") > F.col("o_orderdate"))
         .select("l_orderkey", "l_suppkey")
         .distinct()
-        .localCheckpoint(eager=True)
     )
     l2 = li.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")).distinct()
     late3 = late.select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))
