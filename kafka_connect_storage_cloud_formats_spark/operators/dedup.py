@@ -563,16 +563,20 @@ def _neardup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     (singletons keep their own id). The keep-one-per-cluster rule is then a
     trivial ``doc_id == cluster_id`` filter.
 
-    Algorithm: iterative min-label propagation to a fixpoint over the EDGE
-    GRAPH'S VERTEX SET ONLY — documents without a strong near-dup edge are
-    singletons by definition and never enter a propagation round, so each
-    round's join/aggregate is O(|near-dup vertices|), a small fraction of
-    the corpus (the final corpus-wide left-join fills in singleton labels
-    once). ``localCheckpoint`` truncates lineage so plans stay flat.
-    Rounds = graph diameter; near-dup graphs are unions of small cliques,
-    so this converges in 2-3 rounds even at corpus scale (a power-law
-    giant component would warrant the pointer-doubling variant, O(log n)
-    rounds).
+    Algorithm: min-label propagation with POINTER DOUBLING to a fixpoint
+    over the EDGE GRAPH'S VERTEX SET ONLY — documents without a strong
+    near-dup edge are singletons by definition and never enter a
+    propagation round, so each round's join/aggregate is O(|near-dup
+    vertices|), a small fraction of the corpus (the final corpus-wide
+    left-join fills in singleton labels once). Each round alternates one
+    neighbor-min propagation with a shortcut step L(v) ← L(L(v)) (a
+    self-join on the label column) that halves label-path lengths:
+    O(log n) rounds even for a power-law giant component, vs O(diameter)
+    for plain propagation — the shape that holds at 100 TB, promoted to
+    the registered query in round 5 (previously a parallel unregistered
+    variant). On the small-clique graphs of a near-dup corpus both
+    converge in 2-3 rounds, so the shortcut's extra join costs nothing
+    measurable. ``localCheckpoint`` truncates lineage so plans stay flat.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     pairs = _minhash_pairs_unsorted(spark, sf_dir).filter(
@@ -605,22 +609,32 @@ def _neardup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        # Carry the old label through the checkpoint so convergence is a
-        # filter-count over settled blocks — not an extra join of
-        # consecutive label tables per round.
-        stepped = (
-            labels.join(neighbor_min, "doc_id", "left")
+        stepped = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.col("cluster_id").alias("old_cid"),
+            F.least(
+                F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+            ).alias("cluster_id"),
+        )
+        # shortcut: follow the label's label (path halving). old_cid rides
+        # through the checkpoint so convergence is a filter-count over
+        # settled blocks — not an extra join of consecutive label tables.
+        parent = stepped.select(
+            F.col("doc_id").alias("p_id"), F.col("cluster_id").alias("p_cluster")
+        )
+        shortcut = (
+            stepped.join(parent, stepped.cluster_id == parent.p_id, "left")
             .select(
                 "doc_id",
-                F.col("cluster_id").alias("old_cid"),
+                "old_cid",
                 F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                    F.col("cluster_id"), F.coalesce(F.col("p_cluster"), F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = stepped.filter(F.col("cluster_id") != F.col("old_cid")).count()
-        labels = stepped.select("doc_id", "cluster_id")
+        changed = shortcut.filter(F.col("cluster_id") != F.col("old_cid")).count()
+        labels = shortcut.select("doc_id", "cluster_id")
         if changed == 0:
             break
     else:
@@ -628,8 +642,7 @@ def _neardup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         # downstream consumer (training_corpus_stats) — fail loudly instead.
         raise RuntimeError(
             f"connected components did not converge in {MAX_CC_ITERATIONS} rounds "
-            f"({changed} labels still changing); raise MAX_CC_ITERATIONS or use "
-            "neardup_clusters_pointer_doubling for high-diameter graphs"
+            f"({changed} labels still changing); raise MAX_CC_ITERATIONS"
         )
     # singletons (no edges) keep their own id — one corpus-wide left join,
     # outside the loop
@@ -664,86 +677,6 @@ clusters AS (
 
 
 NEARDUP_CLUSTERS_SQL = _cluster_ctes() + "SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id"
-
-
-def neardup_clusters_pointer_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components with POINTER DOUBLING: alternate neighbor-min
-    propagation with a shortcut step L(v) ← L(L(v)) (one self-join on the
-    label column), halving path lengths each round — O(log n) rounds even
-    for giant components, vs O(diameter) for plain propagation. Same
-    result as :func:`neardup_clusters` (asserted in tests); kept as the
-    scale path for power-law duplicate graphs.
-    """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    pairs = _minhash_pairs_unsorted(spark, sf_dir).filter(
-        F.col("est_jaccard") >= CLUSTER_MIN_EST_JACCARD
-    )
-    # Both edge directions from ONE pass over the pair stream (explode of a
-    # 2-struct array) instead of a union of two selects, which would derive
-    # the LSH pair join twice before the checkpoint.
-    edges = (
-        pairs.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col("d1").alias("src"), F.col("d2").alias("dst")),
-                    F.struct(F.col("d2").alias("src"), F.col("d1").alias("dst")),
-                )
-            ).alias("e")
-        )
-        .select("e.src", "e.dst")
-        .localCheckpoint(eager=True)
-    )
-    # Propagate over the edge graph's vertex set only (singletons are
-    # filled in by the final corpus-wide left join, same as
-    # neardup_clusters).
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .select("doc_id", F.col("doc_id").alias("cluster_id"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(MAX_CC_ITERATIONS):
-        neighbor_min = (
-            edges.join(labels, edges.src == labels.doc_id)
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        stepped = labels.join(neighbor_min, "doc_id", "left").select(
-            "doc_id",
-            F.col("cluster_id").alias("old_cid"),
-            F.least(
-                F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
-            ).alias("cluster_id"),
-        )
-        # shortcut: follow the label's label (path halving)
-        parent = stepped.select(
-            F.col("doc_id").alias("p_id"), F.col("cluster_id").alias("p_cluster")
-        )
-        # old_cid rides through so convergence is a filter-count over the
-        # checkpoint, not another corpus-scale join of label tables.
-        shortcut = (
-            stepped.join(parent, stepped.cluster_id == parent.p_id, "left")
-            .select(
-                "doc_id",
-                "old_cid",
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("p_cluster"), F.col("cluster_id"))
-                ).alias("cluster_id"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = shortcut.filter(F.col("cluster_id") != F.col("old_cid")).count()
-        labels = shortcut.select("doc_id", "cluster_id")
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"pointer-doubling components did not converge in {MAX_CC_ITERATIONS} "
-            f"rounds ({changed} labels still changing)"
-        )
-    return docs.join(labels, "doc_id", "left").select(
-        "doc_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id")
-    ).orderBy("doc_id")
 
 
 # ------------------------------------------------- fuzzy prefix (edit distance)

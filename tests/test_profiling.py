@@ -70,15 +70,7 @@ def test_training_corpus_materialization(spark, sf_dir, tmp_path):
     )
 
 
-def test_pointer_doubling_cc_equals_plain(spark, sf_dir):
-    """Both connected-components algorithms assign identical clusters."""
-    from kafka_connect_storage_cloud_formats_spark.operators.dedup import (
-        neardup_clusters_pointer_doubling,
-    )
-
-    plain = {(r["doc_id"], r["cluster_id"]) for r in neardup_clusters(spark, sf_dir).collect()}
-    doubled = {
-        (r["doc_id"], r["cluster_id"])
-        for r in neardup_clusters_pointer_doubling(spark, sf_dir).collect()
-    }
-    assert plain == doubled
+# (the former test_pointer_doubling_cc_equals_plain is retired: round 5
+# promoted the pointer-doubling algorithm INTO the registered
+# neardup_clusters, so there is a single implementation, certified by the
+# recursive-CTE DuckDB oracle and the edge/min-label invariants above)
