@@ -116,6 +116,52 @@ def test_failed_build_leaves_no_partial_artifact(tmp_path):
     assert [p for p in os.listdir(str(tmp_path)) if ".tmp." in p] == []
 
 
+def test_publish_sweeps_stale_fingerprints(tmp_path, monkeypatch):
+    """Regenerating the corpus must retire the previous fingerprint's
+    artifact directory (and its tmp litter) on the next publish — the cache
+    holds ONE generation per artifact kind, not one per regeneration.
+    Companions with a different suffix (the IVF ``_centroids`` pair) and
+    other kinds/params are never touched."""
+    import tempfile as _tf
+
+    monkeypatch.setattr(_tf, "gettempdir", lambda: str(tmp_path / "cache"))
+    os.makedirs(str(tmp_path / "cache"))
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    sf = _fake_corpus(corpus)
+
+    def build(tmp_dir):
+        os.makedirs(tmp_dir)
+        open(os.path.join(tmp_dir, "_SUCCESS"), "w").close()
+
+    p1 = artifact_path("sigs", sf, "documents", params="k12n3")
+    ensure_artifact(p1, build)
+    # same-fingerprint companion + other-kind sibling + old-fp tmp litter
+    c1 = p1 + "_centroids"
+    ensure_artifact(c1, build)
+    other = artifact_path("ivf", sf, "documents", params="v1")
+    ensure_artifact(other, build)
+    os.makedirs(p1 + ".tmp.deadbeef", exist_ok=True)
+
+    _fake_corpus(corpus, b"v2-regenerated")
+    p2 = artifact_path("sigs", sf, "documents", params="k12n3")
+    assert p2 != p1
+    ensure_artifact(p2, build)
+    assert os.path.exists(os.path.join(p2, "_SUCCESS"))
+    assert not os.path.exists(p1), "stale fingerprint must be swept"
+    assert not any(".tmp." in d for d in os.listdir(str(tmp_path / "cache")))
+    # the centroids companion is swept only by ITS OWN publish, never by
+    # the main directory's (different suffix)
+    assert os.path.exists(c1)
+    ensure_artifact(p2 + "_centroids", build)
+    assert not os.path.exists(c1)
+    # other artifact kinds are untouched
+    assert os.path.exists(other)
+    # cached re-ensure (no build) never sweeps nor rebuilds
+    ensure_artifact(p2, build)
+    assert os.path.exists(os.path.join(p2, "_SUCCESS"))
+
+
 def test_params_token_changes_the_key(tmp_path):
     """Same corpus, different derivation constants → different cache path:
     retuning K/shingle width can never silently serve the old artifact."""
