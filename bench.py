@@ -48,14 +48,14 @@ def main() -> int:
     # (correlated noise: min-of-2 can't help), while passes separated by the
     # rest of the suite sample different windows. Queries still slow after
     # both passes get ONE bounded extra trial in a final retry pass.
-    best: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     rows: dict[str, int] = {}
 
     def trial(name, fn, tag) -> None:
         t0 = time.perf_counter()
         rows[name] = fn(spark, SF_DIR).count()
         secs = time.perf_counter() - t0
-        best[name] = min(best.get(name, secs), secs)
+        samples.setdefault(name, []).append(secs)
         # Stream each trial as it completes: if the run wedges or is killed
         # mid-pass (the documented host stall windows), stderr still shows
         # which query it died in and every timing up to that point.
@@ -68,13 +68,31 @@ def main() -> int:
         for name, fn in queries.items():
             trial(name, fn, f"pass{_pass + 1}")
     for name, fn in queries.items():  # bounded retry pass for the slow tail
-        if best[name] > 2.0:
+        if min(samples[name]) > 2.0:
             trial(name, fn, "retry")
 
-    timings = {name: round(best[name], 3) for name in queries}
+    # Two series per query so a judge can separate plan changes from host
+    # state without re-deriving it from tails (r4 verdict ask #7):
+    # - min-of-n: the steady-state floor (immune to stall windows, but a
+    #   floor shift between rounds can be either plan or host).
+    # - trimmed mean: mean after dropping the single worst sample — tracks
+    #   the typical cost; if min moves but trimmed doesn't (or vice versa),
+    #   the difference is host noise, not the plan.
+    timings = {name: round(min(samples[name]), 3) for name in queries}
+
+    def trimmed(xs: list[float]) -> float:
+        keep = sorted(xs)[:-1] if len(xs) > 1 else xs
+        return sum(keep) / len(keep)
+
+    timings_trimmed = {name: round(trimmed(samples[name]), 3) for name in queries}
     total = sum(timings.values())
+    total_trimmed = sum(timings_trimmed.values())
     for name in queries:
-        print(f"# {name}: {rows[name]} rows in {timings[name]:.2f}s", file=sys.stderr)
+        print(
+            f"# {name}: {rows[name]} rows min={timings[name]:.2f}s "
+            f"trimmed={timings_trimmed[name]:.2f}s (n={len(samples[name])})",
+            file=sys.stderr,
+        )
 
     payload = json.dumps(
         {
@@ -82,6 +100,8 @@ def main() -> int:
             "value": round(total, 3),
             "unit": "sec",
             "queries": timings,
+            "queries_trimmed_mean": timings_trimmed,
+            "total_trimmed_mean": round(total_trimmed, 3),
             "sf": infer_sf(SF_DIR),
         }
     )
@@ -96,6 +116,7 @@ def main() -> int:
             "metric": "total_query_wall_clock",
             "value": round(total, 3),
             "unit": "sec",
+            "total_trimmed_mean": round(total_trimmed, 3),
             "sf": infer_sf(SF_DIR),
             "n_queries": len(timings),
             "detail": "BENCH.json",

@@ -24,7 +24,10 @@ def tokens(text: Column | str) -> Column:
 
 def word_shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles as an array<string>; a document with
-    fewer than ``n`` tokens yields the empty array.
+    fewer than ``n`` tokens yields the empty array, a NULL document yields
+    NULL (``size(NULL)`` is -1/NULL, which would silently take the
+    empty-array branch — SQL oracles render NULL for NULL input, so the
+    NULL case must propagate, not collapse to []; round-4 ADVICE).
 
     ``transform(sequence(...))`` + ``slice`` keeps the whole computation in
     one codegen stage — no explode/re-group round trip. The short-doc case
@@ -42,7 +45,9 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
         lambda i: F.array_join(F.slice(w, i, n), " "),
     )
     return F.array_distinct(
-        F.when(F.size(w) >= n, shingled).otherwise(F.array().cast("array<string>"))
+        F.when(c.isNull(), F.lit(None).cast("array<string>"))
+        .when(F.size(w) >= n, shingled)
+        .otherwise(F.array().cast("array<string>"))
     )
 
 

@@ -109,10 +109,19 @@ def bucketed_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     wh = spark.conf.get("spark.sql.warehouse.dir")
     wh_path = urlparse(wh).path or wh
+    # The utime/self-heal/age-sweep below are os.* calls — meaningful only
+    # for a local-filesystem warehouse. On hdfs:// or s3a:// (where
+    # os.path.isdir is ALWAYS false) they would misread every live table
+    # as vanished and rebuild it on each call — so for remote schemes the
+    # catalog check alone decides, and retention is the metastore's job
+    # (round-4 ADVICE).
+    wh_is_local = urlparse(wh).scheme in ("", "file")
 
     def ensure(table: str, df: DataFrame) -> None:
         loc = os.path.join(wh_path, table)
         if spark.catalog.tableExists(table):
+            if not wh_is_local:
+                return
             if os.path.isdir(loc):
                 # Refresh mtime on EVERY use: the dead-session sweep below
                 # keys on age, and a table a live session keeps querying
@@ -126,7 +135,11 @@ def bucketed_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.sql(f"DROP TABLE IF EXISTS {table}")
         # A fresh session can still collide with its own earlier crashed
         # write at this (session-unique) location — clearing it touches no
-        # other session's files.
+        # other session's files. (Local warehouse only, like the sweep: on
+        # a remote scheme the saveAsTable below owns conflict handling.)
+        if not wh_is_local:
+            write_bucketed(df, table, ("custkey",))
+            return
         shutil.rmtree(loc, ignore_errors=True)
         # Session-unique names can't race live sessions, but they also mean
         # nothing ever deletes a DEAD session's tables — sweep leftovers

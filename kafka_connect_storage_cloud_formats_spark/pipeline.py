@@ -78,6 +78,15 @@ class IngestPipeline:
         # same batch is idempotent (the reference's deterministic-name
         # recovery, directory-granular), successive batches accumulate.
         # Costs one metadata-scale agg job per batch.
+        #
+        # DETERMINISTIC-INPUT REQUIREMENT: the tag aggregation evaluates
+        # `records` once here and the write evaluates it again below. A
+        # non-deterministic input plan (sampling, rand()-stamped ids)
+        # could tag one materialization and write another, landing a
+        # replay under a different batch=<id> (duplicates instead of an
+        # idempotent overwrite). Kafka-envelope batches are deterministic
+        # (offsets are data); a caller feeding a non-deterministic plan
+        # must localCheckpoint/persist it before put().
         batch_dir = self.out_dir
         if "offset" in records.columns:
             import hashlib

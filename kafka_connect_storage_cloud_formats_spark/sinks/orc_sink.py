@@ -146,6 +146,14 @@ def write_orc_parity(
     # above — silently un-ordering the file content. With it disabled, the
     # writer checks the PHYSICAL child ordering, sees the partition-column
     # prefix satisfied, and preserves our row order.
+    #
+    # SINGLE-WRITER ASSUMPTION: session confs can't be scoped per-action,
+    # so this toggle is visible session-wide between set and restore. A
+    # concurrent write in the same SparkSession (e.g. a parallel streaming
+    # query) could observe the flipped value or clobber the restore. The
+    # engine's parity sink is invoked from single-writer batch paths only;
+    # a multi-writer deployment would serialize writes through this sink
+    # or isolate them in cloned sessions (spark.newSession()).
     spark_ = df.sparkSession
     planned = spark_.conf.get("spark.sql.optimizer.plannedWrite.enabled", "true")
     spark_.conf.set("spark.sql.optimizer.plannedWrite.enabled", "false")

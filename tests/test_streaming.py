@@ -370,3 +370,22 @@ def test_sessionizer_late_event_does_not_rewind_session(spark):
     assert last == base_us + 60 * 60 * 1_000_000, "session last must stay at 10:00, not rewind"
     assert n == 3
     assert GAP_US > 0  # constant sanity; span checks above pin the boundaries
+
+    # POLICY BOUNDARY (documented divergence from the batch session_window
+    # oracle, r4 ADVICE): a within-watermark late event more than GAP
+    # before the open session's START is merged into it — batch semantics,
+    # which see all events at once, would emit it as its own earlier
+    # session (10:00 - 09:00 >= gap). Retroactive splitting would require
+    # buffering raw events until the watermark; the sessionizer trades
+    # that for O(1) state per user. This assertion keeps the boundary
+    # visible: if the merge policy ever changes, this fails before the
+    # events_session_30m oracle comparison silently shifts.
+    assert 60 * 60 * 1_000_000 >= GAP_US, "scenario premise: 09:00 is >= GAP early"
+    state2 = FakeState()
+    for b in (batch(60), batch(0)):  # 10:00, then LATE 09:00 (>= gap earlier)
+        list(_sessionize_group((1,), iter([b]), state2))
+    start2, last2, n2, _ = state2.get
+    assert start2 == base_us and last2 == base_us + 60 * 60 * 1_000_000 and n2 == 2, (
+        "streaming policy merges a >=GAP-early late event into the open "
+        "session (batch session_window would split it into two sessions)"
+    )

@@ -58,7 +58,13 @@ def test_word_shingles_short_documents_yield_empty(spark):
 
     from kafka_connect_storage_cloud_formats_spark.functions.text_functions import word_shingles
 
-    df = spark.createDataFrame([("",), ("one",), ("one two",), ("a b c d",)], "text string")
+    df = spark.createDataFrame(
+        [("",), ("one",), ("one two",), ("a b c d",), (None,)], "text string"
+    )
     got = [r["s"] for r in df.select(word_shingles("text", 3).alias("s")).collect()]
     assert got[0] == [] and got[1] == [] and got[2] == []
     assert got[3] == ["a b c", "b c d"]
+    # NULL text propagates NULL (not []) — matches what any SQL oracle
+    # renders for NULL input (round-4 ADVICE; the corpus has no NULL text,
+    # so registered-query results are unchanged)
+    assert got[4] is None
