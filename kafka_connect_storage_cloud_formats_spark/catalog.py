@@ -65,6 +65,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition an UNDER-PARALLEL source up to the session's
+    core count — and a no-op otherwise.
+
+    Why: heavy per-row derivations (tokenize→shingle→hash chains over
+    documents) run map-side in the scan's parallelism. A source whose
+    files can't split (single-row-group parquet, gzip) yields fewer
+    partitions than cores, serializing the derivation on one task while
+    the rest of the executor idles. The guard makes this a pure local-fix:
+    at 100 TB a scan has orders of magnitude more splits than the cluster
+    has cores, the condition is false, and NO shuffle is ever added to the
+    at-scale plan. The repartition, when it does fire, moves only the
+    source rows (cheap by the same premise that made the scan one split).
+
+    Apply at the SCAN, before the derivation — repartitioning the derived
+    stream would run the expensive derivation single-threaded first and
+    parallelize only what comes after it.
+    """
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= cores:
+        return df
+    return df.repartition(cores)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register every table as a temp view; returns name → DataFrame."""
     out: dict[str, DataFrame] = {}

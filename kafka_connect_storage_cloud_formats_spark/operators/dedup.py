@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafka_connect_storage_cloud_formats_spark.catalog import load_table
+from kafka_connect_storage_cloud_formats_spark.catalog import load_table, spread
 from kafka_connect_storage_cloud_formats_spark.functions.text_functions import word_shingles
 
 SHINGLE_N = 3
@@ -112,8 +112,13 @@ def _shingle_rows(docs: DataFrame) -> DataFrame:
     """(doc_id, shingle) distinct rows. ``word_shingles`` already emits a
     per-document ``array_distinct`` array, so exploding it IS distinct —
     no extra shuffle (a trailing ``.distinct()`` here would re-shuffle the
-    full shingle stream for nothing)."""
-    return docs.select("doc_id", F.explode(word_shingles("text", SHINGLE_N)).alias("s"))
+    full shingle stream for nothing). ``spread`` parallelizes the
+    tokenize→shingle derivation when the source scan can't split
+    (single-row-group files serialize ~2 s of string work on one core at
+    sf0.1); it is a guarded no-op at scale where splits ≫ cores."""
+    return spread(docs).select(
+        "doc_id", F.explode(word_shingles("text", SHINGLE_N)).alias("s")
+    )
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -383,10 +388,19 @@ def _simhash_fp_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-explode + md5 + packed-vote chain, shared by the registered
     fingerprint query and the near-pair self-join."""
     half_bits = SIMHASH_BITS // 2
+    # ONE aggregation level: every token OCCURRENCE votes with weight 1 —
+    # integer vote sums are exactly the count-weighted sums the previous
+    # (doc_id, token)→count pre-aggregate produced, so the fingerprints
+    # are bit-identical (and the SQL oracle, which still weights by count,
+    # agrees). Dropping the pre-aggregate removes a full shuffle on the
+    # wide (doc_id, token) key; the remaining groupBy(doc_id) combines
+    # map-side down to one row per document before its (tiny) shuffle.
+    # (No ``spread`` here: A/B-measured, the round-robin shuffle of the
+    # document text costs more than the ~0.9 s single-task map it would
+    # parallelize at sf0.1 — unlike the shingle chain, this map is cheap.)
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
-    counted = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
-    counted = counted.withColumn(
+    tok = tok.withColumn(
         "v_hi", F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10).cast("long")
     ).withColumn(
         "v_lo", F.conv(F.substring(F.md5(F.col("t")), 9, 8), 16, 10).cast("long")
@@ -396,15 +410,15 @@ def _simhash_fp_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         for h in ("hi", "lo")
         for g in range(0, half_bits, SIMHASH_LANES_PER_AGG)
     ]
-    packed_aggs = [F.sum("c").alias("tot")]
+    packed_aggs = [F.count(F.lit(1)).alias("tot")]
     for h, g, bits in groups:
         lanes = sum(
             F.shiftright(F.col(f"v_{h}"), bbit).bitwiseAND(F.lit(1))
             * F.lit(1 << (SIMHASH_LANE_BITS * lane))
             for lane, bbit in enumerate(bits)
         )
-        packed_aggs.append(F.sum(F.col("c") * lanes).alias(f"p_{h}_{g:02d}"))
-    voted = counted.groupBy("doc_id").agg(*packed_aggs)
+        packed_aggs.append(F.sum(lanes).alias(f"p_{h}_{g:02d}"))
+    voted = tok.groupBy("doc_id").agg(*packed_aggs)
 
     lane_mask = (1 << SIMHASH_LANE_BITS) - 1
 

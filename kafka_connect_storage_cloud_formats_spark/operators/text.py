@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafka_connect_storage_cloud_formats_spark.catalog import load_table
+from kafka_connect_storage_cloud_formats_spark.catalog import load_table, spread
 from kafka_connect_storage_cloud_formats_spark.functions.text_functions import STOPWORDS, tokens, word_shingles
 
 # language marker words (deterministic heuristic; mirrored in oracle SQL).
@@ -400,7 +400,9 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shingle key (benchmark side is the small side — AQE broadcasts it),
     then a count aggregate per corpus doc. The corpus text never rides the
     join — only shingle strings (at 100 TB: xxhash64 of the shingle)."""
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: parallelize the shingle derivation when the scan can't split
+    # (guarded no-op at scale — see catalog.spread)
+    docs = spread(load_table(spark, sf_dir, "documents"))
     # One corpus-scale shingle derivation, materialized: the benchmark side
     # and corpus side both filter these settled blocks instead of each
     # re-running the tokenize+explode pass.
