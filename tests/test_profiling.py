@@ -7,6 +7,27 @@ from kafka_connect_storage_cloud_formats_spark.operators.dedup import neardup_cl
 from kafka_connect_storage_cloud_formats_spark.operators.profiling import approx_profile
 
 
+def test_column_profile_edge_cases(spark):
+    """The generic profiler on inputs the orders table never exercises:
+    an all-NULL column (n_distinct=0, NULL min/max), negative numerics
+    (numeric — not lexicographic — min/max), and a mixed-NULL column."""
+    from kafka_connect_storage_cloud_formats_spark.operators.profiling import column_profile
+
+    df = spark.createDataFrame(
+        [(-5.25, None, "b"), (10.0, None, None), (-70.5, None, "a")],
+        "d double, all_null bigint, s string",
+    )
+    prof = {r["column_name"]: r for r in column_profile(df, ("d", "all_null", "s")).collect()}
+    assert prof["all_null"]["n_rows"] == 3 and prof["all_null"]["n_nulls"] == 3
+    assert prof["all_null"]["n_distinct"] == 0
+    assert prof["all_null"]["min_value"] is None and prof["all_null"]["max_value"] is None
+    # lexicographic min of rendered doubles would be '-5.250000'; numeric is -70.5
+    assert prof["d"]["min_value"] == "-70.500000" and prof["d"]["max_value"] == "10.000000"
+    assert prof["d"]["n_distinct"] == 3 and prof["d"]["n_nulls"] == 0
+    assert prof["s"]["n_nulls"] == 1 and prof["s"]["n_distinct"] == 2
+    assert prof["s"]["min_value"] == "a" and prof["s"]["max_value"] == "b"
+
+
 def test_approx_profile_error_bounds(spark, sf_dir):
     """HLL distinct estimate within 5% of exact; approx quantiles within the
     min/max envelope."""
