@@ -214,16 +214,16 @@ def _minhash_sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature query and every LSH consumer."""
     docs = load_table(spark, sf_dir, "documents")
     sh = _shingle_rows(docs)
-    for g in range(MINHASH_GROUPS):
-        sh = sh.withColumn(f"h{g}", F.md5(F.concat(F.lit(f"{g}:"), F.col("s"))))
+    # SQL-string expressions (one F.expr per column/aggregate): the
+    # Column-operator form was ~80 py4j round-trips of pure driver time
+    # per plan build (see _simhash_fp_table for the measured pattern)
+    hashes = [F.expr(f"md5(concat('{g}:', s)) AS h{g}") for g in range(MINHASH_GROUPS)]
+    sh = sh.select("doc_id", *hashes)
     aggs = [
-        F.min(
-            F.substring(
-                F.col(f"h{k // MINHASH_CHUNKS_PER_MD5}"),
-                (k % MINHASH_CHUNKS_PER_MD5) * 8 + 1,
-                8,
-            )
-        ).alias(f"mh_{k:02d}")
+        F.expr(
+            f"min(substring(h{k // MINHASH_CHUNKS_PER_MD5}, "
+            f"{(k % MINHASH_CHUNKS_PER_MD5) * 8 + 1}, 8)) AS mh_{k:02d}"
+        )
         for k in range(MINHASH_K)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
@@ -298,40 +298,36 @@ def _minhash_pairs_unsorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # chain. (Checkpointing the exploded band rows instead was measurably
     # worse: 4 rows/doc each duplicating the signature array.)
     sig = _ensure_minhash_sigs(spark, sf_dir)
-    sig_arr = F.array(*[F.col(f"mh_{k:02d}") for k in range(MINHASH_K)])
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.md5(
-                    F.concat_ws(
-                        "|", *[F.col(f"mh_{b * LSH_ROWS + r:02d}") for r in range(LSH_ROWS)]
-                    )
-                ).alias("band_hash"),
-            )
-            for b in range(LSH_BANDS)
-        ]
+    # SQL-string expressions (a handful of F.expr calls instead of ~100
+    # py4j round-trips building the array/struct/when trees — ~0.4 s of
+    # driver time per plan build, measured; same pattern as
+    # _simhash_fp_table)
+    comps = [f"mh_{k:02d}" for k in range(MINHASH_K)]
+    band_structs = ", ".join(
+        f"struct({b} AS band_id, "
+        f"md5(concat_ws('|', {', '.join(comps[b * LSH_ROWS:(b + 1) * LSH_ROWS])})) AS band_hash)"
+        for b in range(LSH_BANDS)
     )
     bands = sig.select(
-        "doc_id", sig_arr.alias("sig"), F.explode(band_structs).alias("bb")
+        F.col("doc_id"),
+        F.expr(f"array({', '.join(comps)}) AS sig"),
+        F.expr(f"explode(array({band_structs})) AS bb"),
     ).select("doc_id", "sig", "bb.band_id", "bb.band_hash")
     a = bands.alias("a")
     b = bands.alias("b")
-    matches = sum(
-        F.when(F.col("a.sig")[k] == F.col("b.sig")[k], 1).otherwise(0)
-        for k in range(MINHASH_K)
-    )
+    matches = " + ".join(f"IF(a.sig[{k}] = b.sig[{k}], 1, 0)" for k in range(MINHASH_K))
     return (
         a.join(
             b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            F.expr(
+                "a.band_id = b.band_id AND a.band_hash = b.band_hash "
+                "AND a.doc_id < b.doc_id"
+            ),
         )
         .select(
             F.col("a.doc_id").alias("d1"),
             F.col("b.doc_id").alias("d2"),
-            (matches.cast("double") / MINHASH_K).alias("est_jaccard"),
+            F.expr(f"cast(({matches}) AS DOUBLE) / {MINHASH_K} AS est_jaccard"),
         )
         .distinct()
     )
@@ -400,52 +396,55 @@ def _simhash_fp_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parallelize at sf0.1 — unlike the shingle chain, this map is cheap.)
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
-    tok = tok.withColumn(
-        "v_hi", F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10).cast("long")
-    ).withColumn(
-        "v_lo", F.conv(F.substring(F.md5(F.col("t")), 9, 8), 16, 10).cast("long")
+    # md5 computed ONCE per occurrence and shared by both halves —
+    # codegen does not common-subexpression two separate md5(t) calls
+    # (A/B-measured ~30% of the map time at sf0.1)
+    tok = tok.withColumn("h16", F.substring(F.md5(F.col("t")), 1, 16)).select(
+        "doc_id",
+        F.conv(F.substring(F.col("h16"), 1, 8), 16, 10).cast("long").alias("v_hi"),
+        F.conv(F.substring(F.col("h16"), 9, 8), 16, 10).cast("long").alias("v_lo"),
     )
     groups = [
         (h, g, list(range(g, min(g + SIMHASH_LANES_PER_AGG, half_bits))))
         for h in ("hi", "lo")
         for g in range(0, half_bits, SIMHASH_LANES_PER_AGG)
     ]
-    packed_aggs = [F.count(F.lit(1)).alias("tot")]
+    # The packed-vote expressions are built as SQL STRINGS (one F.expr per
+    # aggregate / half), not as Column-operator trees: the tree form is
+    # hundreds of py4j round-trips and cost ~1.5 s of DRIVER time per
+    # plan build at any data size (measured; the actual executor work is
+    # ~0.3 s at sf0.1). Semantically identical — same shifts, same
+    # lane packing.
+    packed_aggs = [F.expr("count(1) AS tot")]
     for h, g, bits in groups:
-        lanes = sum(
-            F.shiftright(F.col(f"v_{h}"), bbit).bitwiseAND(F.lit(1))
-            * F.lit(1 << (SIMHASH_LANE_BITS * lane))
+        lanes = " + ".join(
+            f"(shiftright(v_{h}, {bbit}) & 1) * {1 << (SIMHASH_LANE_BITS * lane)}"
             for lane, bbit in enumerate(bits)
         )
-        packed_aggs.append(F.sum(lanes).alias(f"p_{h}_{g:02d}"))
+        packed_aggs.append(F.expr(f"sum({lanes}) AS p_{h}_{g:02d}"))
     voted = tok.groupBy("doc_id").agg(*packed_aggs)
 
     lane_mask = (1 << SIMHASH_LANE_BITS) - 1
 
-    def _half(h: str):
+    def _half(h: str) -> str:
         terms = []
         for hh, g, bits in groups:
             if hh != h:
                 continue
             for lane, bbit in enumerate(bits):
-                cnt = F.shiftright(
-                    F.col(f"p_{h}_{g:02d}"), SIMHASH_LANE_BITS * lane
-                ).bitwiseAND(F.lit(lane_mask))
-                terms.append(F.when(cnt * 2 > F.col("tot"), F.lit(2**bbit)).otherwise(F.lit(0)))
-        return sum(terms)
+                cnt = f"(shiftright(p_{h}_{g:02d}, {SIMHASH_LANE_BITS * lane}) & {lane_mask})"
+                terms.append(f"IF({cnt} * 2 > tot, {2**bbit}, 0)")
+        return " + ".join(terms)
 
     # fail loudly if a doc's token total would overflow a 20-bit lane
-    guard = F.coalesce(
-        F.assert_true(
-            F.col("tot") < F.lit(1 << SIMHASH_LANE_BITS),
-            F.lit("simhash packed-vote lane overflow: document exceeds 2^20 tokens"),
-        ).cast("long"),
-        F.lit(0),
+    guard = (
+        f"coalesce(cast(assert_true(tot < {1 << SIMHASH_LANE_BITS}, "
+        f"'simhash packed-vote lane overflow: document exceeds 2^20 tokens') AS BIGINT), 0)"
     )
     return voted.select(
-        "doc_id",
-        (_half("hi") + guard).cast("long").alias("simhash_hi"),
-        (_half("lo") + guard).cast("long").alias("simhash_lo"),
+        F.col("doc_id"),
+        F.expr(f"cast(({_half('hi')}) + {guard} AS BIGINT) AS simhash_hi"),
+        F.expr(f"cast(({_half('lo')}) + {guard} AS BIGINT) AS simhash_lo"),
     )
 
 
