@@ -37,6 +37,23 @@ def test_allowed_nested_are_documented_exceptions(spark, sf_dir):
     }
 
 
+def test_q21_plan_is_lazy_and_transparent(spark, sf_dir):
+    """Regression gate for KNOWN_ISSUES r4 #1: building q21's plan must not
+    embed a pre-executed RDD (the old eager localCheckpoint ran the most
+    expensive join in the suite at PLAN-BUILD time and the audit saw only
+    `Scan ExistingRDD`). The full join subtree — both consumers of the
+    `late` distinct — must be visible in the physical plan."""
+    qs = entry_mod.queries()
+    plan = (
+        qs["q21_sole_late_supplier"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ExistingRDD" not in plan, "q21 plan embeds a pre-executed checkpoint"
+    assert plan.count("lineitem") >= 2, "late subtree not visible in both consumers"
+
+
 def test_filter_pushdown_reaches_scans(spark, sf_dir):
     """Filtering queries must push predicates into the parquet scan."""
     qs = entry_mod.queries()
