@@ -383,7 +383,6 @@ def _simhash_fp_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unsorted (doc_id, simhash_hi, simhash_lo) fingerprint table — the
     token-explode + md5 + packed-vote chain, shared by the registered
     fingerprint query and the near-pair self-join."""
-    half_bits = SIMHASH_BITS // 2
     # ONE aggregation level: every token OCCURRENCE votes with weight 1 —
     # integer vote sums are exactly the count-weighted sums the previous
     # (doc_id, token)→count pre-aggregate produced, so the fingerprints
@@ -394,7 +393,15 @@ def _simhash_fp_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (No ``spread`` here: A/B-measured, the round-robin shuffle of the
     # document text costs more than the ~0.9 s single-task map it would
     # parallelize at sf0.1 — unlike the shingle chain, this map is cheap.)
-    docs = load_table(spark, sf_dir, "documents")
+    return _simhash_fp_from(load_table(spark, sf_dir, "documents"))
+
+
+def _simhash_fp_from(docs: DataFrame) -> DataFrame:
+    """Fingerprint computation over any (doc_id, text) DataFrame — split
+    out so the packed-vote/SQL-string machinery is equivalence-testable
+    against a plain-Python reference on synthetic docs
+    (tests/test_dedup.py)."""
+    half_bits = SIMHASH_BITS // 2
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
     # md5 computed ONCE per occurrence and shared by both halves —
     # codegen does not common-subexpression two separate md5(t) calls

@@ -71,3 +71,55 @@ def test_minhash_signature_artifact_built_once_and_consistent(spark, sf_dir):
     got = {tuple(r) for r in art.collect()}
     want = {tuple(r) for r in _minhash_sig_table(spark, sf_dir).collect()}
     assert got == want
+
+
+def test_simhash_packed_votes_match_python_reference(spark):
+    """Bit-for-bit equivalence of the packed-vote SQL-string SimHash
+    against an independent plain-Python implementation — guards the lane
+    packing, shift/mask expressions, and the per-occurrence (weight-1)
+    vote refactor on docs the corpus never exercises (heavy repetition,
+    single tokens, vote ties)."""
+    import hashlib
+    import random
+
+    from kafka_connect_storage_cloud_formats_spark.operators.dedup import _simhash_fp_from
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [
+        "solo",
+        "dup dup dup dup",          # one token, all votes unanimous
+        "a b a b",                  # 2-2 vote ties per differing bit
+        *(
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 60)))
+            for _ in range(20)
+        ),
+    ]
+
+    def py_simhash(text):
+        counts = {}
+        for t in text.split(" "):
+            counts[t] = counts.get(t, 0) + 1
+        total = sum(counts.values())
+        out = {}
+        for half, start in (("hi", 0), ("lo", 8)):
+            word = 0
+            for b in range(32):
+                vote = 0
+                for t, c in counts.items():
+                    v = int(hashlib.md5(t.encode()).hexdigest()[start : start + 8], 16)
+                    vote += c * ((v >> b) & 1)
+                if 2 * vote > total:
+                    word |= 1 << b
+            out[half] = word
+        return out["hi"], out["lo"]
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["simhash_hi"], r["simhash_lo"])
+        for r in _simhash_fp_from(docs).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == py_simhash(t), f"doc {i}: {t!r}"
