@@ -212,7 +212,14 @@ def _minhash_sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unsorted (doc_id, mh_00..mh_11) signature table — the expensive
     shingle-explode + md5 + min-aggregate chain, shared by the registered
     signature query and every LSH consumer."""
-    docs = load_table(spark, sf_dir, "documents")
+    return _minhash_sigs_from(load_table(spark, sf_dir, "documents"))
+
+
+def _minhash_sigs_from(docs: DataFrame) -> DataFrame:
+    """Signature computation over any (doc_id, text) DataFrame — split out
+    so the hash-family / chunk-indexing expressions are
+    equivalence-testable against a plain-Python reference on synthetic
+    docs (tests/test_dedup.py)."""
     sh = _shingle_rows(docs)
     # SQL-string expressions (one F.expr per column/aggregate): the
     # Column-operator form was ~80 py4j round-trips of pure driver time

@@ -123,3 +123,56 @@ def test_simhash_packed_votes_match_python_reference(spark):
     }
     for i, t in enumerate(texts):
         assert got[i] == py_simhash(t), f"doc {i}: {t!r}"
+
+
+def test_minhash_signatures_match_python_reference(spark):
+    """Equivalence of the SQL-string signature table (hash family h{g} =
+    md5('g:'||shingle); component k = MIN over shingles of 8-hex-char
+    chunk k%4 of h{k//4}) against an independent Python implementation —
+    guards the group/chunk indexing and the distinct-shingle semantics
+    on synthetic docs (repeats, sub-n-token docs excluded upstream)."""
+    import hashlib
+    import random
+
+    from kafka_connect_storage_cloud_formats_spark.operators.dedup import (
+        MINHASH_CHUNKS_PER_MD5,
+        MINHASH_K,
+        SHINGLE_N,
+        _minhash_sigs_from,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(12)]
+    texts = [
+        "a b c",                    # exactly one shingle
+        "x y x y x y x y",          # repeated shingles (distinct-ness matters)
+        *(
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 40)))
+            for _ in range(15)
+        ),
+    ]
+
+    def py_sigs(text):
+        w = text.split(" ")
+        shingles = {" ".join(w[i : i + SHINGLE_N]) for i in range(len(w) - SHINGLE_N + 1)}
+        sig = []
+        for k in range(MINHASH_K):
+            g, chunk = k // MINHASH_CHUNKS_PER_MD5, k % MINHASH_CHUNKS_PER_MD5
+            sig.append(
+                min(
+                    hashlib.md5(f"{g}:{s}".encode()).hexdigest()[chunk * 8 : chunk * 8 + 8]
+                    for s in shingles
+                )
+            )
+        return tuple(sig)
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: tuple(r[f"mh_{k:02d}"] for k in range(MINHASH_K))
+        for r in _minhash_sigs_from(docs).collect()
+    }
+    assert len(got) == len(texts)
+    for i, t in enumerate(texts):
+        assert got[i] == py_sigs(t), f"doc {i}: {t!r}"
