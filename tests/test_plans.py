@@ -35,6 +35,19 @@ def test_allowed_nested_are_documented_exceptions(spark, sf_dir):
         "q11_important_parts",
         "doc_quality_deciles",
     }
+    from tools.plan_audit import ALLOWED_CHECKPOINT
+
+    assert ALLOWED_CHECKPOINT == {
+        "dedup_ngram_jaccard",
+        "benchmark_contamination",
+        "simhash_near_pairs",
+        "ann_lsh_topk",
+        "dedup_embedding_cosine",
+        "neardup_clusters",
+        "training_corpus_stats",
+        "ann_recall_at_10",
+        "doc_bigram_novelty",
+    }
 
 
 def test_q21_plan_is_lazy_and_transparent(spark, sf_dir):
