@@ -68,3 +68,42 @@ def test_word_shingles_short_documents_yield_empty(spark):
     # renders for NULL input (round-4 ADVICE; the corpus has no NULL text,
     # so registered-query results are unchanged)
     assert got[4] is None
+
+
+def test_word_shingles_matches_python_reference(spark):
+    """word_shingles vs an independent Python reference over adversarial
+    inputs: NULL, empty, multi-space (empty tokens count), unicode,
+    duplicate shingles (distinct-ness), exactly-n tokens. Guards the
+    sequence/slice/when machinery and this round's NULL-propagation fix."""
+    from kafka_connect_storage_cloud_formats_spark.functions.text_functions import word_shingles
+
+    texts = [
+        None,
+        "",
+        " ",            # two empty tokens
+        "a  b c",       # empty token mid-stream ('a','','b','c')
+        "α β γ δ",      # non-ascii
+        "x y z",        # exactly n tokens
+        "p q",          # n-1 tokens
+        "r s t r s t r s t",  # repeated shingles collapse
+    ]
+
+    def py_shingles(text, n=3):
+        if text is None:
+            return None
+        w = text.split(" ")
+        seen, out = set(), []
+        for i in range(max(len(w) - n + 1, 0)):
+            s = " ".join(w[i : i + n])
+            if s not in seen:
+                seen.add(s)
+                out.append(s)
+        return out
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    got = {
+        r["i"]: r["s"]
+        for r in df.select("i", word_shingles("text", 3).alias("s")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == py_shingles(t), f"input {t!r}"
