@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Interleaved same-session A/B bench of two code trees.
+
+The repo's per-round bench totals are recorded hours apart, and the host
+shows multi-hour floor drift (documented in bench.py) — so a round-over-
+round total alone cannot distinguish plan changes from host eras. This
+tool removes the confound: passes alternate A,B,A,B,... over a fixed
+query subset in ONE Spark session, purging the package's module
+namespace and swapping sys.path between passes (both trees share the
+package name). Per-query min-of-n from interleaved passes compares the
+two code versions on identical host state; unchanged control queries
+should sit at ~1.0x, bounding the noise band around the changed ones.
+
+Usage:
+  git worktree add /tmp/oldcode <old-commit>
+  python3 tools/ab_bench.py /tmp/oldcode /root/repo q1 q2 ... [--passes 3]
+
+Round-5 result (r4 @47a708a vs r5 HEAD, 3 interleaved passes, sf0.1):
+changed-set total 23.2 -> 15.4 s (0.66x) with all five unchanged
+controls inside 0.93-1.05x — the round-5 speedups are plan work, not
+host era. Detail in SCALE.md.
+"""
+from __future__ import annotations
+
+import importlib
+import json
+import sys
+import time
+
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+passes = 3
+if "--passes" in sys.argv:
+    passes = int(sys.argv[sys.argv.index("--passes") + 1])
+tree_a, tree_b = args[0], args[1]
+subset = args[2:]
+SF = "/root/testdata/sf0.1"
+
+sys.path.insert(0, tree_b)
+from kafka_connect_storage_cloud_formats_spark.session import get_spark  # noqa: E402
+
+spark = get_spark("ab_bench")
+
+
+def load_entry(tree: str):
+    for m in [
+        k
+        for k in sys.modules
+        if k.startswith("kafka_connect_storage_cloud_formats_spark") or k == "__spark_entry__"
+    ]:
+        del sys.modules[m]
+    sys.path[0] = tree
+    return importlib.import_module("__spark_entry__")
+
+
+results: dict = {}
+for p in range(passes):
+    for tag, tree in (("A", tree_a), ("B", tree_b)):
+        qs = load_entry(tree).queries()
+        names = subset or list(qs)
+        for name in names:
+            t0 = time.perf_counter()
+            qs[name](spark, SF).count()
+            results.setdefault(name, {}).setdefault(tag, []).append(
+                time.perf_counter() - t0
+            )
+            spark.catalog.clearCache()
+        print(f"# pass{p + 1} {tag} done", file=sys.stderr)
+
+print(f"{'query':34s} {'A min':>7s} {'B min':>7s}  B/A")
+tot_a = tot_b = 0.0
+out = {}
+for name in results:
+    a, b = min(results[name]["A"]), min(results[name]["B"])
+    tot_a += a
+    tot_b += b
+    out[name] = {"A": round(a, 3), "B": round(b, 3)}
+    print(f"{name:34s} {a:7.2f} {b:7.2f}  {b / a:5.2f}x")
+print(f"{'TOTAL':34s} {tot_a:7.2f} {tot_b:7.2f}  {tot_b / tot_a:5.2f}x")
+json.dump(out, open("/tmp/ab_bench.json", "w"), indent=1)
