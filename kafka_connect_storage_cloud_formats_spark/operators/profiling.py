@@ -63,7 +63,12 @@ def column_profile(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
     order; integer→double is exact to 2^53, far beyond any key column), so
     the result is identical to profiling the raw values — the per-column
     oracle SQL needs no two-level mirror. An all-NULL column profiles as
-    n_distinct=0 with NULL min/max (unit-tested)."""
+    n_distinct=0 with NULL min/max (unit-tested).
+
+    Edge semantics: an EMPTY input produces an empty profile (no rows),
+    where a per-column wide aggregate would produce one all-zero row per
+    column — the long format has no rows to pivot from. Callers profiling
+    possibly-empty tables should treat "column absent" as n_rows=0."""
     dtypes = dict(df.dtypes)
     rendered = F.array(*[_render_stat(F.col(c), dtypes[c]) for c in cols])
     ex = df.select(F.posexplode_outer(rendered).alias("pos", "vstr"))
