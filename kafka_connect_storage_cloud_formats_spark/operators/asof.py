@@ -31,7 +31,14 @@ def asof_join(
 ) -> DataFrame:
     """Generic as-of join. Returns ``left`` columns plus, for each
     ``right_cols`` column c, ``asof_c`` = c of the latest right row with
-    ``right.ts <= left.ts`` and equal ``on`` key (NULL if none)."""
+    ``right.ts <= left.ts`` and equal ``on`` key (NULL if none).
+
+    Tie note: if the right side has MULTIPLE rows at the same (key, ts),
+    which one is carried is unspecified — exactly as in the SQL oracle's
+    ``ORDER BY ts DESC LIMIT 1``. Callers needing determinism under such
+    ties should pre-deduplicate the right side or extend its sort key
+    (the driver's events table has no same-(user, ts) purchase pairs at
+    any SF — verified round 5)."""
     # unionByName(allowMissingColumns=True) null-fills each side's missing
     # columns with the other side's types — the left side needs no explicit
     # lit(None).cast(...) padding of the __r_* columns (that is exactly the
