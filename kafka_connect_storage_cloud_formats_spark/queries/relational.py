@@ -460,7 +460,11 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_suppkey")
         .distinct()
     )
-    l2 = li.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")).distinct()
+    # The semi probe needs NO distinct: EXISTS is duplicate-insensitive, so
+    # deduplicating the full fact table's (orderkey, suppkey) pairs here
+    # was a corpus-scale aggregate bought for nothing (r5: 1.8 → 1.1 s at
+    # sf0.1; at 100 TB it removes an entire fact-table shuffle+agg).
+    l2 = li.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2"))
     late3 = late.select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))
     cand = late.join(
         l2, (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")), "left_semi"
