@@ -27,12 +27,14 @@ import json
 import sys
 import time
 
-args = [a for a in sys.argv[1:] if not a.startswith("--")]
+argv = sys.argv[1:]
 passes = 3
-if "--passes" in sys.argv:
-    passes = int(sys.argv[sys.argv.index("--passes") + 1])
-tree_a, tree_b = args[0], args[1]
-subset = args[2:]
+if "--passes" in argv:
+    i = argv.index("--passes")
+    passes = int(argv[i + 1])
+    argv = argv[:i] + argv[i + 2 :]
+tree_a, tree_b = argv[0], argv[1]
+subset = argv[2:]
 SF = "/root/testdata/sf0.1"
 
 sys.path.insert(0, tree_b)
