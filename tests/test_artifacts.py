@@ -124,7 +124,10 @@ def test_publish_sweeps_stale_fingerprints(tmp_path, monkeypatch):
     other kinds/params are never touched."""
     import tempfile as _tf
 
+    from kafka_connect_storage_cloud_formats_spark import artifacts as _art
+
     monkeypatch.setattr(_tf, "gettempdir", lambda: str(tmp_path / "cache"))
+    monkeypatch.setattr(_art, "SWEEP_GRACE_SECONDS", 0.0)
     os.makedirs(str(tmp_path / "cache"))
     corpus = tmp_path / "corpus"
     corpus.mkdir()
@@ -160,6 +163,126 @@ def test_publish_sweeps_stale_fingerprints(tmp_path, monkeypatch):
     # cached re-ensure (no build) never sweeps nor rebuilds
     ensure_artifact(p2, build)
     assert os.path.exists(os.path.join(p2, "_SUCCESS"))
+
+
+def test_sweep_grace_period_spares_young_siblings(tmp_path, monkeypatch):
+    """A just-published previous-generation artifact is NOT swept while
+    inside the grace window (a concurrent session may be mid-scan of it);
+    once cold, the next publish retires it."""
+    import tempfile as _tf
+
+    from kafka_connect_storage_cloud_formats_spark import artifacts as _art
+
+    monkeypatch.setattr(_tf, "gettempdir", lambda: str(tmp_path / "cache"))
+    os.makedirs(str(tmp_path / "cache"))
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    sf = _fake_corpus(corpus)
+
+    def build(tmp_dir):
+        os.makedirs(tmp_dir)
+        open(os.path.join(tmp_dir, "_SUCCESS"), "w").close()
+
+    p1 = artifact_path("sigs", sf, "documents", params="g1")
+    ensure_artifact(p1, build)
+    _fake_corpus(corpus, b"v2-regenerated")
+    p2 = artifact_path("sigs", sf, "documents", params="g1")
+    # default grace (600 s): p1 is seconds old → spared
+    ensure_artifact(p2, build)
+    assert os.path.exists(p1), "young sibling must survive the grace window"
+    # age p1 past the grace window → the NEXT publish retires it
+    old = os.stat(p1).st_mtime - _art.SWEEP_GRACE_SECONDS - 1
+    os.utime(p1, (old, old))
+    _art._sweep_stale_siblings(p2)
+    assert not os.path.exists(p1)
+    assert os.path.exists(p2)
+
+
+def test_path_hash_separates_same_basename_corpora(tmp_path, monkeypatch):
+    """Two checkouts each with their own ``sf0.1`` are DIFFERENT artifact
+    families (round-5 ADVICE): one corpus's publish must never treat the
+    other's artifact as a stale generation of itself."""
+    import tempfile as _tf
+
+    from kafka_connect_storage_cloud_formats_spark import artifacts as _art
+
+    monkeypatch.setattr(_tf, "gettempdir", lambda: str(tmp_path / "cache"))
+    monkeypatch.setattr(_art, "SWEEP_GRACE_SECONDS", 0.0)
+    os.makedirs(str(tmp_path / "cache"))
+    a = tmp_path / "checkout_a" / "sf0.1"
+    b = tmp_path / "checkout_b" / "sf0.1"
+    a.mkdir(parents=True)
+    b.mkdir(parents=True)
+    sfa = _fake_corpus(a, b"corpus-a")
+    sfb = _fake_corpus(b, b"corpus-b")
+    pa = artifact_path("sigs", sfa, "documents", params="g1")
+    pb = artifact_path("sigs", sfb, "documents", params="g1")
+    assert pa != pb
+
+    def build(tmp_dir):
+        os.makedirs(tmp_dir)
+        open(os.path.join(tmp_dir, "_SUCCESS"), "w").close()
+
+    ensure_artifact(pa, build)
+    ensure_artifact(pb, build)  # b's publish sweeps b-family only
+    assert os.path.exists(pa), "other checkout's live artifact must survive"
+    # but a REGENERATION of b itself still retires b's old generation
+    _fake_corpus(b, b"corpus-b-regenerated")
+    pb2 = artifact_path("sigs", sfb, "documents", params="g1")
+    ensure_artifact(pb2, build)
+    assert not os.path.exists(pb)
+    assert os.path.exists(pa)
+
+
+def test_interleaved_builders_never_expose_partial_artifact(tmp_path, monkeypatch):
+    """Round-5 verdict ask #5: two interleaved ensure_artifact calls for the
+    SAME content key — the loser's rename fails AFTER the winner published;
+    no reader ever sees a partial artifact, the winner's content survives,
+    and the winner's publish-sweep never deletes the winner itself."""
+    import tempfile as _tf
+
+    from kafka_connect_storage_cloud_formats_spark import artifacts as _art
+
+    monkeypatch.setattr(_tf, "gettempdir", lambda: str(tmp_path / "cache"))
+    monkeypatch.setattr(_art, "SWEEP_GRACE_SECONDS", 0.0)
+    os.makedirs(str(tmp_path / "cache"))
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    sf = _fake_corpus(corpus)
+    target = artifact_path("race", sf, "documents")
+
+    def make(d, tag):
+        os.makedirs(d)
+        open(os.path.join(d, "part-0"), "w").write(tag)
+        open(os.path.join(d, "_SUCCESS"), "w").close()
+
+    real_rename = os.rename
+    order = []
+
+    def racing_rename(src, dst):
+        # interleave: just before the loser's rename lands, the winner's
+        # fully-built tmp dir is renamed into place first (atomic on one FS)
+        if dst == target and not os.path.exists(target):
+            wtmp = target + ".tmp.aaaaaaaa"
+            make(wtmp, "winner")
+            real_rename(wtmp, target)
+            order.append("winner-published")
+        order.append("loser-rename-attempt")
+        return real_rename(src, dst)  # loser: dst exists → OSError
+
+    monkeypatch.setattr(os, "rename", racing_rename)
+    assert ensure_artifact(target, lambda d: make(d, "loser")) == target
+    monkeypatch.setattr(os, "rename", real_rename)
+    # the loser adjudicated the failed rename as a lost race (winner's
+    # _SUCCESS present) — winner's content intact, loser's tmp cleaned up
+    assert order[0] == "winner-published"
+    assert open(os.path.join(target, "part-0")).read() == "winner"
+    assert os.path.exists(os.path.join(target, "_SUCCESS"))
+    assert [p for p in os.listdir(str(tmp_path / "cache")) if ".tmp." in p] == []
+    # the sweep that follows a publish keyed on the SAME fingerprint never
+    # removes the live winner
+    _art._sweep_stale_siblings(target)
+    assert os.path.exists(os.path.join(target, "_SUCCESS"))
 
 
 def test_params_token_changes_the_key(tmp_path):

@@ -2,6 +2,8 @@
 read under a UTC session or fail loudly (round-3 advice: never silently
 shift values, never silently mutate the caller's session timezone)."""
 
+import os
+
 import pytest
 
 from kafka_connect_storage_cloud_formats_spark.catalog import load_table
@@ -21,6 +23,51 @@ def test_events_load_raises_under_foreign_timezone(spark, sf_dir):
         spark.conf.set(tz_key, orig)
     # back under UTC the same call succeeds
     assert load_table(spark, sf_dir, "events").columns
+
+
+def test_load_table_cached_per_app_and_fingerprint(spark, sf_dir, tmp_path):
+    """load_table memoizes the DataFrame per (applicationId, sf_dir, table)
+    — the same logical-plan object comes back, skipping the driver-side
+    file-listing/footer-inference cost — but a corpus REGENERATED at the
+    same path (new stat fingerprint) bypasses the cache (round-5 verdict
+    ask #1's regenerated-dir requirement)."""
+    import shutil
+
+    from kafka_connect_storage_cloud_formats_spark.catalog import table_path
+
+    d1 = load_table(spark, sf_dir, "region")
+    assert load_table(spark, sf_dir, "region") is d1
+    # different sf_dir at the same table name → different entry
+    sf2 = str(tmp_path / "sfcopy")
+    os.makedirs(sf2)
+    shutil.copy(table_path(sf_dir, "region"), table_path(sf2, "region"))
+    d2 = load_table(spark, sf2, "region")
+    assert d2 is not d1
+    assert load_table(spark, sf2, "region") is d2
+    # regenerate the copy in place (size/mtime change) → cache bypass
+    shutil.copy(table_path(sf_dir, "nation"), table_path(sf2, "region"))
+    d3 = load_table(spark, sf2, "region")
+    assert d3 is not d2
+    assert "n_nationkey" in d3.columns  # the fresh bytes, not the stale plan
+
+
+def test_spread_probe_memoized_on_cached_object(spark, sf_dir):
+    """The partition-count probe runs once per cached DataFrame object:
+    spread() stamps the result on the object, so repeated consumer plan
+    builds skip the physical-planning/RDD-conversion cost (round-5 verdict
+    ask #7)."""
+    from kafka_connect_storage_cloud_formats_spark.catalog import spread
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs.__dict__.pop("_engine_scan_parts", None)
+    spread(docs)
+    n = getattr(docs, "_engine_scan_parts", None)
+    assert isinstance(n, int)
+    # second call consults the memo, not the RDD (poison the memo to prove
+    # the probe is skipped: a huge count makes spread a no-op)
+    docs._engine_scan_parts = 10_000
+    assert spread(docs) is docs
+    docs.__dict__.pop("_engine_scan_parts", None)
 
 
 def test_spread_guarded_repartition(spark, sf_dir):

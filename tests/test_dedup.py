@@ -58,11 +58,17 @@ def test_minhash_signature_artifact_built_once_and_consistent(spark, sf_dir):
 
     from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_path
     from kafka_connect_storage_cloud_formats_spark.operators.dedup import (
+        MINHASH_K,
+        SHINGLE_N,
         _ensure_minhash_sigs,
         _minhash_sig_table,
     )
 
-    path = artifact_path("minhash_sigs", sf_dir, "documents")
+    # the REAL params key (a no-params path here passed spuriously through
+    # round 5 against a stale r4-era artifact in the shared tempdir)
+    path = artifact_path(
+        "minhash_sigs", sf_dir, "documents", params=f"k{MINHASH_K}n{SHINGLE_N}"
+    )
     art = _ensure_minhash_sigs(spark, sf_dir)
     assert os.path.exists(os.path.join(path, "_SUCCESS"))
     stamp = os.stat(path).st_mtime_ns
