@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from kafka_connect_storage_cloud_formats_spark.catalog import load_table, spread
 from kafka_connect_storage_cloud_formats_spark.functions.text_functions import word_shingles
+from kafka_connect_storage_cloud_formats_spark.operators.shingles import ensure_shingle_rows
 
 SHINGLE_N = 3
 # Document-frequency cap for the exact-Jaccard tier: shingles appearing in
@@ -128,16 +129,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the per-doc set sizes, so the result is the exact Jaccard of the
     reduced (discriminative) shingle sets and the worst-case fan-out of the
     self-join is cap-bounded."""
-    docs = load_table(spark, sf_dir, "documents")
-    # Materialize the RAW shingle stream ONCE (localCheckpoint: settled
-    # cluster-memory blocks, lineage truncated): the hot-set aggregate, the
-    # per-doc sizes, and both self-join sides all read these blocks instead
-    # of re-deriving the corpus-scale tokenize+explode — at 100 TB this is
-    # the difference between one corpus scan and four. Checkpointing BEFORE
-    # the cap (not the capped set) keeps it a single pass: capping first
-    # would need the hot aggregate — a second full derivation — before
-    # anything could materialize.
-    sh_all = _shingle_rows(docs).localCheckpoint(eager=True)
+    # The RAW shingle stream is materialized ONCE PER CORPUS as a
+    # content-keyed parquet artifact (operators/shingles.py): the hot-set
+    # aggregate, the per-doc sizes, and both self-join sides scan that file
+    # source instead of each re-deriving the corpus-scale tokenize+explode
+    # — at 100 TB this is the difference between one corpus scan and four,
+    # and unlike the round-5 ``localCheckpoint`` (non-reliable executor
+    # blocks: an executor loss after lineage truncation failed the job) a
+    # file source recovers by ordinary task retry. Materializing BEFORE
+    # the DF cap keeps the build a single pass: capping first would need
+    # the hot aggregate — a second full derivation — before anything could
+    # publish.
+    sh_all = ensure_shingle_rows(spark, sf_dir, SHINGLE_N).select("doc_id", "s")
     # hot set is small by construction (≤ N_shingle_rows / cap entries);
     # left-anti join, strategy left to AQE: it broadcasts from runtime
     # stats while the hot set fits and falls back to a shuffle anti-join
@@ -220,7 +223,15 @@ def _minhash_sigs_from(docs: DataFrame) -> DataFrame:
     so the hash-family / chunk-indexing expressions are
     equivalence-testable against a plain-Python reference on synthetic
     docs (tests/test_dedup.py)."""
-    sh = _shingle_rows(docs)
+    return _sigs_from_shingles(_shingle_rows(docs))
+
+
+def _sigs_from_shingles(sh: DataFrame) -> DataFrame:
+    """MinHash aggregation over a (doc_id, s) shingle stream. Separate from
+    the shingle derivation so the artifact build can feed the SHARED
+    materialized shingle stream (operators/shingles.py) straight into the
+    signature aggregate — one corpus scan serves both the Jaccard tier and
+    the signature build at 100 TB."""
     # SQL-string expressions (one F.expr per column/aggregate): the
     # Column-operator form was ~80 py4j round-trips of pure driver time
     # per plan build (see _simhash_fp_table for the measured pattern)
@@ -256,8 +267,17 @@ def _ensure_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = artifact_path(
         "minhash_sigs", sf_dir, "documents", params=f"k{MINHASH_K}n{SHINGLE_N}"
     )
+    # The build aggregates the SHARED materialized shingle stream (n=3 —
+    # the same artifact the Jaccard tier scans) instead of re-deriving
+    # tokenize+shingle from the corpus: at 100 TB one corpus scan publishes
+    # the shingle artifact and every downstream derivation (Jaccard pairs,
+    # signatures) aggregates from it. Result is identical by construction
+    # (tests/test_dedup.py pins artifact content against the direct chain).
     ensure_artifact(
-        path, lambda tmp: _minhash_sig_table(spark, sf_dir).write.parquet(tmp)
+        path,
+        lambda tmp: _sigs_from_shingles(
+            ensure_shingle_rows(spark, sf_dir, SHINGLE_N)
+        ).write.parquet(tmp),
     )
     return spark.read.parquet(path)
 

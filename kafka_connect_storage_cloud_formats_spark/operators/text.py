@@ -11,8 +11,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafka_connect_storage_cloud_formats_spark.catalog import load_table, spread
+from kafka_connect_storage_cloud_formats_spark.catalog import load_table
 from kafka_connect_storage_cloud_formats_spark.functions.text_functions import STOPWORDS, tokens, word_shingles
+from kafka_connect_storage_cloud_formats_spark.operators.shingles import ensure_shingle_rows
 
 # language marker words (deterministic heuristic; mirrored in oracle SQL).
 # The corpus is synthetic word-soup, so these "markers" are arbitrary but the
@@ -400,15 +401,13 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shingle key (benchmark side is the small side — AQE broadcasts it),
     then a count aggregate per corpus doc. The corpus text never rides the
     join — only shingle strings (at 100 TB: xxhash64 of the shingle)."""
-    # spread: parallelize the shingle derivation when the scan can't split
-    # (guarded no-op at scale — see catalog.spread)
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    # One corpus-scale shingle derivation, materialized: the benchmark side
-    # and corpus side both filter these settled blocks instead of each
-    # re-running the tokenize+explode pass.
-    sh = docs.select(
-        "doc_id", "source", F.explode(word_shingles("text", CONTAMINATION_SHINGLE_N)).alias("s")
-    ).localCheckpoint(eager=True)
+    # The corpus-scale shingle derivation comes from the content-keyed
+    # parquet artifact (operators/shingles.py, n=5 — a separate params key
+    # from Jaccard's n=3): the benchmark and corpus sides both scan the
+    # file source instead of each re-running tokenize+explode, and unlike
+    # the round-5 ``localCheckpoint`` an executor loss is ordinary task
+    # retry, not a failed job.
+    sh = ensure_shingle_rows(spark, sf_dir, CONTAMINATION_SHINGLE_N)
     bench = (
         sh.filter(F.col("source") == BENCHMARK_SOURCE)
         .select(F.col("doc_id").alias("bench_doc"), "s")

@@ -79,6 +79,37 @@ def test_minhash_signature_artifact_built_once_and_consistent(spark, sf_dir):
     assert got == want
 
 
+def test_shingle_artifact_built_once_and_matches_derivation(spark, sf_dir):
+    """The shared shingle-rows artifact (round-6: replaced the consumers'
+    per-plan localCheckpoint) must publish at the params-keyed path (n=3
+    and n=5 are distinct artifacts), not rebuild on a second consumer, and
+    hold exactly the rows the in-session derivation produces."""
+    import os
+
+    from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_path
+    from kafka_connect_storage_cloud_formats_spark.catalog import load_table
+    from kafka_connect_storage_cloud_formats_spark.operators.shingles import (
+        ensure_shingle_rows,
+        shingle_stream,
+    )
+
+    path3 = artifact_path("shingle_rows", sf_dir, "documents", params="n3")
+    art = ensure_shingle_rows(spark, sf_dir, 3)
+    assert os.path.exists(os.path.join(path3, "_SUCCESS"))
+    stamp = os.stat(path3).st_mtime_ns
+    ensure_shingle_rows(spark, sf_dir, 3)  # second consumer: cache hit
+    assert os.stat(path3).st_mtime_ns == stamp, "artifact rebuilt on cache hit"
+    got = {tuple(r) for r in art.collect()}
+    want = {
+        tuple(r)
+        for r in shingle_stream(load_table(spark, sf_dir, "documents"), 3).collect()
+    }
+    assert got == want
+    # width is part of the key: n=5 is a different artifact family
+    path5 = artifact_path("shingle_rows", sf_dir, "documents", params="n5")
+    assert path5 != path3
+
+
 def test_simhash_packed_votes_match_python_reference(spark):
     """Bit-for-bit equivalence of the packed-vote SQL-string SimHash
     against an independent plain-Python implementation — guards the lane

@@ -37,9 +37,10 @@ def test_allowed_nested_are_documented_exceptions(spark, sf_dir):
     }
     from tools.plan_audit import ALLOWED_CHECKPOINT
 
+    # round 6 shrank this set: dedup_ngram_jaccard and
+    # benchmark_contamination now scan the shingle-rows parquet artifact
+    # (operators/shingles.py) instead of embedding checkpoint blocks
     assert ALLOWED_CHECKPOINT == {
-        "dedup_ngram_jaccard",
-        "benchmark_contamination",
         "simhash_near_pairs",
         "ann_lsh_topk",
         "dedup_embedding_cosine",

@@ -69,8 +69,10 @@ ALLOWED_SCALAR_CROSS = {
 # bug (KNOWN_ISSUES r4 #1, fixed r5): a hidden job at plan-build time
 # that also blinds this audit to the pre-checkpoint subtree.
 ALLOWED_CHECKPOINT = {
-    "dedup_ngram_jaccard",  # raw shingle stream, 4 consumers
-    "benchmark_contamination",  # shingle stream, bench + corpus sides
+    # round 6: dedup_ngram_jaccard and benchmark_contamination left this
+    # set — their corpus-scale shingle streams now ride the content-keyed
+    # parquet artifact (operators/shingles.py), so their plans scan a file
+    # source instead of embedding checkpoint blocks.
     "simhash_near_pairs",  # 3-long fingerprint table, both join sides
     "ann_lsh_topk",  # band rows, query + corpus sides
     "dedup_embedding_cosine",  # band rows, both self-join sides
