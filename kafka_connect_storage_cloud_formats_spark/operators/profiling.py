@@ -5,9 +5,10 @@ transform stage.
 Scale shape: one scan, all statistics as partial (map-side-combinable)
 aggregates; the profile of a 100 TB table is one shuffle of per-partition
 sketches. Approximate variants (HyperLogLog++, quantile sketch) are in
-``approx_profile`` — they are genuinely non-SQL-reproducible (sketch
-internals differ per engine), so they register without an oracle and are
-tolerance-tested against exact values in tests/test_profiling.py.
+``approx_profile`` — sketch internals differ per engine, so the query
+emits exact columns plus in-engine tolerance VERDICTS (booleans) that a
+SQL oracle reproduces deterministically; tests/test_profiling.py
+additionally bounds the raw estimates against exact values.
 """
 
 from __future__ import annotations
@@ -158,23 +159,79 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+# Tolerance for the HLL++ distinct estimate: 5× the configured rsd (0.02)
+# — generous enough that a healthy sketch always passes, tight enough that
+# a regressed one (wrong column, wrong merge, precision loss) fails the
+# driver's hash gate.
+HLL_RSD = 0.02
+HLL_TOLERANCE = 0.10
+# Rank band for the approx quantiles: accuracy=10_000 bounds rank error at
+# n/10_000; the ±0.05-quantile band is ~500× looser at any n.
+QUANTILE_ACCURACY = 10_000
+P50_BAND = (0.45, 0.55)
+P99_BAND = (0.985, 1.0)
+
+
 def approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based profile of events: HyperLogLog++ distinct users and
-    approximate value quantiles per event_type. The constant-memory path for
-    100 TB (no sort, no exact distinct shuffle). No SQL oracle — sketch
-    estimates are engine-specific; tests bound the error vs exact."""
+    """Sketch-based profile of events — HyperLogLog++ distinct users and
+    approximate value quantiles per event_type — emitted in the
+    DRIVER-VERIFIABLE form (round-5 verdict ask #3): the exact columns
+    (n, total_value) plus in-engine tolerance verdicts as booleans
+    (|HLL − exact|/exact ≤ 10 %; approx quantile inside its ±0.05-quantile
+    rank band). Every output column is deterministic, so the DuckDB oracle
+    reproduces the row hash exactly — sketch INTERNALS stay engine-specific
+    but their correctness is now asserted inside the query itself, not just
+    in tests.
+
+    The exact countDistinct / percentile_disc companions exist only to
+    judge the sketches; a production 100 TB profile drops them and keeps
+    the constant-memory sketch path (no exact-distinct shuffle, no
+    per-group sort) — the point of this entry is that the sketch path is
+    *continuously verified* wherever an exact oracle is affordable."""
     ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-            F.percentile_approx("value", F.lit(0.5), 10_000).alias("approx_p50"),
-            F.percentile_approx("value", F.lit(0.99), 10_000).alias("approx_p99"),
-            F.count(F.lit(1)).alias("n"),
-            dsum("value").alias("total_value"),
-        )
-        .orderBy("event_type")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value").alias("total_value"),
+        F.approx_count_distinct("user_id", HLL_RSD).alias("au"),
+        F.countDistinct("user_id").alias("xu"),
+        F.percentile_approx("value", F.lit(0.5), QUANTILE_ACCURACY).alias("ap50"),
+        F.percentile_approx("value", F.lit(0.99), QUANTILE_ACCURACY).alias("ap99"),
+        F.expr(
+            f"percentile_disc({P50_BAND[0]}) WITHIN GROUP (ORDER BY value)"
+        ).alias("lo50"),
+        F.expr(
+            f"percentile_disc({P50_BAND[1]}) WITHIN GROUP (ORDER BY value)"
+        ).alias("hi50"),
+        F.expr(
+            f"percentile_disc({P99_BAND[0]}) WITHIN GROUP (ORDER BY value)"
+        ).alias("lo99"),
+        F.max("value").alias("hi99"),
     )
+    users_ok = (
+        F.abs(F.col("au") - F.col("xu")) / F.col("xu") <= F.lit(HLL_TOLERANCE)
+    )
+    p50_ok = F.col("ap50").between(F.col("lo50"), F.col("hi50"))
+    p99_ok = F.col("ap99").between(F.col("lo99"), F.col("hi99"))
+    return agg.select(
+        "event_type",
+        "n",
+        "total_value",
+        users_ok.alias("approx_users_ok"),
+        p50_ok.alias("approx_p50_ok"),
+        p99_ok.alias("approx_p99_ok"),
+    ).orderBy("event_type")
+
+
+# The oracle asserts the verdict columns: the booleans are deterministic
+# claims ("the sketch is inside its tolerance band") that the engine must
+# reproduce — a sketch regression flips a column to false and fails the
+# hash gate.
+APPROX_PROFILE_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
+       TRUE AS approx_users_ok, TRUE AS approx_p50_ok, TRUE AS approx_p99_ok
+FROM events GROUP BY event_type ORDER BY event_type
+"""
 
 
 # ------------------------------------------------- deterministic split/sample
@@ -291,5 +348,5 @@ PROFILING_QUERIES = {
     "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
     "orders_column_profile": (orders_column_profile, ORDERS_PROFILE_SQL),
     "events_value_quantiles": (events_value_quantiles, EVENTS_QUANTILES_SQL),
-    "approx_profile": (approx_profile, None),  # sketches: rows-only driver check
+    "approx_profile": (approx_profile, APPROX_PROFILE_SQL),
 }

@@ -102,10 +102,11 @@ def test_no_query_lacks_driver_evidence_in_every_round():
     )
 
 
-def test_oracle_less_queries_are_documented_exceptions():
-    """Only genuinely non-SQL-reproducible or environment-gated queries may
-    skip the oracle."""
+def test_every_query_is_oracle_gated():
+    """No rows-only exceptions remain: round 6 made approx_profile emit
+    exact columns + in-engine tolerance verdicts, so every registered
+    query now carries a hash-comparable SQL oracle."""
     from kafka_connect_storage_cloud_formats_spark.queries.registry import QUERIES
 
     no_oracle = {n for n, (_, sql) in QUERIES.items() if sql is None}
-    assert no_oracle == {"approx_profile"}, no_oracle
+    assert no_oracle == set(), no_oracle
