@@ -22,23 +22,20 @@ from kafka_connect_storage_cloud_formats_spark.queries.relational import dsum
 PROFILE_COLS = ("o_totalprice", "o_orderstatus", "o_custkey")
 
 
-def _render_stat(col, dtype: str):
-    """Engine-stable string rendering of a min/max value. Floating columns
-    go through DECIMAL(38,6): Spark's double→string switches to scientific
-    notation outside [1e-3, 1e7) while DuckDB's never does, so a raw string
-    cast hash-diverges exactly when a profiled column has large/small
-    values — the normal case for a generic profiler. Both engines render a
-    decimal as plain digits padded to scale. Integers and strings already
-    render identically."""
-    if dtype in ("double", "float"):
-        return col.cast("decimal(38,6)").cast("string")
-    return col.cast("string")
-
-
 def _render_stat_sql(expr: str, dtype: str) -> str:
+    """Oracle-side min/max display rendering. Floating columns go through
+    DECIMAL(38,6): Spark's double→string switches to scientific notation
+    outside [1e-3, 1e7) while DuckDB's never does, so a raw string cast
+    hash-diverges exactly when a profiled column has large/small values.
+    Both engines render a decimal as plain digits padded to scale; the
+    engine side mirrors this in column_profile's pick()."""
     if dtype in ("double", "float"):
         return f"CAST(CAST({expr} AS DECIMAL(38,6)) AS VARCHAR)"
     return f"CAST({expr} AS VARCHAR)"
+
+
+_FLOAT_DTYPES = ("double", "float")
+_INTEGRAL_DTYPES = ("tinyint", "smallint", "int", "bigint")
 
 
 def column_profile(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
@@ -47,57 +44,73 @@ def column_profile(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
     heterogeneous columns stack).
 
     ONE scan, TWO-LEVEL exact distinct (the r4 verdict's perf ask): each
-    row posexplodes to ``(pos, rendered_value)`` — n_cols narrow rows —
-    then level 1 partially deduplicates map-side on ``(pos, value)``
-    carrying a count, and level 2 folds the deduplicated stream into all
-    per-column statistics at once. Compared with handing Catalyst n_cols
+    row posexplodes to ``(pos, value)`` — n_cols narrow rows — then level 1
+    partially deduplicates map-side on ``(pos, value)`` carrying a count,
+    and level 2 folds the deduplicated stream into all per-column
+    statistics at once. Compared with handing Catalyst n_cols
     ``countDistinct`` in one aggregate (its Expand rewrite), the shuffled
     rows are the same but the partial-aggregate buffers are one counter
     per distinct value instead of 13 mixed buffers per Expand row —
     measured 1.6 s → ~0.5 s at sf0.1 — and the map-side dedup still bounds
     the shuffle by the distinct-value count at any scale.
 
-    min/max ride the SAME two-level stream: lexicographic ``MIN(value)``
-    is correct for string columns; numeric columns re-cast the rendered
-    string (``try_cast`` — heterogeneous rows don't parse) and take the
-    numeric min. Rendering is monotonic (decimal(38,6) rounding preserves
-    order; integer→double is exact to 2^53, far beyond any key column), so
-    the result is identical to profiling the raw values — the per-column
-    oracle SQL needs no two-level mirror. An all-NULL column profiles as
-    n_distinct=0 with NULL min/max (unit-tested).
+    The exploded value is the ENGINE-NATIVE string rendering (round-5
+    ADVICE fix: the old decimal(38,6) rendering collapsed doubles
+    differing past 6 fractional digits and rendered ≥1e32 / NaN as NULL,
+    corrupting n_distinct/n_nulls). Native double→string is injective
+    (shortest round-tripping repr), so n_distinct/n_nulls are EXACT for
+    every dtype; NaN is the string 'NaN' (a distinct value, not a null).
+
+    min/max ride the same deduplicated stream, per dtype family:
+    - float/double: re-parse the native string (exact inverse of the
+      rendering) and take the numeric min; DISPLAY rounds to 6 dp via
+      try_cast to decimal(38,6) — |v| ≥ 1e32 or NaN display as NULL
+      (guarded, never an ANSI error). Counts stay exact regardless.
+    - integral/decimal: order via try_cast to decimal(38,6) (exact for
+      all int64 and ≤6-dp decimals), display re-cast to the source dtype.
+    - string, date, timestamp, boolean: lexicographic min/max of the
+      native rendering, which orders correctly for ISO date/timestamp
+      strings and 'false' < 'true' (round-5 ADVICE fix: these previously
+      profiled as NULL through a double cast).
+    An all-NULL column profiles as n_distinct=0 with NULL min/max
+    (unit-tested).
 
     Edge semantics: an EMPTY input produces an empty profile (no rows),
     where a per-column wide aggregate would produce one all-zero row per
     column — the long format has no rows to pivot from. Callers profiling
     possibly-empty tables should treat "column absent" as n_rows=0."""
     dtypes = dict(df.dtypes)
-    rendered = F.array(*[_render_stat(F.col(c), dtypes[c]) for c in cols])
-    ex = df.select(F.posexplode_outer(rendered).alias("pos", "vstr"))
+    native = F.array(*[F.col(c).cast("string") for c in cols])
+    ex = df.select(F.posexplode_outer(native).alias("pos", "vstr"))
     lvl1 = ex.groupBy("pos", "vstr").agg(F.count(F.lit(1)).alias("cnt"))
-    vnum = F.expr("try_cast(vstr AS double)")
+    vdbl = F.expr("try_cast(vstr AS double)")
+    vdec = F.expr("try_cast(vstr AS decimal(38,6))")
     lvl2 = lvl1.groupBy("pos").agg(
         F.sum("cnt").alias("n_rows"),
         F.sum(F.when(F.col("vstr").isNull(), F.col("cnt")).otherwise(0)).alias("n_nulls"),
         F.count("vstr").alias("n_distinct"),
         F.min("vstr").alias("mn_str"),
         F.max("vstr").alias("mx_str"),
-        F.min(vnum).alias("mn_num"),
-        F.max(vnum).alias("mx_num"),
+        F.min(vdbl).alias("mn_dbl"),
+        F.max(vdbl).alias("mx_dbl"),
+        F.min(vdec).alias("mn_dec"),
+        F.max(vdec).alias("mx_dec"),
     )
     name = F.element_at(F.array(*[F.lit(c) for c in cols]), F.col("pos") + 1)
 
-    def pick(mn_str, mn_num):
-        # per-column display value: numeric columns re-render the numeric
-        # min/max (lexicographic string order is wrong for numbers),
-        # string columns use the lexicographic one directly
+    def pick(mn_str, mn_dbl, mn_dec):
+        # per-column display value by dtype family (see docstring)
         expr = F.col(mn_str)
         for i, c in enumerate(cols):
             dt = dtypes[c]
-            if dt in ("double", "float"):
-                expr = F.when(F.col("pos") == i, _render_stat(F.col(mn_num), dt)).otherwise(expr)
-            elif dt != "string":
+            if dt in _FLOAT_DTYPES:
+                shown = F.expr(
+                    f"CAST(try_cast({mn_dbl} AS decimal(38,6)) AS string)"
+                )
+                expr = F.when(F.col("pos") == i, shown).otherwise(expr)
+            elif dt in _INTEGRAL_DTYPES or dt.startswith("decimal"):
                 expr = F.when(
-                    F.col("pos") == i, F.col(mn_num).cast(dt).cast("string")
+                    F.col("pos") == i, F.col(mn_dec).cast(dt).cast("string")
                 ).otherwise(expr)
         return expr
 
@@ -107,8 +120,8 @@ def column_profile(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
             "n_rows",
             "n_nulls",
             "n_distinct",
-            pick("mn_str", "mn_num").alias("min_value"),
-            pick("mx_str", "mx_num").alias("max_value"),
+            pick("mn_str", "mn_dbl", "mn_dec").alias("min_value"),
+            pick("mx_str", "mx_dbl", "mx_dec").alias("max_value"),
         )
         .orderBy("column_name")
     )

@@ -28,6 +28,55 @@ def test_column_profile_edge_cases(spark):
     assert prof["s"]["min_value"] == "a" and prof["s"]["max_value"] == "b"
 
 
+def test_column_profile_precision_overflow_and_nan(spark):
+    """Round-5 ADVICE fixes: doubles differing past 6 fractional digits
+    stay DISTINCT (native-rendering dedup key), |v| >= 1e32 counts as a
+    value (NULL display only, guarded — never an ANSI error), and NaN is a
+    distinct value, not a null."""
+    import math
+
+    from kafka_connect_storage_cloud_formats_spark.operators.profiling import column_profile
+
+    df = spark.createDataFrame(
+        [(1.0000001, 2.5e33), (1.0000002, -2.5e33), (1.0000001, float("nan"))],
+        "hi_prec double, huge double",
+    )
+    prof = {r["column_name"]: r for r in column_profile(df, ("hi_prec", "huge")).collect()}
+    # sub-1e-6 differences no longer collapse
+    assert prof["hi_prec"]["n_distinct"] == 2
+    assert prof["hi_prec"]["n_nulls"] == 0
+    # overflow/NaN: all three are VALUES (n_nulls=0, 3 distinct); the 6-dp
+    # display can't represent them -> NULL display, not a miscount
+    assert prof["huge"]["n_distinct"] == 3 and prof["huge"]["n_nulls"] == 0
+    assert prof["huge"]["min_value"] is None  # -2.5e33 overflows decimal(38,6)
+    assert prof["huge"]["max_value"] is None  # NaN sorts greatest in Spark
+
+
+def test_column_profile_temporal_and_boolean_dtypes(spark):
+    """Round-5 ADVICE fix: date / timestamp / boolean columns profile with
+    real lexicographic-native min/max instead of NULLs through a failed
+    double cast."""
+    import datetime as dt
+
+    from kafka_connect_storage_cloud_formats_spark.operators.profiling import column_profile
+
+    df = spark.createDataFrame(
+        [
+            (dt.date(2024, 3, 9), dt.datetime(2024, 3, 9, 12, 30, 5), True),
+            (dt.date(2023, 11, 2), dt.datetime(2023, 11, 2, 1, 2, 3), False),
+            (dt.date(2024, 1, 15), dt.datetime(2024, 1, 15, 23, 59, 59), True),
+        ],
+        "d date, ts timestamp, b boolean",
+    )
+    prof = {r["column_name"]: r for r in column_profile(df, ("d", "ts", "b")).collect()}
+    assert prof["d"]["min_value"] == "2023-11-02"
+    assert prof["d"]["max_value"] == "2024-03-09"
+    assert prof["ts"]["min_value"].startswith("2023-11-02 01:02:03")
+    assert prof["ts"]["max_value"].startswith("2024-03-09 12:30:05")
+    assert prof["b"]["min_value"] == "false" and prof["b"]["max_value"] == "true"
+    assert prof["b"]["n_distinct"] == 2
+
+
 def test_approx_profile_error_bounds(spark, sf_dir):
     """The raw HLL distinct estimate stays within 5% of exact (tighter than
     the query's own 10% verdict band), and every in-query verdict column is
