@@ -68,51 +68,50 @@ _ALL.update(SCALE_UTILS_QUERIES)
 # the window has served its purpose and the positional invariant is
 # expected to lapse until the next rotation (tests/test_registry.py keys
 # its window assertion off this constant).
-ROTATED_FOR_ROUND = 5
+ROTATED_FOR_ROUND = 6
 
-_STALE_AFTER_R4 = [
-    # evidenced only by r3-vintage driver rows (verbatim from
-    # tools/rotate_registry.py: the 41 registered queries without a
-    # CORRECTNESS_r04.json row) — round-4 verdict ask #2
-    "orc_ingest_roundtrip", "orc_partitioned_roundtrip",
-    "schema_evolution_roundtrip", "csv_roundtrip",
-    # NOTE: two stale-list queries ALSO changed in round 5 (the two
-    # KNOWN_ISSUES items, fixed in-window so their fresh rows certify the
-    # shipped code): q21_sole_late_supplier (eager plan-build
-    # localCheckpoint dropped for a lazy AQE-shared plan) and
-    # part_brand_type_setops (dead exceptAll(big) branch replaced with a
-    # real EXCEPT ALL, branch-tagged, oracle-modeled).
-    "q21_sole_late_supplier",
-    "q2_min_acctbal_supplier", "q22_rich_inactive_customers",
-    "orders_cube", "events_pivot_hourly",
-    "q7_nation_trade_volume", "q14_promo_revenue_share",
-    "q19_disjunctive_revenue", "q10_returned_revenue",
-    "q13_order_count_distribution", "q6_forecast_revenue",
-    "q8_nation_market_share", "q15_top_supplier",
-    "part_brand_type_setops", "array_function_gallery",
-    "doc_top_terms", "text_quality_stats", "lang_id_heuristic",
-    "token_count_bpe", "doc_fingerprint", "benchmark_contamination",
-    "dedup_exact", "dedup_ngram_jaccard", "minhash_signatures",
-    "simhash_fingerprints", "simhash_near_pairs", "dedup_fuzzy_prefix",
-    "knn_bruteforce", "ann_lsh_topk", "ivf_centroids",
-    "sq8_topk", "sq8_recall_at_10", "dedup_embedding_cosine",
-    "media_feature_extract", "image_resize_thumbnail",
-    "approx_profile", "salted_cohort_activity",
+_STALE_AFTER_R5 = [
+    # the 41 registered queries without a CORRECTNESS_r05.json row
+    # (evidenced only by r4-vintage driver rows) — they lead the r6 window
+    # so the ≤1-round-stale invariant keeps holding, and all 41 share the
+    # round-6 load_table-cache path, so their fresh rows certify it
+    "avro_roundtrip", "q1_pricing_summary", "q3_shipping_priority",
+    "q5_local_supplier_volume", "top_orders_per_customer",
+    "orders_rollup", "customers_without_orders",
+    "distinct_parts_per_supplier", "events_hourly_rollup",
+    "q4_priority_with_late_ship", "q16_supplier_counts",
+    "q17_small_quantity_revenue", "q18_large_orders",
+    "scalar_function_gallery", "q9_product_type_profit",
+    "q11_important_parts", "q12_priority_by_returnflag",
+    "q20_promotion_suppliers", "orders_price_moments",
+    "scrub_numeric_tokens", "vocab_stats", "doc_quality_deciles",
+    "doc_bigram_novelty", "dedup_canonical", "ivf_topk",
+    "ann_recall_at_10", "media_catalog", "image_decode_stats",
+    "video_frame_index", "audio_window_energy", "events_funnel",
+    "events_interval_join", "events_tumbling_15m", "events_sliding_1h",
+    "events_session_30m", "corpus_split_stats", "stratified_sample",
+    "events_value_quantiles", "events_latest_per_user", "replay_dedup",
+    "clicks_asof_purchase",
 ]
 _CHANGED_THIS_ROUND = [
-    # round 5: two-level exact-distinct profile rewrite (posexplode +
-    # partial dedup; 1.6 s → ~1.0 s, oracle unchanged)
+    # round 6: the corpus shingle stream moved from localCheckpoint to the
+    # content-keyed parquet artifact (operators/shingles.py); both direct
+    # consumers re-certify on the new plan shape
+    "dedup_ngram_jaccard", "benchmark_contamination",
+    # round 6: the MinHash signature artifact now builds FROM the shared
+    # shingle artifact, and every artifact path gained the sf_dir path-hash
+    # tag + sweep grace (artifacts.py) — all ensure_artifact-transiting
+    # queries with r5 rows re-certify on the new lifecycle
+    "minhash_lsh_pairs", "neardup_clusters", "training_corpus_stats",
+    "ivf_index_build", "ivf_topk_pruned",
+    # round 6: approx_profile rewritten to the hash-verifiable form
+    # (exact columns + in-engine sketch tolerance verdicts)
+    "approx_profile",
+    # round 6: column_profile's native-rendering distinct key + dtype
+    # family min/max (round-5 ADVICE fixes)
     "orders_column_profile",
-    # round 5: pointer-doubling CC promoted into the registered path;
-    # training pipeline consumes the same labels
-    "neardup_clusters", "training_corpus_stats",
-    # round 5: artifact publish now sweeps stale fingerprints — every
-    # ensure_artifact caller re-certifies on the new lifecycle
-    "minhash_lsh_pairs", "ivf_index_build", "ivf_topk_pruned",
-    # round 5: warehouse-scheme guard on the bucketed-table self-heal path
-    "bucketed_segment_revenue",
 ]
-_PRIORITY = _STALE_AFTER_R4 + _CHANGED_THIS_ROUND
+_PRIORITY = _STALE_AFTER_R5 + _CHANGED_THIS_ROUND
 
 QUERIES: dict = {n: _ALL[n] for n in _PRIORITY if n in _ALL}
 QUERIES.update({n: v for n, v in _ALL.items() if n not in QUERIES})

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import importlib
 import json
+import os
 import sys
 import time
 
@@ -35,7 +36,7 @@ if "--passes" in argv:
     argv = argv[:i] + argv[i + 2 :]
 tree_a, tree_b = argv[0], argv[1]
 subset = argv[2:]
-SF = "/root/testdata/sf0.1"
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 sys.path.insert(0, tree_b)
 from kafka_connect_storage_cloud_formats_spark.session import get_spark  # noqa: E402
@@ -60,8 +61,17 @@ for p in range(passes):
         qs = load_entry(tree).queries()
         names = subset or list(qs)
         for name in names:
+            if name not in qs:
+                # present in only one tree's registry (renamed/new query):
+                # report one-sided below rather than KeyError-ing the run
+                print(f"# pass{p + 1} {tag}: no {name} in this tree", file=sys.stderr)
+                continue
             t0 = time.perf_counter()
-            qs[name](spark, SF).count()
+            try:
+                qs[name](spark, SF).count()
+            except Exception as exc:  # keep every timing collected so far
+                print(f"# pass{p + 1} {tag} {name} FAILED: {exc}", file=sys.stderr)
+                continue
             results.setdefault(name, {}).setdefault(tag, []).append(
                 time.perf_counter() - t0
             )
@@ -72,10 +82,21 @@ print(f"{'query':34s} {'A min':>7s} {'B min':>7s}  B/A")
 tot_a = tot_b = 0.0
 out = {}
 for name in results:
-    a, b = min(results[name]["A"]), min(results[name]["B"])
+    # one-sided queries (missing from a tree, or every trial failed on one
+    # side) are reported but excluded from the ratio/total (round-5 ADVICE:
+    # the unconditional indexing lost the whole run on a mid-run failure)
+    sa, sb = results[name].get("A"), results[name].get("B")
+    a = min(sa) if sa else None
+    b = min(sb) if sb else None
+    out[name] = {"A": round(a, 3) if a else None, "B": round(b, 3) if b else None}
+    if a is None or b is None:
+        side = "A" if a is None else "B"
+        print(f"{name:34s} {'--' if a is None else f'{a:.2f}':>7s} "
+              f"{'--' if b is None else f'{b:.2f}':>7s}  (no {side} samples)")
+        continue
     tot_a += a
     tot_b += b
-    out[name] = {"A": round(a, 3), "B": round(b, 3)}
     print(f"{name:34s} {a:7.2f} {b:7.2f}  {b / a:5.2f}x")
-print(f"{'TOTAL':34s} {tot_a:7.2f} {tot_b:7.2f}  {tot_b / tot_a:5.2f}x")
+if tot_a > 0:
+    print(f"{'TOTAL':34s} {tot_a:7.2f} {tot_b:7.2f}  {tot_b / tot_a:5.2f}x")
 json.dump(out, open("/tmp/ab_bench.json", "w"), indent=1)
