@@ -25,7 +25,7 @@ identically, making every stage oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_connect_storage_cloud_formats_spark.catalog import load_table, spread
@@ -152,32 +152,53 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s")
     )
     sh = sh_all.join(hot, "s", "left_anti")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # Per-doc capped-set size as a WINDOW over the shingle stream: the
+    # 8-byte n_sh rides every row into the pair stream, so the final
+    # Jaccard needs NO join back to a doc-scale sizes table (the previous
+    # shape joined the pair stream twice). One doc_id-shuffle here replaces
+    # an aggregate plus two joins — fewer stages locally, and at 100 TB it
+    # removes two pair-stream × doc-table shuffle joins outright.
+    wdoc = Window.partitionBy("doc_id")
+    sized = sh.select("doc_id", "s", F.count(F.lit(1)).over(wdoc).alias("n_sh"))
+    # Pair generation: group the CAPPED stream per shingle (arrays are
+    # ≤ MAX_SHINGLE_DF entries ≈ 1.6 KB — bounded only BECAUSE the hot
+    # set was removed first; collect_list before the cap would buffer a
+    # boilerplate shingle's entire posting list) and explode the i<j
+    # combinations map-side. Equivalent to the string-keyed sort-merge
+    # self-join but with ONE shuffle instead of shuffle+sort on both
+    # sides, no string re-comparison, and half the pair stream (ordered
+    # pairs only — the join emitted then filtered the mirror image).
+    # array_sort orders by doc_id (first struct field), giving d1 < d2
+    # within each combination for free.
+    lists = sized.groupBy("s").agg(
+        F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds")
+    )
+    combos = F.expr(
+        "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds)), "
+        "y -> struct(x.doc_id AS d1, y.doc_id AS d2, x.n_sh AS n1, y.n_sh AS n2))))"
+    )
     shared = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        lists.select(F.explode(combos).alias("p"))
+        .groupBy(
+            F.col("p.d1").alias("d1"),
+            F.col("p.d2").alias("d2"),
+            F.col("p.n1").alias("n1"),
+            F.col("p.n2").alias("n2"),
+        )
         .agg(F.count(F.lit(1)).alias("shared"))
     )
-    # sizes is per-doc (corpus-sized): no forced broadcast — AQE decides
-    s1 = sizes.alias("s1")
-    s2 = sizes.alias("s2")
-    out = (
-        shared.join(s1, F.col("d1") == F.col("s1.doc_id"))
-        .join(s2, F.col("d2") == F.col("s2.doc_id"))
-        .select(
+    return (
+        shared.select(
             "d1",
             "d2",
             (
                 F.col("shared").cast("double")
-                / (F.col("s1.n_sh") + F.col("s2.n_sh") - F.col("shared"))
+                / (F.col("n1") + F.col("n2") - F.col("shared"))
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .orderBy("d1", "d2")
     )
-    return out
 
 
 NGRAM_JACCARD_SQL = f"""
