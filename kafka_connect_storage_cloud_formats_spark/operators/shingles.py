@@ -42,6 +42,39 @@ def shingle_stream(docs: DataFrame, n: int) -> DataFrame:
     )
 
 
+def ngram_occurrence_stream(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, ng) rows with one row per OCCURRENCE of each word-n-gram —
+    the multiset stream (duplicates kept), unlike :func:`shingle_stream`
+    whose per-document sets feed set-similarity. Frequency-style consumers
+    (bigram novelty) need occurrence counts, so the two streams are
+    distinct artifact kinds. Documents shorter than ``n`` tokens emit
+    nothing (the sequence guard mirrors the oracle's ``range``, which is
+    empty for them — and avoids Spark's descending-sequence surprise when
+    start > stop)."""
+    toks = docs.select("doc_id", F.split("text", " ").alias("w")).filter(
+        F.size("w") >= n
+    )
+    idx = F.sequence(F.lit(1), F.size("w") - (n - 1))
+    ngrams = F.transform(idx, lambda i: F.array_join(F.slice("w", i, n), " "))
+    return spread(toks).select("doc_id", F.explode(ngrams).alias("ng"))
+
+
+def ensure_ngram_occurrence_rows(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
+    """Materialized occurrence stream for corpus ``sf_dir`` at width
+    ``n`` — same artifact protocol as :func:`ensure_shingle_rows`, its own
+    ``ngram_occ`` kind (set vs multiset semantics must never share a
+    cache path)."""
+    from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_path, ensure_artifact
+
+    path = artifact_path("ngram_occ", sf_dir, "documents", params=f"n{n}")
+    ensure_artifact(
+        path,
+        lambda tmp: ngram_occurrence_stream(load_table(spark, sf_dir, "documents"), n)
+        .write.parquet(tmp),
+    )
+    return spark.read.parquet(path)
+
+
 def ensure_shingle_rows(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
     """Materialized shingle stream for corpus ``sf_dir`` at width ``n``:
     params-keyed (``n{n}``) so Jaccard's n=3 and contamination's n=5 are

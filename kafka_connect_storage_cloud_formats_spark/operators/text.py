@@ -13,7 +13,10 @@ from pyspark.sql import functions as F
 
 from kafka_connect_storage_cloud_formats_spark.catalog import load_table
 from kafka_connect_storage_cloud_formats_spark.functions.text_functions import STOPWORDS, tokens, word_shingles
-from kafka_connect_storage_cloud_formats_spark.operators.shingles import ensure_shingle_rows
+from kafka_connect_storage_cloud_formats_spark.operators.shingles import (
+    ensure_ngram_occurrence_rows,
+    ensure_shingle_rows,
+)
 
 # language marker words (deterministic heuristic; mirrored in oracle SQL).
 # The corpus is synthetic word-soup, so these "markers" are arbitrary but the
@@ -457,27 +460,15 @@ def doc_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side partial, shuffle carries bigram keys — xxhash64 them at
     100 TB) → equi-join of the doc-bigram stream with the frequency table
     → per-doc aggregate. No self-join, no candidate explosion: cost is
-    O(tokens) + two key shuffles."""
-    docs = load_table(spark, sf_dir, "documents")
-    # Guard short docs BEFORE the index sequence: for size(w) < BIGRAM_N the
-    # naive sequence(1, size - 1) has start > stop, which Spark runs
-    # DESCENDING (default step -1) — producing [1, 0] and a runtime
-    # slice(w, 0, ·) error — while the oracle's range(1, 1) correctly emits
-    # nothing. Filtering size(w) >= BIGRAM_N is equivalent (a 0/1-token doc
-    # contributes no bigrams, so it vanishes from the per-doc aggregate on
-    # both engines) and stays a plain pushable predicate instead of a
-    # per-row conditional in the projection.
-    toks = docs.select("doc_id", F.split("text", " ").alias("w")).filter(
-        F.size("w") >= BIGRAM_N
-    )
-    idx = F.sequence(F.lit(1), F.size("w") - (BIGRAM_N - 1))
-    bigrams_arr = F.transform(
-        idx, lambda i: F.array_join(F.slice("w", i, BIGRAM_N), " ")
-    )
-    # One tokenize pass, materialized: the frequency aggregate and the join
-    # side both read these blocks.
-    bg = toks.select("doc_id", F.explode(bigrams_arr).alias("bg")).localCheckpoint(
-        eager=True
+    O(tokens) + two key shuffles. The occurrence stream comes from the
+    content-keyed parquet artifact (operators/shingles.py — the multiset
+    ``ngram_occ`` kind, distinct from the set-semantics shingle stream):
+    the frequency aggregate and the join side scan the file source, and
+    an executor loss is ordinary task retry rather than the failed job a
+    round-5 ``localCheckpoint`` block loss meant. The short-doc sequence
+    guard lives in the shared builder (``ngram_occurrence_stream``)."""
+    bg = ensure_ngram_occurrence_rows(spark, sf_dir, BIGRAM_N).select(
+        "doc_id", F.col("ng").alias("bg")
     )
     freq = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("freq"))
     return (

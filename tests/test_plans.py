@@ -47,7 +47,6 @@ def test_allowed_nested_are_documented_exceptions(spark, sf_dir):
         "neardup_clusters",
         "training_corpus_stats",
         "ann_recall_at_10",
-        "doc_bigram_novelty",
     }
 
 

@@ -79,7 +79,8 @@ ALLOWED_CHECKPOINT = {
     "neardup_clusters",  # CC edge/label tables (iterative: inherent)
     "training_corpus_stats",  # composes the CC labels above
     "ann_recall_at_10",  # composes ann_lsh_topk above
-    "doc_bigram_novelty",  # bigram stream, df + novelty sides
+    # round 6: doc_bigram_novelty also left — its occurrence stream rides
+    # the ngram_occ parquet artifact now (operators/shingles.py)
 }
 
 
