@@ -111,6 +111,14 @@ _CHANGED_THIS_ROUND = [
     # family min/max (round-5 ADVICE fixes)
     "orders_column_profile",
 ]
+# Out-of-window touch, documented: minhash_signatures' derivation was
+# mechanically SPLIT (_minhash_sigs_from now delegates to
+# _sigs_from_shingles with identical expressions) so the signature
+# artifact build can aggregate the shared shingle artifact. The window is
+# exactly full (41 stale + 9 changed), and the ≤1-round-stale invariant
+# takes the slots; the split is pinned bit-for-bit by the plain-Python
+# reference test (tests/test_dedup.py) and was re-verified hash-green
+# against the DuckDB oracle at sf0.001/0.01/0.1 during round 6.
 _PRIORITY = _STALE_AFTER_R5 + _CHANGED_THIS_ROUND
 
 QUERIES: dict = {n: _ALL[n] for n in _PRIORITY if n in _ALL}

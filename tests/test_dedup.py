@@ -110,6 +110,36 @@ def test_shingle_artifact_built_once_and_matches_derivation(spark, sf_dir):
     assert path5 != path3
 
 
+def test_ngram_occurrence_artifact_is_multiset_and_distinct_kind(spark, sf_dir):
+    """The occurrence stream (bigram novelty's source) keeps DUPLICATE
+    n-grams — multiset semantics, unlike the set-semantics shingle
+    stream — and lives under its own artifact kind so the two can never
+    share a cache path."""
+    from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_path
+    from kafka_connect_storage_cloud_formats_spark.catalog import load_table
+    from kafka_connect_storage_cloud_formats_spark.operators.shingles import (
+        ensure_ngram_occurrence_rows,
+        ngram_occurrence_stream,
+    )
+
+    assert artifact_path("ngram_occ", sf_dir, "documents", params="n2") != artifact_path(
+        "shingle_rows", sf_dir, "documents", params="n2"
+    )
+    art = ensure_ngram_occurrence_rows(spark, sf_dir, 2)
+    got = sorted(tuple(r) for r in art.collect())
+    want = sorted(
+        tuple(r)
+        for r in ngram_occurrence_stream(load_table(spark, sf_dir, "documents"), 2).collect()
+    )
+    assert got == want
+    # multiset: a doc with a repeated bigram contributes one row per
+    # occurrence (synthetic check, engine-level)
+    docs = spark.createDataFrame([(1, "a b a b a")], "doc_id long, text string")
+    rows = ngram_occurrence_stream(docs, 2).collect()
+    assert len(rows) == 4  # 'a b','b a','a b','b a' — duplicates kept
+    assert sorted(r["ng"] for r in rows) == ["a b", "a b", "b a", "b a"]
+
+
 def test_simhash_packed_votes_match_python_reference(spark):
     """Bit-for-bit equivalence of the packed-vote SQL-string SimHash
     against an independent plain-Python implementation — guards the lane
