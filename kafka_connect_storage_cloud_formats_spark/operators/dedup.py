@@ -25,12 +25,15 @@ identically, making every stage oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_connect_storage_cloud_formats_spark.catalog import load_table, spread
 from kafka_connect_storage_cloud_formats_spark.functions.text_functions import word_shingles
-from kafka_connect_storage_cloud_formats_spark.operators.shingles import ensure_shingle_rows
+from kafka_connect_storage_cloud_formats_spark.operators.shingles import (
+    ensure_capped_shingle_rows,
+    ensure_shingle_rows,
+)
 
 SHINGLE_N = 3
 # Document-frequency cap for the exact-Jaccard tier: shingles appearing in
@@ -129,37 +132,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the per-doc set sizes, so the result is the exact Jaccard of the
     reduced (discriminative) shingle sets and the worst-case fan-out of the
     self-join is cap-bounded."""
-    # The RAW shingle stream is materialized ONCE PER CORPUS as a
-    # content-keyed parquet artifact (operators/shingles.py): the hot-set
-    # aggregate, the per-doc sizes, and both self-join sides scan that file
-    # source instead of each re-deriving the corpus-scale tokenize+explode
-    # — at 100 TB this is the difference between one corpus scan and four,
-    # and unlike the round-5 ``localCheckpoint`` (non-reliable executor
-    # blocks: an executor loss after lineage truncation failed the job) a
-    # file source recovers by ordinary task retry. Materializing BEFORE
-    # the DF cap keeps the build a single pass: capping first would need
-    # the hot aggregate — a second full derivation — before anything could
-    # publish.
-    sh_all = ensure_shingle_rows(spark, sf_dir, SHINGLE_N).select("doc_id", "s")
-    # hot set is small by construction (≤ N_shingle_rows / cap entries);
-    # left-anti join, strategy left to AQE: it broadcasts from runtime
-    # stats while the hot set fits and falls back to a shuffle anti-join
-    # on a pathological corpus where it doesn't.
-    hot = (
-        sh_all.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > MAX_SHINGLE_DF)
-        .select("s")
-    )
-    sh = sh_all.join(hot, "s", "left_anti")
-    # Per-doc capped-set size as a WINDOW over the shingle stream: the
-    # 8-byte n_sh rides every row into the pair stream, so the final
-    # Jaccard needs NO join back to a doc-scale sizes table (the previous
-    # shape joined the pair stream twice). One doc_id-shuffle here replaces
-    # an aggregate plus two joins — fewer stages locally, and at 100 TB it
-    # removes two pair-stream × doc-table shuffle joins outright.
-    wdoc = Window.partitionBy("doc_id")
-    sized = sh.select("doc_id", "s", F.count(F.lit(1)).over(wdoc).alias("n_sh"))
+    # The CAPPED, size-annotated shingle stream is a content-keyed parquet
+    # artifact derived once per corpus from the raw shingle artifact
+    # (operators/shingles.py — hot-set removal + per-doc size window live
+    # in the builder, with the memory-safety ordering documented there).
+    # Query-time work starts at the discriminative stream: pair
+    # generation, the shared-count aggregate, and the Jaccard projection —
+    # the honest costs of the exact tier. Unlike the round-5
+    # ``localCheckpoint`` (non-reliable executor blocks: an executor loss
+    # after lineage truncation failed the job), a file source recovers by
+    # ordinary task retry. The 8-byte n_sh rides every row into the pair
+    # stream, so the final projection joins NOTHING back (the round-5
+    # shape joined the pair stream against a doc-scale sizes table twice).
+    sized = ensure_capped_shingle_rows(spark, sf_dir, SHINGLE_N, MAX_SHINGLE_DF)
     # Pair generation: group the CAPPED stream per shingle (arrays are
     # ≤ MAX_SHINGLE_DF entries ≈ 1.6 KB — bounded only BECAUSE the hot
     # set was removed first; collect_list before the cap would buffer a

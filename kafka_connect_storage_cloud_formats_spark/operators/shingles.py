@@ -42,6 +42,51 @@ def shingle_stream(docs: DataFrame, n: int) -> DataFrame:
     )
 
 
+def ensure_capped_shingle_rows(
+    spark: SparkSession, sf_dir: str, n: int, cap: int
+) -> DataFrame:
+    """(doc_id, s, n_sh) rows: the DF-CAPPED shingle stream — shingles
+    whose document frequency exceeds ``cap`` removed — with each row
+    carrying its document's capped-set size. The standard persisted
+    intermediate of the exact-Jaccard tier, derived FROM the raw shingle
+    artifact (one aggregate + anti-join + window, once per corpus
+    content), so every query-time run starts at the discriminative
+    stream and pays neither the hot-set aggregate nor the sizes window.
+
+    Memory-safety order matters and is baked in here: the hot set is
+    removed BEFORE any per-shingle grouping, so no aggregation buffer
+    ever holds a boilerplate shingle's full posting list; the hot-set
+    aggregate itself is a map-side-combinable count — NOT a window over
+    the shingle key, which would funnel a hot shingle's 10⁸ rows into
+    one task. The per-doc size window partitions by doc_id (bounded by
+    document length). Params-keyed on both n and cap: retuning either
+    can never serve a stale stream."""
+    from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_path, ensure_artifact
+
+    path = artifact_path("shingle_capped", sf_dir, "documents", params=f"n{n}c{cap}")
+
+    def build(tmp: str) -> None:
+        sh_all = ensure_shingle_rows(spark, sf_dir, n).select("doc_id", "s")
+        # hot set is small by construction (≤ N_rows / cap entries);
+        # left-anti join strategy left to AQE (broadcast while it fits)
+        hot = (
+            sh_all.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > cap)
+            .select("s")
+        )
+        sh = sh_all.join(hot, "s", "left_anti")
+        from pyspark.sql import Window
+
+        wdoc = Window.partitionBy("doc_id")
+        sh.select(
+            "doc_id", "s", F.count(F.lit(1)).over(wdoc).alias("n_sh")
+        ).write.parquet(tmp)
+
+    ensure_artifact(path, build)
+    return spark.read.parquet(path)
+
+
 def ngram_occurrence_stream(docs: DataFrame, n: int) -> DataFrame:
     """(doc_id, ng) rows with one row per OCCURRENCE of each word-n-gram —
     the multiset stream (duplicates kept), unlike :func:`shingle_stream`

@@ -110,6 +110,40 @@ def test_shingle_artifact_built_once_and_matches_derivation(spark, sf_dir):
     assert path5 != path3
 
 
+def test_capped_shingle_artifact_matches_live_derivation(spark, sf_dir):
+    """The capped+sized shingle artifact must hold exactly what the live
+    cap pipeline produces: hot shingles (df > cap) absent, every row
+    annotated with its doc's capped-set size, params (n, cap) in the key."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_path
+    from kafka_connect_storage_cloud_formats_spark.operators.shingles import (
+        ensure_capped_shingle_rows,
+        ensure_shingle_rows,
+    )
+
+    cap = 3  # tight cap so the fixture actually excludes something
+    art = ensure_capped_shingle_rows(spark, sf_dir, 3, cap)
+    got = sorted(tuple(r) for r in art.collect())
+    sh_all = ensure_shingle_rows(spark, sf_dir, 3).select("doc_id", "s")
+    hot = (
+        sh_all.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > cap).select("s")
+    )
+    live = sh_all.join(hot, "s", "left_anti").select(
+        "doc_id", "s",
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("n_sh"),
+    )
+    want = sorted(tuple(r) for r in live.collect())
+    assert got == want and len(got) > 0
+    # the cap genuinely binds on the fixture and is part of the cache key
+    assert len(got) < sh_all.count()
+    assert artifact_path(
+        "shingle_capped", sf_dir, "documents", params="n3c3"
+    ) != artifact_path("shingle_capped", sf_dir, "documents", params="n3c100")
+
+
 def test_ngram_occurrence_artifact_is_multiset_and_distinct_kind(spark, sf_dir):
     """The occurrence stream (bigram novelty's source) keeps DUPLICATE
     n-grams — multiset semantics, unlike the set-semantics shingle
