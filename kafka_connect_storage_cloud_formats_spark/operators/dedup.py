@@ -607,6 +607,17 @@ ORDER BY d1, d2
 # ------------------------------------------------- near-dup cluster assignment
 CLUSTER_MIN_EST_JACCARD = 0.5
 MAX_CC_ITERATIONS = 20
+# Adaptive CC strategy gate: an edge set at or below this many rows is
+# solved driver-side (union-find over collected edges — the same
+# min-reachable-label result, pinned equal by tests), above it the
+# distributed pointer-doubling loop runs. The same size-based strategy
+# switch a broadcast join makes: the near-dup edge graph of a curated
+# corpus is typically a sparse set of small cliques (orders of magnitude
+# smaller than the corpus), so most runs skip ~5 Spark jobs per loop
+# round; a 100 TB corpus whose graph exceeds the gate takes the
+# distributed path automatically. 200k edges ≈ a few MB on the driver —
+# comfortably inside the same budget as a broadcast table.
+CC_DRIVER_MAX_EDGES = 200_000
 
 
 def _neardup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -650,6 +661,15 @@ def _neardup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("e.src", "e.dst")
         .localCheckpoint(eager=True)
     )
+    # Adaptive strategy switch on the materialized edge count (already a
+    # settled block — the count is free relative to a loop round): a
+    # driver-small graph is solved exactly by union-find on the collected
+    # edges; the distributed loop below is the at-scale path. Both
+    # produce min-reachable-doc_id labels (pinned equal in
+    # tests/test_dedup.py).
+    n_edges = edges.count()
+    if n_edges <= CC_DRIVER_MAX_EDGES:
+        return _labels_driver_side(spark, docs, edges)
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
@@ -699,6 +719,44 @@ def _neardup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     # singletons (no edges) keep their own id — one corpus-wide left join,
     # outside the loop
+    return docs.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id")
+    )
+
+
+def _labels_driver_side(
+    spark: SparkSession, docs: DataFrame, edges: DataFrame
+) -> DataFrame:
+    """Exact CC labels for a DRIVER-SMALL edge graph: union-find over the
+    collected (src, dst) rows, then one corpus-wide left join fills
+    singletons — identical output contract to the distributed loop
+    (cluster_id = min doc_id reachable through the graph). Path
+    compression + union-by-attachment-to-min keeps it linear-ish; the
+    collect is gated by CC_DRIVER_MAX_EDGES, never corpus-scale."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in edges.collect():
+        a, b = row["src"], row["dst"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # attach the larger root under the smaller: roots stay the
+            # component minimum, so no relabel pass is needed
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    rows = [(x, find(x)) for x in parent]
+    labels = spark.createDataFrame(rows, "doc_id long, cluster_id long")
     return docs.join(labels, "doc_id", "left").select(
         "doc_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id")
     )

@@ -99,6 +99,18 @@ def test_approx_profile_error_bounds(spark, sf_dir):
         assert r["approx_users_ok"] and r["approx_p50_ok"] and r["approx_p99_ok"], dict(r.asDict())
 
 
+def test_cc_driver_and_distributed_paths_agree(spark, sf_dir, monkeypatch):
+    """The adaptive CC strategy gate must be result-invisible: labels from
+    the driver-side union-find (small-graph path) and the distributed
+    pointer-doubling loop are identical on the same corpus."""
+    from kafka_connect_storage_cloud_formats_spark.operators import dedup as dd
+
+    small = {tuple(r) for r in dd._neardup_labels(spark, sf_dir).collect()}
+    monkeypatch.setattr(dd, "CC_DRIVER_MAX_EDGES", -1)  # force distributed
+    big = {tuple(r) for r in dd._neardup_labels(spark, sf_dir).collect()}
+    assert small == big and len(small) > 0
+
+
 def test_neardup_clusters_respect_edges_and_min_label(spark, sf_dir):
     """Every strong LSH pair must be in one cluster; every cluster_id is the
     min doc_id of its members; docs without edges are singletons."""
