@@ -724,15 +724,14 @@ def _neardup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _labels_driver_side(
-    spark: SparkSession, docs: DataFrame, edges: DataFrame
-) -> DataFrame:
-    """Exact CC labels for a DRIVER-SMALL edge graph: union-find over the
-    collected (src, dst) rows, then one corpus-wide left join fills
-    singletons — identical output contract to the distributed loop
-    (cluster_id = min doc_id reachable through the graph). Path
-    compression + union-by-attachment-to-min keeps it linear-ish; the
-    collect is gated by CC_DRIVER_MAX_EDGES, never corpus-scale."""
+def union_find_min_labels(edge_pairs) -> dict:
+    """Pure union-find over an iterable of (a, b) pairs → {vertex:
+    min-reachable-vertex}. Union-by-attachment-to-min keeps every root
+    the component minimum (invariant: each root is its component's min;
+    merging attaches the larger root under the smaller, preserving it),
+    so no relabel pass is needed; path compression keeps finds cheap.
+    Property-tested against brute-force reachability in
+    tests/test_dedup.py."""
     parent: dict = {}
 
     def find(x):
@@ -743,20 +742,32 @@ def _labels_driver_side(
             parent[x], x = root, parent[x]
         return root
 
-    for row in edges.collect():
-        a, b = row["src"], row["dst"]
+    for a, b in edge_pairs:
         parent.setdefault(a, a)
         parent.setdefault(b, b)
         ra, rb = find(a), find(b)
         if ra != rb:
-            # attach the larger root under the smaller: roots stay the
-            # component minimum, so no relabel pass is needed
             if ra < rb:
                 parent[rb] = ra
             else:
                 parent[ra] = rb
-    rows = [(x, find(x)) for x in parent]
-    labels = spark.createDataFrame(rows, "doc_id long, cluster_id long")
+    return {x: find(x) for x in parent}
+
+
+def _labels_driver_side(
+    spark: SparkSession, docs: DataFrame, edges: DataFrame
+) -> DataFrame:
+    """Exact CC labels for a DRIVER-SMALL edge graph: union-find over the
+    collected (src, dst) rows, then one corpus-wide left join fills
+    singletons — identical output contract to the distributed loop
+    (cluster_id = min doc_id reachable through the graph). The collect is
+    gated by CC_DRIVER_MAX_EDGES, never corpus-scale."""
+    labels_map = union_find_min_labels(
+        (row["src"], row["dst"]) for row in edges.collect()
+    )
+    labels = spark.createDataFrame(
+        list(labels_map.items()), "doc_id long, cluster_id long"
+    )
     return docs.join(labels, "doc_id", "left").select(
         "doc_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id")
     )

@@ -109,3 +109,36 @@ def test_single_branch_union_is_not_nullable():
         avro_field_type(["null", "null", "long"])
     with pytest.raises(UnsupportedTypeError):
         avro_field_type(["long", "int"])
+
+
+# ------------------------------------------------------- union-find (CC core)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        max_size=60,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_union_find_min_labels_match_bruteforce_reachability(edges):
+    """The driver-side CC core must label every vertex with the MINIMUM
+    vertex reachable through the undirected edge set — checked against a
+    brute-force transitive closure on random graphs (self-loops,
+    duplicates, and disconnected vertices included)."""
+    from kafka_connect_storage_cloud_formats_spark.operators.dedup import union_find_min_labels
+
+    got = union_find_min_labels(edges)
+    verts = {v for e in edges for v in e}
+    assert set(got) == verts
+    # brute force: repeatedly expand neighbor sets to a fixpoint
+    reach = {v: {v} for v in verts}
+    changed = True
+    while changed:
+        changed = False
+        for a, b in edges:
+            merged = reach[a] | reach[b]
+            for v in list(merged):
+                if merged - reach[v]:
+                    reach[v] |= merged
+                    changed = True
+    for v in verts:
+        assert got[v] == min(reach[v]), (v, got[v], sorted(reach[v]))
