@@ -106,6 +106,27 @@ def audit(name: str, df) -> tuple[list[str], dict]:
         problems.append("BatchEvalPython(row-at-a-time UDF)")
     if "ExistingRDD" in plan and name not in ALLOWED_CHECKPOINT:
         problems.append("ExistingRDD(undocumented eager checkpoint)")
+    # Supplementary FINAL-plan stats: the pre-execution string above is the
+    # AQE initial plan, whose WholeStageCodegen markers aren't yet
+    # assigned (codegen_spans reads 0). Execute once and re-read so the
+    # JSON snapshot records the plan that actually ran — violation logic
+    # stays on the initial plan (stable gate semantics across rounds).
+    try:
+        # Execute THIS df's own plan (count() builds a separate aggregate
+        # plan and would leave this QueryExecution unexecuted); result
+        # sets are presentation-sized at the audit SF.
+        df.collect()
+        final = df._jdf.queryExecution().executedPlan().toString()
+        # simple plan strings mark codegen stages with `*(N)` prefixes —
+        # count DISTINCT stage ids, not marker occurrences
+        stats["codegen_spans_final"] = len(set(re.findall(r"\*\((\d+)\)", final)))
+        stats["exchanges_final"] = len(
+            re.findall(r"\bExchange (?:hash|range|SinglePartition)", final)
+        )
+        stats["reused_exchanges_final"] = len(re.findall(r"ReusedExchange", final))
+        stats["aqe_final"] = "isFinalPlan=true" in final
+    except Exception as e:  # noqa: BLE001 — enrichment must never fail the gate
+        stats["final_plan_error"] = str(e)
     return problems, stats
 
 
@@ -132,7 +153,8 @@ def main() -> int:
         print(
             f"{tag} {name}: joins={','.join(stats['joins']) or '-'} "
             f"exchanges={stats['exchanges']} scans={stats['scans']} "
-            f"pushed_filter_scans={stats['pushed']} codegen={stats['codegen_spans']}"
+            f"pushed_filter_scans={stats['pushed']} "
+            f"codegen_final={stats.get('codegen_spans_final', '?')}"
             + (f"  VIOLATIONS={problems}" if problems else "")
         )
     if JSON_OUT:
