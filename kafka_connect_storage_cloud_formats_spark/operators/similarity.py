@@ -300,9 +300,13 @@ ANN_LSH_SQL = _ann_sql()
 
 
 # ---------------------------------------------------------------- IVF coarse
-def ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_centroids_unsorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroids (IVF coarse quantizer), long format
-    (label, dim, centroid).
+    (label, dim, centroid), WITHOUT the registered query's presentation
+    sort — the form every internal consumer uses (the probe's
+    ``collect_list`` regroup and the index artifact write are
+    order-insensitive, so a mid-chain global sort is a pure range-shuffle
+    tax).
 
     Decimal-exact: per-dimension sums are DECIMAL(38,15), which is
     associative — the result is independent of partitioning/aggregation
@@ -316,17 +320,20 @@ def ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IEEE-754 engine, and integer/decimal sums are associative — so the
     # centroid is independent of partitioning and bit-exact vs the oracle.
     quant = F.floor(F.col("val").cast("double") * F.lit(1e15)).cast("decimal(38,0)")
-    return (
-        pos.groupBy("label", "dim")
-        .agg(
-            (
-                F.sum(quant).cast("double")
-                / F.lit(1e15)
-                / F.count(F.lit(1)).cast("double")
-            ).alias("centroid")
-        )
-        .orderBy("label", "dim")
+    return pos.groupBy("label", "dim").agg(
+        (
+            F.sum(quant).cast("double")
+            / F.lit(1e15)
+            / F.count(F.lit(1)).cast("double")
+        ).alias("centroid")
     )
+
+
+def ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of :func:`_ivf_centroids_unsorted` with the
+    deterministic presentation sort (plan identical to the pre-split
+    composition)."""
+    return _ivf_centroids_unsorted(spark, sf_dir).orderBy("label", "dim")
 
 
 IVF_CENTROIDS_SQL = f"""
@@ -353,7 +360,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     subquery); the corpus-scale re-rank keeps the Arrow path.
     """
     return _ivf_probe(
-        spark, sf_dir, ivf_centroids(spark, sf_dir), _with_norm(_load(spark, sf_dir))
+        spark, sf_dir, _ivf_centroids_unsorted(spark, sf_dir), _with_norm(_load(spark, sf_dir))
     )
 
 
@@ -476,7 +483,7 @@ def build_ivf_index(
     )
     ensure_artifact(
         out_dir + "_centroids",
-        lambda tmp: ivf_centroids(spark, sf_dir).write.parquet(tmp),
+        lambda tmp: _ivf_centroids_unsorted(spark, sf_dir).write.parquet(tmp),
         force=force,
     )
     return out_dir
