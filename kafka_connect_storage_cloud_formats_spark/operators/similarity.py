@@ -784,6 +784,11 @@ def ann_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact brute-force baseline (measure, don't guess). One row:
     (n_queries, hits, possible, recall). Deterministic on both engines, so
     even the *evaluation* is oracle-gated."""
+    # bf is consumed twice (the possible-count aggregate and the semi
+    # join). Measured round 6: materializing it (lazy localCheckpoint of
+    # the ≤ Q·k-row result) LOSES ~0.3 s at sf0.1 — the checkpoint
+    # barrier costs more than the duplicated single-scan mapInPandas it
+    # saves — so the duplication stays deliberate.
     bf = knn_bruteforce(spark, sf_dir).select("q_id", "neighbor_id")
     ann = ann_lsh_topk(spark, sf_dir).select("q_id", "neighbor_id")
     hits = bf.join(ann, ["q_id", "neighbor_id"], "left_semi")
