@@ -294,9 +294,14 @@ def avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import json as _json
 
+    from kafka_connect_storage_cloud_formats_spark.catalog import spread
     from kafka_connect_storage_cloud_formats_spark.schema import spark_schema_to_avro
 
-    events = load_table(spark, sf_dir, "events")
+    # spread: the per-row Avro byte assembly is the heaviest Python map in
+    # the engine, and the events scan is a single split at test SFs — one
+    # task would encode the whole table. Guarded no-op at scale
+    # (catalog.spread).
+    events = spread(load_table(spark, sf_dir, "events"))
     avro_schema = spark_schema_to_avro(EVENTS_VALUE_SCHEMA)
     struct_col = F.struct(*[f.name for f in EVENTS_VALUE_SCHEMA.fields])
     if _avro_available(spark):
