@@ -32,6 +32,41 @@ EVENTS_VALUE_SCHEMA = T.StructType(
 )
 
 
+def _scratch_dir(prefix: str, sf_dir: str) -> str:
+    """Per-process sink scratch dir ``<tmp>/<prefix>_<sftag>_<pid>``:
+    repeated runs inside one process (bench min-of-n) reuse + overwrite,
+    while a fresh checker process can never read stale files from an
+    earlier run. Creating one also SWEEPS same-prefix siblings whose pid
+    is dead (round 6): without a lifecycle, every driver/pytest/bench
+    process stranded its outputs forever — hundreds of dirs per
+    multi-round session. Live siblings (a concurrent session mid-write)
+    are never touched — pid liveness is the ownership test."""
+    base = os.path.basename(os.path.normpath(sf_dir))
+    stem = f"{prefix}_{base}_"
+    tmp = tempfile.gettempdir()
+    try:
+        for d in os.listdir(tmp):
+            if not d.startswith(stem):
+                continue
+            try:
+                pid = int(d[len(stem):])
+            except ValueError:
+                continue
+            if pid == os.getpid():
+                continue
+            try:
+                os.kill(pid, 0)  # raises if the owning process is gone
+            except ProcessLookupError:
+                import shutil
+
+                shutil.rmtree(os.path.join(tmp, d), ignore_errors=True)
+            except PermissionError:
+                pass  # alive under another uid — leave it
+    except OSError:
+        pass
+    return os.path.join(tmp, f"{stem}{os.getpid()}")
+
+
 def _run_events_pipeline(spark: SparkSession, sf_dir: str, parity: bool) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     # modular partitioner so the oracle can reproduce partition assignment in SQL
@@ -43,14 +78,8 @@ def _run_events_pipeline(spark: SparkSession, sf_dir: str, parity: bool) -> Data
         order_col="event_id",
         partitioner="mod",
     )
-    # per-process dir (pid token): repeated runs inside one process (bench
-    # min-of-2) reuse + overwrite, while a fresh checker process can never
-    # read stale files from an earlier run
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"engine_orc_roundtrip_{'parity' if parity else 'native'}_"
-        + os.path.basename(os.path.normpath(sf_dir))
-        + f"_{os.getpid()}",
+    out = _scratch_dir(
+        f"engine_orc_roundtrip_{'parity' if parity else 'native'}", sf_dir
     )
     pipe = IngestPipeline(
         out, EVENTS_VALUE_SCHEMA, flush_size=10_000, parity_naming=parity
@@ -132,12 +161,7 @@ def _format_roundtrip(spark: SparkSession, sf_dir: str, fmt: str, compression: s
     cols = ["partition", "event_id", "user_id", "event_type"]
     if fmt in ("orc", "parquet"):
         cols.append("value")
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"engine_{fmt}_roundtrip_"
-        + os.path.basename(os.path.normpath(sf_dir))
-        + f"_{os.getpid()}",
-    )
+    out = _scratch_dir(f"engine_{fmt}_roundtrip", sf_dir)
     write_partitioned(env.select(*cols), out, fmt=fmt, compression=compression)
     back = read_back(spark, out, fmt=fmt)
     aggs = [
@@ -215,12 +239,7 @@ def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_col="event_id",
         partitioner="mod",
     )
-    out = os.path.join(
-        tempfile.gettempdir(),
-        "engine_schema_evo_"
-        + os.path.basename(os.path.normpath(sf_dir))
-        + f"_{os.getpid()}",
-    )
+    out = _scratch_dir("engine_schema_evo", sf_dir)
     v1 = env.filter(F.col("event_id") % 2 == 0)
     v2 = env.filter(F.col("event_id") % 2 == 1)
     tracker = SchemaTracker(Compatibility.BACKWARD)

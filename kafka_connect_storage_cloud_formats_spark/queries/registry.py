@@ -111,14 +111,21 @@ _CHANGED_THIS_ROUND = [
     # family min/max (round-5 ADVICE fixes)
     "orders_column_profile",
 ]
-# Out-of-window touch, documented: minhash_signatures' derivation was
-# mechanically SPLIT (_minhash_sigs_from now delegates to
-# _sigs_from_shingles with identical expressions) so the signature
-# artifact build can aggregate the shared shingle artifact. The window is
-# exactly full (41 stale + 9 changed), and the ≤1-round-stale invariant
-# takes the slots; the split is pinned bit-for-bit by the plain-Python
-# reference test (tests/test_dedup.py) and was re-verified hash-green
-# against the DuckDB oracle at sf0.001/0.01/0.1 during round 6.
+# Out-of-window touches, documented (the window is exactly full — 41
+# stale + 9 changed — and the ≤1-round-stale invariant takes the slots):
+# 1. minhash_signatures' derivation was mechanically SPLIT
+#    (_minhash_sigs_from now delegates to _sigs_from_shingles with
+#    identical expressions) so the signature artifact build can aggregate
+#    the shared shingle artifact; pinned bit-for-bit by the plain-Python
+#    reference test (tests/test_dedup.py) and re-verified hash-green
+#    against the DuckDB oracle at sf0.001/0.01/0.1 during round 6.
+# 2. the pid-keyed sink scratch dirs of the roundtrip queries moved to
+#    the shared _scratch_dir helper (pipeline_queries.py), which returns
+#    the IDENTICAL path and additionally sweeps same-prefix siblings
+#    whose owning pid is dead — result-invariant filesystem hygiene
+#    (~500 stranded dirs across rounds); all six consumers re-verified
+#    hash-green at sf0.01 during round 6 (schema_evolution_roundtrip and
+#    avro_roundtrip are in-window regardless).
 _PRIORITY = _STALE_AFTER_R5 + _CHANGED_THIS_ROUND
 
 QUERIES: dict = {n: _ALL[n] for n in _PRIORITY if n in _ALL}
