@@ -88,3 +88,18 @@ def test_spread_guarded_repartition(spark, sf_dir):
     # already-parallel source: the SAME DataFrame comes back (no shuffle)
     wide = docs.repartition(cores + 4)
     assert spread(wide) is wide
+
+
+def test_path_fingerprint_covers_directory_trees(tmp_path):
+    """Directory fingerprints must see nested files: renaming, resizing,
+    or touching any file under a parquet DIRECTORY changes the key."""
+    from kafka_connect_storage_cloud_formats_spark.catalog import path_fingerprint
+
+    d = tmp_path / "t.parquet"
+    (d / "sub").mkdir(parents=True)
+    (d / "part-0").write_bytes(b"aaa")
+    (d / "sub" / "part-1").write_bytes(b"bbb")
+    fp1 = path_fingerprint(str(d))
+    assert path_fingerprint(str(d)) == fp1  # stable
+    (d / "sub" / "part-1").write_bytes(b"bbbb")  # size change, nested
+    assert path_fingerprint(str(d)) != fp1

@@ -115,3 +115,40 @@ def test_ivf_index_build_inventory_matches_source(spark, sf_dir):
         .collect()
     }
     assert inv == src
+
+
+def test_scratch_dir_sweeps_dead_pids_and_spares_live(tmp_path, monkeypatch):
+    """The sink scratch helper reuses the caller's own pid dir, removes
+    same-prefix dirs whose owning process is gone, and never touches a
+    live process's dir or foreign names."""
+    import os
+    import subprocess
+    import tempfile as _tf
+
+    from kafka_connect_storage_cloud_formats_spark.queries.pipeline_queries import _scratch_dir
+
+    monkeypatch.setattr(_tf, "gettempdir", lambda: str(tmp_path))
+    sf = "/data/sf0.01"
+    # a dir owned by a DEAD pid (spawn-and-wait guarantees it's gone)
+    dead = subprocess.run(["true"])  # noqa: S603,S607
+    # pick an unused pid robustly: a just-reaped child pid may be reused,
+    # so probe for one that is definitely not alive
+    pid = 99999
+    while True:
+        try:
+            os.kill(pid, 0)
+            pid -= 1
+        except ProcessLookupError:
+            break
+        except PermissionError:
+            pid -= 1
+    (tmp_path / f"engine_x_sf0.01_{pid}").mkdir()
+    (tmp_path / f"engine_x_sf0.01_{os.getpid()}").mkdir()  # our own
+    (tmp_path / "engine_x_sf0.01_notapid").mkdir()  # foreign name
+    (tmp_path / f"engine_y_sf0.01_{pid}").mkdir()  # other prefix
+    out = _scratch_dir("engine_x", sf)
+    assert out == str(tmp_path / f"engine_x_sf0.01_{os.getpid()}")
+    assert not (tmp_path / f"engine_x_sf0.01_{pid}").exists(), "dead pid swept"
+    assert (tmp_path / "engine_x_sf0.01_notapid").exists()
+    assert (tmp_path / f"engine_y_sf0.01_{pid}").exists(), "other prefix untouched"
+    del dead
