@@ -83,7 +83,7 @@ def ensure_capped_shingle_rows(
             "doc_id", "s", F.count(F.lit(1)).over(wdoc).alias("n_sh")
         ).write.parquet(tmp)
 
-    ensure_artifact(path, build)
+    ensure_artifact(path, build, spark=spark)
     return spark.read.parquet(path)
 
 
@@ -116,6 +116,7 @@ def ensure_ngram_occurrence_rows(spark: SparkSession, sf_dir: str, n: int) -> Da
         path,
         lambda tmp: ngram_occurrence_stream(load_table(spark, sf_dir, "documents"), n)
         .write.parquet(tmp),
+        spark=spark,
     )
     return spark.read.parquet(path)
 
@@ -133,5 +134,6 @@ def ensure_shingle_rows(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
         path,
         lambda tmp: shingle_stream(load_table(spark, sf_dir, "documents"), n)
         .write.parquet(tmp),
+        spark=spark,
     )
     return spark.read.parquet(path)

@@ -479,11 +479,13 @@ def build_ivf_index(
     ensure_artifact(
         out_dir,
         lambda tmp: _load(spark, sf_dir).write.partitionBy("label").parquet(tmp),
+        spark=spark,
         force=force,
     )
     ensure_artifact(
         out_dir + "_centroids",
         lambda tmp: _ivf_centroids_unsorted(spark, sf_dir).write.parquet(tmp),
+        spark=spark,
         force=force,
     )
     return out_dir
