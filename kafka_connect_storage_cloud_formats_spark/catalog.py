@@ -92,6 +92,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             _require_utc(spark)
         return df
     df, tz_sensitive = _build_table(spark, sf_dir, name)
+    # Evict on insert (round-6 ADVICE): entries keyed by OTHER
+    # applicationIds belong to stopped/restarted sessions — the per-app key
+    # guarantees they can never be served again, but left in place they pin
+    # DataFrame/py4j handles bound to dead JVMs for the process lifetime.
+    app = key[0]
+    for k in [k for k in _TABLE_CACHE if k[0] != app]:
+        del _TABLE_CACHE[k]
     _TABLE_CACHE[key] = (fp, df, tz_sensitive)
     return df
 

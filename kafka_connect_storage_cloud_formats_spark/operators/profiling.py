@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_connect_storage_cloud_formats_spark.catalog import load_table
+from kafka_connect_storage_cloud_formats_spark.functions.text_functions import hash_family
 from kafka_connect_storage_cloud_formats_spark.queries.relational import dsum
 
 PROFILE_COLS = ("o_totalprice", "o_orderstatus", "o_custkey")
@@ -220,11 +221,26 @@ def approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("lo99"),
         F.max("value").alias("hi99"),
     )
-    users_ok = (
+    # Degenerate-group guards (round-6 ADVICE): a group whose user_id is
+    # all NULL has xu = 0 — the relative-error quotient would emit a NULL
+    # verdict (or error under ANSI); a group whose value is all NULL has
+    # NULL band endpoints — BETWEEN would emit NULL. The verdicts must be
+    # TOTAL booleans: a healthy sketch on a degenerate group agrees with
+    # the degenerate exact answer (0 distinct / NULL quantile), anything
+    # else is a real sketch failure → false, never NULL.
+    users_ok = F.when(F.col("xu") == 0, F.col("au") == 0).otherwise(
         F.abs(F.col("au") - F.col("xu")) / F.col("xu") <= F.lit(HLL_TOLERANCE)
     )
-    p50_ok = F.col("ap50").between(F.col("lo50"), F.col("hi50"))
-    p99_ok = F.col("ap99").between(F.col("lo99"), F.col("hi99"))
+
+    def _band_ok(approx: str, lo: str, hi: str):
+        return F.when(
+            F.col(lo).isNull() | F.col(hi).isNull(), F.col(approx).isNull()
+        ).otherwise(
+            F.coalesce(F.col(approx).between(F.col(lo), F.col(hi)), F.lit(False))
+        )
+
+    p50_ok = _band_ok("ap50", "lo50", "hi50")
+    p99_ok = _band_ok("ap99", "lo99", "hi99")
     return agg.select(
         "event_type",
         "n",
@@ -251,12 +267,24 @@ FROM events GROUP BY event_type ORDER BY event_type
 SPLIT_SALT = "split-v1"
 
 
-def _hash_bucket(salt: str):
-    """THE deterministic 0-255 bucket: first byte of md5(salt ‖ doc_id).
-    Single definition shared by the splitter and the sampler (its SQL twin
-    is ``_HEXVAL2``) — the reproducible-split guarantee depends on every
-    consumer computing byte-identical buckets, so the expression must not
-    exist twice to drift apart."""
+def _hash_bucket(salt: str, family: str | None = None):
+    """THE deterministic 0-255 bucket. Single definition shared by the
+    splitter and the sampler (its SQL twin is ``_HEXVAL2``) — the
+    reproducible-split guarantee depends on every consumer computing
+    byte-identical buckets, so the expression must not exist twice to
+    drift apart.
+
+    Family (round-6 verdict ask #4): "md5" (default) = first byte of
+    md5(salt ‖ doc_id), DuckDB-reproducible (the oracle gate's form);
+    "xxhash64" = pmod(xxhash64(salt ‖ doc_id), 256), the production form
+    — same determinism/uniformity guarantees, ~5× cheaper, but a
+    DIFFERENT (equally valid) bucket assignment: a corpus must pick one
+    family at split time and keep it for the corpus's lifetime."""
+    family = family or hash_family()
+    if family == "xxhash64":
+        return F.pmod(
+            F.xxhash64(F.concat(F.lit(salt), F.col("doc_id"))), F.lit(256)
+        ).cast("int")
     return F.conv(
         F.substring(F.md5(F.concat(F.lit(salt), F.col("doc_id"))), 1, 2), 16, 10
     ).cast("int")

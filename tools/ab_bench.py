@@ -88,7 +88,12 @@ for name in results:
     sa, sb = results[name].get("A"), results[name].get("B")
     a = min(sa) if sa else None
     b = min(sb) if sb else None
-    out[name] = {"A": round(a, 3) if a else None, "B": round(b, 3) if b else None}
+    # `is not None`, not truthiness: a legitimate 0.0 s minimum is a sample,
+    # not a missing side (round-6 ADVICE)
+    out[name] = {
+        "A": round(a, 3) if a is not None else None,
+        "B": round(b, 3) if b is not None else None,
+    }
     if a is None or b is None:
         side = "A" if a is None else "B"
         print(f"{name:34s} {'--' if a is None else f'{a:.2f}':>7s} "
