@@ -29,7 +29,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_connect_storage_cloud_formats_spark.catalog import load_table, spread
-from kafka_connect_storage_cloud_formats_spark.functions.text_functions import word_shingles
+from kafka_connect_storage_cloud_formats_spark.functions.text_functions import (
+    hash_family,
+    word_shingles,
+)
 from kafka_connect_storage_cloud_formats_spark.operators.shingles import (
     ensure_capped_shingle_rows,
     ensure_shingle_rows,
@@ -224,32 +227,65 @@ def _minhash_sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_sigs_from(load_table(spark, sf_dir, "documents"))
 
 
-def _minhash_sigs_from(docs: DataFrame) -> DataFrame:
+def _minhash_sigs_from(docs: DataFrame, family: str | None = None) -> DataFrame:
     """Signature computation over any (doc_id, text) DataFrame — split out
     so the hash-family / chunk-indexing expressions are
     equivalence-testable against a plain-Python reference on synthetic
     docs (tests/test_dedup.py)."""
-    return _sigs_from_shingles(_shingle_rows(docs))
+    return _sigs_from_shingles(_shingle_rows(docs), family=family)
 
 
-def _sigs_from_shingles(sh: DataFrame) -> DataFrame:
+# The xxhash64 family carves 2 signature components (32-bit halves) out of
+# each 64-bit hash — same chunking trick as the md5 family's 4×8-hex
+# chunks: disjoint chunks of a well-mixed hash are independent uniform
+# values, each a valid min-wise family member (MIN over unsigned longs).
+MINHASH_CHUNKS_PER_XX = 2
+
+
+def _sigs_from_shingles(sh: DataFrame, family: str | None = None) -> DataFrame:
     """MinHash aggregation over a (doc_id, s) shingle stream. Separate from
     the shingle derivation so the artifact build can feed the SHARED
     materialized shingle stream (operators/shingles.py) straight into the
     signature aggregate — one corpus scan serves both the Jaccard tier and
-    the signature build at 100 TB."""
+    the signature build at 100 TB.
+
+    ``family``: "md5" (default, oracle-reproducible hex chunks) or
+    "xxhash64" (production: JVM-native 64-bit hash, components are its
+    32-bit halves as longs — ~4 B shuffle keys, no hex-string round-trip).
+    """
+    family = family or hash_family()
     # SQL-string expressions (one F.expr per column/aggregate): the
     # Column-operator form was ~80 py4j round-trips of pure driver time
     # per plan build (see _simhash_fp_table for the measured pattern)
-    hashes = [F.expr(f"md5(concat('{g}:', s)) AS h{g}") for g in range(MINHASH_GROUPS)]
-    sh = sh.select("doc_id", *hashes)
-    aggs = [
-        F.expr(
-            f"min(substring(h{k // MINHASH_CHUNKS_PER_MD5}, "
-            f"{(k % MINHASH_CHUNKS_PER_MD5) * 8 + 1}, 8)) AS mh_{k:02d}"
+    if family == "xxhash64":
+        groups = (MINHASH_K + MINHASH_CHUNKS_PER_XX - 1) // MINHASH_CHUNKS_PER_XX
+        hashes = [
+            F.expr(f"xxhash64(concat('{g}:', s)) AS h{g}") for g in range(groups)
+        ]
+        chunk = (
+            "shiftrightunsigned(h{g}, 32)",  # high 32 bits
+            "(h{g} & 4294967295)",  # low 32 bits
         )
-        for k in range(MINHASH_K)
-    ]
+        aggs = [
+            F.expr(
+                "min("
+                + chunk[k % MINHASH_CHUNKS_PER_XX].format(g=k // MINHASH_CHUNKS_PER_XX)
+                + f") AS mh_{k:02d}"
+            )
+            for k in range(MINHASH_K)
+        ]
+    else:
+        hashes = [
+            F.expr(f"md5(concat('{g}:', s)) AS h{g}") for g in range(MINHASH_GROUPS)
+        ]
+        aggs = [
+            F.expr(
+                f"min(substring(h{k // MINHASH_CHUNKS_PER_MD5}, "
+                f"{(k % MINHASH_CHUNKS_PER_MD5) * 8 + 1}, 8)) AS mh_{k:02d}"
+            )
+            for k in range(MINHASH_K)
+        ]
+    sh = sh.select("doc_id", *hashes)
     return sh.groupBy("doc_id").agg(*aggs)
 
 
@@ -259,7 +295,9 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_sig_table(spark, sf_dir).orderBy("doc_id")
 
 
-def _ensure_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ensure_minhash_sigs(
+    spark: SparkSession, sf_dir: str, family: str | None = None
+) -> DataFrame:
     """Corpus-fingerprinted MATERIALIZED signature table (parquet, atomic
     publish — artifacts.py), shared by every LSH consumer: ``minhash_lsh_
     pairs``, near-dup clustering and the training pipeline all read these
@@ -270,9 +308,13 @@ def _ensure_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     are hex strings, so the parquet roundtrip is exact (hash-neutral)."""
     from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_path, ensure_artifact
 
-    path = artifact_path(
-        "minhash_sigs", sf_dir, "documents", params=f"k{MINHASH_K}n{SHINGLE_N}"
-    )
+    family = family or hash_family()
+    # family-keyed params token: the two families' signature tables have
+    # different column types (hex string vs long) and must never share a
+    # cache path; md5 keeps its historical token so existing artifacts
+    # stay valid.
+    ptag = f"k{MINHASH_K}n{SHINGLE_N}" + ("" if family == "md5" else f"x{family}")
+    path = artifact_path("minhash_sigs", sf_dir, "documents", params=ptag)
     # The build aggregates the SHARED materialized shingle stream (n=3 —
     # the same artifact the Jaccard tier scans) instead of re-deriving
     # tokenize+shingle from the corpus: at 100 TB one corpus scan publishes
@@ -282,8 +324,9 @@ def _ensure_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_artifact(
         path,
         lambda tmp: _sigs_from_shingles(
-            ensure_shingle_rows(spark, sf_dir, SHINGLE_N)
+            ensure_shingle_rows(spark, sf_dir, SHINGLE_N), family=family
         ).write.parquet(tmp),
+        spark=spark,
     )
     return spark.read.parquet(path)
 
@@ -310,7 +353,9 @@ FROM hv GROUP BY doc_id)
 MINHASH_SIGNATURES_SQL = _minhash_sql_core() + "SELECT * FROM sig ORDER BY doc_id"
 
 
-def _minhash_pairs_unsorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minhash_pairs_unsorted(
+    spark: SparkSession, sf_dir: str, family: str | None = None
+) -> DataFrame:
     """LSH candidate pairs WITHOUT the presentation sort — the form every
     downstream consumer (clustering, training pipeline) uses; a global
     sort in the middle of a chain is a pure range-shuffle tax.
@@ -330,15 +375,31 @@ def _minhash_pairs_unsorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same parquet instead of re-running the corpus-scale shingle+md5
     # chain. (Checkpointing the exploded band rows instead was measurably
     # worse: 4 rows/doc each duplicating the signature array.)
-    sig = _ensure_minhash_sigs(spark, sf_dir)
+    family = family or hash_family()
+    sig = _ensure_minhash_sigs(spark, sf_dir, family=family)
+    return _pairs_from_sigs(sig, family=family)
+
+
+def _pairs_from_sigs(sig: DataFrame, family: str | None = None) -> DataFrame:
+    """Band + self-join over any signature table (family-agnostic: the
+    component comparisons and the banded equi-join work identically on hex
+    strings and longs; only the band-hash expression differs — xxhash64
+    takes the row components directly, no string concat)."""
+    family = family or hash_family()
     # SQL-string expressions (a handful of F.expr calls instead of ~100
     # py4j round-trips building the array/struct/when trees — ~0.4 s of
     # driver time per plan build, measured; same pattern as
     # _simhash_fp_table)
     comps = [f"mh_{k:02d}" for k in range(MINHASH_K)]
+
+    def band_hash(b: int) -> str:
+        cols = ", ".join(comps[b * LSH_ROWS : (b + 1) * LSH_ROWS])
+        if family == "xxhash64":
+            return f"xxhash64({cols})"
+        return f"md5(concat_ws('|', {cols}))"
+
     band_structs = ", ".join(
-        f"struct({b} AS band_id, "
-        f"md5(concat_ws('|', {', '.join(comps[b * LSH_ROWS:(b + 1) * LSH_ROWS])})) AS band_hash)"
+        f"struct({b} AS band_id, {band_hash(b)} AS band_hash)"
         for b in range(LSH_BANDS)
     )
     bands = sig.select(

@@ -71,9 +71,13 @@ def test_minhash_signature_artifact_built_once_and_consistent(spark, sf_dir):
     )
     art = _ensure_minhash_sigs(spark, sf_dir)
     assert os.path.exists(os.path.join(path, "_SUCCESS"))
-    stamp = os.stat(path).st_mtime_ns
+    # rebuild proxy: the _SUCCESS file's mtime (the DIRECTORY mtime is
+    # deliberately refreshed on every consumer open — sweep-grace liveness)
+    stamp = os.stat(os.path.join(path, "_SUCCESS")).st_mtime_ns
     _ensure_minhash_sigs(spark, sf_dir)  # second consumer: cache hit
-    assert os.stat(path).st_mtime_ns == stamp, "artifact rebuilt on cache hit"
+    assert (
+        os.stat(os.path.join(path, "_SUCCESS")).st_mtime_ns == stamp
+    ), "artifact rebuilt on cache hit"
     got = {tuple(r) for r in art.collect()}
     want = {tuple(r) for r in _minhash_sig_table(spark, sf_dir).collect()}
     assert got == want
@@ -96,9 +100,13 @@ def test_shingle_artifact_built_once_and_matches_derivation(spark, sf_dir):
     path3 = artifact_path("shingle_rows", sf_dir, "documents", params="n3")
     art = ensure_shingle_rows(spark, sf_dir, 3)
     assert os.path.exists(os.path.join(path3, "_SUCCESS"))
-    stamp = os.stat(path3).st_mtime_ns
+    # rebuild proxy: the _SUCCESS file's mtime (the DIRECTORY mtime is
+    # deliberately refreshed on every consumer open — sweep-grace liveness)
+    stamp = os.stat(os.path.join(path3, "_SUCCESS")).st_mtime_ns
     ensure_shingle_rows(spark, sf_dir, 3)  # second consumer: cache hit
-    assert os.stat(path3).st_mtime_ns == stamp, "artifact rebuilt on cache hit"
+    assert (
+        os.stat(os.path.join(path3, "_SUCCESS")).st_mtime_ns == stamp
+    ), "artifact rebuilt on cache hit"
     got = {tuple(r) for r in art.collect()}
     want = {
         tuple(r)
@@ -277,3 +285,89 @@ def test_minhash_signatures_match_python_reference(spark):
     assert len(got) == len(texts)
     for i, t in enumerate(texts):
         assert got[i] == py_sigs(t), f"doc {i}: {t!r}"
+
+
+# --------------------------------------------------------------- hash family
+def _family_partition(spark, docs, family):
+    """doc_id partition into near-dup clusters under a hash family:
+    signatures → banded LSH pairs → strong edges → union-find labels."""
+    from kafka_connect_storage_cloud_formats_spark.operators.dedup import (
+        CLUSTER_MIN_EST_JACCARD,
+        _minhash_sigs_from,
+        _pairs_from_sigs,
+        union_find_min_labels,
+    )
+
+    sigs = _minhash_sigs_from(docs, family=family)
+    pairs = _pairs_from_sigs(sigs, family=family).filter(
+        F.col("est_jaccard") >= CLUSTER_MIN_EST_JACCARD
+    )
+    labels = union_find_min_labels(
+        (r["d1"], r["d2"]) for r in pairs.collect()
+    )
+    all_ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    full = {i: labels.get(i, i) for i in all_ids}
+    clusters = {}
+    for doc, lbl in full.items():
+        clusters.setdefault(lbl, set()).add(doc)
+    return {frozenset(v) for v in clusters.values()}
+
+
+def test_hash_families_agree_on_dedup_decisions(spark):
+    """Round-6 verdict ask #4: the md5 (oracle-reproducible, default) and
+    xxhash64 (production) hash families must produce IDENTICAL dedup
+    decisions — the same partition of documents into near-dup clusters —
+    on a fixture of clear near-dup groups and clear non-duplicates. The
+    md5 gate certifies correctness; this pins that flipping the family
+    flag changes only the hash arithmetic, not what gets deduplicated."""
+    words = [f"tok{i}" for i in range(40)]
+    rows = []
+    expected = []
+    # 4 near-dup groups of 3: one token substituted per variant (shingle
+    # Jaccard ~0.85 — far above the 0.5 decision threshold)
+    for g in range(4):
+        group = []
+        base = [f"g{g}w{i}" for i in range(40)]
+        for v in range(3):
+            toks = list(base)
+            if v:
+                toks[10 * v] = f"g{g}var{v}"
+            doc_id = g * 10 + v
+            rows.append((doc_id, " ".join(toks)))
+            group.append(doc_id)
+        expected.append(frozenset(group))
+    # 5 singletons with disjoint vocabularies (Jaccard 0 to everything)
+    for s in range(5):
+        doc_id = 100 + s
+        rows.append((doc_id, " ".join(f"s{s}u{i}" for i in range(40))))
+        expected.append(frozenset([doc_id]))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    part_md5 = _family_partition(spark, docs, "md5")
+    part_xx = _family_partition(spark, docs, "xxhash64")
+    assert part_md5 == set(expected)
+    assert part_xx == part_md5, "families must agree up to relabeling"
+    assert len(words) == 40  # fixture invariant
+
+
+def test_split_family_xxhash64_deterministic_and_balanced(spark, sf_dir, monkeypatch):
+    """The xxhash64 split family must be deterministic (two runs identical)
+    and near the 90/5/5 design fractions; the flag is read per call, so
+    unsetting it restores the oracle-gated md5 assignment."""
+    from kafka_connect_storage_cloud_formats_spark.functions.text_functions import (
+        HASH_FAMILY_ENV,
+    )
+    from kafka_connect_storage_cloud_formats_spark.operators.profiling import (
+        corpus_split_stats,
+    )
+
+    baseline = corpus_split_stats(spark, sf_dir).collect()
+    monkeypatch.setenv(HASH_FAMILY_ENV, "xxhash64")
+    r1 = corpus_split_stats(spark, sf_dir).collect()
+    r2 = corpus_split_stats(spark, sf_dir).collect()
+    assert r1 == r2, "xxhash64 split must be deterministic"
+    n = {row["split"]: row["n_docs"] for row in r1}
+    total = sum(n.values())
+    assert abs(n.get("train", 0) / total - 230 / 256) < 0.08
+    monkeypatch.delenv(HASH_FAMILY_ENV)
+    assert corpus_split_stats(spark, sf_dir).collect() == baseline
