@@ -39,15 +39,19 @@ def main() -> int:
     spark = get_spark("bench")
     queries = entry_mod.queries()
 
-    # min of 2 executions per query: the first also pays one-time Janino/C2
+    # min of 3 executions per query: the first also pays one-time Janino/C2
     # compilation for the query's generated code, and the shared host shows
     # sporadic multi-second (sometimes multi-minute) stall windows unrelated
     # to the plan; min-of-N reports the steady-state cost a long-running
-    # cluster sees. The two trials run as two INTERLEAVED full passes —
+    # cluster sees. The trials run as three INTERLEAVED full passes —
     # back-to-back trials of one query land in the same stall window
-    # (correlated noise: min-of-2 can't help), while passes separated by the
-    # rest of the suite sample different windows. Queries still slow after
-    # both passes get ONE bounded extra trial in a final retry pass.
+    # (correlated noise: min-of-N can't help), while passes separated by the
+    # rest of the suite sample different windows. Three passes (round-6
+    # verdict ask #3) make the drop-worst trimmed series real: with two, the
+    # "trimmed mean" was a plain mean and one host stall inflated it (r6:
+    # 78.5 s trimmed vs 54.6 s min — pure stall artifact). Queries still
+    # slow after all passes get ONE bounded extra trial in a final retry
+    # pass.
     samples: dict[str, list[float]] = {}
     rows: dict[str, int] = {}
 
@@ -64,7 +68,7 @@ def main() -> int:
         # independent.
         spark.catalog.clearCache()
 
-    for _pass in range(2):
+    for _pass in range(3):
         for name, fn in queries.items():
             trial(name, fn, f"pass{_pass + 1}")
     for name, fn in queries.items():  # bounded retry pass for the slow tail
@@ -81,11 +85,10 @@ def main() -> int:
     timings = {name: round(min(samples[name]), 3) for name in queries}
 
     def trimmed(xs: list[float]) -> float:
-        # Drop the single worst sample only when n >= 3 (round-5 ADVICE):
-        # with the standard 2 passes, drop-worst-of-2 degenerates to the
-        # min and the min-vs-trimmed host-noise discrimination is vacuous —
-        # report the plain mean instead, which genuinely differs from the
-        # min whenever the two passes disagree.
+        # Drop the single worst sample when n >= 3 — with the standard 3
+        # passes this genuinely trims (one stall-window sample per query is
+        # absorbed instead of inflating the series); the n<3 fallback to a
+        # plain mean only applies if a run is truncated.
         keep = sorted(xs)[:-1] if len(xs) >= 3 else xs
         return sum(keep) / len(keep)
 
