@@ -202,7 +202,14 @@ def approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the constant-memory sketch path (no exact-distinct shuffle, no
     per-group sort) — the point of this entry is that the sketch path is
     *continuously verified* wherever an exact oracle is affordable."""
-    ev = load_table(spark, sf_dir, "events")
+    return _approx_profile_from(load_table(spark, sf_dir, "events"))
+
+
+def _approx_profile_from(ev: DataFrame) -> DataFrame:
+    """Profile aggregation over any (event_type, user_id, value, ...)
+    DataFrame — split from the registered query so the degenerate-group
+    verdict guards are unit-testable on an all-NULL fixture
+    (tests/test_profiling.py)."""
     agg = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         dsum("value").alias("total_value"),

@@ -68,65 +68,54 @@ _ALL.update(SCALE_UTILS_QUERIES)
 # the window has served its purpose and the positional invariant is
 # expected to lapse until the next rotation (tests/test_registry.py keys
 # its window assertion off this constant).
-ROTATED_FOR_ROUND = 6
+ROTATED_FOR_ROUND = 7
 
-_STALE_AFTER_R5 = [
-    # the 41 registered queries without a CORRECTNESS_r05.json row
-    # (evidenced only by r4-vintage driver rows) — they lead the r6 window
-    # so the ≤1-round-stale invariant keeps holding, and all 41 share the
-    # round-6 load_table-cache path, so their fresh rows certify it
-    "avro_roundtrip", "q1_pricing_summary", "q3_shipping_priority",
-    "q5_local_supplier_volume", "top_orders_per_customer",
-    "orders_rollup", "customers_without_orders",
-    "distinct_parts_per_supplier", "events_hourly_rollup",
-    "q4_priority_with_late_ship", "q16_supplier_counts",
-    "q17_small_quantity_revenue", "q18_large_orders",
-    "scalar_function_gallery", "q9_product_type_profit",
-    "q11_important_parts", "q12_priority_by_returnflag",
-    "q20_promotion_suppliers", "orders_price_moments",
-    "scrub_numeric_tokens", "vocab_stats", "doc_quality_deciles",
-    "doc_bigram_novelty", "dedup_canonical", "ivf_topk",
-    "ann_recall_at_10", "media_catalog", "image_decode_stats",
-    "video_frame_index", "audio_window_energy", "events_funnel",
-    "events_interval_join", "events_tumbling_15m", "events_sliding_1h",
-    "events_session_30m", "corpus_split_stats", "stratified_sample",
-    "events_value_quantiles", "events_latest_per_user", "replay_dedup",
-    "clicks_asof_purchase",
+_STALE_AFTER_R6 = [
+    # the 41 registered queries whose latest driver rows are r5-vintage
+    # (tools/rotate_registry.py) — they lead the r7 window so the
+    # ≤1-round-stale invariant holds a fourth consecutive round
+    "orc_ingest_roundtrip", "orc_partitioned_roundtrip",
+    "parquet_roundtrip", "json_roundtrip", "schema_evolution_roundtrip",
+    "csv_roundtrip", "q21_sole_late_supplier", "q2_min_acctbal_supplier",
+    "q22_rich_inactive_customers", "orders_cube", "events_pivot_hourly",
+    "q7_nation_trade_volume", "q14_promo_revenue_share",
+    "q19_disjunctive_revenue", "q10_returned_revenue",
+    "q13_order_count_distribution", "q6_forecast_revenue",
+    "q8_nation_market_share", "q15_top_supplier",
+    "part_brand_type_setops", "array_function_gallery", "doc_top_terms",
+    "text_quality_stats", "lang_id_heuristic", "token_count_bpe",
+    "doc_fingerprint", "dedup_exact", "minhash_signatures",
+    "simhash_fingerprints", "simhash_near_pairs", "dedup_fuzzy_prefix",
+    "knn_bruteforce", "ann_lsh_topk", "ivf_centroids", "sq8_topk",
+    "sq8_recall_at_10", "dedup_embedding_cosine", "media_feature_extract",
+    "image_resize_thumbnail", "bucketed_segment_revenue",
+    "salted_cohort_activity",
 ]
 _CHANGED_THIS_ROUND = [
-    # round 6: the corpus shingle stream moved from localCheckpoint to the
-    # content-keyed parquet artifact (operators/shingles.py); both direct
-    # consumers re-certify on the new plan shape
-    "dedup_ngram_jaccard", "benchmark_contamination",
-    # round 6: the MinHash signature artifact now builds FROM the shared
-    # shingle artifact, and every artifact path gained the sf_dir path-hash
-    # tag + sweep grace (artifacts.py) — all ensure_artifact-transiting
-    # queries with r5 rows re-certify on the new lifecycle
+    # round 7: the artifact cache's publish/existence/sweep protocol moved
+    # from driver-local os.rename to the Hadoop FileSystem API with a
+    # configurable root (artifacts.py — the round-6 verdict's lead item).
+    # Every ensure_artifact-transiting query with an r6 row re-certifies
+    # on the new substrate (minhash_signatures and ivf_centroids are in
+    # the stale list above, so all 11 artifact consumers are in-window):
+    "dedup_ngram_jaccard", "benchmark_contamination", "doc_bigram_novelty",
     "minhash_lsh_pairs", "neardup_clusters", "training_corpus_stats",
-    "ivf_index_build", "ivf_topk_pruned",
-    # round 6: approx_profile rewritten to the hash-verifiable form
-    # (exact columns + in-engine sketch tolerance verdicts)
-    "approx_profile",
-    # round 6: column_profile's native-rendering distinct key + dtype
-    # family min/max (round-5 ADVICE fixes)
-    "orders_column_profile",
+    "ivf_index_build", "ivf_topk", "ivf_topk_pruned",
 ]
 # Out-of-window touches, documented (the window is exactly full — 41
 # stale + 9 changed — and the ≤1-round-stale invariant takes the slots):
-# 1. minhash_signatures' derivation was mechanically SPLIT
-#    (_minhash_sigs_from now delegates to _sigs_from_shingles with
-#    identical expressions) so the signature artifact build can aggregate
-#    the shared shingle artifact; pinned bit-for-bit by the plain-Python
-#    reference test (tests/test_dedup.py) and re-verified hash-green
-#    against the DuckDB oracle at sf0.001/0.01/0.1 during round 6.
-# 2. the pid-keyed sink scratch dirs of the roundtrip queries moved to
-#    the shared _scratch_dir helper (pipeline_queries.py), which returns
-#    the IDENTICAL path and additionally sweeps same-prefix siblings
-#    whose owning pid is dead — result-invariant filesystem hygiene
-#    (~500 stranded dirs across rounds); all six consumers re-verified
-#    hash-green at sf0.01 during round 6 (schema_evolution_roundtrip and
-#    avro_roundtrip are in-window regardless).
-_PRIORITY = _STALE_AFTER_R5 + _CHANGED_THIS_ROUND
+# 1. corpus_split_stats / stratified_sample: _hash_bucket gained a
+#    hash-family branch (round-6 verdict ask #4); the default (md5)
+#    branch is the character-identical expression, so the registered
+#    plans are unchanged — re-verified hash-green at sf0.001/0.01/0.1
+#    during round 7 (tools/check_correctness.py).
+# 2. approx_profile: the tolerance verdicts gained degenerate-group
+#    guards (round-6 ADVICE #1 — all-NULL user_id/value groups emitted
+#    NULL instead of a boolean). No such group exists in the driver
+#    corpus, so results are unchanged there — re-verified hash-green at
+#    sf0.001/0.01/0.1 during round 7; the guards are unit-tested on a
+#    degenerate fixture (tests/test_profiling.py).
+_PRIORITY = _STALE_AFTER_R6 + _CHANGED_THIS_ROUND
 
 QUERIES: dict = {n: _ALL[n] for n in _PRIORITY if n in _ALL}
 QUERIES.update({n: v for n, v in _ALL.items() if n not in QUERIES})

@@ -164,3 +164,33 @@ def test_training_corpus_materialization(spark, sf_dir, tmp_path):
 # promoted the pointer-doubling algorithm INTO the registered
 # neardup_clusters, so there is a single implementation, certified by the
 # recursive-CTE DuckDB oracle and the edge/min-label invariants above)
+
+
+def test_approx_profile_verdicts_total_on_degenerate_groups(spark):
+    """Round-6 ADVICE #1: a group whose user_id is all NULL (exact
+    distinct 0) or whose value is all NULL (NULL quantile band endpoints)
+    must still emit BOOLEAN verdicts — true for a healthy sketch agreeing
+    with the degenerate exact answer, never NULL (which would
+    hash-diverge from the oracle's literal TRUE)."""
+    from kafka_connect_storage_cloud_formats_spark.operators.profiling import (
+        _approx_profile_from,
+    )
+
+    rows = (
+        # group A: normal
+        [("a", i % 7, float(i)) for i in range(40)]
+        # group B: all-NULL user_id (xu = 0)
+        + [("b", None, float(i)) for i in range(10)]
+        # group C: all-NULL value (NULL band endpoints)
+        + [("c", i % 3, None) for i in range(10)]
+        # group D: fully degenerate
+        + [("d", None, None) for i in range(5)]
+    )
+    ev = spark.createDataFrame(
+        rows, "event_type string, user_id int, value double"
+    )
+    out = {r["event_type"]: r for r in _approx_profile_from(ev).collect()}
+    assert set(out) == {"a", "b", "c", "d"}
+    for g, r in out.items():
+        for col in ("approx_users_ok", "approx_p50_ok", "approx_p99_ok"):
+            assert r[col] is True, (g, col, r[col])
