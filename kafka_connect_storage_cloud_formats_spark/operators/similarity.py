@@ -206,6 +206,54 @@ def _sql_signature(prefix: str = "") -> str:
     return "CAST(" + " + ".join(bit_terms) + " AS BIGINT)"
 
 
+def _ensure_hyperplane_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-fingerprinted MATERIALIZED (vec_id, sig) signature table —
+    1 long/vector, parquet, atomic publish (artifacts.py). Round 7:
+    replaces the per-run band-row ``localCheckpoint`` that both LSH
+    consumers (``ann_lsh_topk`` directly and via it ``ann_recall_at_10``;
+    ``dedup_embedding_cosine``) paid to run the hyperplane-signature UDF
+    over the full corpus every execution — the same
+    checkpoint-to-artifact trade the minhash/simhash tables made:
+    signatures are exact integers, the parquet roundtrip is
+    bit-neutral, and a reliable file source survives executor loss where
+    checkpoint blocks do not. Band rows stay a cheap per-plan explode of
+    the artifact (shift/mask — pure JVM). Params-keyed on the plane
+    count + dim: retuning the hyperplane family can never serve a stale
+    table."""
+    from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_path, ensure_artifact
+
+    path = artifact_path(
+        "hyperplane_sig", sf_dir, "embeddings", params=f"p{N_PLANES}d{DIM}"
+    )
+    ensure_artifact(
+        path,
+        lambda tmp: _load(spark, sf_dir)
+        .select("vec_id", _signature_col().alias("sig"))
+        .write.parquet(tmp),
+        spark=spark,
+    )
+    return spark.read.parquet(path)
+
+
+def _band_rows(sig_tbl: DataFrame) -> DataFrame:
+    """(vec_id, band_id, band_val) explode of a (vec_id, sig) table —
+    shift/mask only, shared by every banded-LSH consumer."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftright(F.col("sig"), b * LSH_BAND_BITS)
+                .bitwiseAND(F.lit(2**LSH_BAND_BITS - 1))
+                .alias("band_val"),
+            )
+            for b in range(LSH_N_BANDS)
+        ]
+    )
+    return sig_tbl.select("vec_id", F.explode(band_structs).alias("bb")).select(
+        "vec_id", "bb.band_id", "bb.band_val"
+    )
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10: candidates share ≥1 of 4 signature bands with the
     query, then exact cosine re-rank within the candidate set.
@@ -215,26 +263,12 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rejoined for the surviving candidates — the expensive payload never
     rides the LSH shuffle.
     """
-    base = _with_norm(_load(spark, sf_dir)).withColumn("sig", _signature_col())
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.shiftright(F.col("sig"), b * LSH_BAND_BITS).bitwiseAND(
-                    F.lit(2**LSH_BAND_BITS - 1)
-                ).alias("band_val"),
-            )
-            for b in range(LSH_N_BANDS)
-        ]
-    )
-    # Materialized once (3 ints/row): the query side and corpus side of the
-    # candidate join both consume the band rows, and deriving them runs the
-    # hyperplane-signature UDF over the full corpus.
-    bands = (
-        base.select("vec_id", F.explode(band_structs).alias("bb"))
-        .select("vec_id", "bb.band_id", "bb.band_val")
-        .localCheckpoint(eager=True)
-    )
+    base = _with_norm(_load(spark, sf_dir))
+    # Band rows from the corpus-keyed signature artifact: the query side
+    # and corpus side of the candidate join both consume them, and the
+    # hyperplane-signature UDF runs once per CORPUS CONTENT (artifact
+    # build), not once per execution (the round-6-era localCheckpoint).
+    bands = _band_rows(_ensure_hyperplane_sigs(spark, sf_dir))
     q_bands = bands.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("q_id"), "band_id", "band_val"
     )
@@ -713,25 +747,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     on candidates. True dups (cosine→1) collide in every band, so recall at
     the 0.9 threshold is high while the join stays near-linear.
     """
-    base = _with_norm(_load(spark, sf_dir)).withColumn("sig", _signature_col())
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.shiftright(F.col("sig"), b * LSH_BAND_BITS)
-                .bitwiseAND(F.lit(2**LSH_BAND_BITS - 1))
-                .alias("band_val"),
-            )
-            for b in range(LSH_N_BANDS)
-        ]
-    )
-    # Both self-join sides consume the band rows; materialize once so the
-    # signature UDF runs a single corpus pass.
-    bands = (
-        base.select("vec_id", F.explode(band_structs).alias("bb"))
-        .select("vec_id", "bb.band_id", "bb.band_val")
-        .localCheckpoint(eager=True)
-    )
+    base = _with_norm(_load(spark, sf_dir))
+    # Both self-join sides consume the band rows, exploded from the
+    # corpus-keyed signature artifact (the signature UDF runs once per
+    # corpus content, not per execution).
+    bands = _band_rows(_ensure_hyperplane_sigs(spark, sf_dir))
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (

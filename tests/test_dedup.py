@@ -371,3 +371,32 @@ def test_split_family_xxhash64_deterministic_and_balanced(spark, sf_dir, monkeyp
     assert abs(n.get("train", 0) / total - 230 / 256) < 0.08
     monkeypatch.delenv(HASH_FAMILY_ENV)
     assert corpus_split_stats(spark, sf_dir).collect() == baseline
+
+
+def test_simhash_fp_artifact_matches_live_derivation(spark, sf_dir):
+    """Round-7: the materialized simhash fingerprint artifact must hold
+    exactly the rows the in-session derivation produces (longs — parquet
+    roundtrip exact), publish at the params-keyed path, and not rebuild
+    on a second consumer call."""
+    import os
+
+    from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_path
+    from kafka_connect_storage_cloud_formats_spark.operators.dedup import (
+        SIMHASH_BITS,
+        SIMHASH_LANE_BITS,
+        _ensure_simhash_fps,
+        _simhash_fp_table,
+    )
+
+    path = artifact_path(
+        "simhash_fp", sf_dir, "documents",
+        params=f"b{SIMHASH_BITS}l{SIMHASH_LANE_BITS}",
+    )
+    art = _ensure_simhash_fps(spark, sf_dir)
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    stamp = os.stat(os.path.join(path, "_SUCCESS")).st_mtime_ns
+    _ensure_simhash_fps(spark, sf_dir)  # second consumer: cache hit
+    assert os.stat(os.path.join(path, "_SUCCESS")).st_mtime_ns == stamp
+    got = {tuple(r) for r in art.collect()}
+    want = {tuple(r) for r in _simhash_fp_table(spark, sf_dir).collect()}
+    assert got == want

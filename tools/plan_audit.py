@@ -73,12 +73,14 @@ ALLOWED_CHECKPOINT = {
     # set — their corpus-scale shingle streams now ride the content-keyed
     # parquet artifact (operators/shingles.py), so their plans scan a file
     # source instead of embedding checkpoint blocks.
-    "simhash_near_pairs",  # 3-long fingerprint table, both join sides
-    "ann_lsh_topk",  # band rows, query + corpus sides
-    "dedup_embedding_cosine",  # band rows, both self-join sides
+    # round 7: simhash_near_pairs, ann_lsh_topk, dedup_embedding_cosine
+    # and (by composition) ann_recall_at_10 left this set — the simhash
+    # fingerprint table and the hyperplane signature table now ride
+    # content-keyed parquet artifacts (_ensure_simhash_fps,
+    # _ensure_hyperplane_sigs); the surviving entries are iterative loop
+    # state, which is checkpoint-inherent.
     "neardup_clusters",  # CC edge/label tables (iterative: inherent)
     "training_corpus_stats",  # composes the CC labels above
-    "ann_recall_at_10",  # composes ann_lsh_topk above
     # round 6: doc_bigram_novelty also left — its occurrence stream rides
     # the ngram_occ parquet artifact now (operators/shingles.py)
 }
