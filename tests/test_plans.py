@@ -37,16 +37,13 @@ def test_allowed_nested_are_documented_exceptions(spark, sf_dir):
     }
     from tools.plan_audit import ALLOWED_CHECKPOINT
 
-    # round 6 shrank this set: dedup_ngram_jaccard and
-    # benchmark_contamination now scan the shingle-rows parquet artifact
-    # (operators/shingles.py) instead of embedding checkpoint blocks
+    # round 7 shrank this set again: the simhash fingerprint and
+    # hyperplane signature tables ride content-keyed parquet artifacts
+    # now (like the round-6 shingle/minhash move) — only iterative CC
+    # loop state legitimately checkpoints
     assert ALLOWED_CHECKPOINT == {
-        "simhash_near_pairs",
-        "ann_lsh_topk",
-        "dedup_embedding_cosine",
         "neardup_clusters",
         "training_corpus_stats",
-        "ann_recall_at_10",
     }
 
 
