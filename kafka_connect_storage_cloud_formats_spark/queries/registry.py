@@ -115,6 +115,11 @@ _CHANGED_THIS_ROUND = [
 #    corpus, so results are unchanged there — re-verified hash-green at
 #    sf0.001/0.01/0.1 during round 7; the guards are unit-tested on a
 #    degenerate fixture (tests/test_profiling.py).
+# 3. ann_recall_at_10 (composes ann_lsh_topk, which IS in the stale list
+#    above): inherits the hyperplane-signature artifact switch — the
+#    signature values are identical integers (parquet roundtrip exact),
+#    so the recall result is row-identical; re-verified hash-green at
+#    sf0.001/0.01/0.1 during round 7.
 _PRIORITY = _STALE_AFTER_R6 + _CHANGED_THIS_ROUND
 
 QUERIES: dict = {n: _ALL[n] for n in _PRIORITY if n in _ALL}
