@@ -460,22 +460,30 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_suppkey")
         .distinct()
     )
+    # NOT EXISTS(other late supplier) ⇔ the order has exactly ONE distinct
+    # late (orderkey, suppkey) pair — a window count over `late`, not an
+    # anti self-join (round 7: replaces two orderkey re-shuffles of the
+    # late table with one; the per-order partition is bounded by
+    # suppliers-per-order, single digits at any SF, so the window never
+    # skews). The semi probe then reuses the window's orderkey
+    # partitioning (its equi-key is orderkey alone; the supplier
+    # inequality is a join filter).
+    w21 = Window.partitionBy("l_orderkey")
+    sole = (
+        late.withColumn("n_late", F.count(F.lit(1)).over(w21))
+        .filter(F.col("n_late") == 1)
+        .drop("n_late")
+    )
     # The semi probe needs NO distinct: EXISTS is duplicate-insensitive, so
     # deduplicating the full fact table's (orderkey, suppkey) pairs here
     # was a corpus-scale aggregate bought for nothing (r5: 1.8 → 1.1 s at
     # sf0.1; at 100 TB it removes an entire fact-table shuffle+agg).
     l2 = li.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2"))
-    late3 = late.select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))
-    cand = late.join(
+    cand = sole.join(
         l2, (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")), "left_semi"
     )
-    sole = cand.join(
-        late3,
-        (F.col("l_orderkey") == F.col("o3")) & (F.col("l_suppkey") != F.col("s3")),
-        "left_anti",
-    )
     return (
-        sole.join(maybe_broadcast(sup), sole.l_suppkey == sup.s_suppkey)
+        cand.join(maybe_broadcast(sup), cand.l_suppkey == sup.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("n_waits"))
         .orderBy(F.desc("n_waits"), "s_name")
