@@ -71,62 +71,36 @@ def main() -> int:
     for _pass in range(3):
         for name, fn in queries.items():
             trial(name, fn, f"pass{_pass + 1}")
+        # Provisional snapshot after every COMPLETE pass: a run killed
+        # mid-pass (driver timeout, host stall era) still leaves a
+        # parseable BENCH.json from the finished passes instead of
+        # nothing (the round-2 driver tail-truncation lesson, applied to
+        # the on-disk artifact).
+        _write_payload(samples, rows, list(queries), passes_done=_pass + 1)
     for name, fn in queries.items():  # bounded retry pass for the slow tail
         if min(samples[name]) > 2.0:
             trial(name, fn, "retry")
 
-    # Two series per query so a judge can separate plan changes from host
-    # state without re-deriving it from tails (r4 verdict ask #7):
-    # - min-of-n: the steady-state floor (immune to stall windows, but a
-    #   floor shift between rounds can be either plan or host).
-    # - trimmed mean: mean after dropping the single worst sample — tracks
-    #   the typical cost; if min moves but trimmed doesn't (or vice versa),
-    #   the difference is host noise, not the plan.
-    timings = {name: round(min(samples[name]), 3) for name in queries}
-
-    def trimmed(xs: list[float]) -> float:
-        # Drop the single worst sample when n >= 3 — with the standard 3
-        # passes this genuinely trims (one stall-window sample per query is
-        # absorbed instead of inflating the series); the n<3 fallback to a
-        # plain mean only applies if a run is truncated.
-        keep = sorted(xs)[:-1] if len(xs) >= 3 else xs
-        return sum(keep) / len(keep)
-
-    timings_trimmed = {name: round(trimmed(samples[name]), 3) for name in queries}
-    total = sum(timings.values())
-    total_trimmed = sum(timings_trimmed.values())
+    doc = _write_payload(samples, rows, list(queries))
     for name in queries:
         print(
-            f"# {name}: {rows[name]} rows min={timings[name]:.2f}s "
-            f"trimmed={timings_trimmed[name]:.2f}s (n={len(samples[name])})",
+            f"# {name}: {rows[name]} rows min={doc['queries'][name]:.2f}s "
+            f"trimmed={doc['queries_trimmed_mean'][name]:.2f}s "
+            f"(n={len(samples[name])})",
             file=sys.stderr,
         )
-
-    payload = json.dumps(
-        {
-            "metric": "total_query_wall_clock",
-            "value": round(total, 3),
-            "unit": "sec",
-            "queries": timings,
-            "queries_trimmed_mean": timings_trimmed,
-            "total_trimmed_mean": round(total_trimmed, 3),
-            "sf": infer_sf(SF_DIR),
-        }
-    )
     # Full per-query map goes to disk; stdout gets a COMPACT summary as the
     # last line — the driver's stdout tail buffer truncates the long
     # per-query line (BENCH_r02.json parsed=null), so keep the parseable
     # line short and put the detail in BENCH.json.
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"), "w") as f:
-        f.write(payload + "\n")
     compact = json.dumps(
         {
             "metric": "total_query_wall_clock",
-            "value": round(total, 3),
+            "value": doc["value"],
             "unit": "sec",
-            "total_trimmed_mean": round(total_trimmed, 3),
-            "sf": infer_sf(SF_DIR),
-            "n_queries": len(timings),
+            "total_trimmed_mean": doc["total_trimmed_mean"],
+            "sf": doc["sf"],
+            "n_queries": len(doc["queries"]),
             "detail": "BENCH.json",
         }
     )
@@ -134,6 +108,46 @@ def main() -> int:
     print(compact)
     sys.stdout.flush()
     return 0
+
+
+def _write_payload(
+    samples: dict, rows: dict, names: list, passes_done: int | None = None
+) -> dict:
+    """Compute the dual series and write BENCH.json. Two series per query
+    so a judge can separate plan changes from host state without
+    re-deriving it from tails (r4 verdict ask #7):
+    - min-of-n: the steady-state floor (immune to stall windows, but a
+      floor shift between rounds can be either plan or host).
+    - trimmed mean: mean after dropping the single worst sample (real at
+      the standard n=3 — one stall-window sample per query is absorbed);
+      if min moves but trimmed doesn't (or vice versa), the difference is
+      host noise, not the plan. The n<3 plain-mean fallback applies only
+      to truncated runs, which are marked by ``passes_done``."""
+    done = [n for n in names if samples.get(n)]
+    timings = {n: round(min(samples[n]), 3) for n in done}
+
+    def trimmed(xs: list) -> float:
+        keep = sorted(xs)[:-1] if len(xs) >= 3 else xs
+        return sum(keep) / len(keep)
+
+    timings_trimmed = {n: round(trimmed(samples[n]), 3) for n in done}
+    doc = {
+        "metric": "total_query_wall_clock",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "queries_trimmed_mean": timings_trimmed,
+        "total_trimmed_mean": round(sum(timings_trimmed.values()), 3),
+        "sf": infer_sf(SF_DIR),
+    }
+    if passes_done is not None:
+        doc["passes_done"] = passes_done  # provisional mid-run snapshot
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(json.dumps(doc) + "\n")
+    os.replace(tmp, path)
+    return doc
 
 
 if __name__ == "__main__":

@@ -110,3 +110,30 @@ def test_every_query_is_oracle_gated():
 
     no_oracle = {n for n, (_, sql) in QUERIES.items() if sql is None}
     assert no_oracle == set(), no_oracle
+
+
+def test_bench_payload_writer_partial_and_final(tmp_path, monkeypatch):
+    """bench._write_payload must produce a parseable dual-series document
+    from PARTIAL samples (mid-run snapshot after a completed pass — the
+    killed-run insurance) and mark it with passes_done; queries not yet
+    sampled are omitted rather than KeyError-ing."""
+    import json
+
+    import bench
+
+    monkeypatch.setattr(
+        bench.os.path, "abspath", lambda p: str(tmp_path / "bench.py")
+    )
+    samples = {"q1": [0.5, 0.4, 0.6], "q2": [0.2]}
+    rows = {"q1": 6, "q2": 1}
+    doc = bench._write_payload(samples, rows, ["q1", "q2", "q3"], passes_done=1)
+    on_disk = json.load(open(tmp_path / "BENCH.json"))
+    assert on_disk == doc
+    assert doc["passes_done"] == 1
+    assert set(doc["queries"]) == {"q1", "q2"}  # q3 not yet sampled
+    assert doc["queries"]["q1"] == 0.4  # min series
+    assert doc["queries_trimmed_mean"]["q1"] == 0.45  # drop-worst at n=3
+    assert doc["queries_trimmed_mean"]["q2"] == 0.2  # n<3 → plain mean
+    # final write has no provisional marker
+    final = bench._write_payload(samples, rows, ["q1", "q2"])
+    assert "passes_done" not in final
