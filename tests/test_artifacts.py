@@ -431,3 +431,27 @@ def test_uri_root_full_protocol(tmp_path, monkeypatch, spark):
     assert spark.read.parquet(p2).count() == 5
     # no tmp litter on disk
     assert [d for d in os.listdir(cache_local) if ".tmp." in d] == []
+
+
+def test_registered_query_runs_against_uri_artifact_root(
+    tmp_path, monkeypatch, spark
+):
+    """End-to-end: a REGISTERED artifact-consuming query (minhash LSH
+    pairs — shingle artifact → signature artifact → banded join) runs
+    with the artifact root pointed at a file:// URI, and returns exactly
+    the rows the default-root run returns. Proves the whole operator
+    chain (artifact_path → builders writing via Spark → ensure_artifact
+    publish → consumer read) is URI-clean, not just the cache layer."""
+    from kafka_connect_storage_cloud_formats_spark.operators.dedup import minhash_lsh_pairs
+
+    sf = "/root/testdata/sf0.001"
+    baseline = [tuple(r) for r in minhash_lsh_pairs(spark, sf).collect()]
+
+    cache_local = str(tmp_path / "uri_cache")
+    os.makedirs(cache_local)
+    monkeypatch.setenv(_art.ARTIFACT_ROOT_ENV, "file://" + cache_local)
+    got = [tuple(r) for r in minhash_lsh_pairs(spark, sf).collect()]
+    assert got == baseline
+    # the artifacts really landed under the URI root (shingles + sigs)
+    kinds = {d.split("_")[1] for d in os.listdir(cache_local) if d.startswith("engine_")}
+    assert {"shingle", "minhash"} <= kinds
