@@ -400,3 +400,35 @@ def test_simhash_fp_artifact_matches_live_derivation(spark, sf_dir):
     got = {tuple(r) for r in art.collect()}
     want = {tuple(r) for r in _simhash_fp_table(spark, sf_dir).collect()}
     assert got == want
+
+
+def test_xxhash64_family_runs_registered_dedup_chain(spark, sf_dir, monkeypatch):
+    """The production hash family must run the REGISTERED dedup chain end
+    to end (signature artifact build → LSH pairs → clustering → composed
+    training stats) without touching the md5 artifacts: family-keyed
+    cache paths, long-typed signatures, xxhash64 band hashes. Values are
+    not oracle-compared (DuckDB has no xxhash64) — decision equality is
+    pinned separately on a fixture; this pins the operational path."""
+    from kafka_connect_storage_cloud_formats_spark.functions.text_functions import (
+        HASH_FAMILY_ENV,
+    )
+    from kafka_connect_storage_cloud_formats_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+        neardup_clusters,
+    )
+    from kafka_connect_storage_cloud_formats_spark.operators.training_pipeline import (
+        training_corpus_stats,
+    )
+
+    docs_n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    monkeypatch.setenv(HASH_FAMILY_ENV, "xxhash64")
+    sigs = minhash_signatures(spark, sf_dir)
+    assert sigs.count() > 0
+    assert dict(sigs.dtypes)["mh_00"] == "bigint"  # long components
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    assert pairs.filter("est_jaccard < 0 OR est_jaccard > 1").count() == 0
+    clusters = neardup_clusters(spark, sf_dir)
+    assert clusters.count() == docs_n  # every doc labeled
+    stats = training_corpus_stats(spark, sf_dir)
+    assert stats.count() > 0
