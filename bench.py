@@ -76,12 +76,12 @@ def main() -> int:
         # parseable BENCH.json from the finished passes instead of
         # nothing (the round-2 driver tail-truncation lesson, applied to
         # the on-disk artifact).
-        _write_payload(samples, rows, list(queries), passes_done=_pass + 1)
+        _write_payload(samples, list(queries), passes_done=_pass + 1)
     for name, fn in queries.items():  # bounded retry pass for the slow tail
         if min(samples[name]) > 2.0:
             trial(name, fn, "retry")
 
-    doc = _write_payload(samples, rows, list(queries))
+    doc = _write_payload(samples, list(queries))
     for name in queries:
         print(
             f"# {name}: {rows[name]} rows min={doc['queries'][name]:.2f}s "
@@ -111,7 +111,7 @@ def main() -> int:
 
 
 def _write_payload(
-    samples: dict, rows: dict, names: list, passes_done: int | None = None
+    samples: dict, names: list, passes_done: int | None = None
 ) -> dict:
     """Compute the dual series and write BENCH.json. Two series per query
     so a judge can separate plan changes from host state without

@@ -166,6 +166,19 @@ def artifact_path(kind: str, sf_dir: str, table: str, params: str = "") -> str:
     return os.path.join(root, name)
 
 
+def _tmp_path(path: str) -> str:
+    """Private build dir for ``path``: a SIBLING whose basename is
+    underscore-prefixed (``_tmp.<basename>.<8hex>``). The prefix is
+    load-bearing: Hadoop/Spark file listings treat ``_``/``.``-prefixed
+    paths as hidden, so if a lost publish race nests this dir INSIDE the
+    winner's artifact (POSIX mv semantics) it is invisible to every
+    reader — including during the window before the loser deletes it, and
+    forever if the loser dies first."""
+    parent, base = os.path.dirname(path), os.path.basename(path)
+    name = f"_tmp.{base}.{uuid.uuid4().hex[:8]}"
+    return name if not parent else parent + "/" + name
+
+
 def ensure_artifact(
     path: str,
     build: Callable[[str], None],
@@ -192,7 +205,7 @@ def ensure_artifact(
         # PREVIOUS generation could still lose it mid-scan (round-6 ADVICE)
         fs.touch(path)
         return path
-    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+    tmp = _tmp_path(path)
     renamed = False
     try:
         build(tmp)
@@ -203,10 +216,13 @@ def ensure_artifact(
             fs.delete(tmp, recursive=True)
     # POSIX-style FS semantics (HDFS, local) make rename-onto-existing-dir
     # either fail or move src INTO dst as a child. The loser of a publish
-    # race can therefore deposit its tmp dir INSIDE the winner's artifact;
-    # content is identical by construction, so deleting the nested copy is
-    # always safe — but it must not linger where a recursive lister could
-    # double-count rows.
+    # race can therefore deposit its tmp dir INSIDE the winner's artifact.
+    # Two defenses: the tmp BASENAME is underscore-prefixed (above), so
+    # Hadoop/Spark file indexes treat a nested copy as hidden — a reader
+    # racing this very window (or surviving a loser that died before the
+    # delete below) never double-counts its part files; and the nested
+    # copy is deleted here (content identical by construction, so the
+    # delete is always safe).
     nested = path + "/" + os.path.basename(tmp)
     if renamed and fs.exists(nested):
         fs.delete(nested, recursive=True)
@@ -262,27 +278,38 @@ def _sweep_stale_siblings(path: str, fs: _HadoopFS | None = None) -> None:
     if not m:
         return
     pre, fp, suf = m.groups()
-    sibling = re.compile(
-        re.escape(pre) + r"([0-9a-f]{12})" + re.escape(suf) + r"(\.tmp\.[0-9a-f]{8})?$"
-    )
+    sibling = re.compile(re.escape(pre) + r"([0-9a-f]{12})" + re.escape(suf) + r"$")
     # transitional: the pre-round-6 basename lacked the "-phash" tag; any
     # survivor of that format is by definition not the live generation
     old_pre = re.sub(r"-[0-9a-f]{6}_$", "_", pre)
     old_sibling = None
     if old_pre != pre:
         old_sibling = re.compile(
-            re.escape(old_pre)
-            + r"([0-9a-f]{12})"
-            + re.escape(suf)
-            + r"(\.tmp\.[0-9a-f]{8})?$"
+            re.escape(old_pre) + r"([0-9a-f]{12})" + re.escape(suf) + r"$"
         )
+    # tmp-litter forms reduce to the core artifact name: the current
+    # "_tmp.<name>.<8hex>" sibling naming and the pre-round-7
+    # "<name>.tmp.<8hex>" suffix naming (still swept, transitionally)
+    tmp_wrap = re.compile(r"^_tmp\.(.+)\.[0-9a-f]{8}$")
+    old_tmp_suffix = re.compile(r"\.tmp\.[0-9a-f]{8}$")
     parent = os.path.dirname(path) or "."
     now = time.time()
-    for name, mtime in fs.glob_names_mtimes(parent + "/" + "engine_*"):
-        m2 = sibling.fullmatch(name)
+    entries = fs.glob_names_mtimes(parent + "/engine_*") + fs.glob_names_mtimes(
+        parent + "/_tmp.engine_*"
+    )
+    for name, mtime in entries:
+        core = name
+        mw = tmp_wrap.fullmatch(core)
+        if mw:
+            core = mw.group(1)
+        core = old_tmp_suffix.sub("", core)
+        m2 = sibling.fullmatch(core)
+        # tmp dirs of the CURRENT fingerprint are never swept (a
+        # concurrent builder may be mid-write); a non-tmp match of the
+        # current fingerprint is the live artifact itself
         stale = bool(m2 and m2.group(1) != fp)
         if not stale and old_sibling is not None:
-            stale = bool(old_sibling.fullmatch(name))
+            stale = bool(old_sibling.fullmatch(core))
         if stale:
             if now - mtime < SWEEP_GRACE_SECONDS:
                 continue

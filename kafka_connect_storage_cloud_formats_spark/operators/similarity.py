@@ -222,8 +222,16 @@ def _ensure_hyperplane_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     table."""
     from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_path, ensure_artifact
 
+    # The params token carries a digest of the ACTUAL hyperplane constants,
+    # not just their shape: a future change to the RNG seed or rounding
+    # precision alters every signature while leaving p16d64 and the corpus
+    # fingerprint unchanged — without the digest it would silently serve
+    # the previous family's cached table.
+    import hashlib
+
+    planes_tag = hashlib.md5(repr(HYPERPLANES).encode()).hexdigest()[:8]
     path = artifact_path(
-        "hyperplane_sig", sf_dir, "embeddings", params=f"p{N_PLANES}d{DIM}"
+        "hyperplane_sig", sf_dir, "embeddings", params=f"p{N_PLANES}d{DIM}h{planes_tag}"
     )
     ensure_artifact(
         path,

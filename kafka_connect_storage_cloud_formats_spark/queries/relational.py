@@ -439,10 +439,11 @@ ORDER BY o_totalprice DESC, o_orderkey
 # --- q21-shape: EXISTS + NOT EXISTS over the same fact (semi then anti)
 def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suppliers who shipped late into multi-supplier orders where NO other
-    supplier shipped late: one semi join (another supplier exists in the
-    order) and one anti join (no other *late* supplier), both equi on
-    orderkey with supplier-inequality join filters — the classic Q21
-    two-subquery shape without row explosion."""
+    supplier shipped late: the NOT-EXISTS side is a window count over the
+    distinct late pairs (exactly one late supplier in the order), the
+    EXISTS side one semi join equi on orderkey with a supplier-inequality
+    join filter — the classic Q21 two-subquery semantics without row
+    explosion or an anti self-join."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     sup = load_table(spark, sf_dir, "supplier")

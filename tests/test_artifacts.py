@@ -22,6 +22,12 @@ def _fake_corpus(tmp_path, payload=b"v1"):
     return str(tmp_path)
 
 
+def _litter(d):
+    """Build-dir litter under ``d``: the current ``_tmp.<name>.<hex>``
+    sibling naming or the pre-round-7 ``<name>.tmp.<hex>`` suffix form."""
+    return [p for p in os.listdir(d) if p.startswith("_tmp.") or ".tmp." in p]
+
+
 def test_fingerprint_changes_when_corpus_regenerated(tmp_path):
     sf = _fake_corpus(tmp_path)
     fp1 = corpus_fingerprint(sf, "documents")
@@ -54,8 +60,10 @@ def test_ensure_artifact_publishes_atomically(tmp_path, spark):
 
     def build(tmp_dir):
         calls.append(tmp_dir)
-        # builder writes into a PRIVATE tmp dir, never the target
-        assert tmp_dir != target and tmp_dir.startswith(target + ".tmp.")
+        # builder writes into a PRIVATE hidden sibling, never the target
+        base = os.path.basename(target)
+        assert tmp_dir != target
+        assert os.path.basename(tmp_dir).startswith(f"_tmp.{base}.")
         os.makedirs(tmp_dir)
         open(os.path.join(tmp_dir, "part-0"), "w").write("data")
         open(os.path.join(tmp_dir, "_SUCCESS"), "w").close()
@@ -73,7 +81,7 @@ def test_ensure_artifact_publishes_atomically(tmp_path, spark):
     assert os.stat(target).st_ino == before
     assert open(os.path.join(target, "part-0")).read() == "data"
     # no tmp litter
-    assert [p for p in os.listdir(str(tmp_path)) if ".tmp." in p] == []
+    assert _litter(str(tmp_path)) == []
 
 
 def test_consumer_open_refreshes_mtime(tmp_path, spark):
@@ -113,7 +121,7 @@ def test_losing_concurrent_builder_discards_quietly(tmp_path, spark):
     assert ensure_artifact(target, winner_publishes_mid_build, spark=spark) == target
     # winner's content survives; loser's bytes never reach the target
     assert open(os.path.join(target, "part-0")).read() == "winner"
-    assert [p for p in os.listdir(str(tmp_path)) if ".tmp." in p] == []
+    assert _litter(str(tmp_path)) == []
 
 
 def test_stale_blocking_directory_fails_loudly(tmp_path, spark):
@@ -132,7 +140,7 @@ def test_stale_blocking_directory_fails_loudly(tmp_path, spark):
     with pytest.raises(RuntimeError, match="_SUCCESS"):
         ensure_artifact(target, build, spark=spark)
     # and its own tmp dir is still cleaned up
-    assert [p for p in os.listdir(str(tmp_path)) if ".tmp." in p] == []
+    assert _litter(str(tmp_path)) == []
 
 
 def test_failed_build_leaves_no_partial_artifact(tmp_path, spark):
@@ -149,20 +157,31 @@ def test_failed_build_leaves_no_partial_artifact(tmp_path, spark):
         pass
     # a reader can never observe the partial output
     assert not os.path.exists(target)
-    assert [p for p in os.listdir(str(tmp_path)) if ".tmp." in p] == []
+    assert _litter(str(tmp_path)) == []
 
 
 def test_rename_into_existing_dir_is_cleaned(tmp_path, spark, monkeypatch):
     """POSIX-style FS rename (HDFS, mv) moves src INTO an existing dst as a
-    child. If the publish rename lands that way, the nested tmp copy must
-    be deleted — a recursive lister would otherwise double-count rows."""
+    child and reports success. The winner must appear INSIDE the rename
+    hook — after ensure_artifact's pre-rename existence check — so the
+    loser's rename genuinely lands nested; the nested copy must then (a)
+    carry a hidden (underscore-prefixed) name a Spark reader would skip
+    even before cleanup, and (b) be deleted by the cleanup branch."""
     target = str(tmp_path / "artifact")
 
     real_rename = _HadoopFS.rename
+    nested_seen = []
 
     def mv_style(self, src, dst):
-        if dst == target and os.path.isdir(dst):
-            os.rename(src, os.path.join(dst, os.path.basename(src)))
+        if dst == target:
+            if not os.path.isdir(dst):  # winner lands between check & rename
+                os.makedirs(dst)
+                open(os.path.join(dst, "part-0"), "w").write("winner")
+                open(os.path.join(dst, "_SUCCESS"), "w").close()
+            # POSIX mv: src becomes a CHILD of the existing dst
+            nested = os.path.join(dst, os.path.basename(src))
+            os.rename(src, nested)
+            nested_seen.append(os.path.basename(nested))
             return True
         return real_rename(self, src, dst)
 
@@ -170,18 +189,17 @@ def test_rename_into_existing_dir_is_cleaned(tmp_path, spark, monkeypatch):
         os.makedirs(tmp_dir)
         open(os.path.join(tmp_dir, "part-0"), "w").write("mine")
         open(os.path.join(tmp_dir, "_SUCCESS"), "w").close()
-        if not os.path.isdir(target):  # winner appears just before rename
-            os.makedirs(target)
-            open(os.path.join(target, "part-0"), "w").write("winner")
-            open(os.path.join(target, "_SUCCESS"), "w").close()
 
     monkeypatch.setattr(_HadoopFS, "rename", mv_style)
     assert ensure_artifact(target, build, spark=spark) == target
     monkeypatch.setattr(_HadoopFS, "rename", real_rename)
+    # the mv path actually ran, and the nested name was reader-hidden
+    assert len(nested_seen) == 1
+    assert nested_seen[0].startswith("_tmp.")
     assert open(os.path.join(target, "part-0")).read() == "winner"
     # no nested tmp dir inside the published artifact, no sibling litter
-    assert [d for d in os.listdir(target) if ".tmp." in d] == []
-    assert [p for p in os.listdir(str(tmp_path)) if ".tmp." in p] == []
+    assert _litter(target) == []
+    assert _litter(str(tmp_path)) == []
 
 
 def test_publish_sweeps_stale_fingerprints(tmp_path, monkeypatch, spark):
@@ -209,7 +227,11 @@ def test_publish_sweeps_stale_fingerprints(tmp_path, monkeypatch, spark):
     ensure_artifact(c1, build, spark=spark)
     other = artifact_path("ivf", sf, "documents", params="v1")
     ensure_artifact(other, build, spark=spark)
-    os.makedirs(p1 + ".tmp.deadbeef", exist_ok=True)
+    os.makedirs(p1 + ".tmp.deadbeef", exist_ok=True)  # pre-r7 litter form
+    os.makedirs(
+        os.path.join(cache, f"_tmp.{os.path.basename(p1)}.deadbeef"),
+        exist_ok=True,
+    )  # current litter form
 
     _fake_corpus(corpus, b"v2-regenerated")
     p2 = artifact_path("sigs", sf, "documents", params="k12n3")
@@ -217,7 +239,7 @@ def test_publish_sweeps_stale_fingerprints(tmp_path, monkeypatch, spark):
     ensure_artifact(p2, build, spark=spark)
     assert os.path.exists(os.path.join(p2, "_SUCCESS"))
     assert not os.path.exists(p1), "stale fingerprint must be swept"
-    assert not any(".tmp." in d for d in os.listdir(cache))
+    assert _litter(cache) == []
     # the centroids companion is swept only by ITS OWN publish, never by
     # the main directory's (different suffix)
     assert os.path.exists(c1)
@@ -370,7 +392,7 @@ def test_interleaved_builders_never_expose_partial_artifact(
     assert order[0] == "winner-published"
     assert open(os.path.join(target, "part-0")).read() == "winner"
     assert os.path.exists(os.path.join(target, "_SUCCESS"))
-    assert [p for p in os.listdir(cache) if ".tmp." in p] == []
+    assert _litter(cache) == []
     # the sweep that follows a publish keyed on the SAME fingerprint never
     # removes the live winner
     _art._sweep_stale_siblings(target, _art._fs_for(target, spark))
@@ -430,7 +452,7 @@ def test_uri_root_full_protocol(tmp_path, monkeypatch, spark):
     assert not fs.exists(p1), "stale generation must be swept via the FS API"
     assert spark.read.parquet(p2).count() == 5
     # no tmp litter on disk
-    assert [d for d in os.listdir(cache_local) if ".tmp." in d] == []
+    assert _litter(cache_local) == []
 
 
 def test_registered_query_runs_against_uri_artifact_root(

@@ -125,8 +125,7 @@ def test_bench_payload_writer_partial_and_final(tmp_path, monkeypatch):
         bench.os.path, "abspath", lambda p: str(tmp_path / "bench.py")
     )
     samples = {"q1": [0.5, 0.4, 0.6], "q2": [0.2]}
-    rows = {"q1": 6, "q2": 1}
-    doc = bench._write_payload(samples, rows, ["q1", "q2", "q3"], passes_done=1)
+    doc = bench._write_payload(samples, ["q1", "q2", "q3"], passes_done=1)
     on_disk = json.load(open(tmp_path / "BENCH.json"))
     assert on_disk == doc
     assert doc["passes_done"] == 1
@@ -135,5 +134,5 @@ def test_bench_payload_writer_partial_and_final(tmp_path, monkeypatch):
     assert doc["queries_trimmed_mean"]["q1"] == 0.45  # drop-worst at n=3
     assert doc["queries_trimmed_mean"]["q2"] == 0.2  # n<3 → plain mean
     # final write has no provisional marker
-    final = bench._write_payload(samples, rows, ["q1", "q2"])
+    final = bench._write_payload(samples, ["q1", "q2"])
     assert "passes_done" not in final
