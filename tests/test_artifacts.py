@@ -477,3 +477,55 @@ def test_registered_query_runs_against_uri_artifact_root(
     # the artifacts really landed under the URI root (shingles + sigs)
     kinds = {d.split("_")[1] for d in os.listdir(cache_local) if d.startswith("engine_")}
     assert {"shingle", "minhash"} <= kinds
+
+
+def test_corpus_regeneration_invalidates_through_registered_query(
+    tmp_path, monkeypatch, spark
+):
+    """End-to-end invalidation: a registered artifact-consuming query run
+    against a corpus that is REGENERATED mid-session must recompute from
+    the new content (fingerprint path change), never serve the stale
+    artifact — and the publish retires the old generation once cold."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from kafka_connect_storage_cloud_formats_spark.operators.dedup import minhash_lsh_pairs
+
+    cache = str(tmp_path / "cache")
+    os.makedirs(cache)
+    monkeypatch.setenv(_art.ARTIFACT_ROOT_ENV, cache)
+    monkeypatch.setattr(_art, "SWEEP_GRACE_SECONDS", 0.0)
+
+    # private corpus copy (documents only — the query reads just this table)
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    shutil.copy("/root/testdata/sf0.001/documents.parquet", sf)
+    pairs1 = minhash_lsh_pairs(spark, sf).collect()
+    assert any(r["d1"] % 2 or r["d2"] % 2 for r in pairs1), "fixture needs odd ids"
+    gen1 = [d for d in os.listdir(cache) if d.startswith("engine_minhash_sigs")]
+    assert len(gen1) == 1
+
+    # regenerate: drop half the documents (new bytes, new fingerprint)
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    tmp_parq = str(tmp_path / "newdocs")
+    half.coalesce(1).write.parquet(tmp_parq)
+    os.remove(os.path.join(sf, "documents.parquet"))
+    shutil.copy(
+        next(
+            os.path.join(tmp_parq, f)
+            for f in os.listdir(tmp_parq)
+            if f.endswith(".parquet")
+        ),
+        os.path.join(sf, "documents.parquet"),
+    )
+
+    pairs2 = minhash_lsh_pairs(spark, sf).collect()
+    # the stale signature artifact contains odd doc_ids; the regenerated
+    # corpus has none — any odd id in the result proves stale serving
+    assert pairs2 and all(
+        r["d1"] % 2 == 0 and r["d2"] % 2 == 0 for r in pairs2
+    ), "stale artifact served after regeneration"
+    gen2 = [d for d in os.listdir(cache) if d.startswith("engine_minhash_sigs")]
+    assert len(gen2) == 1 and gen2 != gen1, "old generation not retired"

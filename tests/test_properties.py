@@ -142,3 +142,47 @@ def test_union_find_min_labels_match_bruteforce_reachability(edges):
                     changed = True
     for v in verts:
         assert got[v] == min(reach[v]), (v, got[v], sorted(reach[v]))
+
+
+# --------------------------------------------------------------- shingling
+# The word-shingle expression underpins five registered query families
+# (Jaccard, contamination, MinHash signatures/pairs, clustering); pin it
+# against a plain-Python reference over adversarial corpora — empty docs,
+# sub-n docs, repeated tokens, empty tokens from double spaces, NULLs.
+def _py_shingles(text, n):
+    if text is None:
+        return None
+    w = text.split(" ")  # Spark split keeps empty strings — so does str.split(sep)
+    if len(w) < n:
+        return []
+    seen, out = set(), []
+    for i in range(len(w) - n + 1):
+        s = " ".join(w[i : i + n])
+        if s not in seen:
+            seen.add(s)
+            out.append(s)
+    return out
+
+
+_tok = st.sampled_from(["a", "bb", "ccc", "a", ""])  # tiny vocab → collisions
+_doc = st.one_of(
+    st.none(),
+    st.lists(_tok, min_size=0, max_size=12).map(lambda ws: " ".join(ws)),
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(_doc, min_size=1, max_size=24), st.integers(min_value=1, max_value=4))
+def test_word_shingles_match_python_reference(spark, docs, n):
+    from kafka_connect_storage_cloud_formats_spark.functions.text_functions import (
+        word_shingles,
+    )
+
+    rows = [(i, d) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: r["sh"]
+        for r in df.select("doc_id", word_shingles("text", n).alias("sh")).collect()
+    }
+    for i, d in rows:
+        assert got[i] == _py_shingles(d, n), (d, n, got[i])
