@@ -88,6 +88,17 @@ def write_orc_partitioned(
     writer.orc(path)
 
 
+def _glob_escape(path: str) -> str:
+    """Backslash-escape Hadoop glob metacharacters so a literal path can be
+    embedded as the prefix of a glob pattern (GlobPattern honors ``\\``)."""
+    out = []
+    for ch in path:
+        if ch in r"\*?[]{}":
+            out.append("\\")
+        out.append(ch)
+    return "".join(out)
+
+
 def write_orc_parity(
     df: DataFrame,
     out_dir: str,
@@ -163,20 +174,29 @@ def write_orc_parity(
         spark_.conf.set("spark.sql.optimizer.plannedWrite.enabled", planned)
 
     # Metadata-only finalize through the Hadoop FileSystem API: ONE glob
-    # over the staged layout (a single LIST round-trip instead of a
-    # listStatus per directory level — ~40 py4j/RPC calls collapsed to 1
-    # at 30 file groups, and on an object store one LIST request instead
-    # of one per prefix) + one rename per output file, so the same
-    # O(#files) pass works on file://, hdfs:// and s3a:// (where rename is
-    # the object-store copy the committer already paid for the staged
-    # write; per-file finalize cost is a HEAD+COPY+DELETE, no row data).
+    # over the staged layout collapses the driver's ~40 py4j round-trips
+    # (a listStatus per directory level at 30 file groups) to a single
+    # gateway call; the filesystem-side work is unchanged — Hadoop's
+    # Globber still expands level by level, one listing per matched
+    # directory, on any scheme. Then one rename per output file, so the
+    # same O(#files) pass works on file://, hdfs:// and s3a:// (where
+    # rename is the object-store copy the committer already paid for the
+    # staged write; per-file finalize cost is a HEAD+COPY+DELETE, no row
+    # data).
     spark = df.sparkSession
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path
     fs = jpath(staged).getFileSystem(spark._jsc.hadoopConfiguration())
 
+    # The staged PREFIX must be glob-escaped: an out_dir containing glob
+    # metacharacters (e.g. ".../run[A]/out") would otherwise be
+    # interpreted as a pattern — matching nothing and silently skipping
+    # every rename (or throwing on unbalanced braces). Only the trailing
+    # wildcard segments are meant as a pattern.
     pattern = jpath(
-        staged + "/__topic=*/__partition=*/__start_offset=*/part-*" + EXTENSION
+        _glob_escape(staged)
+        + "/__topic=*/__partition=*/__start_offset=*/part-*"
+        + EXTENSION
     )
     groups: dict[tuple[str, int, int], list] = {}
     for st in fs.globStatus(pattern) or []:
@@ -189,6 +209,22 @@ def write_orc_parity(
             int(off_dir.getName().split("=", 1)[1]),
         )
         groups.setdefault(key, []).append(p)
+
+    # Defense in depth against any residual glob-semantics mismatch: an
+    # empty match against a staged dir that DOES contain topic dirs means
+    # the pattern failed, not that there is no data — the unconditional
+    # staged-dir delete below would otherwise silently destroy the write.
+    if not groups:
+        leftovers = [
+            st.getPath().getName()
+            for st in fs.listStatus(jpath(staged))
+            if st.isDirectory() and st.getPath().getName().startswith("__topic=")
+        ]
+        if leftovers:
+            raise RuntimeError(
+                f"parity finalize glob matched nothing but staged topic dirs "
+                f"exist ({leftovers[:3]}...): refusing to delete staged data"
+            )
 
     written: list[str] = []
     made_parents: set[str] = set()

@@ -522,9 +522,10 @@ def test_corpus_regeneration_invalidates_through_registered_query(
     )
 
     pairs2 = minhash_lsh_pairs(spark, sf).collect()
+    assert pairs2, "fixture needs near-dup pairs among even doc_ids"
     # the stale signature artifact contains odd doc_ids; the regenerated
     # corpus has none — any odd id in the result proves stale serving
-    assert pairs2 and all(
+    assert all(
         r["d1"] % 2 == 0 and r["d2"] % 2 == 0 for r in pairs2
     ), "stale artifact served after regeneration"
     gen2 = [d for d in os.listdir(cache) if d.startswith("engine_minhash_sigs")]

@@ -393,3 +393,34 @@ def test_native_mode_multi_batch_accumulates_and_rerun_is_idempotent(spark, tmp_
     back = pipe.read_back(spark)
     assert back.count() == 9, "re-running the same batch must be idempotent"
     assert "batch" not in back.columns
+
+
+def test_parity_sink_handles_glob_metachar_out_dir(spark, sf_dir, tmp_path):
+    """The finalize's staged-layout glob must treat the out_dir as a
+    LITERAL path: a directory containing glob metacharacters must neither
+    silently match nothing (which would delete the staged data and return
+    no files) nor throw on pattern compilation."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_storage_cloud_formats_spark.catalog import load_table
+    from kafka_connect_storage_cloud_formats_spark.sinks.orc_sink import write_orc_parity
+    from kafka_connect_storage_cloud_formats_spark.sources.kafka_envelope import (
+        with_kafka_envelope,
+    )
+
+    out = str(tmp_path / "run[A] {x}" / "out")
+    ev = load_table(spark, sf_dir, "events").limit(100)
+    env = with_kafka_envelope(
+        ev, "t", num_partitions=2, partition_key="user_id",
+        order_col="event_id", partitioner="mod",
+    )
+    written = write_orc_parity(env, out, flush_size=50)
+    assert written, "metachar out_dir must still produce files"
+    for k in written:  # files physically exist at the literal path
+        assert os.path.exists(os.path.join(out, k)), k
+    # Spark's reader ALSO globs its input paths, so the read-back needs
+    # the same escaping the sink applies internally
+    from kafka_connect_storage_cloud_formats_spark.sinks.orc_sink import _glob_escape
+
+    back = spark.read.orc([_glob_escape(f"{out}/{k}") for k in written])
+    assert back.count() == 100
