@@ -424,3 +424,38 @@ def test_parity_sink_handles_glob_metachar_out_dir(spark, sf_dir, tmp_path):
 
     back = spark.read.orc([_glob_escape(f"{out}/{k}") for k in written])
     assert back.count() == 100
+
+
+def test_parity_sink_many_file_groups(spark, sf_dir, tmp_path):
+    """The glob-based finalize must hold its invariants at a high group
+    count: every (partition, offset-boundary) group lands as exactly one
+    file with the reference name, offsets cover each flush boundary, and
+    the rename pass loses nothing."""
+    from kafka_connect_storage_cloud_formats_spark.catalog import load_table
+    from kafka_connect_storage_cloud_formats_spark.sinks.orc_sink import write_orc_parity
+    from kafka_connect_storage_cloud_formats_spark.sources.kafka_envelope import (
+        with_kafka_envelope,
+    )
+
+    out = str(tmp_path / "out")
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.count()
+    env = with_kafka_envelope(
+        ev, "t", num_partitions=4, partition_key="user_id",
+        order_col="event_id", partitioner="mod",
+    )
+    flush = 25  # sf0.001: 1000 events / 4 partitions / 25 → ~40 groups
+    written = write_orc_parity(env, out, flush_size=flush)
+    per_part = {
+        r["partition"]: r["c"]
+        for r in env.groupBy("partition").count().withColumnRenamed("count", "c").collect()
+    }
+    expect = {
+        f"topics_t_t_{p}_{off:010d}.orc"
+        for p, c in per_part.items()
+        for off in range(0, c, flush)
+    }
+    assert set(written) == expect
+    assert len(written) == sum(-(-c // flush) for c in per_part.values())
+    back = spark.read.orc([f"{out}/{k}" for k in written])
+    assert back.count() == n
