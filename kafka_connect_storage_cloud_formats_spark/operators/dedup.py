@@ -750,30 +750,38 @@ def _neardup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _minhash_pairs_unsorted(spark, sf_dir).filter(
         F.col("est_jaccard") >= CLUSTER_MIN_EST_JACCARD
     )
-    # Both edge directions from ONE pass over the pair stream (explode of a
-    # 2-struct array) instead of a union of two selects, which would derive
-    # the LSH pair join twice before the checkpoint.
-    edges = (
-        pairs.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col("d1").alias("src"), F.col("d2").alias("dst")),
-                    F.struct(F.col("d2").alias("src"), F.col("d1").alias("dst")),
-                )
-            ).alias("e")
+    # Adaptive strategy switch: count the UNDIRECTED pair stream once
+    # (persist populates the cache during the count, so the gate pays ONE
+    # execution of the LSH pair join, not one per downstream action). A
+    # driver-small graph is solved exactly by union-find over the
+    # collected pairs — union is symmetric, so the driver path needs
+    # neither the direction-doubling explode nor a checkpoint
+    # materialization job (round 7: the eager checkpoint ran the join
+    # once just to re-read it for the collect). The distributed loop
+    # below is the at-scale path; both produce min-reachable-doc_id
+    # labels (pinned equal in tests/test_profiling.py).
+    pairs = pairs.persist()
+    try:
+        n_edges = 2 * pairs.count()
+        if n_edges <= CC_DRIVER_MAX_EDGES:
+            return _labels_driver_side(spark, docs, pairs)
+        # Both edge directions from ONE pass over the CACHED pair stream
+        # (explode of a 2-struct array); localCheckpoint truncates lineage
+        # for the iterative loop (checkpoint-inherent: loop state).
+        edges = (
+            pairs.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("d1").alias("src"), F.col("d2").alias("dst")),
+                        F.struct(F.col("d2").alias("src"), F.col("d1").alias("dst")),
+                    )
+                ).alias("e")
+            )
+            .select("e.src", "e.dst")
+            .localCheckpoint(eager=True)
         )
-        .select("e.src", "e.dst")
-        .localCheckpoint(eager=True)
-    )
-    # Adaptive strategy switch on the materialized edge count (already a
-    # settled block — the count is free relative to a loop round): a
-    # driver-small graph is solved exactly by union-find on the collected
-    # edges; the distributed loop below is the at-scale path. Both
-    # produce min-reachable-doc_id labels (pinned equal in
-    # tests/test_dedup.py).
-    n_edges = edges.count()
-    if n_edges <= CC_DRIVER_MAX_EDGES:
-        return _labels_driver_side(spark, docs, edges)
+    finally:
+        pairs.unpersist()
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
@@ -859,15 +867,16 @@ def union_find_min_labels(edge_pairs) -> dict:
 
 
 def _labels_driver_side(
-    spark: SparkSession, docs: DataFrame, edges: DataFrame
+    spark: SparkSession, docs: DataFrame, pairs: DataFrame
 ) -> DataFrame:
     """Exact CC labels for a DRIVER-SMALL edge graph: union-find over the
-    collected (src, dst) rows, then one corpus-wide left join fills
+    collected UNDIRECTED (d1, d2) pairs (union is symmetric — no need to
+    materialize both directions), then one corpus-wide left join fills
     singletons — identical output contract to the distributed loop
     (cluster_id = min doc_id reachable through the graph). The collect is
     gated by CC_DRIVER_MAX_EDGES, never corpus-scale."""
     labels_map = union_find_min_labels(
-        (row["src"], row["dst"]) for row in edges.collect()
+        (row["d1"], row["d2"]) for row in pairs.select("d1", "d2").collect()
     )
     labels = spark.createDataFrame(
         list(labels_map.items()), "doc_id long, cluster_id long"
