@@ -292,10 +292,16 @@ def _sweep_stale_siblings(path: str, fs: _HadoopFS | None = None) -> None:
     # "<name>.tmp.<8hex>" suffix naming (still swept, transitionally)
     tmp_wrap = re.compile(r"^_tmp\.(.+)\.[0-9a-f]{8}$")
     old_tmp_suffix = re.compile(r"\.tmp\.[0-9a-f]{8}$")
+    # the ROOT prefix is glob-escaped (same bug class as the parity
+    # sink's finalize: a root containing [ ] { } etc. would otherwise
+    # match nothing and stale generations would silently never retire)
+    from kafka_connect_storage_cloud_formats_spark.sinks.orc_sink import _glob_escape
+
     parent = os.path.dirname(path) or "."
+    eparent = _glob_escape(parent)
     now = time.time()
-    entries = fs.glob_names_mtimes(parent + "/engine_*") + fs.glob_names_mtimes(
-        parent + "/_tmp.engine_*"
+    entries = fs.glob_names_mtimes(eparent + "/engine_*") + fs.glob_names_mtimes(
+        eparent + "/_tmp.engine_*"
     )
     for name, mtime in entries:
         core = name

@@ -530,3 +530,28 @@ def test_corpus_regeneration_invalidates_through_registered_query(
     ), "stale artifact served after regeneration"
     gen2 = [d for d in os.listdir(cache) if d.startswith("engine_minhash_sigs")]
     assert len(gen2) == 1 and gen2 != gen1, "old generation not retired"
+
+
+def test_sweep_works_under_metachar_artifact_root(tmp_path, monkeypatch, spark):
+    """An artifact root containing glob metacharacters must still sweep
+    stale generations (the sweep's listing embeds the root in a glob
+    pattern — same escaping bug class as the parity sink's finalize)."""
+    cache = str(tmp_path / "cache [v1] {x}")
+    os.makedirs(cache)
+    monkeypatch.setenv(_art.ARTIFACT_ROOT_ENV, cache)
+    monkeypatch.setattr(_art, "SWEEP_GRACE_SECONDS", 0.0)
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    sf = _fake_corpus(corpus)
+
+    def build(tmp_dir):
+        os.makedirs(tmp_dir)
+        open(os.path.join(tmp_dir, "_SUCCESS"), "w").close()
+
+    p1 = artifact_path("mcroot", sf, "documents", params="g1")
+    ensure_artifact(p1, build, spark=spark)
+    _fake_corpus(corpus, b"v2-regenerated")
+    p2 = artifact_path("mcroot", sf, "documents", params="g1")
+    ensure_artifact(p2, build, spark=spark)
+    assert os.path.exists(os.path.join(p2, "_SUCCESS"))
+    assert not os.path.exists(p1), "stale generation must sweep under a metachar root"
