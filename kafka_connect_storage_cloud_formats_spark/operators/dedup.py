@@ -166,14 +166,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y -> struct(x.doc_id AS d1, y.doc_id AS d2, x.n_sh AS n1, y.n_sh AS n2))))"
     )
     # Length filter (the classic set-similarity-join bound): shared ≤
-    # min(n1,n2), so jaccard ≤ min/max — a pair with max > min/threshold
-    # can NEVER pass and is dropped MAP-SIDE, before the pair shuffle.
-    # Provably result-preserving at any data; on this corpus's
-    # uniform-length synthetic docs it removes ~0.1 % (measured), on a
-    # real Zipfian-length corpus it prunes the bulk of cross-length
-    # boilerplate pairs ahead of the aggregation.
+    # min(n1,n2), so jaccard ≤ min/max — a pair with min/max below the
+    # threshold can NEVER pass and is dropped MAP-SIDE, before the pair
+    # shuffle. The DIVISION form is the provably conservative one under
+    # floating point (round-7 ADVICE): rational J ≤ rational min/max, and
+    # IEEE rounding is monotonic, so double(J) ≥ T ⇒ double(min/max) ≥ T —
+    # every pair the downstream ``jaccard >= T`` filter keeps survives
+    # this filter too. The previous multiplication form
+    # ``greatest * T <= least`` broke at exact-boundary pairs: for
+    # (n1, n2) = (10, 100), ``100 * 0.1`` evaluates to 10.000000000000002
+    # > 10, dropping a pair whose J = 10/100 passes downstream — a false
+    # negative vs the oracle (regression-pinned in tests/test_dedup.py).
+    # On this corpus's uniform-length synthetic docs the filter removes
+    # ~0.1 % (measured); on a real Zipfian-length corpus it prunes the
+    # bulk of cross-length boilerplate pairs ahead of the aggregation.
     length_ok = F.expr(
-        f"greatest(p.n1, p.n2) * {JACCARD_THRESHOLD} <= least(p.n1, p.n2)"
+        f"least(p.n1, p.n2) / greatest(p.n1, p.n2) >= {JACCARD_THRESHOLD}"
     )
     shared = (
         lists.select(F.explode(combos).alias("p"))

@@ -31,6 +31,26 @@ def test_ngram_jaccard_bounds(spark, sf_dir):
     assert bad.count() == 0
 
 
+def test_length_filter_keeps_exact_boundary_pair(spark):
+    """Round-7 ADVICE regression pin: the map-side length filter must use
+    the DIVISION form. At the exact-boundary pair (n1, n2) = (10, 100)
+    with 10 shared shingles, J = 10/100 passes the downstream
+    ``jaccard >= 0.1`` filter — but the old multiplication form evaluated
+    ``100 * 0.1 = 10.000000000000002 > 10`` and dropped the pair map-side:
+    a false negative vs the oracle. The division form is conservative by
+    monotonic IEEE rounding (J ≤ min/max rationally ⇒ double(J) ≤
+    double(min/max))."""
+    row = spark.createDataFrame([(10, 100)], "n1 int, n2 int").select(
+        F.struct(F.col("n1"), F.col("n2")).alias("p")
+    )
+    kept = row.filter(
+        F.expr(f"least(p.n1, p.n2) / greatest(p.n1, p.n2) >= {JACCARD_THRESHOLD}")
+    ).count()
+    assert kept == 1, "boundary pair must survive the map-side length filter"
+    # and the downstream filter agrees: J = 10/100 passes
+    assert 10.0 / (10 + 100 - 10) >= JACCARD_THRESHOLD
+
+
 def test_lsh_recall_of_exact_duplicates(spark, sf_dir):
     """Exact duplicates (J=1) must always collide in every LSH band, so each
     multi-copy content-hash group implies LSH pairs with est_jaccard=1."""
