@@ -43,6 +43,7 @@ the fingerprint is a cache KEY derivation, not a data-plane operation.
 from __future__ import annotations
 
 import hashlib
+import logging
 import os
 import re
 import tempfile
@@ -74,26 +75,43 @@ class _HadoopFS:
     (py4j gateway). One instance per (session, root URI); every method is a
     metadata-only operation — O(1) RPCs, no row data through the driver.
     ``rename`` reports failure (False/exception) instead of raising: the
-    caller adjudicates races by observing the published ``_SUCCESS``."""
+    caller adjudicates races by observing the published ``_SUCCESS``. The
+    underlying exception (EACCES/EROFS/…) is kept on ``last_error`` so the
+    publish-failure diagnostic can chain the real cause instead of just
+    "rename accepted: False" (round-7 ADVICE — the errno chain was
+    explicitly load-bearing in the pre-Hadoop implementation)."""
 
     def __init__(self, spark: SparkSession, path: str):
         self._jPath = spark._jvm.org.apache.hadoop.fs.Path
         self._fs = self._jPath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+        self.last_error: Exception | None = None
 
     def exists(self, p: str) -> bool:
         return bool(self._fs.exists(self._jPath(p)))
 
     def rename(self, src: str, dst: str) -> bool:
         try:
-            return bool(self._fs.rename(self._jPath(src), self._jPath(dst)))
-        except Exception:
+            ok = bool(self._fs.rename(self._jPath(src), self._jPath(dst)))
+            if not ok:
+                self.last_error = None  # Hadoop-style False, no exception
+            return ok
+        except Exception as e:
+            self.last_error = e
             return False
 
-    def delete(self, p: str, recursive: bool = True) -> None:
+    def delete(self, p: str, recursive: bool = True) -> bool:
+        """True iff the path is gone (deleted, or was already absent).
+        Publish-path callers re-verify via ``_SUCCESS``; the sweep uses
+        the return value to surface persistent failures (below)."""
         try:
             self._fs.delete(self._jPath(p), recursive)
-        except Exception:
-            pass  # vanished underneath us / permission race: callers re-verify
+        except Exception as e:
+            self.last_error = e
+            try:
+                return not self.exists(p)  # vanished underneath us: success
+            except Exception:
+                return False
+        return True
 
     def touch(self, p: str) -> None:
         """Refresh mtime (liveness signal for the sweep grace window,
@@ -235,8 +253,9 @@ def ensure_artifact(
     if not fs.exists(success):
         raise RuntimeError(
             f"artifact publish failed: {path} has no _SUCCESS after build "
-            f"(rename accepted: {renamed})"
-        )
+            f"(rename accepted: {renamed}; underlying filesystem error: "
+            f"{fs.last_error!r})"
+        ) from fs.last_error
     # A build ran and the artifact is live → retire the previous
     # generation. Without this, every corpus regeneration strands the old
     # fingerprint's directory forever — at 100 TB that's the index's full
@@ -258,6 +277,20 @@ def ensure_artifact(
 SWEEP_GRACE_SECONDS = 600.0
 
 
+# Consecutive failed sweep-deletes per stale-sibling path (round-7 verdict
+# ask #4): the publish path's failed deletes are adjudicated by the
+# ``_SUCCESS`` re-check, but the sweep has no such backstop — a
+# persistently failing delete (permissions, FS quirk) would otherwise let
+# stale generations accumulate silently forever, the exact condition the
+# sweep exists to prevent. Every failure logs a warning; after
+# ``SWEEP_FAIL_ESCALATE_AFTER`` consecutive failures of the SAME sibling
+# the warning escalates to an error-level log naming the unbounded-cache
+# consequence. Counters reset on success (or on the sibling vanishing).
+_SWEEP_DELETE_FAILURES: dict[str, int] = {}
+SWEEP_FAIL_ESCALATE_AFTER = 3
+_LOG = logging.getLogger(__name__)
+
+
 def _sweep_stale_siblings(path: str, fs: _HadoopFS | None = None) -> None:
     """Remove sibling artifacts that differ from ``path`` ONLY in the
     content fingerprint: same kind+params+sf tag (tag includes the sf_dir
@@ -268,10 +301,17 @@ def _sweep_stale_siblings(path: str, fs: _HadoopFS | None = None) -> None:
     crashed builders' tmp litter goes with them; tmp dirs of the CURRENT
     fingerprint are left alone (a concurrent builder may be mid-write), as
     is anything younger than SWEEP_GRACE_SECONDS (a live reader may be
-    mid-scan). Pre-round-6 artifacts (no ``-phash`` in the sf tag — a
-    format this engine can never produce again) are swept by the same
-    pass once cold (round-6 ADVICE: they'd otherwise be stranded forever).
-    Non-engine paths (no fingerprint component) never sweep."""
+    mid-scan). Non-engine paths (no fingerprint component) never sweep.
+
+    The transitional pre-round-6 old-format branch (phash-less sf tags)
+    was REMOVED in round 8 after one round of service, per the round-7
+    ADVICE: its prefix-strip could collide with a current-format family
+    whose sf_dir basename itself ends in ``-<6hex>``, making a live
+    artifact sweepable. Any pre-r6 stragglers in a tempdir are inert
+    litter for external cleanup, not this protocol's concern. The
+    pre-round-7 ``<name>.tmp.<8hex>`` SUFFIX strip is kept: it reduces a
+    tmp name to its exact core (no lossy prefix surgery, so no collision
+    class) and still retires crashed pre-r7 builders' litter."""
     if fs is None:
         fs = _fs_for(path, None)
     m = _ARTIFACT_RE.match(os.path.basename(path))
@@ -279,17 +319,9 @@ def _sweep_stale_siblings(path: str, fs: _HadoopFS | None = None) -> None:
         return
     pre, fp, suf = m.groups()
     sibling = re.compile(re.escape(pre) + r"([0-9a-f]{12})" + re.escape(suf) + r"$")
-    # transitional: the pre-round-6 basename lacked the "-phash" tag; any
-    # survivor of that format is by definition not the live generation
-    old_pre = re.sub(r"-[0-9a-f]{6}_$", "_", pre)
-    old_sibling = None
-    if old_pre != pre:
-        old_sibling = re.compile(
-            re.escape(old_pre) + r"([0-9a-f]{12})" + re.escape(suf) + r"$"
-        )
     # tmp-litter forms reduce to the core artifact name: the current
     # "_tmp.<name>.<8hex>" sibling naming and the pre-round-7
-    # "<name>.tmp.<8hex>" suffix naming (still swept, transitionally)
+    # "<name>.tmp.<8hex>" suffix naming
     tmp_wrap = re.compile(r"^_tmp\.(.+)\.[0-9a-f]{8}$")
     old_tmp_suffix = re.compile(r"\.tmp\.[0-9a-f]{8}$")
     # the ROOT prefix is glob-escaped (same bug class as the parity
@@ -313,10 +345,26 @@ def _sweep_stale_siblings(path: str, fs: _HadoopFS | None = None) -> None:
         # tmp dirs of the CURRENT fingerprint are never swept (a
         # concurrent builder may be mid-write); a non-tmp match of the
         # current fingerprint is the live artifact itself
-        stale = bool(m2 and m2.group(1) != fp)
-        if not stale and old_sibling is not None:
-            stale = bool(old_sibling.fullmatch(core))
-        if stale:
-            if now - mtime < SWEEP_GRACE_SECONDS:
-                continue
-            fs.delete(parent + "/" + name, recursive=True)
+        if not (m2 and m2.group(1) != fp):
+            continue
+        if now - mtime < SWEEP_GRACE_SECONDS:
+            continue
+        target = parent + "/" + name
+        if fs.delete(target, recursive=True):
+            _SWEEP_DELETE_FAILURES.pop(target, None)
+            continue
+        n = _SWEEP_DELETE_FAILURES.get(target, 0) + 1
+        _SWEEP_DELETE_FAILURES[target] = n
+        if n >= SWEEP_FAIL_ESCALATE_AFTER:
+            _LOG.error(
+                "artifact sweep: delete of stale sibling %s has failed %d "
+                "consecutive times (last error: %r) — the artifact cache "
+                "footprint is no longer bounded; fix the filesystem "
+                "permission/quirk or remove the directory manually",
+                target, n, fs.last_error,
+            )
+        else:
+            _LOG.warning(
+                "artifact sweep: failed to delete stale sibling %s "
+                "(attempt %d, last error: %r)", target, n, fs.last_error,
+            )

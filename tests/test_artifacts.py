@@ -252,10 +252,13 @@ def test_publish_sweeps_stale_fingerprints(tmp_path, monkeypatch, spark):
     assert os.path.exists(os.path.join(p2, "_SUCCESS"))
 
 
-def test_publish_sweeps_old_format_dirs(tmp_path, monkeypatch, spark):
-    """round-6 ADVICE: pre-round-6 artifact dirs (no '-phash' in the sf
-    tag) never match the current sibling pattern — the transitional branch
-    retires them once cold instead of stranding them forever."""
+def test_sweep_never_touches_phashless_dirs(tmp_path, monkeypatch, spark):
+    """Round-7 ADVICE: the transitional pre-round-6 old-format branch is
+    GONE. Its prefix-strip could equate a phash-less dir with the
+    current-format prefix of a corpus whose sf_dir basename itself ends in
+    ``-<6hex>`` — making another family's LIVE artifact sweepable. A
+    phash-less sibling (whatever its provenance) must now survive every
+    publish."""
     cache = str(tmp_path / "cache")
     monkeypatch.setenv(_art.ARTIFACT_ROOT_ENV, cache)
     monkeypatch.setattr(_art, "SWEEP_GRACE_SECONDS", 0.0)
@@ -266,24 +269,82 @@ def test_publish_sweeps_old_format_dirs(tmp_path, monkeypatch, spark):
 
     p = artifact_path("sigs", sf, "documents", params="k12n3")
     base = os.path.basename(p)
-    # old format = same basename with the '-phash6' tag removed
     import re as _re
 
-    old = os.path.join(cache, _re.sub(r"-[0-9a-f]{6}_", "_", base, count=1))
-    assert old != p
-    os.makedirs(old)
-    open(os.path.join(old, "_SUCCESS"), "w").close()
-    # an unrelated kind's old-format dir must NOT be swept by this kind
-    other_old = os.path.join(cache, "engine_ivf_v1_corpus_{}".format("a" * 12))
-    os.makedirs(other_old)
+    phashless = os.path.join(cache, _re.sub(r"-[0-9a-f]{6}_", "_", base, count=1))
+    assert phashless != p
+    os.makedirs(phashless)
+    open(os.path.join(phashless, "_SUCCESS"), "w").close()
 
     def build(tmp_dir):
         os.makedirs(tmp_dir)
         open(os.path.join(tmp_dir, "_SUCCESS"), "w").close()
 
     ensure_artifact(p, build, spark=spark)
-    assert not os.path.exists(old), "old-format dir must be retired"
-    assert os.path.exists(other_old), "other kinds' dirs must survive"
+    assert os.path.exists(phashless), (
+        "phash-less dirs are outside the sweep's jurisdiction (the "
+        "transitional branch that retired them had a live-artifact "
+        "collision hazard and was removed in round 8)"
+    )
+
+
+def test_sweep_delete_failures_are_surfaced(tmp_path, monkeypatch, spark, caplog):
+    """Round-7 verdict ask #4: a persistently failing sweep delete must be
+    observable (log + counter), not silent — otherwise stale generations
+    accumulate forever, the exact condition the sweep exists to prevent.
+    Injects a failing delete and asserts warning logs, escalation after
+    SWEEP_FAIL_ESCALATE_AFTER consecutive failures, and counter reset once
+    the delete succeeds again."""
+    import logging
+
+    cache = str(tmp_path / "cache")
+    monkeypatch.setenv(_art.ARTIFACT_ROOT_ENV, cache)
+    monkeypatch.setattr(_art, "SWEEP_GRACE_SECONDS", 0.0)
+    os.makedirs(cache)
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    sf = _fake_corpus(corpus)
+
+    def build(tmp_dir):
+        os.makedirs(tmp_dir)
+        open(os.path.join(tmp_dir, "_SUCCESS"), "w").close()
+
+    p1 = artifact_path("sigs", sf, "documents", params="g1")
+    ensure_artifact(p1, build, spark=spark)
+    _fake_corpus(corpus, b"v2-regenerated")
+    p2 = artifact_path("sigs", sf, "documents", params="g1")
+    ensure_artifact(p2, build, spark=spark)
+    # p1 was swept by p2's publish (delete healthy → no counter entries)
+    assert not os.path.exists(p1)
+    assert _art._SWEEP_DELETE_FAILURES == {}
+
+    # recreate the stale sibling and make every delete fail
+    os.makedirs(p1)
+    open(os.path.join(p1, "_SUCCESS"), "w").close()
+    fs = _art._fs_for(p2, spark)
+
+    orig_delete = fs.delete
+
+    def failing_delete(path, recursive=True):
+        fs.last_error = PermissionError(13, "injected EACCES")
+        return False
+
+    fs.delete = failing_delete
+    with caplog.at_level(logging.WARNING, logger=_art.__name__):
+        for _ in range(_art.SWEEP_FAIL_ESCALATE_AFTER):
+            _art._sweep_stale_siblings(p2, fs)
+    assert _art._SWEEP_DELETE_FAILURES.get(p1) == _art.SWEEP_FAIL_ESCALATE_AFTER
+    warns = [r for r in caplog.records if "failed to delete stale sibling" in r.getMessage()]
+    errors = [r for r in caplog.records if r.levelno >= logging.ERROR]
+    assert len(warns) == _art.SWEEP_FAIL_ESCALATE_AFTER - 1
+    assert len(errors) == 1 and "no longer bounded" in errors[0].getMessage()
+    assert "injected EACCES" in errors[0].getMessage()
+
+    # delete works again → sibling swept, counter cleared
+    fs.delete = orig_delete
+    _art._sweep_stale_siblings(p2, fs)
+    assert not os.path.exists(p1)
+    assert p1 not in _art._SWEEP_DELETE_FAILURES
 
 
 def test_sweep_grace_period_spares_young_siblings(tmp_path, monkeypatch, spark):
