@@ -1,0 +1,122 @@
+"""Driver-side Hadoop ``FileSystem`` access (py4j gateway).
+
+One thin wrapper shared by every layer that touches a filesystem from the
+driver — the artifact cache's publish/sweep protocol (``artifacts.py``),
+the parity sink's finalize (``sinks/orc_sink.py`` has its own older copy
+of the pattern), and, since round 8, the catalog's corpus fingerprint
+(``catalog.py``). Centralizing it here keeps the import graph acyclic:
+``artifacts`` imports ``catalog`` (for the fingerprint), and ``catalog``
+needs the FS wrapper for scheme'd corpus paths — so the wrapper lives
+below both.
+
+Every method is a metadata-only operation — O(1) RPCs (listing is O(files)
+RPC payload), no row data through the driver. The filesystem is resolved
+PER PATH from the session's Hadoop configuration, so a ``file://`` root,
+an ``hdfs://`` corpus and a ``viewfs://`` mount each get their own correct
+implementation — the same resolution Spark's executors perform for the
+paths they read/write.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import SparkSession
+
+
+class _HadoopFS:
+    """Wrapper over ``org.apache.hadoop.fs.FileSystem`` for one
+    (session, path-scheme) pair. ``rename`` reports failure
+    (False/exception) instead of raising: callers adjudicate races by
+    observing the published ``_SUCCESS``. The underlying exception
+    (EACCES/EROFS/…) is kept on ``last_error`` so failure diagnostics can
+    chain the real cause instead of just "rename accepted: False"
+    (round-7 ADVICE — the errno chain was explicitly load-bearing in the
+    pre-Hadoop implementation)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self._jPath = spark._jvm.org.apache.hadoop.fs.Path
+        self._fs = self._jPath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+        self.last_error: Exception | None = None
+
+    def exists(self, p: str) -> bool:
+        return bool(self._fs.exists(self._jPath(p)))
+
+    def rename(self, src: str, dst: str) -> bool:
+        try:
+            ok = bool(self._fs.rename(self._jPath(src), self._jPath(dst)))
+            if not ok:
+                self.last_error = None  # Hadoop-style False, no exception
+            return ok
+        except Exception as e:
+            self.last_error = e
+            return False
+
+    def delete(self, p: str, recursive: bool = True) -> bool:
+        """True iff the path is gone (deleted, or was already absent).
+        Publish-path callers re-verify via ``_SUCCESS``; the artifact
+        sweep uses the return value to surface persistent failures."""
+        try:
+            self._fs.delete(self._jPath(p), recursive)
+        except Exception as e:
+            self.last_error = e
+            try:
+                return not self.exists(p)  # vanished underneath us: success
+            except Exception:
+                return False
+        return True
+
+    def touch(self, p: str) -> None:
+        """Refresh mtime (liveness signal for the sweep grace window,
+        round-6 ADVICE: reads must extend the grace, not just writes)."""
+        try:
+            self._fs.setTimes(self._jPath(p), int(time.time() * 1000), -1)
+        except Exception as e:
+            self.last_error = e  # advisory only — a failed touch narrows the grace window
+
+    def glob_names_mtimes(self, pattern: str) -> list[tuple[str, float]]:
+        """(basename, mtime_seconds) for paths matching a glob pattern."""
+        out: list[tuple[str, float]] = []
+        try:
+            statuses = self._fs.globStatus(self._jPath(pattern))
+        except Exception:
+            return out
+        if statuses is None:
+            return out
+        for st in statuses:
+            out.append(
+                (st.getPath().getName(), st.getModificationTime() / 1000.0)
+            )
+        return out
+
+    def list_files_recursive(self, p: str) -> list[tuple[str, int, int]]:
+        """(path_relative_to_p, length_bytes, mtime_millis) for every FILE
+        under ``p`` (or ``p`` itself when it names a file — its relative
+        name is ``"."``, mirroring ``os.path.relpath(p, p)`` in the local
+        fast path). Raises (FileNotFound through py4j) when ``p`` does not
+        exist — a missing corpus must fail loudly, exactly like the local
+        path's ``os.stat``."""
+        base = self._fs.makeQualified(self._jPath(p)).toString()
+        it = self._fs.listFiles(self._jPath(p), True)
+        out: list[tuple[str, int, int]] = []
+        while it.hasNext():
+            st = it.next()
+            full = st.getPath().toString()
+            if full == base:
+                rel = "."
+            elif full.startswith(base + "/"):
+                rel = full[len(base) + 1:]
+            else:  # scheme-qualification mismatch; keep it deterministic
+                rel = full
+            out.append((rel, int(st.getLen()), int(st.getModificationTime())))
+        return out
+
+
+def _fs_for(path: str, spark: SparkSession | None) -> _HadoopFS:
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(
+            "this filesystem operation needs a SparkSession (it goes through "
+            "the Hadoop FileSystem API); pass spark= or create a session first"
+        )
+    return _HadoopFS(spark, path)
