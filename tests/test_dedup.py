@@ -452,3 +452,91 @@ def test_xxhash64_family_runs_registered_dedup_chain(spark, sf_dir, monkeypatch)
     assert clusters.count() == docs_n  # every doc labeled
     stats = training_corpus_stats(spark, sf_dir)
     assert stats.count() > 0
+    # round 8: the remaining decision-hash sites follow the same flag —
+    # simhash fingerprints/near-pairs (family-keyed artifact) and the
+    # canonical tier (stringified xxhash64 equality key)
+    from kafka_connect_storage_cloud_formats_spark.operators.dedup import (
+        SIMHASH_MAX_HAMMING,
+        dedup_canonical,
+        simhash_near_pairs,
+    )
+
+    sp = simhash_near_pairs(spark, sf_dir)
+    assert sp.filter(f"hamming > {SIMHASH_MAX_HAMMING}").count() == 0
+    canon = dedup_canonical(spark, sf_dir)
+    assert canon.count() > 0
+    assert dict(canon.dtypes)["canon_hash"] == "string"
+
+
+def test_simhash_family_agrees_on_near_pair_decisions(spark):
+    """Round-7 verdict ask #5 (simhash site): md5 and xxhash64 vote-bit
+    sources must produce the same near-pair DECISIONS on a fixture of
+    exact duplicates (Hamming 0 under ANY family) and disjoint-vocabulary
+    documents (Hamming ≈ 32 — far beyond the ≤3 threshold under both
+    families). The md5 oracle gate certifies fingerprint values; this pins
+    that the family flag changes only where the vote bits come from."""
+    from kafka_connect_storage_cloud_formats_spark.operators.dedup import (
+        SIMHASH_MAX_HAMMING,
+        _simhash_fp_from,
+    )
+
+    rows = []
+    # 3 exact-duplicate pairs + 6 disjoint singletons
+    for g in range(3):
+        text = " ".join(f"g{g}tok{i}" for i in range(50))
+        rows.append((g * 10, text))
+        rows.append((g * 10 + 1, text))
+    for s in range(6):
+        rows.append((100 + s, " ".join(f"s{s}u{i}" for i in range(50))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def near_pairs(family):
+        fps = {
+            r["doc_id"]: (r["simhash_hi"], r["simhash_lo"])
+            for r in _simhash_fp_from(docs, family=family).collect()
+        }
+        ids = sorted(fps)
+        return {
+            (a, b)
+            for i, a in enumerate(ids)
+            for b in ids[i + 1:]
+            if bin(fps[a][0] ^ fps[b][0]).count("1")
+            + bin(fps[a][1] ^ fps[b][1]).count("1")
+            <= SIMHASH_MAX_HAMMING
+        }
+
+    expected = {(0, 1), (10, 11), (20, 21)}
+    assert near_pairs("md5") == expected
+    assert near_pairs("xxhash64") == expected
+
+
+def test_canonical_family_agrees_on_groups(spark, tmp_path):
+    """Round-7 verdict ask #5 (canonical site): the canon hash is a pure
+    equality key, so md5 and xxhash64 must produce IDENTICAL groups
+    (keep_doc_id, n_docs, n_raw_variants) — only the canon_hash column's
+    representation differs (which is why the oracle gate runs under
+    md5)."""
+    from kafka_connect_storage_cloud_formats_spark.operators.dedup import dedup_canonical
+
+    rows = [
+        (1, "Hello, World!"),
+        (2, "hello world"),           # same canonical form as 1
+        (3, "HELLO   WORLD?!"),       # same canonical form as 1
+        (4, "a different document"),
+        (5, "A Different Document."),  # same canonical form as 4
+        (6, "entirely unrelated text"),
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+
+    def groups(family):
+        return {
+            (r["keep_doc_id"], r["n_docs"], r["n_raw_variants"])
+            for r in dedup_canonical(spark, sf, family=family).collect()
+        }
+
+    expected = {(1, 3, 3), (4, 2, 2), (6, 1, 1)}
+    assert groups("md5") == expected
+    assert groups("xxhash64") == expected
