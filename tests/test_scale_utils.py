@@ -146,27 +146,54 @@ def test_bucketed_segment_revenue_joins_without_shuffle(spark, sf_dir):
 
 
 def test_bucketed_segment_revenue_self_heals_after_sweep(spark, sf_dir):
-    """If the warehouse files vanish under a live catalog entry (external
-    cleanup / a dead-session sweep that fired while this session was
-    idle), the next call must rebuild instead of failing at scan time."""
-    import os
+    """If the bucketed artifact vanishes under a live catalog entry
+    (external cleanup / a sweep that fired while this session was idle),
+    the next call must rebuild AND refresh the session's cached file
+    index instead of failing at scan time on the dead listing."""
     import shutil
-    from urllib.parse import urlparse
 
+    from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_path
     from kafka_connect_storage_cloud_formats_spark.operators.scale_utils import (
+        N_BUCKETS,
         bucketed_segment_revenue,
     )
 
     first = bucketed_segment_revenue(spark, sf_dir).collect()
     assert len(first) == 5
-    # simulate the sweep: delete this session's own table files while the
-    # catalog still believes the tables exist
-    wh = spark.conf.get("spark.sql.warehouse.dir")
-    wh_path = urlparse(wh).path or wh
-    app = spark.sparkContext.applicationId
-    victims = [d for d in os.listdir(wh_path) if app.replace("-", "_") in d]
-    assert victims, "expected this session's bucketed tables in the warehouse"
-    for d in victims:
-        shutil.rmtree(os.path.join(wh_path, d))
+    # simulate the sweep: delete both published artifacts while the
+    # session catalog still holds the external-table entries
+    victims = [
+        artifact_path(kind, sf_dir, src, params=f"b{N_BUCKETS}")
+        for kind, src in (("bkt_orders", "orders"), ("bkt_customer", "customer"))
+    ]
+    for p in victims:
+        shutil.rmtree(p)
     healed = bucketed_segment_revenue(spark, sf_dir).collect()
     assert sorted(map(tuple, healed)) == sorted(map(tuple, first))
+
+
+def test_bucketed_tables_are_cross_session_artifacts(spark, sf_dir):
+    """The bucketing ETL is content-keyed and session-spanning (round-7
+    verdict ask #3a): after one build, a second consumer — here simulated
+    by dropping the session-catalog entries, which is all a fresh session
+    lacks — must NOT rebuild the artifact (same _SUCCESS mtime), only
+    re-register metadata."""
+    import os
+    import re
+
+    from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_path
+    from kafka_connect_storage_cloud_formats_spark.operators.scale_utils import (
+        N_BUCKETS,
+        bucketed_segment_revenue,
+    )
+
+    first = bucketed_segment_revenue(spark, sf_dir).collect()
+    path = artifact_path("bkt_orders", sf_dir, "orders", params=f"b{N_BUCKETS}")
+    stamp = os.stat(os.path.join(path, "_SUCCESS")).st_mtime_ns
+    name = re.sub(r"\W", "_", os.path.basename(path))
+    spark.sql(f"DROP TABLE {name}")
+    again = bucketed_segment_revenue(spark, sf_dir).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, first))
+    assert (
+        os.stat(os.path.join(path, "_SUCCESS")).st_mtime_ns == stamp
+    ), "artifact must not rebuild for a fresh catalog"
