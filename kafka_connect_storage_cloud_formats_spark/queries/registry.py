@@ -68,59 +68,55 @@ _ALL.update(SCALE_UTILS_QUERIES)
 # the window has served its purpose and the positional invariant is
 # expected to lapse until the next rotation (tests/test_registry.py keys
 # its window assertion off this constant).
-ROTATED_FOR_ROUND = 7
+ROTATED_FOR_ROUND = 8
 
-_STALE_AFTER_R6 = [
-    # the 41 registered queries whose latest driver rows are r5-vintage
-    # (tools/rotate_registry.py) — they lead the r7 window so the
-    # ≤1-round-stale invariant holds a fourth consecutive round
-    "orc_ingest_roundtrip", "orc_partitioned_roundtrip",
-    "parquet_roundtrip", "json_roundtrip", "schema_evolution_roundtrip",
-    "csv_roundtrip", "q21_sole_late_supplier", "q2_min_acctbal_supplier",
-    "q22_rich_inactive_customers", "orders_cube", "events_pivot_hourly",
-    "q7_nation_trade_volume", "q14_promo_revenue_share",
-    "q19_disjunctive_revenue", "q10_returned_revenue",
-    "q13_order_count_distribution", "q6_forecast_revenue",
-    "q8_nation_market_share", "q15_top_supplier",
-    "part_brand_type_setops", "array_function_gallery", "doc_top_terms",
-    "text_quality_stats", "lang_id_heuristic", "token_count_bpe",
-    "doc_fingerprint", "dedup_exact", "minhash_signatures",
-    "simhash_fingerprints", "simhash_near_pairs", "dedup_fuzzy_prefix",
-    "knn_bruteforce", "ann_lsh_topk", "ivf_centroids", "sq8_topk",
-    "sq8_recall_at_10", "dedup_embedding_cosine", "media_feature_extract",
-    "image_resize_thumbnail", "bucketed_segment_revenue",
-    "salted_cohort_activity",
+_STALE_AFTER_R7 = [
+    # the 41 registered queries whose latest driver rows are r6-vintage
+    # (tools/rotate_registry.py) — they lead the r8 window so the
+    # ≤1-round-stale invariant holds a fifth consecutive round
+    "avro_roundtrip", "q1_pricing_summary", "q3_shipping_priority",
+    "q5_local_supplier_volume", "top_orders_per_customer", "orders_rollup",
+    "customers_without_orders", "distinct_parts_per_supplier",
+    "events_hourly_rollup", "q4_priority_with_late_ship",
+    "q16_supplier_counts", "q17_small_quantity_revenue", "q18_large_orders",
+    "scalar_function_gallery", "q9_product_type_profit",
+    "q11_important_parts", "q12_priority_by_returnflag",
+    "q20_promotion_suppliers", "orders_price_moments",
+    "scrub_numeric_tokens", "vocab_stats", "doc_quality_deciles",
+    "dedup_canonical", "ann_recall_at_10", "media_catalog",
+    "image_decode_stats", "video_frame_index", "audio_window_energy",
+    "events_funnel", "events_interval_join", "events_tumbling_15m",
+    "events_sliding_1h", "events_session_30m", "corpus_split_stats",
+    "stratified_sample", "orders_column_profile", "events_value_quantiles",
+    "approx_profile", "events_latest_per_user", "replay_dedup",
+    "clicks_asof_purchase",
 ]
 _CHANGED_THIS_ROUND = [
-    # round 7: the artifact cache's publish/existence/sweep protocol moved
-    # from driver-local os.rename to the Hadoop FileSystem API with a
-    # configurable root (artifacts.py — the round-6 verdict's lead item).
-    # Every ensure_artifact-transiting query with an r6 row re-certifies
-    # on the new substrate (minhash_signatures and ivf_centroids are in
-    # the stale list above, so all 11 artifact consumers are in-window):
-    "dedup_ngram_jaccard", "benchmark_contamination", "doc_bigram_novelty",
-    "minhash_lsh_pairs", "neardup_clusters", "training_corpus_stats",
-    "ivf_index_build", "ivf_topk", "ivf_topk_pruned",
+    # round 8 implementation changes (dedup_canonical — the hash-family
+    # extension — is already in the stale list above):
+    # - dedup_ngram_jaccard: map-side length filter moved to the division
+    #   form (round-7 ADVICE: the multiplication form dropped
+    #   exact-boundary pairs under floating point).
+    # - simhash_fingerprints / simhash_near_pairs: vote-bit source gained
+    #   the hash-family branch (md5 default unchanged; artifact
+    #   family-keyed).
+    # - bucketed_segment_revenue: bucketed tables became content-keyed
+    #   cross-session artifacts (external bucketed tables over the
+    #   artifact location).
+    "dedup_ngram_jaccard", "simhash_fingerprints", "simhash_near_pairs",
+    "bucketed_segment_revenue",
 ]
-# Out-of-window touches, documented (the window is exactly full — 41
-# stale + 9 changed — and the ≤1-round-stale invariant takes the slots):
-# 1. corpus_split_stats / stratified_sample: _hash_bucket gained a
-#    hash-family branch (round-6 verdict ask #4); the default (md5)
-#    branch is the character-identical expression, so the registered
-#    plans are unchanged — re-verified hash-green at sf0.001/0.01/0.1
-#    during round 7 (tools/check_correctness.py).
-# 2. approx_profile: the tolerance verdicts gained degenerate-group
-#    guards (round-6 ADVICE #1 — all-NULL user_id/value groups emitted
-#    NULL instead of a boolean). No such group exists in the driver
-#    corpus, so results are unchanged there — re-verified hash-green at
-#    sf0.001/0.01/0.1 during round 7; the guards are unit-tested on a
-#    degenerate fixture (tests/test_profiling.py).
-# 3. ann_recall_at_10 (composes ann_lsh_topk, which IS in the stale list
-#    above): inherits the hyperplane-signature artifact switch — the
-#    signature values are identical integers (parquet roundtrip exact),
-#    so the recall result is row-identical; re-verified hash-green at
-#    sf0.001/0.01/0.1 during round 7.
-_PRIORITY = _STALE_AFTER_R6 + _CHANGED_THIS_ROUND
+# Out-of-window touches, documented (45 of the 50 window slots are
+# claimed above; the rest of the window follows registration order):
+# 1. catalog.table_path/path_fingerprint/load_table became
+#    scheme-agnostic (round-7 verdict's lead item) — this transits EVERY
+#    registered query. For local sf_dirs (the driver contract) the code
+#    path is byte-identical os.stat statting and the same
+#    spark.read.parquet plan, so results are unchanged by construction;
+#    re-verified hash-green for all 91 queries at sf0.001/0.01/0.1
+#    during round 8 (tools/check_correctness.py on the final HEAD), and
+#    artifact keys were pinned unchanged against the pre-change code.
+_PRIORITY = _STALE_AFTER_R7 + _CHANGED_THIS_ROUND
 
 QUERIES: dict = {n: _ALL[n] for n in _PRIORITY if n in _ALL}
 QUERIES.update({n: v for n, v in _ALL.items() if n not in QUERIES})
