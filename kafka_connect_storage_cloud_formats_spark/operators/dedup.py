@@ -950,6 +950,41 @@ def _labels_driver_side(
     )
 
 
+def ensure_neardup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-keyed MATERIALIZED cluster-label table (doc_id, cluster_id) —
+    the serving split of the dedup pipeline: ``neardup_clusters`` is the
+    honest build job (it always runs the LSH join + connected components,
+    like ``ivf_index_build`` always rebuilds the index), while downstream
+    CONSUMERS (``training_corpus_stats`` and anything else that joins the
+    corpus against its cluster assignment) read this parquet instead of
+    re-running clustering per query. At 100 TB recomputing CC for every
+    downstream aggregation would repeat the corpus-scale pair join and the
+    iterative label loop; the label table is ~16 B/doc, built once per
+    corpus content, and every artifact-staleness guarantee (corpus
+    fingerprint + params token + atomic publish, artifacts.py) applies.
+
+    The params token carries every constant the labels depend on: the
+    signature chain's (K, shingle width), the strong-edge threshold, and
+    the decision-hash family (the two families' labels are pinned equal on
+    the driver corpus — tests/test_dedup.py — but a family is free to
+    diverge on adversarial content, so they must not share a cache path).
+    """
+    from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_path, ensure_artifact
+
+    family = hash_family()
+    ptag = (
+        f"k{MINHASH_K}n{SHINGLE_N}j{int(CLUSTER_MIN_EST_JACCARD * 100)}"
+        + ("" if family == "md5" else f"x{family}")
+    )
+    path = artifact_path("neardup_labels", sf_dir, "documents", params=ptag)
+    ensure_artifact(
+        path,
+        lambda tmp: _neardup_labels(spark, sf_dir).write.parquet(tmp),
+        spark=spark,
+    )
+    return spark.read.parquet(path)
+
+
 def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered form of :func:`_neardup_labels` with the deterministic
     presentation sort (downstream consumers use the unsorted labels — a

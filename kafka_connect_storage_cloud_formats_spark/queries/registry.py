@@ -105,6 +105,10 @@ _CHANGED_THIS_ROUND = [
     #   artifact location).
     "dedup_ngram_jaccard", "simhash_fingerprints", "simhash_near_pairs",
     "bucketed_segment_revenue",
+    # - training_corpus_stats: consumes the content-keyed near-dup label
+    #   artifact (dedup.ensure_neardup_labels) instead of re-running
+    #   clustering inline; the oracle still replays the full pipeline.
+    "training_corpus_stats",
 ]
 # Out-of-window touches, documented (45 of the 50 window slots are
 # claimed above; the rest of the window follows registration order):

@@ -540,3 +540,37 @@ def test_canonical_family_agrees_on_groups(spark, tmp_path):
     expected = {(1, 3, 3), (4, 2, 2), (6, 1, 1)}
     assert groups("md5") == expected
     assert groups("xxhash64") == expected
+
+
+def test_neardup_label_artifact_matches_live_clustering(spark, sf_dir):
+    """Round-8: the content-keyed cluster-label artifact
+    (ensure_neardup_labels — consumed by training_corpus_stats) must hold
+    exactly the (doc_id, cluster_id) rows the live clustering
+    (_neardup_labels, the registered neardup_clusters path) produces, and
+    a second consumer call must serve the published artifact instead of
+    rebuilding (longs — parquet roundtrip exact)."""
+    import os
+
+    from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_path
+    from kafka_connect_storage_cloud_formats_spark.operators.dedup import (
+        CLUSTER_MIN_EST_JACCARD,
+        MINHASH_K,
+        SHINGLE_N,
+        _neardup_labels,
+        ensure_neardup_labels,
+    )
+
+    path = artifact_path(
+        "neardup_labels", sf_dir, "documents",
+        params=f"k{MINHASH_K}n{SHINGLE_N}j{int(CLUSTER_MIN_EST_JACCARD * 100)}",
+    )
+    art = ensure_neardup_labels(spark, sf_dir)
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    stamp = os.stat(os.path.join(path, "_SUCCESS")).st_mtime_ns
+    ensure_neardup_labels(spark, sf_dir)  # second consumer: cache hit
+    assert os.stat(os.path.join(path, "_SUCCESS")).st_mtime_ns == stamp
+    got = {tuple(r) for r in art.collect()}
+    want = {tuple(r) for r in _neardup_labels(spark, sf_dir).collect()}
+    assert got == want
+    # every document is labeled exactly once
+    assert len(got) == spark.read.parquet(f"{sf_dir}/documents.parquet").count()
