@@ -53,7 +53,7 @@ import time
 import uuid
 from typing import Callable
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 from kafka_connect_storage_cloud_formats_spark.catalog import (
     canon_path,
@@ -168,14 +168,45 @@ def ensure_artifact(
     still re-runs ``build`` — that's what an index-build benchmark measures
     — but never replaces the published copy: same content key ⇒ same
     content)."""
-    fs = _fs_for(path, spark)
+    app = spark.sparkContext.applicationId if spark is not None else None
     success = path + "/_SUCCESS"
+    if app is not None and not force:
+        # Session memo (round 8): once THIS session has observed the
+        # published ``_SUCCESS``, re-verifying existence on every consumer
+        # call buys nothing — the artifact is immutable (path IS the
+        # content key), so the only thing a per-call FS round-trip could
+        # catch is an EXTERNAL deletion, which fails loudly at scan time
+        # anyway. The liveness TOUCH still matters (the sweep's grace
+        # window tracks consumer mtime), but a throttled refresh keeps it
+        # just as live: touches land at most ``ARTIFACT_TOUCH_INTERVAL_S``
+        # apart, far inside the 600 s sweep grace, while per-call
+        # consumers stop paying JVM FS round-trips (~30-40 ms each,
+        # × every artifact-transiting query × every trial). Each throttle
+        # firing re-verifies existence alongside the touch, so an
+        # externally-deleted artifact SELF-HEALS (rebuild) within one
+        # interval instead of wedging the session — callers that observe
+        # the deletion themselves can force the issue immediately via
+        # :func:`invalidate_session_memo`. Keyed by applicationId so a
+        # restarted session re-verifies against the filesystem.
+        last = _ENSURED.get((app, path))
+        if last is not None:
+            now = time.monotonic()
+            if now - last < ARTIFACT_TOUCH_INTERVAL_S:
+                return path
+            fs = _fs_for(path, spark)
+            if fs.exists(success):
+                fs.touch(path)
+                _ENSURED[(app, path)] = now
+                return path
+            invalidate_session_memo(path)  # vanished externally → rebuild
+    fs = _fs_for(path, spark)
     done = fs.exists(success)
     if done and not force:
         # consumer-open liveness: the sweep's grace window compares against
         # mtime, so a hit must refresh it or a >grace-long read of the
         # PREVIOUS generation could still lose it mid-scan (round-6 ADVICE)
         fs.touch(path)
+        _remember_ensured(app, path)
         return path
     tmp = _tmp_path(path)
     renamed = False
@@ -217,7 +248,98 @@ def ensure_artifact(
     # correct; the sweep keeps it bounded.
     if not done:
         _sweep_stale_siblings(path, fs)
+    _remember_ensured(app, path)
     return path
+
+
+# (applicationId, artifact path) → monotonic time of the last liveness
+# touch this session. Entries keyed by other applicationIds are evicted on
+# insert (dead sessions — same hygiene as catalog._TABLE_CACHE). A
+# superseded generation's entry simply goes unaddressed: consumers derive
+# the artifact path from the LIVE corpus fingerprint on every call, so a
+# regenerated corpus is a different key — never a stale hit.
+_ENSURED: dict[tuple[str, str], float] = {}
+ARTIFACT_TOUCH_INTERVAL_S = 60.0
+
+
+def _remember_ensured(app: str | None, path: str) -> None:
+    if app is None:
+        return
+    for k in [k for k in _ENSURED if k[0] != app]:
+        del _ENSURED[k]
+    _ENSURED[(app, path)] = time.monotonic()
+
+
+def invalidate_session_memo(path: str) -> None:
+    """Drop every session's ensured/DF memo for ``path``. For callers that
+    have just observed the artifact missing on the REAL filesystem
+    (external cleanup, a foreign sweep) and need the next
+    ``ensure_artifact``/``artifact_df`` to re-verify and rebuild NOW
+    rather than at the next touch-throttle firing."""
+    for k in [k for k in _ENSURED if k[1] == path]:
+        del _ENSURED[k]
+    for k in [k for k in _DF_CACHE if k[1] == path]:
+        del _DF_CACHE[k]
+
+
+# (applicationId, artifact path) → DataFrame over the published parquet.
+# The plan-build cost of re-opening an IMMUTABLE artifact (driver-side
+# file listing + footer schema inference, ~50-60 ms) is pure waste after
+# the first open: the path embeds the source-content fingerprint and the
+# params token, so — unlike catalog._TABLE_CACHE, which must re-validate
+# its fingerprint per call — a cached artifact plan can never go stale by
+# construction. Same metadata a metastore's table cache holds.
+_DF_CACHE: dict[tuple[str, str], "DataFrame"] = {}
+
+
+def artifact_df(
+    path: str,
+    build: Callable[[str], None],
+    spark: SparkSession,
+    force: bool = False,
+) -> "DataFrame":
+    """``ensure_artifact`` + memoized consumer open: returns a DataFrame
+    over the published artifact, serving the same immutable logical plan
+    to every consumer call in the session (liveness touch still refreshes
+    through the ``ensure_artifact`` fast path's throttle). ``force=True``
+    re-runs the build (never re-publishing — same content key ⇒ same
+    content) and re-opens, so force callers measure an honest build."""
+    app = spark.sparkContext.applicationId
+    key = (app, path)
+    if not force:
+        hit = _DF_CACHE.get(key)
+        if hit is not None:
+            # Throttled touch; a throttle firing that finds the artifact
+            # externally deleted invalidates this very cache entry and
+            # rebuilds — so re-check the cache before serving the plan
+            # (its file index would point at the dead part files).
+            ensure_artifact(path, build, spark=spark)
+            hit = _DF_CACHE.get(key)
+            if hit is not None:
+                return hit
+    ensure_artifact(path, build, spark=spark, force=force)
+    df = spark.read.parquet(path)
+    for k in [k for k in _DF_CACHE if k[0] != app]:
+        del _DF_CACHE[k]
+    _DF_CACHE[key] = df
+    return df
+
+
+def published_df(spark: SparkSession, path: str) -> "DataFrame":
+    """Memoized open of an artifact the caller has ALREADY ensured in this
+    very call chain (e.g. ``build_ivf_index`` returns only after both
+    index parts are published) — the same immutable-plan cache as
+    :func:`artifact_df`, without a second existence round-trip."""
+    app = spark.sparkContext.applicationId
+    key = (app, path)
+    hit = _DF_CACHE.get(key)
+    if hit is not None:
+        return hit
+    df = spark.read.parquet(path)
+    for k in [k for k in _DF_CACHE if k[0] != app]:
+        del _DF_CACHE[k]
+    _DF_CACHE[key] = df
+    return df
 
 
 # A sibling younger than this is never swept: a concurrent session that

@@ -340,7 +340,7 @@ def _ensure_minhash_sigs(
     the standard persisted intermediate of a dedup pipeline — ~100 B/doc,
     built once per corpus, consumed by every downstream stage. Signatures
     are hex strings, so the parquet roundtrip is exact (hash-neutral)."""
-    from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_path, ensure_artifact
+    from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_df, artifact_path
 
     family = family or hash_family()
     # family-keyed params token: the two families' signature tables have
@@ -355,14 +355,13 @@ def _ensure_minhash_sigs(
     # the shingle artifact and every downstream derivation (Jaccard pairs,
     # signatures) aggregates from it. Result is identical by construction
     # (tests/test_dedup.py pins artifact content against the direct chain).
-    ensure_artifact(
+    return artifact_df(
         path,
         lambda tmp: _sigs_from_shingles(
             ensure_shingle_rows(spark, sf_dir, SHINGLE_N), family=family
         ).write.parquet(tmp),
-        spark=spark,
+        spark,
     )
-    return spark.read.parquet(path)
 
 
 def _minhash_sql_core() -> str:
@@ -683,7 +682,7 @@ def _ensure_simhash_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature table's does (md5 keeps its historical token, so existing
     artifacts stay valid — an xxhash64 session builds and reads its own
     family-keyed table and can never serve md5 fingerprints)."""
-    from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_path, ensure_artifact
+    from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_df, artifact_path
 
     family = hash_family()
     path = artifact_path(
@@ -693,14 +692,13 @@ def _ensure_simhash_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
         params=f"b{SIMHASH_BITS}l{SIMHASH_LANE_BITS}"
         + ("" if family == "md5" else f"x{family}"),
     )
-    ensure_artifact(
+    return artifact_df(
         path,
         lambda tmp: _simhash_fp_from(
             load_table(spark, sf_dir, "documents"), family=family
         ).write.parquet(tmp),
-        spark=spark,
+        spark,
     )
-    return spark.read.parquet(path)
 
 
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -969,7 +967,7 @@ def ensure_neardup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver corpus — tests/test_dedup.py — but a family is free to
     diverge on adversarial content, so they must not share a cache path).
     """
-    from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_path, ensure_artifact
+    from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_df, artifact_path
 
     family = hash_family()
     ptag = (
@@ -977,12 +975,11 @@ def ensure_neardup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         + ("" if family == "md5" else f"x{family}")
     )
     path = artifact_path("neardup_labels", sf_dir, "documents", params=ptag)
-    ensure_artifact(
+    return artifact_df(
         path,
         lambda tmp: _neardup_labels(spark, sf_dir).write.parquet(tmp),
-        spark=spark,
+        spark,
     )
-    return spark.read.parquet(path)
 
 
 def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -103,6 +103,7 @@ def _ensure_bucketed_table(
     from kafka_connect_storage_cloud_formats_spark.artifacts import (
         artifact_path,
         ensure_artifact,
+        invalidate_session_memo,
     )
 
     path = artifact_path(
@@ -129,6 +130,12 @@ def _ensure_bucketed_table(
     from kafka_connect_storage_cloud_formats_spark.fsio import _fs_for
 
     was_published = _fs_for(path, spark).exists(path + "/_SUCCESS")
+    if not was_published:
+        # This site checks the REAL filesystem every call (it needs the
+        # published/vanished distinction for REFRESH TABLE below), so an
+        # externally-deleted artifact must bypass ensure_artifact's
+        # session memo and rebuild NOW — not at the next throttle firing.
+        invalidate_session_memo(path)
     ensure_artifact(path, build, spark=spark)
     if spark.catalog.tableExists(name):
         if not was_published:

@@ -61,7 +61,7 @@ def ensure_capped_shingle_rows(
     one task. The per-doc size window partitions by doc_id (bounded by
     document length). Params-keyed on both n and cap: retuning either
     can never serve a stale stream."""
-    from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_path, ensure_artifact
+    from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_df, artifact_path
 
     path = artifact_path("shingle_capped", sf_dir, "documents", params=f"n{n}c{cap}")
 
@@ -83,8 +83,7 @@ def ensure_capped_shingle_rows(
             "doc_id", "s", F.count(F.lit(1)).over(wdoc).alias("n_sh")
         ).write.parquet(tmp)
 
-    ensure_artifact(path, build, spark=spark)
-    return spark.read.parquet(path)
+    return artifact_df(path, build, spark)
 
 
 def ngram_occurrence_stream(docs: DataFrame, n: int) -> DataFrame:
@@ -109,16 +108,15 @@ def ensure_ngram_occurrence_rows(spark: SparkSession, sf_dir: str, n: int) -> Da
     ``n`` — same artifact protocol as :func:`ensure_shingle_rows`, its own
     ``ngram_occ`` kind (set vs multiset semantics must never share a
     cache path)."""
-    from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_path, ensure_artifact
+    from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_df, artifact_path
 
     path = artifact_path("ngram_occ", sf_dir, "documents", params=f"n{n}")
-    ensure_artifact(
+    return artifact_df(
         path,
         lambda tmp: ngram_occurrence_stream(load_table(spark, sf_dir, "documents"), n)
         .write.parquet(tmp),
-        spark=spark,
+        spark,
     )
-    return spark.read.parquet(path)
 
 
 def ensure_shingle_rows(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
@@ -127,13 +125,12 @@ def ensure_shingle_rows(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
     distinct artifacts; content-keyed so a regenerated corpus can never be
     served a stale stream. Shingles are plain strings, so the parquet
     roundtrip is exact (hash-neutral)."""
-    from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_path, ensure_artifact
+    from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_df, artifact_path
 
     path = artifact_path("shingle_rows", sf_dir, "documents", params=f"n{n}")
-    ensure_artifact(
+    return artifact_df(
         path,
         lambda tmp: shingle_stream(load_table(spark, sf_dir, "documents"), n)
         .write.parquet(tmp),
-        spark=spark,
+        spark,
     )
-    return spark.read.parquet(path)

@@ -220,7 +220,7 @@ def _ensure_hyperplane_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the artifact (shift/mask — pure JVM). Params-keyed on the plane
     count + dim: retuning the hyperplane family can never serve a stale
     table."""
-    from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_path, ensure_artifact
+    from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_df, artifact_path
 
     # The params token carries a digest of the ACTUAL hyperplane constants,
     # not just their shape: a future change to the RNG seed or rounding
@@ -233,14 +233,13 @@ def _ensure_hyperplane_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = artifact_path(
         "hyperplane_sig", sf_dir, "embeddings", params=f"p{N_PLANES}d{DIM}h{planes_tag}"
     )
-    ensure_artifact(
+    return artifact_df(
         path,
         lambda tmp: _load(spark, sf_dir)
         .select("vec_id", _signature_col().alias("sig"))
         .write.parquet(tmp),
-        spark=spark,
+        spark,
     )
-    return spark.read.parquet(path)
 
 
 def _band_rows(sig_tbl: DataFrame) -> DataFrame:
@@ -565,9 +564,11 @@ def ivf_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`ivf_topk` (same oracle SQL): the index changes the access path,
     never the answer.
     """
+    from kafka_connect_storage_cloud_formats_spark.artifacts import published_df
+
     index_path = build_ivf_index(spark, sf_dir)
     stored = _with_norm(
-        spark.read.parquet(index_path).select(
+        published_df(spark, index_path).select(
             "vec_id", "embedding", F.col("label").cast("long").alias("label")
         )
     )
@@ -580,7 +581,7 @@ def ivf_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # path of every probe (measured: 1–3 s of added latency/variance at
     # sf0.1; at 100 TB the probe's time-to-first-byte would eat the same
     # stall).
-    return _ivf_probe(spark, sf_dir, spark.read.parquet(index_path + "_centroids"), stored)
+    return _ivf_probe(spark, sf_dir, published_df(spark, index_path + "_centroids"), stored)
 
 
 # ------------------------------------------------- scalar-quantized (int8) kNN

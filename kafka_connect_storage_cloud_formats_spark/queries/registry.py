@@ -110,7 +110,7 @@ _CHANGED_THIS_ROUND = [
     #   clustering inline; the oracle still replays the full pipeline.
     "training_corpus_stats",
 ]
-# Out-of-window touches, documented (45 of the 50 window slots are
+# Out-of-window touches, documented (46 of the 50 window slots are
 # claimed above; the rest of the window follows registration order):
 # 1. catalog.table_path/path_fingerprint/load_table became
 #    scheme-agnostic (round-7 verdict's lead item) — this transits EVERY
@@ -120,6 +120,13 @@ _CHANGED_THIS_ROUND = [
 #    re-verified hash-green for all 91 queries at sf0.001/0.01/0.1
 #    during round 8 (tools/check_correctness.py on the final HEAD), and
 #    artifact keys were pinned unchanged against the pre-change code.
+# 2. artifacts.ensure_artifact/artifact_df gained a session-scoped
+#    consumer-open memo (throttled liveness touch + immutable-plan DF
+#    cache) — this transits every artifact-consuming query. The cache
+#    key embeds the corpus fingerprint and params token, so a stale hit
+#    is impossible by construction and the served plan reads the
+#    identical published files; re-verified hash-green for all 91
+#    queries at sf0.001/0.01/0.1 during round 8 on the final HEAD.
 _PRIORITY = _STALE_AFTER_R7 + _CHANGED_THIS_ROUND
 
 QUERIES: dict = {n: _ALL[n] for n in _PRIORITY if n in _ALL}

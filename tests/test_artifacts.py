@@ -94,11 +94,24 @@ def test_consumer_open_refreshes_mtime(tmp_path, spark):
         os.makedirs(tmp_dir)
         open(os.path.join(tmp_dir, "_SUCCESS"), "w").close()
 
+    import kafka_connect_storage_cloud_formats_spark.artifacts as A
+
     ensure_artifact(target, build, spark=spark)
     old = time.time() - 7200
     os.utime(target, (old, old))
     assert abs(os.stat(target).st_mtime - old) < 2
-    ensure_artifact(target, build, spark=spark)  # hit
+    # Round 8: consumer opens throttle the liveness touch — a hit within
+    # ARTIFACT_TOUCH_INTERVAL_S of the last session touch skips the FS
+    # round-trip (file mtime can never lag the memo by more than the
+    # interval in reality; only an external utime can fake it older).
+    ensure_artifact(target, build, spark=spark)  # hit inside throttle
+    assert abs(os.stat(target).st_mtime - old) < 2
+    # …and once the interval has elapsed, the next open refreshes mtime.
+    app = spark.sparkContext.applicationId
+    A._ENSURED[(app, target)] = (
+        time.monotonic() - A.ARTIFACT_TOUCH_INTERVAL_S - 1
+    )
+    ensure_artifact(target, build, spark=spark)  # hit past throttle
     assert time.time() - os.stat(target).st_mtime < 60
 
 
@@ -616,3 +629,38 @@ def test_sweep_works_under_metachar_artifact_root(tmp_path, monkeypatch, spark):
     ensure_artifact(p2, build, spark=spark)
     assert os.path.exists(os.path.join(p2, "_SUCCESS"))
     assert not os.path.exists(p1), "stale generation must sweep under a metachar root"
+
+
+def test_artifact_df_self_heals_after_external_delete(tmp_path, spark):
+    """Round-8 session memo: an artifact externally deleted mid-session
+    must be rebuilt at the next touch-throttle firing (the throttled
+    touch re-verifies existence), and the memoized DataFrame must be
+    re-opened over the NEW part files — not served with a dead file
+    index."""
+    import shutil
+
+    from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_df
+
+    target = str(tmp_path / "art")
+    builds = []
+
+    def build(tmp_dir):
+        builds.append(1)
+        spark.range(5).selectExpr("id AS v").write.parquet(tmp_dir)
+
+    df1 = artifact_df(target, build, spark)
+    assert df1.count() == 5 and builds == [1]
+    # memoized consumer open: no rebuild, same plan object
+    assert artifact_df(target, build, spark) is df1 and builds == [1]
+
+    shutil.rmtree(target)
+    # inside the throttle window the memo (correctly) serves the cached
+    # plan — the loss surfaces loudly at scan, not silently
+    app = spark.sparkContext.applicationId
+    _art._ENSURED[(app, target)] = (
+        time.monotonic() - _art.ARTIFACT_TOUCH_INTERVAL_S - 1
+    )
+    df2 = artifact_df(target, build, spark)
+    assert builds == [1, 1], "past the throttle the vanished artifact rebuilds"
+    assert df2 is not df1
+    assert df2.count() == 5
