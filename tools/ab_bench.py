@@ -34,6 +34,9 @@ if "--passes" in argv:
     i = argv.index("--passes")
     passes = int(argv[i + 1])
     argv = argv[:i] + argv[i + 2 :]
+keep_state = "--keep-state" in argv
+if keep_state:
+    argv.remove("--keep-state")
 tree_a, tree_b = argv[0], argv[1]
 subset = argv[2:]
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -44,21 +47,43 @@ from kafka_connect_storage_cloud_formats_spark.session import get_spark  # noqa:
 spark = get_spark("ab_bench")
 
 
-def load_entry(tree: str):
-    for m in [
+_PKG_PREFIXES = ("kafka_connect_storage_cloud_formats_spark", "__spark_entry__")
+_STASH: dict[str, dict] = {}  # tree -> its module-dict snapshot
+
+
+def _pkg_modules() -> list[str]:
+    return [
         k
         for k in sys.modules
-        if k.startswith("kafka_connect_storage_cloud_formats_spark") or k == "__spark_entry__"
-    ]:
-        del sys.modules[m]
+        if k.startswith(_PKG_PREFIXES[0]) or k == _PKG_PREFIXES[1]
+    ]
+
+
+def load_entry(tree: str, keep_state: bool = False):
+    """Make ``tree``'s package the importable one. Default: purge the
+    namespace (each pass starts module-cold — right for comparing pure
+    plan changes). ``keep_state``: STASH the outgoing tree's module dict
+    and restore ``tree``'s previous one, so per-tree module-level state
+    (session caches, memos) survives across passes — right when the
+    change under test IS cross-call state, which bench.py's single
+    process would keep too; module identity stays per-tree, so lazy
+    imports inside functions still resolve against their own tree."""
+    current = sys.path[0]
+    if keep_state and current in (tree_a, tree_b) and current != tree:
+        _STASH[current] = {m: sys.modules.pop(m) for m in _pkg_modules()}
+    else:
+        for m in _pkg_modules():
+            del sys.modules[m]
     sys.path[0] = tree
+    if keep_state and tree in _STASH:
+        sys.modules.update(_STASH.pop(tree))
     return importlib.import_module("__spark_entry__")
 
 
 results: dict = {}
 for p in range(passes):
     for tag, tree in (("A", tree_a), ("B", tree_b)):
-        qs = load_entry(tree).queries()
+        qs = load_entry(tree, keep_state=keep_state).queries()
         names = subset or list(qs)
         for name in names:
             if name not in qs:
