@@ -664,3 +664,49 @@ def test_artifact_df_self_heals_after_external_delete(tmp_path, spark):
     assert builds == [1, 1], "past the throttle the vanished artifact rebuilds"
     assert df2 is not df1
     assert df2.count() == 5
+
+
+def test_full_protocol_under_viewfs_root(tmp_path, monkeypatch, spark):
+    """Round-8: the artifact protocol on a genuinely NON-file scheme —
+    ``viewfs://`` over a local mount (the same second-scheme trick as
+    tests/test_catalog.py). ``file://`` URI roots still resolve to
+    LocalFileSystem; viewfs adds scheme resolution, mount-table
+    indirection and authority handling, so passing proves no
+    file:-specific assumption survives in the build/publish/hit/sweep
+    path."""
+    cache_local = str(tmp_path / "vcache")
+    os.makedirs(cache_local)
+    spark._jsc.hadoopConfiguration().set(
+        "fs.viewfs.mounttable.engineart.link./cache", f"file://{cache_local}"
+    )
+    monkeypatch.setenv(_art.ARTIFACT_ROOT_ENV, "viewfs://engineart/cache")
+    monkeypatch.setattr(_art, "SWEEP_GRACE_SECONDS", 0.0)
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    sf = _fake_corpus(corpus)
+
+    p1 = artifact_path("vart", sf, "documents", params="v1")
+    assert p1.startswith("viewfs://engineart/cache/")
+    builds = []
+
+    def build(tmp_dir):
+        builds.append(tmp_dir)
+        assert tmp_dir.startswith("viewfs://")
+        spark.range(4).withColumnRenamed("id", "v").write.parquet(tmp_dir)
+
+    ensure_artifact(p1, build, spark=spark)
+    assert builds and len(builds) == 1
+    assert spark.read.parquet(p1).count() == 4
+    ensure_artifact(p1, build, spark=spark)  # memoized hit: no rebuild
+    assert len(builds) == 1
+    # regeneration publishes the new generation and sweeps the old one
+    # through the viewfs-resolved FileSystem
+    _fake_corpus(corpus, b"v2-regenerated")
+    p2 = artifact_path("vart", sf, "documents", params="v1")
+    assert p2 != p1
+    ensure_artifact(p2, build, spark=spark)
+    assert len(builds) == 2
+    fs = _art._fs_for(p1, spark)
+    assert not fs.exists(p1), "stale generation must sweep through viewfs"
+    assert spark.read.parquet(p2).count() == 4
+    assert _litter(cache_local) == []
