@@ -363,6 +363,12 @@ SWEEP_GRACE_SECONDS = 600.0
 # the warning escalates to an error-level log naming the unbounded-cache
 # consequence. Counters reset on success (or on the sibling vanishing).
 _SWEEP_DELETE_FAILURES: dict[str, int] = {}
+# Consecutive failed sweep LISTINGS per parent dir: a glob that fails (not
+# one that matches nothing) blinds the sweep entirely — stale generations
+# accumulate just as unboundedly as under a failing delete, so the failure
+# is surfaced with the same warn→escalate contract instead of being
+# swallowed as an empty sweep.
+_SWEEP_LIST_FAILURES: dict[str, int] = {}
 SWEEP_FAIL_ESCALATE_AFTER = 3
 _LOG = logging.getLogger(__name__)
 
@@ -408,9 +414,32 @@ def _sweep_stale_siblings(path: str, fs: _HadoopFS | None = None) -> None:
     parent = os.path.dirname(path) or "."
     eparent = _glob_escape(parent)
     now = time.time()
-    entries = fs.glob_names_mtimes(eparent + "/engine_*") + fs.glob_names_mtimes(
-        eparent + "/_tmp.engine_*"
-    )
+    listed = [
+        fs.glob_names_mtimes(eparent + "/engine_*"),
+        fs.glob_names_mtimes(eparent + "/_tmp.engine_*"),
+    ]
+    if any(part is None for part in listed):
+        # the listing itself failed: the sweep is blind this round, and a
+        # PERSISTENT failure means the cache footprint is unbounded — the
+        # same condition as a failing delete, surfaced the same way
+        n = _SWEEP_LIST_FAILURES.get(parent, 0) + 1
+        _SWEEP_LIST_FAILURES[parent] = n
+        if n >= SWEEP_FAIL_ESCALATE_AFTER:
+            _LOG.error(
+                "artifact sweep: listing siblings under %s has failed %d "
+                "consecutive times (last error: %r) — stale generations "
+                "cannot be retired and the artifact cache footprint is no "
+                "longer bounded; fix the filesystem permission/quirk",
+                parent, n, fs.last_error,
+            )
+        else:
+            _LOG.warning(
+                "artifact sweep: failed to list siblings under %s "
+                "(attempt %d, last error: %r)", parent, n, fs.last_error,
+            )
+        return
+    _SWEEP_LIST_FAILURES.pop(parent, None)
+    entries = listed[0] + listed[1]
     for name, mtime in entries:
         core = name
         mw = tmp_wrap.fullmatch(core)

@@ -74,13 +74,20 @@ class _HadoopFS:
         except Exception as e:
             self.last_error = e  # advisory only — a failed touch narrows the grace window
 
-    def glob_names_mtimes(self, pattern: str) -> list[tuple[str, float]]:
-        """(basename, mtime_seconds) for paths matching a glob pattern."""
+    def glob_names_mtimes(self, pattern: str) -> list[tuple[str, float]] | None:
+        """(basename, mtime_seconds) for paths matching a glob pattern.
+        ``[]`` means the listing ran and matched nothing; ``None`` means the
+        LISTING ITSELF failed (``last_error`` holds the cause). Callers that
+        act on absence — the artifact sweep retires what it can no longer
+        see — must distinguish the two, or a failing filesystem silently
+        disables them (the same unbounded-cache hazard as a swallowed
+        sweep delete, one layer up)."""
         out: list[tuple[str, float]] = []
         try:
             statuses = self._fs.globStatus(self._jPath(pattern))
-        except Exception:
-            return out
+        except Exception as e:
+            self.last_error = e
+            return None
         if statuses is None:
             return out
         for st in statuses:

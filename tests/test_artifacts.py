@@ -360,6 +360,58 @@ def test_sweep_delete_failures_are_surfaced(tmp_path, monkeypatch, spark, caplog
     assert p1 not in _art._SWEEP_DELETE_FAILURES
 
 
+def test_sweep_listing_failures_are_surfaced(tmp_path, monkeypatch, spark, caplog):
+    """A failing sweep LISTING (globStatus raising — not an empty match)
+    blinds the sweep entirely: stale generations accumulate exactly as
+    under a failing delete, so it gets the same warn→escalate→reset
+    contract instead of being swallowed as 'nothing to sweep'."""
+    import logging
+
+    cache = str(tmp_path / "cache")
+    monkeypatch.setenv(_art.ARTIFACT_ROOT_ENV, cache)
+    monkeypatch.setattr(_art, "SWEEP_GRACE_SECONDS", 0.0)
+    os.makedirs(cache)
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    sf = _fake_corpus(corpus)
+
+    def build(tmp_dir):
+        os.makedirs(tmp_dir)
+        open(os.path.join(tmp_dir, "_SUCCESS"), "w").close()
+
+    p1 = artifact_path("sigs", sf, "documents", params="g1")
+    ensure_artifact(p1, build, spark=spark)
+    _fake_corpus(corpus, b"v2-regenerated")
+    p2 = artifact_path("sigs", sf, "documents", params="g1")
+    os.makedirs(p1, exist_ok=True)  # ensure a stale sibling exists on disk
+
+    fs = _art._fs_for(p2, spark)
+    orig_glob = fs.glob_names_mtimes
+
+    def failing_glob(pattern):
+        fs.last_error = PermissionError(13, "injected listing EACCES")
+        return None  # fsio contract: None = the listing itself failed
+
+    fs.glob_names_mtimes = failing_glob
+    parent = os.path.dirname(p2)
+    with caplog.at_level(logging.WARNING, logger=_art.__name__):
+        for _ in range(_art.SWEEP_FAIL_ESCALATE_AFTER):
+            _art._sweep_stale_siblings(p2, fs)
+    assert _art._SWEEP_LIST_FAILURES.get(parent) == _art.SWEEP_FAIL_ESCALATE_AFTER
+    assert os.path.exists(p1)  # blind sweep must not have deleted anything
+    warns = [r for r in caplog.records if "failed to list siblings" in r.getMessage()]
+    errors = [r for r in caplog.records if r.levelno >= logging.ERROR]
+    assert len(warns) == _art.SWEEP_FAIL_ESCALATE_AFTER - 1
+    assert len(errors) == 1 and "no longer bounded" in errors[0].getMessage()
+    assert "injected listing EACCES" in errors[0].getMessage()
+
+    # listing works again → sweep proceeds, counter cleared
+    fs.glob_names_mtimes = orig_glob
+    _art._sweep_stale_siblings(p2, fs)
+    assert parent not in _art._SWEEP_LIST_FAILURES
+    assert not os.path.exists(p1)
+
+
 def test_sweep_grace_period_spares_young_siblings(tmp_path, monkeypatch, spark):
     """A just-published previous-generation artifact is NOT swept while
     inside the grace window (a concurrent session may be mid-scan of it);
