@@ -170,6 +170,7 @@ def ensure_artifact(
     content)."""
     app = spark.sparkContext.applicationId if spark is not None else None
     success = path + "/_SUCCESS"
+    fs = None
     if app is not None and not force:
         # Session memo (round 8): once THIS session has observed the
         # published ``_SUCCESS``, re-verifying existence on every consumer
@@ -199,7 +200,8 @@ def ensure_artifact(
                 _ENSURED[(app, path)] = now
                 return path
             invalidate_session_memo(path)  # vanished externally → rebuild
-    fs = _fs_for(path, spark)
+    if fs is None:  # reuse the wrapper the self-heal path already built
+        fs = _fs_for(path, spark)
     done = fs.exists(success)
     if done and not force:
         # consumer-open liveness: the sweep's grace window compares against
@@ -210,10 +212,16 @@ def ensure_artifact(
         return path
     tmp = _tmp_path(path)
     renamed = False
+    publish_error: Exception | None = None
     try:
         build(tmp)
         if not fs.exists(success):
             renamed = fs.rename(tmp, path)
+            if not renamed:
+                # capture BEFORE the cleanup delete below, which can
+                # overwrite last_error with a tmp-cleanup failure and
+                # mask the actual publish failure in the diagnostic chain
+                publish_error = fs.last_error
     finally:
         if not renamed:
             fs.delete(tmp, recursive=True)
@@ -236,11 +244,12 @@ def ensure_artifact(
     # rename-incapable root — must fail loudly rather than let a reader
     # consume a partial artifact.
     if not fs.exists(success):
+        err = publish_error if publish_error is not None else fs.last_error
         raise RuntimeError(
             f"artifact publish failed: {path} has no _SUCCESS after build "
             f"(rename accepted: {renamed}; underlying filesystem error: "
-            f"{fs.last_error!r})"
-        ) from fs.last_error
+            f"{err!r})"
+        ) from err
     # A build ran and the artifact is live → retire the previous
     # generation. Without this, every corpus regeneration strands the old
     # fingerprint's directory forever — at 100 TB that's the index's full
@@ -292,6 +301,16 @@ def invalidate_session_memo(path: str) -> None:
 _DF_CACHE: dict[tuple[str, str], "DataFrame"] = {}
 
 
+def _cache_df(app: str, path: str, df: "DataFrame") -> "DataFrame":
+    """Insert into the immutable-plan cache with the standard hygiene:
+    entries keyed by OTHER applicationIds belong to stopped sessions and
+    are evicted on insert (same rule as catalog._TABLE_CACHE)."""
+    for k in [k for k in _DF_CACHE if k[0] != app]:
+        del _DF_CACHE[k]
+    _DF_CACHE[(app, path)] = df
+    return df
+
+
 def artifact_df(
     path: str,
     build: Callable[[str], None],
@@ -318,11 +337,7 @@ def artifact_df(
             if hit is not None:
                 return hit
     ensure_artifact(path, build, spark=spark, force=force)
-    df = spark.read.parquet(path)
-    for k in [k for k in _DF_CACHE if k[0] != app]:
-        del _DF_CACHE[k]
-    _DF_CACHE[key] = df
-    return df
+    return _cache_df(app, path, spark.read.parquet(path))
 
 
 def published_df(spark: SparkSession, path: str) -> "DataFrame":
@@ -335,11 +350,7 @@ def published_df(spark: SparkSession, path: str) -> "DataFrame":
     hit = _DF_CACHE.get(key)
     if hit is not None:
         return hit
-    df = spark.read.parquet(path)
-    for k in [k for k in _DF_CACHE if k[0] != app]:
-        del _DF_CACHE[k]
-    _DF_CACHE[key] = df
-    return df
+    return _cache_df(app, path, spark.read.parquet(path))
 
 
 # A sibling younger than this is never swept: a concurrent session that

@@ -55,16 +55,31 @@ class _HadoopFS:
     def delete(self, p: str, recursive: bool = True) -> bool:
         """True iff the path is gone (deleted, or was already absent).
         Publish-path callers re-verify via ``_SUCCESS``; the artifact
-        sweep uses the return value to surface persistent failures."""
+        sweep uses the return value to surface persistent failures.
+
+        Hadoop signals MOST delete failures as a ``false`` return, not an
+        exception (e.g. EACCES inside ``FileUtil.fullyDelete`` on the
+        local FS) — and also returns ``false`` for an already-absent
+        path. Both the raise and the false branch therefore adjudicate by
+        existence: absent ⇒ gone ⇒ success; still-present ⇒ failure. A
+        dropped boolean here would report permission failures as
+        successes and silently blind the sweep's failure surfacing."""
         try:
-            self._fs.delete(self._jPath(p), recursive)
+            ok = bool(self._fs.delete(self._jPath(p), recursive))
         except Exception as e:
             self.last_error = e
             try:
                 return not self.exists(p)  # vanished underneath us: success
             except Exception:
                 return False
-        return True
+        if ok:
+            return True
+        self.last_error = None  # Hadoop-style false, no exception to chain
+        try:
+            return not self.exists(p)  # false + absent = was already gone
+        except Exception as e:
+            self.last_error = e
+            return False
 
     def touch(self, p: str) -> None:
         """Refresh mtime (liveness signal for the sweep grace window,

@@ -17,6 +17,7 @@ bottleneck at 100 TB:
 
 from __future__ import annotations
 
+import hashlib
 import os
 import re
 
@@ -79,6 +80,26 @@ def salted_join(
 N_BUCKETS = 16
 
 
+def bucketed_artifact_path(
+    spark: SparkSession, sf_dir: str, source: str, df: DataFrame, kind: str
+) -> str:
+    """Artifact location of the bucketed copy of ``df``. The params token
+    names EVERY constant of the derivation (the artifact contract: same
+    path ⇒ same content): bucket count, bucket/sort key, and the
+    projection's column names AND types. Without the schema digest, a
+    future change to the projection would reuse the old files under a new
+    declared schema — Spark's parquet reader would fill the missing
+    columns with NULLs instead of rebuilding (the minhash/simhash
+    artifacts key K/width/family into params for the same reason)."""
+    from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_path
+
+    spec = f"{N_BUCKETS}|custkey|" + ",".join(
+        f"{f.name}:{f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    params = "b" + hashlib.md5(spec.encode()).hexdigest()[:8]
+    return artifact_path(kind, sf_dir, source, params=params, spark=spark)
+
+
 def _ensure_bucketed_table(
     spark: SparkSession, sf_dir: str, source: str, df: DataFrame, kind: str
 ) -> str:
@@ -101,14 +122,11 @@ def _ensure_bucketed_table(
     generation retirement, and vanished-files self-heal (a missing
     ``_SUCCESS`` rebuilds)."""
     from kafka_connect_storage_cloud_formats_spark.artifacts import (
-        artifact_path,
         ensure_artifact,
         invalidate_session_memo,
     )
 
-    path = artifact_path(
-        kind, sf_dir, source, params=f"b{N_BUCKETS}", spark=spark
-    )
+    path = bucketed_artifact_path(spark, sf_dir, source, df, kind)
     # Content-keyed table name (identifier-safe form of the path
     # basename): two sessions over the same corpus agree on it — the name
     # is per-session catalog metadata, the data underneath is the shared
@@ -147,12 +165,51 @@ def _ensure_bucketed_table(
         ddl_cols = ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
         )
+        # the artifact root is user-controlled (SPARK_GRAFT_ARTIFACT_ROOT)
+        # and may contain string-literal metacharacters; escape them the
+        # way Spark's parser unescapes (backslash escapes) so a root like
+        # /tmp/o'brien works here exactly as it does in the sweep's
+        # glob-escaped listing
+        loc = path.replace("\\", "\\\\").replace("'", "\\'")
         spark.sql(
             f"CREATE TABLE {name} ({ddl_cols}) USING PARQUET "
             f"CLUSTERED BY (custkey) SORTED BY (custkey) "
-            f"INTO {N_BUCKETS} BUCKETS LOCATION '{path}'"
+            f"INTO {N_BUCKETS} BUCKETS LOCATION '{loc}'"
         )
     return name
+
+
+def _orders_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_connect_storage_cloud_formats_spark.catalog import load_table
+
+    return load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+
+
+def _customer_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_connect_storage_cloud_formats_spark.catalog import load_table
+
+    return load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+
+
+def bucketed_artifact_paths(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """The artifact locations ``bucketed_segment_revenue`` uses — exposed
+    for tests and ops tooling so path derivation lives in ONE place."""
+    return {
+        "bkt_orders": bucketed_artifact_path(
+            spark, sf_dir, "orders", _orders_projection(spark, sf_dir), "bkt_orders"
+        ),
+        "bkt_customer": bucketed_artifact_path(
+            spark,
+            sf_dir,
+            "customer",
+            _customer_projection(spark, sf_dir),
+            "bkt_customer",
+        ),
+    }
 
 
 def bucketed_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -169,25 +226,16 @@ def bucketed_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns per-market-segment order counts and revenue — results are
     identical to the plain join (the oracle), only the physical plan
     differs."""
-    from kafka_connect_storage_cloud_formats_spark.catalog import load_table
     from kafka_connect_storage_cloud_formats_spark.queries.relational import dsum
 
     ot = _ensure_bucketed_table(
-        spark,
-        sf_dir,
-        "orders",
-        load_table(spark, sf_dir, "orders").select(
-            F.col("o_custkey").alias("custkey"), "o_totalprice"
-        ),
-        "bkt_orders",
+        spark, sf_dir, "orders", _orders_projection(spark, sf_dir), "bkt_orders"
     )
     ct = _ensure_bucketed_table(
         spark,
         sf_dir,
         "customer",
-        load_table(spark, sf_dir, "customer").select(
-            F.col("c_custkey").alias("custkey"), "c_mktsegment"
-        ),
+        _customer_projection(spark, sf_dir),
         "bkt_customer",
     )
     return (

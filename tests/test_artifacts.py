@@ -360,6 +360,37 @@ def test_sweep_delete_failures_are_surfaced(tmp_path, monkeypatch, spark, caplog
     assert p1 not in _art._SWEEP_DELETE_FAILURES
 
 
+def test_delete_honors_hadoop_false_return(tmp_path, spark):
+    """Hadoop signals most delete failures as a ``false`` RETURN, not an
+    exception (EACCES inside FileUtil.fullyDelete) — and also returns
+    false for an already-absent path. The wrapper must adjudicate both by
+    existence: a dropped boolean would report permission failures as
+    successes and silently blind the sweep's failure surfacing. This
+    drives the REAL Python-side delete logic with a JVM stub (the earlier
+    sweep tests monkeypatch fs.delete itself, which cannot catch this)."""
+    victim = tmp_path / "victim"
+    victim.mkdir()
+    (victim / "f").write_bytes(b"x")
+    fs = _art._fs_for(str(tmp_path), spark)
+
+    class FalseDeletingFS:
+        def __init__(self, real):
+            self._real = real
+
+        def delete(self, jpath, recursive):
+            return False  # Hadoop-style failure: false, no exception
+
+        def __getattr__(self, name):
+            return getattr(self._real, name)
+
+    fs._fs = FalseDeletingFS(fs._fs)
+    # path still exists + false return → FAILURE, not success
+    assert fs.delete(str(victim)) is False
+    assert victim.exists()
+    # absent path + false return → was already gone → success
+    assert fs.delete(str(tmp_path / "never-existed")) is True
+
+
 def test_sweep_listing_failures_are_surfaced(tmp_path, monkeypatch, spark, caplog):
     """A failing sweep LISTING (globStatus raising — not an empty match)
     blinds the sweep entirely: stale generations accumulate exactly as

@@ -152,9 +152,8 @@ def test_bucketed_segment_revenue_self_heals_after_sweep(spark, sf_dir):
     index instead of failing at scan time on the dead listing."""
     import shutil
 
-    from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_path
     from kafka_connect_storage_cloud_formats_spark.operators.scale_utils import (
-        N_BUCKETS,
+        bucketed_artifact_paths,
         bucketed_segment_revenue,
     )
 
@@ -162,11 +161,7 @@ def test_bucketed_segment_revenue_self_heals_after_sweep(spark, sf_dir):
     assert len(first) == 5
     # simulate the sweep: delete both published artifacts while the
     # session catalog still holds the external-table entries
-    victims = [
-        artifact_path(kind, sf_dir, src, params=f"b{N_BUCKETS}")
-        for kind, src in (("bkt_orders", "orders"), ("bkt_customer", "customer"))
-    ]
-    for p in victims:
+    for p in bucketed_artifact_paths(spark, sf_dir).values():
         shutil.rmtree(p)
     healed = bucketed_segment_revenue(spark, sf_dir).collect()
     assert sorted(map(tuple, healed)) == sorted(map(tuple, first))
@@ -181,14 +176,13 @@ def test_bucketed_tables_are_cross_session_artifacts(spark, sf_dir):
     import os
     import re
 
-    from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_path
     from kafka_connect_storage_cloud_formats_spark.operators.scale_utils import (
-        N_BUCKETS,
+        bucketed_artifact_paths,
         bucketed_segment_revenue,
     )
 
     first = bucketed_segment_revenue(spark, sf_dir).collect()
-    path = artifact_path("bkt_orders", sf_dir, "orders", params=f"b{N_BUCKETS}")
+    path = bucketed_artifact_paths(spark, sf_dir)["bkt_orders"]
     stamp = os.stat(os.path.join(path, "_SUCCESS")).st_mtime_ns
     name = re.sub(r"\W", "_", os.path.basename(path))
     spark.sql(f"DROP TABLE {name}")
@@ -197,3 +191,28 @@ def test_bucketed_tables_are_cross_session_artifacts(spark, sf_dir):
     assert (
         os.stat(os.path.join(path, "_SUCCESS")).st_mtime_ns == stamp
     ), "artifact must not rebuild for a fresh catalog"
+
+
+def test_bucketed_artifact_path_keys_the_projection_schema(spark, sf_dir):
+    """The params token digests the projection's columns AND types (plus
+    bucket count and key): a changed projection must land at a NEW
+    artifact path — reusing the old files under a new declared schema
+    would let Spark's parquet reader fill the missing columns with NULLs
+    instead of rebuilding."""
+    from kafka_connect_storage_cloud_formats_spark.catalog import load_table
+    from kafka_connect_storage_cloud_formats_spark.operators.scale_utils import (
+        bucketed_artifact_path,
+    )
+    from pyspark.sql import functions as F
+
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    widened = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice", "o_orderdate"
+    )
+    retyped = base.withColumn("o_totalprice", F.col("o_totalprice").cast("float"))
+    p0 = bucketed_artifact_path(spark, sf_dir, "orders", base, "bkt_orders")
+    assert bucketed_artifact_path(spark, sf_dir, "orders", base, "bkt_orders") == p0
+    assert bucketed_artifact_path(spark, sf_dir, "orders", widened, "bkt_orders") != p0
+    assert bucketed_artifact_path(spark, sf_dir, "orders", retyped, "bkt_orders") != p0
