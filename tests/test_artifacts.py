@@ -793,3 +793,93 @@ def test_full_protocol_under_viewfs_root(tmp_path, monkeypatch, spark):
     assert not fs.exists(p1), "stale generation must sweep through viewfs"
     assert spark.read.parquet(p2).count() == 4
     assert _litter(cache_local) == []
+
+
+def test_cross_process_publish_race(tmp_path):
+    """Two REAL driver processes — separate Python interpreters, separate
+    JVMs, separate applicationIds (so no session memo can short-circuit
+    either) — race ``ensure_artifact`` on the same path. Every prior race
+    test interleaves builders inside one process; this is the protocol's
+    actual deployment claim: independent Spark drivers sharing one
+    artifact root converge on ONE published generation, the loser's build
+    discards quietly, neither errors, and both read identical content
+    through the published path.
+
+    A file barrier releases both racers only after BOTH have finished JVM
+    startup, so the ensure_artifact calls overlap with near-certainty
+    (each build writes real parquet through executors, ~seconds). The
+    assertions hold under any interleaving — worst case the test degrades
+    to publish-then-hit, never to a false failure."""
+    import subprocess
+    import sys
+    import textwrap
+
+    root = tmp_path / "cache"
+    root.mkdir()
+    # a name the sweep recognizes (engine_<kind>_<sftag>-<phash>_<fp12>)
+    target = str(root / ("engine_race_corpus-abc123_" + "0" * 12))
+    barrier = str(tmp_path / "go")
+    racer = tmp_path / "racer.py"
+    racer.write_text(textwrap.dedent("""
+        import os, sys, time
+        sys.path.insert(0, "/root/repo")
+        from pyspark.sql import SparkSession
+        from kafka_connect_storage_cloud_formats_spark.artifacts import ensure_artifact
+
+        target, barrier, ready = sys.argv[1:4]
+        spark = (
+            SparkSession.builder.master("local[2]")
+            .config("spark.sql.shuffle.partitions", "2")
+            .config("spark.ui.enabled", "false")
+            .appName("racer-" + ready)
+            .getOrCreate()
+        )
+
+        def build(tmp_dir):
+            spark.range(100).withColumnRenamed("id", "v").write.parquet(tmp_dir)
+
+        open(ready, "w").close()
+        deadline = time.time() + 120
+        while not os.path.exists(barrier):
+            if time.time() > deadline:
+                raise SystemExit("barrier never opened")
+            time.sleep(0.02)
+        ensure_artifact(target, build, spark=spark)
+        total = spark.read.parquet(target).agg({"v": "sum"}).collect()[0][0]
+        assert total == 4950, total
+        print("RACER_OK", flush=True)
+        spark.stop()
+    """))
+
+    procs = []
+    readies = []
+    for i in range(2):
+        ready = str(tmp_path / f"ready{i}")
+        readies.append(ready)
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(racer), target, barrier, ready],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+                cwd=str(tmp_path),
+            )
+        )
+    deadline = time.time() + 180
+    while not all(os.path.exists(r) for r in readies):
+        assert time.time() < deadline, "racer JVM startup timed out"
+        assert all(p.poll() is None for p in procs), [
+            p.communicate()[0][-2000:] for p in procs if p.poll() is not None
+        ]
+        time.sleep(0.1)
+    open(barrier, "w").close()
+    outs = [p.communicate(timeout=240)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0 and "RACER_OK" in out, out[-2000:]
+    # exactly one published generation, nothing else visible, no litter
+    assert os.path.exists(os.path.join(target, "_SUCCESS"))
+    siblings = sorted(os.listdir(root))
+    assert siblings == [os.path.basename(target)], siblings
+    assert _litter(str(root)) == []
+    # no nested hidden tmp dir survived inside the winner either
+    assert _litter(target) == []
