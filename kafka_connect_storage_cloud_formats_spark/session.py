@@ -33,11 +33,39 @@ _SQL_CONFS: dict[str, str] = {
 }
 
 
+# Parent directory of the installed package — what executor Python workers
+# must have on their import path to unpickle the engine's Pandas UDFs.
+_PKG_PARENT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _ensure_worker_import_path() -> None:
+    """Export the package parent on ``PYTHONPATH`` BEFORE the JVM starts.
+
+    The driver process typically imports the engine via ``sys.path`` (repo
+    CWD or an explicit insert) — but ``sys.path`` is process state, not
+    environment, so the Python workers the local-mode JVM forks don't
+    inherit it: any Pandas-UDF query run from a foreign CWD dies with
+    ``ModuleNotFoundError`` in the worker (measured — see SCALE.md,
+    local-vs-cluster notes). Exporting ``PYTHONPATH`` here reaches those
+    workers because the JVM inherits the driver's environment and hands it
+    to the workers it spawns. Local/driver-side only by construction: on a
+    real cluster, executors are separate machines — ship the package the
+    standard way (``--py-files``, ``spark.submit.pyFiles``, or an image
+    install). No-op when already importable that way."""
+    cur = os.environ.get("PYTHONPATH", "")
+    parts = cur.split(os.pathsep) if cur else []
+    if _PKG_PARENT not in parts:
+        os.environ["PYTHONPATH"] = (
+            os.pathsep.join([_PKG_PARENT] + parts) if parts else _PKG_PARENT
+        )
+
+
 def get_spark(app_name: str = "kafka_connect_storage_cloud_formats_spark") -> SparkSession:
     """Create (or reuse) the engine's SparkSession.
 
     Honors ``SPARK_GRAFT_CPUS`` for local parallelism (driver contract).
     """
+    _ensure_worker_import_path()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
