@@ -139,8 +139,15 @@ def _ensure_bucketed_table(
         # EXTERNAL table at the artifact's tmp dir, then drop the catalog
         # entry (files stay — external semantics). ensure_artifact
         # publishes the directory atomically; the file names keep their
-        # bucket-id suffixes, which is all a bucketed scan needs.
-        scratch = f"{name}__build"
+        # bucket-id suffixes, which is all a bucketed scan needs. The
+        # scratch name carries the applicationId: catalog entries are
+        # per-session under the in-memory catalog but SHARED under a Hive
+        # metastore, where two drivers racing the same content key would
+        # otherwise DROP/CREATE each other's scratch entry mid-write
+        # (the artifact publish adjudicates the RENAME race, not this
+        # earlier catalog-name collision).
+        app = re.sub(r"\W", "_", spark.sparkContext.applicationId)
+        scratch = f"{name}__build_{app}"
         spark.sql(f"DROP TABLE IF EXISTS {scratch}")
         write_bucketed(df, scratch, ("custkey",), n_buckets=N_BUCKETS, path=tmp)
         spark.sql(f"DROP TABLE {scratch}")
@@ -171,8 +178,12 @@ def _ensure_bucketed_table(
         # /tmp/o'brien works here exactly as it does in the sweep's
         # glob-escaped listing
         loc = path.replace("\\", "\\\\").replace("'", "\\'")
+        # IF NOT EXISTS: under a shared metastore a concurrent session can
+        # create the entry between our tableExists probe and this CREATE —
+        # benign (same content-keyed name ⇒ same schema, same location),
+        # so losing that race must not raise.
         spark.sql(
-            f"CREATE TABLE {name} ({ddl_cols}) USING PARQUET "
+            f"CREATE TABLE IF NOT EXISTS {name} ({ddl_cols}) USING PARQUET "
             f"CLUSTERED BY (custkey) SORTED BY (custkey) "
             f"INTO {N_BUCKETS} BUCKETS LOCATION '{loc}'"
         )
