@@ -186,3 +186,78 @@ def test_word_shingles_match_python_reference(spark, docs, n):
     }
     for i, d in rows:
         assert got[i] == _py_shingles(d, n), (d, n, got[i])
+
+
+# ------------------------------------------------------------ artifact naming
+# The sweep's ability to retire stale generations rests on ONE syntactic
+# invariant: every basename artifact_path produces (plus the suffixes
+# callers append, e.g. the IVF index's "_centroids") must parse under
+# artifacts._ARTIFACT_RE into (prefix, fingerprint, suffix) EXACTLY — a
+# format drift that breaks the parse doesn't fail any query, it silently
+# stops generation retirement and unbounds the cache footprint. Pin the
+# parse over the full constructor alphabet. The one contract on caller-
+# appended suffixes: no underscore-delimited SEGMENT of a suffix may be
+# exactly 12 hex chars — such a segment is indistinguishable from a
+# fingerprint, and the greedy prefix would swallow the real fingerprint
+# and misparse (all real suffixes satisfy this — "_centroids").
+_kind = st.text(alphabet="abcdefghijklmnopqrstuvwxyz_", min_size=1, max_size=20)
+_params = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789", min_size=0, max_size=16
+)
+# sf_dir basenames: anything a directory is named short of a path separator
+_base = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789.-_",
+    min_size=1,
+    max_size=16,
+)
+_hex6 = st.text(alphabet="0123456789abcdef", min_size=6, max_size=6)
+_hex12 = st.text(alphabet="0123456789abcdef", min_size=12, max_size=12)
+def _no_fp_like_segment(s: str) -> bool:
+    return all(
+        not (len(seg) == 12 and all(c in "0123456789abcdef" for c in seg))
+        for seg in s.split("_")
+    )
+
+
+_suffix = st.one_of(
+    st.just(""),
+    st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz0123456789_", min_size=1, max_size=16
+    )
+    .filter(_no_fp_like_segment)
+    .map(lambda s: "_" + s),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_kind, _params, _base, _hex6, _hex12, _suffix)
+def test_artifact_basename_parses_for_sweep(kind, params, base, phash, fp, suffix):
+    from kafka_connect_storage_cloud_formats_spark.artifacts import _ARTIFACT_RE
+
+    ptag = f"_{params}" if params else ""
+    name = f"engine_{kind}{ptag}_{base}-{phash}_{fp}{suffix}"
+    m = _ARTIFACT_RE.match(name)
+    assert m, name
+    pre, got_fp, got_suf = m.groups()
+    assert got_fp == fp, name
+    assert got_suf == suffix, name
+    assert pre == f"engine_{kind}{ptag}_{base}-{phash}_", name
+    # and the sweep's derived sibling matcher recognizes another
+    # generation of the same family while never matching the live name
+    # with a DIFFERENT family suffix
+    sibling = re.compile(re.escape(pre) + r"([0-9a-f]{12})" + re.escape(got_suf) + "$")
+    other_fp = ("0" * 12) if fp != "0" * 12 else ("1" * 12)
+    assert sibling.fullmatch(f"{pre}{other_fp}{got_suf}").group(1) == other_fp
+
+
+def test_fp_like_suffix_segment_would_misparse():
+    """The negative space of the contract above: a suffix whose final
+    underscore-segment IS 12 hex chars makes the greedy parse swallow the
+    real fingerprint — demonstrating why callers must never append one.
+    The codebase's one real suffix satisfies the contract."""
+    from kafka_connect_storage_cloud_formats_spark.artifacts import _ARTIFACT_RE
+
+    assert _no_fp_like_segment("centroids")
+    name = "engine_kind_sf0.1-abc123_" + "a" * 12 + "_" + "b" * 12
+    m = _ARTIFACT_RE.match(name)
+    assert m and m.group(2) == "b" * 12  # the SUFFIX segment won, not the fp
