@@ -810,17 +810,44 @@ ORDER BY d1, d2
 """
 
 
+def ensure_knn_ground_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-keyed EXACT ground-truth table (q_id, neighbor_id, cosine):
+    :func:`knn_bruteforce`'s result, materialized once per corpus content
+    through the artifact protocol and shared by every recall evaluation —
+    the same shape every published ANN benchmark ships (the SIFT/GIST
+    ground-truth files): at 100 TB an exact O(Q·N) scan per evaluation
+    RUN is not a thing you recompute, it's the one-time cost that makes
+    every subsequent (index, quantizer, probe-width) sweep cheap.
+    ``knn_bruteforce`` itself stays the honest live scan (like
+    ``ivf_index_build`` / ``neardup_clusters``, it measures the build);
+    consumers evaluating AGAINST the truth read this table. Exactness:
+    the result is deterministic (ties broken by neighbor_id) and doubles
+    roundtrip parquet bit-exactly, so artifact-vs-live is pinned equal in
+    tests/test_similarity.py. Params: the query-subset stride and k —
+    retuning either derives a different table, never a stale read."""
+    from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_df, artifact_path
+
+    path = artifact_path(
+        "knn_gt", sf_dir, "embeddings", params=f"q{QUERY_MOD}k{TOP_K}"
+    )
+    return artifact_df(
+        path,
+        lambda tmp: knn_bruteforce(spark, sf_dir).write.parquet(tmp),
+        spark,
+    )
+
+
 def ann_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality evaluation of the ANN index: recall@10 of hyperplane-LSH vs
     the exact brute-force baseline (measure, don't guess). One row:
     (n_queries, hits, possible, recall). Deterministic on both engines, so
     even the *evaluation* is oracle-gated."""
     # bf is consumed twice (the possible-count aggregate and the semi
-    # join). Measured round 6: materializing it (lazy localCheckpoint of
-    # the ≤ Q·k-row result) LOSES ~0.3 s at sf0.1 — the checkpoint
-    # barrier costs more than the duplicated single-scan mapInPandas it
-    # saves — so the duplication stays deliberate.
-    bf = knn_bruteforce(spark, sf_dir).select("q_id", "neighbor_id")
+    # join) — both reads hit the ground-truth artifact (a Q·k-row parquet),
+    # so neither pays the corpus scan. (Round 6 had measured a lazy
+    # localCheckpoint of the live bf result as a ~0.3 s LOSS; the artifact
+    # read replaces that whole trade.)
+    bf = ensure_knn_ground_truth(spark, sf_dir).select("q_id", "neighbor_id")
     ann = ann_lsh_topk(spark, sf_dir).select("q_id", "neighbor_id")
     hits = bf.join(ann, ["q_id", "neighbor_id"], "left_semi")
     return (
@@ -886,8 +913,9 @@ ANN_RECALL_SQL = _ann_recall_sql()
 def sq8_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality evaluation of the int8 tier: recall@10 of sq8_topk vs the
     exact brute-force baseline — like ann_recall_at_10, the evaluation
-    itself is deterministic on both engines and oracle-gated."""
-    bf = knn_bruteforce(spark, sf_dir).select("q_id", "neighbor_id")
+    itself is deterministic on both engines and oracle-gated. Consumes
+    the ground-truth artifact (:func:`ensure_knn_ground_truth`)."""
+    bf = ensure_knn_ground_truth(spark, sf_dir).select("q_id", "neighbor_id")
     sq = sq8_topk(spark, sf_dir).select("q_id", "neighbor_id")
     hits = bf.join(sq, ["q_id", "neighbor_id"], "left_semi")
     return (

@@ -109,6 +109,13 @@ _CHANGED_THIS_ROUND = [
     #   artifact (dedup.ensure_neardup_labels) instead of re-running
     #   clustering inline; the oracle still replays the full pipeline.
     "training_corpus_stats",
+    # - sq8_recall_at_10: consumes the exact-kNN ground-truth artifact
+    #   (similarity.ensure_knn_ground_truth) instead of re-running the
+    #   brute-force scan per evaluation; the oracle still recomputes the
+    #   exact baseline inline. (ann_recall_at_10 changed identically and
+    #   is already in the stale list above; knn_bruteforce itself is
+    #   UNCHANGED — it remains the honest live scan.)
+    "sq8_recall_at_10",
 ]
 # Out-of-window touches, documented (46 of the 50 window slots are
 # claimed above; the rest of the window follows registration order):

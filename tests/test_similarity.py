@@ -109,3 +109,23 @@ def test_sq8_quantize_bounds():
     q, n = _sq8_quantize(M)
     assert q.max() <= 127 and q.min() >= -127
     assert (q[1] == 0).all() and n[1] == 0
+
+
+def test_knn_ground_truth_artifact_matches_live_bruteforce(spark, sf_dir):
+    """The ground-truth artifact both recall queries consume must be
+    BIT-equal to the live brute-force result: the result is deterministic
+    (ties broken by neighbor_id) and doubles roundtrip parquet exactly,
+    so any divergence is a staleness or codec bug, never tolerance."""
+    from kafka_connect_storage_cloud_formats_spark.operators.similarity import (
+        ensure_knn_ground_truth,
+    )
+
+    live = {
+        (r["q_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in knn_bruteforce(spark, sf_dir).collect()
+    }
+    art = {
+        (r["q_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in ensure_knn_ground_truth(spark, sf_dir).collect()
+    }
+    assert art == live  # exact doubles — no tolerance
