@@ -216,3 +216,95 @@ def test_bucketed_artifact_path_keys_the_projection_schema(spark, sf_dir):
     assert bucketed_artifact_path(spark, sf_dir, "orders", base, "bkt_orders") == p0
     assert bucketed_artifact_path(spark, sf_dir, "orders", widened, "bkt_orders") != p0
     assert bucketed_artifact_path(spark, sf_dir, "orders", retyped, "bkt_orders") != p0
+
+
+def test_cross_process_bucketed_build_race(tmp_path):
+    """Two REAL driver processes (separate JVMs, separate applicationIds,
+    separate session catalogs) race the bucketed-artifact build for the
+    same corpus under one shared artifact root — the shared-metastore
+    deployment shape the scratch-name/IF-NOT-EXISTS hardening targets.
+    Both must converge on ONE published generation per bucketed artifact
+    (orders + customer), neither may error, and both must compute the
+    identical segment-revenue result through their external bucketed
+    tables. A file barrier releases the racers only after both JVMs are
+    up, so the ensure_artifact calls overlap with near-certainty."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+    import time
+
+    root = tmp_path / "cache"
+    root.mkdir()
+    sf_dir = "/root/testdata/sf0.001"
+    barrier = str(tmp_path / "go")
+    racer = tmp_path / "racer.py"
+    racer.write_text(textwrap.dedent("""
+        import os, sys, time
+        root, barrier, ready, sf_dir = sys.argv[1:5]
+        os.environ["SPARK_GRAFT_ARTIFACT_ROOT"] = root
+        sys.path.insert(0, "/root/repo")
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[2]")
+            .config("spark.sql.shuffle.partitions", "2")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.ui.enabled", "false")
+            .appName("bkt-racer-" + ready)
+            .getOrCreate()
+        )
+        from kafka_connect_storage_cloud_formats_spark.operators.scale_utils import (
+            bucketed_segment_revenue,
+        )
+
+        open(ready, "w").close()
+        deadline = time.time() + 120
+        while not os.path.exists(barrier):
+            if time.time() > deadline:
+                raise SystemExit("barrier never opened")
+            time.sleep(0.02)
+        rows = bucketed_segment_revenue(spark, sf_dir).collect()
+        print("RESULT", [(r["c_mktsegment"], r["n_orders"], round(r["revenue"], 6)) for r in rows], flush=True)
+        print("RACER_OK", flush=True)
+        spark.stop()
+    """))
+
+    procs, readies = [], []
+    for i in range(2):
+        ready = str(tmp_path / f"ready{i}")
+        readies.append(ready)
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(racer), str(root), barrier, ready, sf_dir],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+                cwd=str(tmp_path),
+            )
+        )
+    deadline = time.time() + 180
+    while not all(os.path.exists(r) for r in readies):
+        assert time.time() < deadline, "racer JVM startup timed out"
+        assert all(p.poll() is None for p in procs), [
+            p.communicate()[0][-2000:] for p in procs if p.poll() is not None
+        ]
+        time.sleep(0.1)
+    open(barrier, "w").close()
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0 and "RACER_OK" in out, out[-3000:]
+    results = [
+        next(line for line in out.splitlines() if line.startswith("RESULT "))
+        for out in outs
+    ]
+    assert results[0] == results[1], results
+    # one published generation per artifact kind, no build litter
+    published = sorted(os.listdir(root))
+    bkt = [d for d in published if d.startswith("engine_bkt_")]
+    kinds = {d.split("_" )[2] for d in bkt}
+    assert kinds == {"orders", "customer"}, published
+    assert len(bkt) == 2, published
+    assert [p for p in published if p.startswith("_tmp.") or ".tmp." in p] == []
+    for d in bkt:
+        assert os.path.exists(os.path.join(root, d, "_SUCCESS"))
