@@ -57,9 +57,19 @@ def main() -> int:
 
     spark = get_spark("check_correctness")
     con = duckdb.connect()
+    # The ENGINE accepts URI-spelled corpora (file:///..., hdfs://...) —
+    # that spelling goes to the Spark side verbatim so URI handling is
+    # part of what this gate exercises. DuckDB only reads plain local
+    # paths, so collapse file: URIs for the oracle views (the same
+    # one-corpus identity catalog.canon_path gives the engine); a
+    # genuinely remote corpus has no local oracle path and fails loudly
+    # here, which is correct — the oracle needs driver-readable files.
+    from kafka_connect_storage_cloud_formats_spark.catalog import canon_path
+
+    oracle_dir = canon_path(SF_DIR)
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{oracle_dir}/{t}.parquet')"
         )
 
     queries = entry_mod.queries()
