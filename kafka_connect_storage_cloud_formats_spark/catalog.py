@@ -136,9 +136,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     canon = canon_path(sf_dir)
+    # realpath, not abspath: symlink/relative aliases of ONE local corpus
+    # share one plan-cache entry — the same identity rule the artifact
+    # family key uses (artifacts.artifact_path), so the two caches can
+    # never disagree about what counts as "the same corpus". Content
+    # freshness is still the fingerprint re-check below, which stats
+    # THROUGH the caller's spelling on every call.
     key = (
         spark.sparkContext.applicationId,
-        canon if is_remote(canon) else os.path.abspath(canon),
+        canon if is_remote(canon) else os.path.realpath(canon),
         name,
     )
     fp = path_fingerprint(table_path(sf_dir, name), spark)

@@ -214,3 +214,13 @@ def test_remote_fingerprint_tracks_corpus_regeneration(spark, tmp_path):
     assert path_fingerprint(f"{uri}/documents.parquet", spark) != fp1
     with pytest.raises(Exception):
         path_fingerprint(f"{uri}/missing.parquet", spark)
+
+
+def test_symlinked_sf_dir_shares_the_plan_cache_entry(spark, sf_dir, tmp_path):
+    """Symlink aliases of one local corpus are ONE plan-cache identity —
+    the same realpath rule the artifact family key uses, so the two
+    caches can never disagree about corpus identity."""
+    link = str(tmp_path / "sf_alias")
+    os.symlink(os.path.realpath(sf_dir), link)
+    d1 = load_table(spark, sf_dir, "region")
+    assert load_table(spark, link, "region") is d1
