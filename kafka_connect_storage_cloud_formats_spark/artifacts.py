@@ -212,15 +212,20 @@ def ensure_artifact(
         return path
     tmp = _tmp_path(path)
     renamed = False
+    rename_attempted = False
     publish_error: Exception | None = None
     try:
         build(tmp)
         if not fs.exists(success):
+            rename_attempted = True
             renamed = fs.rename(tmp, path)
             if not renamed:
                 # capture BEFORE the cleanup delete below, which can
                 # overwrite last_error with a tmp-cleanup failure and
-                # mask the actual publish failure in the diagnostic chain
+                # mask the actual publish failure in the diagnostic
+                # chain. May legitimately be None (Hadoop-style False
+                # with no exception) — the attempted flag below keeps
+                # that case from falling back to the cleanup error.
                 publish_error = fs.last_error
     finally:
         if not renamed:
@@ -244,11 +249,17 @@ def ensure_artifact(
     # rename-incapable root — must fail loudly rather than let a reader
     # consume a partial artifact.
     if not fs.exists(success):
-        err = publish_error if publish_error is not None else fs.last_error
+        # Attribute the failure to the RENAME when one was attempted —
+        # even when its error is None (Hadoop-style False with no
+        # exception), because falling back to fs.last_error there would
+        # blame a later tmp-cleanup failure for a rename that failed
+        # silently. The fallback applies only when no rename ran (the
+        # artifact looked published before the rename, then vanished).
+        err = publish_error if rename_attempted else fs.last_error
         raise RuntimeError(
             f"artifact publish failed: {path} has no _SUCCESS after build "
-            f"(rename accepted: {renamed}; underlying filesystem error: "
-            f"{err!r})"
+            f"(rename attempted: {rename_attempted}, accepted: {renamed}; "
+            f"underlying filesystem error: {err!r})"
         ) from err
     # A build ran and the artifact is live → retire the previous
     # generation. Without this, every corpus regeneration strands the old

@@ -81,6 +81,21 @@ class _HadoopFS:
             self.last_error = e
             return False
 
+    def qualified(self, p: str) -> str:
+        """Fully-qualified URI string for ``p`` on this filesystem
+        (``/tmp/x`` → ``file:/tmp/x``) — the same normalization the Spark
+        catalog applies to a table LOCATION, so the two are comparable."""
+        return self._fs.makeQualified(self._jPath(p)).toString()
+
+    def file_mtime(self, p: str) -> float | None:
+        """Modification time (seconds) of ``p``, or ``None`` when it does
+        not exist / cannot be statted (``last_error`` holds the cause)."""
+        try:
+            return self._fs.getFileStatus(self._jPath(p)).getModificationTime() / 1000.0
+        except Exception as e:
+            self.last_error = e
+            return None
+
     def touch(self, p: str) -> None:
         """Refresh mtime (liveness signal for the sweep grace window,
         round-6 ADVICE: reads must extend the grace, not just writes)."""

@@ -962,16 +962,20 @@ def ensure_neardup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint + params token + atomic publish, artifacts.py) applies.
 
     The params token carries every constant the labels depend on: the
-    signature chain's (K, shingle width), the strong-edge threshold, and
-    the decision-hash family (the two families' labels are pinned equal on
-    the driver corpus — tests/test_dedup.py — but a family is free to
-    diverge on adversarial content, so they must not share a cache path).
+    signature chain's (K, shingle width), the LSH band LAYOUT (bands ×
+    rows — the same K split 6×2 instead of 4×3 yields a different
+    candidate-pair set and therefore different cluster labels), the
+    strong-edge threshold, and the decision-hash family (the two
+    families' labels are pinned equal on the driver corpus —
+    tests/test_dedup.py — but a family is free to diverge on adversarial
+    content, so they must not share a cache path).
     """
     from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_df, artifact_path
 
     family = hash_family()
     ptag = (
-        f"k{MINHASH_K}n{SHINGLE_N}j{int(CLUSTER_MIN_EST_JACCARD * 100)}"
+        f"k{MINHASH_K}b{LSH_BANDS}r{LSH_ROWS}n{SHINGLE_N}"
+        f"j{int(CLUSTER_MIN_EST_JACCARD * 100)}"
         + ("" if family == "md5" else f"x{family}")
     )
     path = artifact_path("neardup_labels", sf_dir, "documents", params=ptag)

@@ -81,11 +81,18 @@ N_BUCKETS = 16
 
 
 def bucketed_artifact_path(
-    spark: SparkSession, sf_dir: str, source: str, df: DataFrame, kind: str
+    spark: SparkSession,
+    sf_dir: str,
+    source: str,
+    df: DataFrame,
+    kind: str,
+    bucket_cols: tuple[str, ...] = ("custkey",),
 ) -> str:
     """Artifact location of the bucketed copy of ``df``. The params token
     names EVERY constant of the derivation (the artifact contract: same
-    path ⇒ same content): bucket count, bucket/sort key, and the
+    path ⇒ same content): bucket count, the ACTUAL bucket/sort key
+    (threaded, not a hardcoded literal — a caller bucketing on a
+    different key must get a different artifact family), and the
     projection's column names AND types. Without the schema digest, a
     future change to the projection would reuse the old files under a new
     declared schema — Spark's parquet reader would fill the missing
@@ -93,19 +100,37 @@ def bucketed_artifact_path(
     artifacts key K/width/family into params for the same reason)."""
     from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_path
 
-    spec = f"{N_BUCKETS}|custkey|" + ",".join(
+    spec = f"{N_BUCKETS}|{','.join(bucket_cols)}|" + ",".join(
         f"{f.name}:{f.dataType.simpleString()}" for f in df.schema.fields
     )
     params = "b" + hashlib.md5(spec.encode()).hexdigest()[:8]
     return artifact_path(kind, sf_dir, source, params=params, spark=spark)
 
 
+# (applicationId, table name) → the published artifact's _SUCCESS mtime
+# last observed by this session. A CHANGED mtime under an existing catalog
+# entry means another driver deleted and rebuilt the artifact at the same
+# content-keyed path (new part-file names) — the session must REFRESH or
+# every subsequent scan reads the dead cached file listing. Evicted per
+# the standard other-app hygiene on insert.
+_BKT_SUCCESS_SEEN: dict[tuple[str, str], float] = {}
+# (applicationId, table name, artifact path) whose catalog LOCATION this
+# session has already validated — the DESCRIBE round-trip runs once per
+# binding, not per call.
+_BKT_VALIDATED: set[tuple[str, str, str]] = set()
+
+
 def _ensure_bucketed_table(
-    spark: SparkSession, sf_dir: str, source: str, df: DataFrame, kind: str
+    spark: SparkSession,
+    sf_dir: str,
+    source: str,
+    df: DataFrame,
+    kind: str,
+    bucket_cols: tuple[str, ...] = ("custkey",),
 ) -> str:
     """Session-catalog name of a content-keyed bucketed copy of ``df``
     (a projection of ``source`` at ``sf_dir``), bucketed+sorted on
-    ``custkey`` into N_BUCKETS.
+    ``bucket_cols`` into N_BUCKETS.
 
     Round 8 (the round-7 verdict's "What's wrong #3"): the bucketed data
     is a corpus-keyed ARTIFACT — built once per corpus content through
@@ -126,7 +151,7 @@ def _ensure_bucketed_table(
         invalidate_session_memo,
     )
 
-    path = bucketed_artifact_path(spark, sf_dir, source, df, kind)
+    path = bucketed_artifact_path(spark, sf_dir, source, df, kind, bucket_cols)
     # Content-keyed table name (identifier-safe form of the path
     # basename): two sessions over the same corpus agree on it — the name
     # is per-session catalog metadata, the data underneath is the shared
@@ -149,12 +174,22 @@ def _ensure_bucketed_table(
         app = re.sub(r"\W", "_", spark.sparkContext.applicationId)
         scratch = f"{name}__build_{app}"
         spark.sql(f"DROP TABLE IF EXISTS {scratch}")
-        write_bucketed(df, scratch, ("custkey",), n_buckets=N_BUCKETS, path=tmp)
+        write_bucketed(df, scratch, bucket_cols, n_buckets=N_BUCKETS, path=tmp)
         spark.sql(f"DROP TABLE {scratch}")
 
     from kafka_connect_storage_cloud_formats_spark.fsio import _fs_for
 
-    was_published = _fs_for(path, spark).exists(path + "/_SUCCESS")
+    fs = _fs_for(path, spark)
+    # _SUCCESS mtime doubles as the published probe (None ⇒ unpublished)
+    # AND the artifact's GENERATION marker: liveness touches refresh the
+    # directory mtime, never _SUCCESS, so a changed _SUCCESS mtime under
+    # the same path means another driver deleted + rebuilt the artifact
+    # (new part-file names) between our calls — the one external mutation
+    # a bare exists probe cannot see (it re-observes _SUCCESS present).
+    # REFRESH on change, or the session's cached file index serves
+    # FileNotFound forever.
+    success_mtime = fs.file_mtime(path + "/_SUCCESS")
+    was_published = success_mtime is not None
     if not was_published:
         # This site checks the REAL filesystem every call (it needs the
         # published/vanished distinction for REFRESH TABLE below), so an
@@ -162,13 +197,29 @@ def _ensure_bucketed_table(
         # session memo and rebuild NOW — not at the next throttle firing.
         invalidate_session_memo(path)
     ensure_artifact(path, build, spark=spark)
-    if spark.catalog.tableExists(name):
-        if not was_published:
-            # files vanished under a live catalog entry and were just
-            # rebuilt (new part-file names): drop the session's cached
-            # file index or the next scan reads the dead listing
-            spark.sql(f"REFRESH TABLE {name}")
-    else:
+    if not was_published:
+        success_mtime = fs.file_mtime(path + "/_SUCCESS")
+
+    app = spark.sparkContext.applicationId
+
+    def _remember(mtime: float | None, vkey: tuple[str, str, str]) -> None:
+        for k in [k for k in _BKT_SUCCESS_SEEN if k[0] != app]:
+            del _BKT_SUCCESS_SEEN[k]
+        if mtime is not None:
+            _BKT_SUCCESS_SEEN[(app, name)] = mtime
+        _mark_validated(vkey)
+
+    def _mark_validated(vkey: tuple[str, str, str]) -> None:
+        for k in [k for k in _BKT_VALIDATED if k[0] != app]:
+            _BKT_VALIDATED.discard(k)
+        # drop validations of the SAME table name under other paths: the
+        # entry now points at `path`, so a later root flip back must
+        # re-validate rather than trust a stale memo
+        for k in [k for k in _BKT_VALIDATED if k[:2] == (app, name) and k[2] != path]:
+            _BKT_VALIDATED.discard(k)
+        _BKT_VALIDATED.add(vkey)
+
+    def _create() -> None:
         ddl_cols = ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
         )
@@ -178,15 +229,58 @@ def _ensure_bucketed_table(
         # /tmp/o'brien works here exactly as it does in the sweep's
         # glob-escaped listing
         loc = path.replace("\\", "\\\\").replace("'", "\\'")
+        key_list = ", ".join(bucket_cols)
         # IF NOT EXISTS: under a shared metastore a concurrent session can
         # create the entry between our tableExists probe and this CREATE —
-        # benign (same content-keyed name ⇒ same schema, same location),
-        # so losing that race must not raise.
+        # benign when roots agree (same content-keyed name ⇒ same schema,
+        # same location); a location MISMATCH is caught by the validation
+        # below on the next call.
         spark.sql(
             f"CREATE TABLE IF NOT EXISTS {name} ({ddl_cols}) USING PARQUET "
-            f"CLUSTERED BY (custkey) SORTED BY (custkey) "
+            f"CLUSTERED BY ({key_list}) SORTED BY ({key_list}) "
             f"INTO {N_BUCKETS} BUCKETS LOCATION '{loc}'"
         )
+
+    if spark.catalog.tableExists(name):
+        # Validate the entry's LOCATION against the computed artifact
+        # path: the table NAME embeds only the path basename, so a
+        # catalog entry created under a DIFFERENT artifact root (shared
+        # metastore, two drivers with different SPARK_GRAFT_ARTIFACT_ROOT;
+        # or this process re-pointing the root mid-session) collides on
+        # the name while pointing at a foreign — possibly dead — location.
+        # Scanning it would read the wrong files or FileNotFound; re-point
+        # by recreating the metadata-only entry over OUR published path.
+        # Validation is memoized per (app, name, path) — ~40 ms of
+        # DESCRIBE per call otherwise; an external catalog mutation
+        # WITHIN a session (another driver re-pointing the shared entry
+        # to its root mid-flight) is out of scope, as with any session
+        # table cache: dueling-roots configs thrash the entry either way.
+        vkey = (app, name, path)
+        if vkey not in _BKT_VALIDATED:
+            loc_rows = (
+                spark.sql(f"DESCRIBE TABLE EXTENDED {name}")
+                .filter(F.col("col_name") == "Location")
+                .collect()
+            )
+            location = loc_rows[0]["data_type"] if loc_rows else None
+            if location != fs.qualified(path):
+                spark.sql(f"DROP TABLE {name}")  # external: files untouched
+                _create()
+                _remember(success_mtime, vkey)
+                return name
+            _mark_validated(vkey)
+        if (
+            not was_published
+            or _BKT_SUCCESS_SEEN.get((app, name)) != success_mtime
+        ):
+            # vanished-and-rebuilt (by us above, or externally by another
+            # driver at the same path): drop the session's cached file
+            # index or the next scan reads the dead listing
+            spark.sql(f"REFRESH TABLE {name}")
+            _remember(success_mtime, vkey)
+    else:
+        _create()
+        _remember(success_mtime, (app, name, path))
     return name
 
 

@@ -308,3 +308,83 @@ def test_cross_process_bucketed_build_race(tmp_path):
     assert [p for p in published if p.startswith("_tmp.") or ".tmp." in p] == []
     for d in bkt:
         assert os.path.exists(os.path.join(root, d, "_SUCCESS"))
+
+
+def test_bucketed_table_repoints_when_artifact_root_changes(spark, sf_dir, tmp_path, monkeypatch):
+    """The catalog entry's name embeds only the artifact path BASENAME, so
+    a root change mid-session (or a shared metastore with per-driver
+    roots) collides on the name while the LOCATION points at the foreign
+    root. The entry must be validated against the computed path and
+    re-pointed — not scanned at the stale location."""
+    import os
+
+    from kafka_connect_storage_cloud_formats_spark.operators.scale_utils import (
+        bucketed_artifact_paths,
+        bucketed_segment_revenue,
+    )
+
+    first = bucketed_segment_revenue(spark, sf_dir).collect()
+    old_paths = bucketed_artifact_paths(spark, sf_dir)
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_ROOT", str(tmp_path / "other_root"))
+    (tmp_path / "other_root").mkdir()
+    new_paths = bucketed_artifact_paths(spark, sf_dir)
+    assert new_paths != old_paths
+    # same content-keyed NAMES, different locations — the collision case
+    assert {os.path.basename(p) for p in new_paths.values()} == {
+        os.path.basename(p) for p in old_paths.values()
+    }
+    repointed = bucketed_segment_revenue(spark, sf_dir).collect()
+    assert sorted(map(tuple, repointed)) == sorted(map(tuple, first))
+    for p in new_paths.values():
+        assert os.path.exists(os.path.join(p, "_SUCCESS"))
+
+
+def test_bucketed_table_refreshes_after_external_rebuild(spark, sf_dir):
+    """_SUCCESS mtime is the generation marker: another driver deleting
+    and republishing the artifact at the SAME path (new part-file names)
+    is invisible to the published/vanished probe — the mtime memo must
+    catch it and REFRESH, or the session scans the dead file listing."""
+    import shutil
+    import time as _t
+
+    from kafka_connect_storage_cloud_formats_spark.artifacts import (
+        ensure_artifact,
+        invalidate_session_memo,
+    )
+    from kafka_connect_storage_cloud_formats_spark.operators.scale_utils import (
+        _customer_projection,
+        _orders_projection,
+        bucketed_artifact_paths,
+        bucketed_segment_revenue,
+    )
+
+    first = bucketed_segment_revenue(spark, sf_dir).collect()
+    paths = bucketed_artifact_paths(spark, sf_dir)
+    # simulate the foreign driver: delete + republish both artifacts at
+    # the same paths (fresh part-file names, fresh _SUCCESS mtimes),
+    # without touching THIS session's catalog entries or mtime memo
+    from kafka_connect_storage_cloud_formats_spark.operators.scale_utils import N_BUCKETS
+
+    projections = {
+        "bkt_orders": _orders_projection(spark, sf_dir),
+        "bkt_customer": _customer_projection(spark, sf_dir),
+    }
+    _t.sleep(0.05)  # mtime resolution guard
+    for kind, p in paths.items():
+        shutil.rmtree(p)
+        invalidate_session_memo(p)
+        df = projections[kind]
+
+        # republish REAL bucketed content (fresh part-file names + fresh
+        # _SUCCESS): the artifact path is shared, content-keyed state — a
+        # test that republished unbucketed parquet here would poison every
+        # later scan of the declared-bucketed table (INVALID_BUCKET_FILE)
+        def rebuild(tmp, _df=df, _kind=kind):
+            scratch = f"ext_rebuild_scratch_{_kind}"
+            spark.sql(f"DROP TABLE IF EXISTS {scratch}")
+            write_bucketed(_df, scratch, ("custkey",), n_buckets=N_BUCKETS, path=tmp)
+            spark.sql(f"DROP TABLE {scratch}")
+
+        ensure_artifact(p, rebuild, spark=spark)
+    rows = bucketed_segment_revenue(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, first))

@@ -69,7 +69,13 @@ def load_entry(tree: str, keep_state: bool = False):
     process would keep too; module identity stays per-tree, so lazy
     imports inside functions still resolve against their own tree."""
     current = sys.path[0]
-    if keep_state and current in (tree_a, tree_b) and current != tree:
+    if keep_state and current == tree:
+        # same tree both slots (the self-control configuration): keeping
+        # state means KEEP it — the old else-branch purged here, so the
+        # control ran module-cold while a real A/B ran state-warm, biasing
+        # exactly the cross-call-state comparison --keep-state exists for
+        return importlib.import_module("__spark_entry__")
+    if keep_state and current in (tree_a, tree_b):
         _STASH[current] = {m: sys.modules.pop(m) for m in _pkg_modules()}
     else:
         for m in _pkg_modules():
