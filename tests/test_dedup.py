@@ -554,15 +554,24 @@ def test_neardup_label_artifact_matches_live_clustering(spark, sf_dir):
     from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_path
     from kafka_connect_storage_cloud_formats_spark.operators.dedup import (
         CLUSTER_MIN_EST_JACCARD,
+        LSH_BANDS,
+        LSH_ROWS,
         MINHASH_K,
         SHINGLE_N,
         _neardup_labels,
         ensure_neardup_labels,
     )
 
+    # Mirrors ensure_neardup_labels' token exactly (md5 default family → no
+    # suffix); the second-pass review added the band layout to the token, so
+    # the test must derive the path from the same constants or it watches a
+    # path the production code no longer publishes to.
     path = artifact_path(
         "neardup_labels", sf_dir, "documents",
-        params=f"k{MINHASH_K}n{SHINGLE_N}j{int(CLUSTER_MIN_EST_JACCARD * 100)}",
+        params=(
+            f"k{MINHASH_K}b{LSH_BANDS}r{LSH_ROWS}n{SHINGLE_N}"
+            f"j{int(CLUSTER_MIN_EST_JACCARD * 100)}"
+        ),
     )
     art = ensure_neardup_labels(spark, sf_dir)
     assert os.path.exists(os.path.join(path, "_SUCCESS"))
