@@ -63,12 +63,20 @@ def _ensure_worker_import_path() -> None:
 def get_spark(app_name: str = "kafka_connect_storage_cloud_formats_spark") -> SparkSession:
     """Create (or reuse) the engine's SparkSession.
 
-    Honors ``SPARK_GRAFT_CPUS`` for local parallelism (driver contract).
+    Honors ``SPARK_GRAFT_CPUS`` for local parallelism (driver contract) and
+    ``SPARK_GRAFT_MASTER`` for the master URL itself. The latter exists so
+    the full oracle gate can run under ``local-cluster[n,c,mem_mb]`` —
+    Spark's multi-process standalone mode, where executors are SEPARATE
+    JVMs that fork their own Python workers — turning "the engine assumes
+    nothing driver-local at execution time" from an argument into a
+    measured result (SCALE.md records the runs). On a real deployment the
+    master comes from spark-submit and this is never set.
     """
     _ensure_worker_import_path()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
@@ -82,6 +90,23 @@ def get_spark(app_name: str = "kafka_connect_storage_cloud_formats_spark") -> Sp
         .config("spark.cleaner.referenceTracking.blocking", "false")
         .config("spark.cleaner.referenceTracking.blocking.shuffle", "false")
     )
+    if not master.startswith("local["):
+        # Multi-process masters (local-cluster, standalone): executors are
+        # separate JVMs whose Python workers do NOT inherit the driver's
+        # sys.path — ship the import path the same way spark-submit's
+        # spark.executorEnv.* would on a real cluster.
+        builder = builder.config(
+            "spark.executorEnv.PYTHONPATH", os.environ.get("PYTHONPATH", _PKG_PARENT)
+        )
+    if master.startswith("local-cluster["):
+        # The 1500m default is sized for local-cluster's per-worker memory
+        # cap ONLY — on a real standalone/yarn master, executor sizing
+        # belongs to deployment config, and a hardcoded small default
+        # would silently undersize every executor.
+        builder = builder.config(
+            "spark.executor.memory",
+            os.environ.get("SPARK_GRAFT_EXECUTOR_MEMORY", "1500m"),
+        )
     for k, v in _SQL_CONFS.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
