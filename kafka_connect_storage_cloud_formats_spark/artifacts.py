@@ -191,24 +191,39 @@ def ensure_artifact(
         # restarted session re-verifies against the filesystem.
         last = _ENSURED.get((app, path))
         if last is not None:
+            last_touch, last_gen = last
             now = time.monotonic()
-            if now - last < ARTIFACT_TOUCH_INTERVAL_S:
+            if now - last_touch < ARTIFACT_TOUCH_INTERVAL_S:
                 return path
             fs = _fs_for(path, spark)
-            if fs.exists(success):
+            gen = fs.file_mtime(success)
+            if gen is not None:
+                if gen != last_gen:
+                    # Same content key, NEW generation: another driver
+                    # deleted + rebuilt this path (identical rows, NEW
+                    # part-file names — liveness touches refresh the
+                    # DIRECTORY mtime, never _SUCCESS, so a changed
+                    # _SUCCESS mtime is unambiguous). A bare exists
+                    # probe cannot see this — the one external mutation
+                    # that would leave a cached plan's file index
+                    # pointing at dead files forever (the same
+                    # generation marker _ensure_bucketed_table uses for
+                    # its REFRESH TABLE decision).
+                    _drop_df_cache(path)
                 fs.touch(path)
-                _ENSURED[(app, path)] = now
+                _ENSURED[(app, path)] = (now, gen)
                 return path
             invalidate_session_memo(path)  # vanished externally → rebuild
     if fs is None:  # reuse the wrapper the self-heal path already built
         fs = _fs_for(path, spark)
-    done = fs.exists(success)
+    gen = fs.file_mtime(success)  # doubles as existence probe + generation
+    done = gen is not None
     if done and not force:
         # consumer-open liveness: the sweep's grace window compares against
         # mtime, so a hit must refresh it or a >grace-long read of the
         # PREVIOUS generation could still lose it mid-scan (round-6 ADVICE)
         fs.touch(path)
-        _remember_ensured(app, path)
+        _remember_ensured(app, path, gen)
         return path
     tmp = _tmp_path(path)
     renamed = False
@@ -248,7 +263,8 @@ def ensure_artifact(
     # stale no-_SUCCESS directory squatting at ``path``, a read-only or
     # rename-incapable root — must fail loudly rather than let a reader
     # consume a partial artifact.
-    if not fs.exists(success):
+    gen = fs.file_mtime(success)
+    if gen is None:
         # Attribute the failure to the RENAME when one was attempted —
         # even when its error is None (Hadoop-style False with no
         # exception), because falling back to fs.last_error there would
@@ -268,26 +284,28 @@ def ensure_artifact(
     # correct; the sweep keeps it bounded.
     if not done:
         _sweep_stale_siblings(path, fs)
-    _remember_ensured(app, path)
+    _remember_ensured(app, path, gen)
     return path
 
 
-# (applicationId, artifact path) → monotonic time of the last liveness
-# touch this session. Entries keyed by other applicationIds are evicted on
-# insert (dead sessions — same hygiene as catalog._TABLE_CACHE). A
-# superseded generation's entry simply goes unaddressed: consumers derive
-# the artifact path from the LIVE corpus fingerprint on every call, so a
-# regenerated corpus is a different key — never a stale hit.
-_ENSURED: dict[tuple[str, str], float] = {}
+# (applicationId, artifact path) → (monotonic time of the last liveness
+# touch this session, observed _SUCCESS mtime — the artifact's GENERATION
+# marker; see the throttle-firing comment in ensure_artifact). Entries
+# keyed by other applicationIds are evicted on insert (dead sessions —
+# same hygiene as catalog._TABLE_CACHE). A superseded generation's entry
+# simply goes unaddressed: consumers derive the artifact path from the
+# LIVE corpus fingerprint on every call, so a regenerated corpus is a
+# different key — never a stale hit.
+_ENSURED: dict[tuple[str, str], tuple[float, float]] = {}
 ARTIFACT_TOUCH_INTERVAL_S = 60.0
 
 
-def _remember_ensured(app: str | None, path: str) -> None:
+def _remember_ensured(app: str | None, path: str, gen: float) -> None:
     if app is None:
         return
     for k in [k for k in _ENSURED if k[0] != app]:
         del _ENSURED[k]
-    _ENSURED[(app, path)] = time.monotonic()
+    _ENSURED[(app, path)] = (time.monotonic(), gen)
 
 
 def invalidate_session_memo(path: str) -> None:
@@ -298,6 +316,14 @@ def invalidate_session_memo(path: str) -> None:
     rather than at the next touch-throttle firing."""
     for k in [k for k in _ENSURED if k[1] == path]:
         del _ENSURED[k]
+    _drop_df_cache(path)
+
+
+def _drop_df_cache(path: str) -> None:
+    """Drop every session's cached DataFrame plan over ``path`` — for the
+    generation-changed case (external delete + rebuild at the same
+    content-keyed path): the artifact is live and identical row-wise, but
+    the cached plan's file index lists the DEAD part files."""
     for k in [k for k in _DF_CACHE if k[1] == path]:
         del _DF_CACHE[k]
 

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import re
 from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
@@ -29,6 +30,22 @@ TABLES: tuple[str, ...] = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# A path is a URI only when it leads with an RFC-3986 scheme followed by
+# "://" (hdfs://, s3a://, viewfs://, file://) — or is a "file:" URI in the
+# single-slash spelling Hadoop/Spark also emit (file:/root/x). A bare
+# colon in the first segment is NOT enough: a colon is a legal POSIX
+# filename character, and a relative local sf_dir like "corpora:v2/sf0.1"
+# must keep riding the os.stat fast path instead of dying in Hadoop's
+# "No FileSystem for scheme" resolution. The cost is that the rare
+# authority-less remote spelling (hdfs:/nn/x) is treated as local and
+# fails loudly at os.stat — Hadoop's own canonical form is scheme://.
+_URI_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*://")
+
+
+def _is_uri(path: str) -> bool:
+    return path.startswith("file:") or bool(_URI_RE.match(path))
+
+
 def canon_path(path: str) -> str:
     """Canonical spelling of a corpus path. ``file:`` URIs collapse to the
     plain local path (``file:///root/x``, ``file:/root/x`` and
@@ -39,8 +56,8 @@ def canon_path(path: str) -> str:
     ``s3a://``, ``viewfs://``) passes through with only the trailing
     slash normalized; its filesystem operations go through the Hadoop
     ``FileSystem`` API (fsio)."""
-    if ":" not in path.split("/", 1)[0]:
-        return path  # plain local path (no scheme before the first /)
+    if not _is_uri(path):
+        return path  # plain local path (possibly with a legal ':' in a segment)
     parsed = urlparse(path)
     if parsed.scheme in ("", "file"):
         local = unquote(parsed.path) or "/"
@@ -51,8 +68,7 @@ def canon_path(path: str) -> str:
 def is_remote(path: str) -> bool:
     """True when ``path`` (already canon'd) needs the Hadoop FS API —
     i.e. it carries a non-``file`` scheme."""
-    head = path.split("/", 1)[0]
-    return ":" in head and urlparse(path).scheme not in ("", "file")
+    return _is_uri(path) and urlparse(path).scheme not in ("", "file")
 
 
 def table_path(sf_dir: str, name: str) -> str:

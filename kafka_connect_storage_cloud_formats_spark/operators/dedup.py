@@ -970,7 +970,22 @@ def ensure_neardup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_dedup.py — but a family is free to diverge on adversarial
     content, so they must not share a cache path).
     """
-    from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_df, artifact_path
+    from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_df
+
+    return artifact_df(
+        neardup_labels_path(spark, sf_dir),
+        lambda tmp: _neardup_labels(spark, sf_dir).write.parquet(tmp),
+        spark,
+    )
+
+
+def neardup_labels_path(spark: SparkSession, sf_dir: str) -> str:
+    """Artifact location of the cluster-label table — exposed so tests and
+    ops tooling derive it from ONE place (the same rule as
+    ``scale_utils.bucketed_artifact_paths``; the round-8 review caught a
+    test watching a hand-copied pre-review token after the production
+    token gained the band layout)."""
+    from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_path
 
     family = hash_family()
     ptag = (
@@ -978,12 +993,7 @@ def ensure_neardup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"j{int(CLUSTER_MIN_EST_JACCARD * 100)}"
         + ("" if family == "md5" else f"x{family}")
     )
-    path = artifact_path("neardup_labels", sf_dir, "documents", params=ptag)
-    return artifact_df(
-        path,
-        lambda tmp: _neardup_labels(spark, sf_dir).write.parquet(tmp),
-        spark,
-    )
+    return artifact_path("neardup_labels", sf_dir, "documents", params=ptag, spark=spark)
 
 
 def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

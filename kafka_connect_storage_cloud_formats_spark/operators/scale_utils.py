@@ -241,6 +241,36 @@ def _ensure_bucketed_table(
             f"INTO {N_BUCKETS} BUCKETS LOCATION '{loc}'"
         )
 
+    def _location_of() -> str | None:
+        rows = (
+            spark.sql(f"DESCRIBE TABLE EXTENDED {name}")
+            .filter(F.col("col_name") == "Location")
+            .collect()
+        )
+        return rows[0]["data_type"] if rows else None
+
+    def _create_verified(vkey: tuple[str, str, str]) -> None:
+        _create()
+        # ``IF NOT EXISTS`` can silently lose to a concurrent CREATE by a
+        # driver with a DIFFERENT artifact root (shared metastore,
+        # dueling SPARK_GRAFT_ARTIFACT_ROOT configs): verify the
+        # SURVIVING entry points at OUR published path BEFORE memoizing
+        # it as validated — a memoized foreign binding would suppress the
+        # DESCRIBE re-validation forever and scan the other root's
+        # (possibly dead, possibly unreadable-here) location on every
+        # call. Dueling roots are a misconfiguration; fail loudly.
+        location = _location_of()
+        if location != fs.qualified(path):
+            raise RuntimeError(
+                f"bucketed-table catalog entry {name!r} points at "
+                f"{location!r}, not this session's published artifact "
+                f"{fs.qualified(path)!r} — a concurrent driver with a "
+                f"different artifact root owns the name; align "
+                f"SPARK_GRAFT_ARTIFACT_ROOT across drivers sharing a "
+                f"metastore"
+            )
+        _remember(success_mtime, vkey)
+
     if spark.catalog.tableExists(name):
         # Validate the entry's LOCATION against the computed artifact
         # path: the table NAME embeds only the path basename, so a
@@ -257,16 +287,10 @@ def _ensure_bucketed_table(
         # table cache: dueling-roots configs thrash the entry either way.
         vkey = (app, name, path)
         if vkey not in _BKT_VALIDATED:
-            loc_rows = (
-                spark.sql(f"DESCRIBE TABLE EXTENDED {name}")
-                .filter(F.col("col_name") == "Location")
-                .collect()
-            )
-            location = loc_rows[0]["data_type"] if loc_rows else None
+            location = _location_of()
             if location != fs.qualified(path):
                 spark.sql(f"DROP TABLE {name}")  # external: files untouched
-                _create()
-                _remember(success_mtime, vkey)
+                _create_verified(vkey)
                 return name
             _mark_validated(vkey)
         if (
@@ -279,8 +303,7 @@ def _ensure_bucketed_table(
             spark.sql(f"REFRESH TABLE {name}")
             _remember(success_mtime, vkey)
     else:
-        _create()
-        _remember(success_mtime, (app, name, path))
+        _create_verified((app, name, path))
     return name
 
 

@@ -117,7 +117,7 @@ _CHANGED_THIS_ROUND = [
     #   UNCHANGED — it remains the honest live scan.)
     "sq8_recall_at_10",
 ]
-# Out-of-window touches, documented (46 of the 50 window slots are
+# Out-of-window touches, documented (47 of the 50 window slots are
 # claimed above; the rest of the window follows registration order):
 # 1. catalog.table_path/path_fingerprint/load_table became
 #    scheme-agnostic (round-7 verdict's lead item) — this transits EVERY

@@ -108,9 +108,8 @@ def test_consumer_open_refreshes_mtime(tmp_path, spark):
     assert abs(os.stat(target).st_mtime - old) < 2
     # …and once the interval has elapsed, the next open refreshes mtime.
     app = spark.sparkContext.applicationId
-    A._ENSURED[(app, target)] = (
-        time.monotonic() - A.ARTIFACT_TOUCH_INTERVAL_S - 1
-    )
+    t, gen = A._ENSURED[(app, target)]
+    A._ENSURED[(app, target)] = (t - A.ARTIFACT_TOUCH_INTERVAL_S - 1, gen)
     ensure_artifact(target, build, spark=spark)  # hit past throttle
     assert time.time() - os.stat(target).st_mtime < 60
 
@@ -740,13 +739,49 @@ def test_artifact_df_self_heals_after_external_delete(tmp_path, spark):
     # inside the throttle window the memo (correctly) serves the cached
     # plan — the loss surfaces loudly at scan, not silently
     app = spark.sparkContext.applicationId
-    _art._ENSURED[(app, target)] = (
-        time.monotonic() - _art.ARTIFACT_TOUCH_INTERVAL_S - 1
-    )
+    t, gen = _art._ENSURED[(app, target)]
+    _art._ENSURED[(app, target)] = (t - _art.ARTIFACT_TOUCH_INTERVAL_S - 1, gen)
     df2 = artifact_df(target, build, spark)
     assert builds == [1, 1], "past the throttle the vanished artifact rebuilds"
     assert df2 is not df1
     assert df2.count() == 5
+
+
+def test_external_rebuild_at_same_path_refreshes_df_plan(tmp_path, spark):
+    """Generation marker (round-8 review): an artifact DELETED and REBUILT
+    at the same content-keyed path by another driver (identical rows, NEW
+    part-file names) must not keep being served from this session's cached
+    DataFrame plan — a bare exists probe re-observes ``_SUCCESS`` present,
+    so the plan's dead file index would throw FileNotFound on every scan
+    forever. The ``_SUCCESS`` mtime is the generation marker (liveness
+    touches refresh the directory mtime, never ``_SUCCESS``); a change
+    drops the cached plan at the next throttle firing."""
+    import shutil
+
+    from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_df
+
+    target = str(tmp_path / "art")
+
+    def build(tmp_dir):
+        spark.range(7).selectExpr("id AS v").write.parquet(tmp_dir)
+
+    df1 = artifact_df(target, build, spark)
+    assert df1.count() == 7
+
+    # external driver: delete + rebuild at the same path with different
+    # part-file names (more partitions); age _SUCCESS so the generation
+    # marker differs under any timestamp resolution
+    shutil.rmtree(target)
+    spark.range(7).selectExpr("id AS v").repartition(3).write.parquet(target)
+    old = time.time() - 3600
+    os.utime(os.path.join(target, "_SUCCESS"), (old, old))
+
+    app = spark.sparkContext.applicationId
+    t, gen = _art._ENSURED[(app, target)]
+    _art._ENSURED[(app, target)] = (t - _art.ARTIFACT_TOUCH_INTERVAL_S - 1, gen)
+    df2 = artifact_df(target, build, spark)
+    assert df2 is not df1, "changed _SUCCESS mtime must drop the cached plan"
+    assert df2.count() == 7  # scans the NEW files — no dead-index FileNotFound
 
 
 def test_full_protocol_under_viewfs_root(tmp_path, monkeypatch, spark):

@@ -224,3 +224,35 @@ def test_symlinked_sf_dir_shares_the_plan_cache_entry(spark, sf_dir, tmp_path):
     os.symlink(os.path.realpath(sf_dir), link)
     d1 = load_table(spark, sf_dir, "region")
     assert load_table(spark, link, "region") is d1
+
+
+def test_colon_in_local_path_is_not_a_scheme(tmp_path, monkeypatch, spark):
+    """A colon is a legal POSIX filename character: a RELATIVE local
+    sf_dir whose first segment contains one ('corpora:v2/...') must ride
+    the os.stat fast path, not be sniffed as a URI and die in Hadoop
+    scheme resolution ('No FileSystem for scheme: corpora'). URI routing
+    requires a real scheme followed by :// (or the file: single-slash
+    spelling Hadoop itself emits)."""
+    from kafka_connect_storage_cloud_formats_spark.catalog import (
+        canon_path,
+        is_remote,
+        path_fingerprint,
+    )
+
+    d = tmp_path / "corpora:v2"
+    d.mkdir()
+    (d / "documents.parquet").write_bytes(b"payload")
+    monkeypatch.chdir(tmp_path)
+
+    rel = "corpora:v2"  # the colon sits ahead of the first slash
+    assert canon_path(rel) == rel
+    assert not is_remote(rel)
+    assert len(path_fingerprint(rel + "/documents.parquet", spark)) == 12
+
+    # URI spellings still route as URIs
+    assert canon_path("file:///x/y") == "/x/y"
+    assert canon_path("file:/x/y") == "/x/y"
+    assert not is_remote("file:///x/y")
+    assert is_remote("hdfs://nn/corpus")
+    assert is_remote("s3a://bucket/corpus")
+    assert is_remote("viewfs://mount/corpus")

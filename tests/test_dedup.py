@@ -551,28 +551,16 @@ def test_neardup_label_artifact_matches_live_clustering(spark, sf_dir):
     rebuilding (longs — parquet roundtrip exact)."""
     import os
 
-    from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_path
     from kafka_connect_storage_cloud_formats_spark.operators.dedup import (
-        CLUSTER_MIN_EST_JACCARD,
-        LSH_BANDS,
-        LSH_ROWS,
-        MINHASH_K,
-        SHINGLE_N,
         _neardup_labels,
         ensure_neardup_labels,
+        neardup_labels_path,
     )
 
-    # Mirrors ensure_neardup_labels' token exactly (md5 default family → no
-    # suffix); the second-pass review added the band layout to the token, so
-    # the test must derive the path from the same constants or it watches a
-    # path the production code no longer publishes to.
-    path = artifact_path(
-        "neardup_labels", sf_dir, "documents",
-        params=(
-            f"k{MINHASH_K}b{LSH_BANDS}r{LSH_ROWS}n{SHINGLE_N}"
-            f"j{int(CLUSTER_MIN_EST_JACCARD * 100)}"
-        ),
-    )
+    # Path derivation lives in ONE place (neardup_labels_path) — a
+    # hand-copied token here drifted once already when the production
+    # token gained the band layout.
+    path = neardup_labels_path(spark, sf_dir)
     art = ensure_neardup_labels(spark, sf_dir)
     assert os.path.exists(os.path.join(path, "_SUCCESS"))
     stamp = os.stat(os.path.join(path, "_SUCCESS")).st_mtime_ns
