@@ -233,8 +233,8 @@ def _ensure_bucketed_table(
         # IF NOT EXISTS: under a shared metastore a concurrent session can
         # create the entry between our tableExists probe and this CREATE —
         # benign when roots agree (same content-keyed name ⇒ same schema,
-        # same location); a location MISMATCH is caught by the validation
-        # below on the next call.
+        # same location); a location MISMATCH is caught immediately by
+        # _create_verified's post-CREATE check.
         spark.sql(
             f"CREATE TABLE IF NOT EXISTS {name} ({ddl_cols}) USING PARQUET "
             f"CLUSTERED BY ({key_list}) SORTED BY ({key_list}) "
