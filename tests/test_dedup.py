@@ -248,7 +248,10 @@ def test_simhash_packed_votes_match_python_reference(spark):
     )
     got = {
         r["doc_id"]: (r["simhash_hi"], r["simhash_lo"])
-        for r in _simhash_fp_from(docs).collect()
+        # the Python reference below is the md5 family — pin it regardless
+        # of an ambient SPARK_GRAFT_HASH_FAMILY (the suite must be green
+        # under either family setting)
+        for r in _simhash_fp_from(docs, family="md5").collect()
     }
     for i, t in enumerate(texts):
         assert got[i] == py_simhash(t), f"doc {i}: {t!r}"
@@ -300,7 +303,9 @@ def test_minhash_signatures_match_python_reference(spark):
     )
     got = {
         r["doc_id"]: tuple(r[f"mh_{k:02d}"] for k in range(MINHASH_K))
-        for r in _minhash_sigs_from(docs).collect()
+        # md5-family Python reference — pin the family against an ambient
+        # SPARK_GRAFT_HASH_FAMILY setting
+        for r in _minhash_sigs_from(docs, family="md5").collect()
     }
     assert len(got) == len(texts)
     for i, t in enumerate(texts):
@@ -381,6 +386,10 @@ def test_split_family_xxhash64_deterministic_and_balanced(spark, sf_dir, monkeyp
         corpus_split_stats,
     )
 
+    # start from the md5 default even when the suite itself runs under an
+    # ambient SPARK_GRAFT_HASH_FAMILY (the final assertion compares the
+    # unset-env assignment against this baseline)
+    monkeypatch.delenv(HASH_FAMILY_ENV, raising=False)
     baseline = corpus_split_stats(spark, sf_dir).collect()
     monkeypatch.setenv(HASH_FAMILY_ENV, "xxhash64")
     r1 = corpus_split_stats(spark, sf_dir).collect()
