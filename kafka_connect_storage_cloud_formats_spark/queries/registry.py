@@ -96,7 +96,10 @@ _CHANGED_THIS_ROUND = [
     # extension — is already in the stale list above):
     # - dedup_ngram_jaccard: map-side length filter moved to the division
     #   form (round-7 ADVICE: the multiplication form dropped
-    #   exact-boundary pairs under floating point).
+    #   exact-boundary pairs under floating point); late round 8: consumes
+    #   the JOIN-READY posting-list artifact (shingles.ensure_shingle_
+    #   postings — the per-shingle grouping shuffle prepaid once per
+    #   corpus content; 0.75×/0.82× two-direction A/B at sf0.1).
     # - simhash_fingerprints / simhash_near_pairs: vote-bit source gained
     #   the hash-family branch (md5 default unchanged; artifact
     #   family-keyed).

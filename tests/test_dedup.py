@@ -172,6 +172,38 @@ def test_capped_shingle_artifact_matches_live_derivation(spark, sf_dir):
     ) != artifact_path("shingle_capped", sf_dir, "documents", params="n3c100")
 
 
+def test_shingle_postings_artifact_matches_live_grouping(spark, sf_dir):
+    """Round-8: the JOIN-READY posting-list artifact (the exact tier's
+    query-time source) must hold exactly the grouped form of the capped
+    stream — one row per shingle, ds sorted by doc_id (the d1 < d2
+    combination invariant downstream relies on), bounded by the cap —
+    and live under its own params-keyed artifact kind."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_path
+    from kafka_connect_storage_cloud_formats_spark.operators.shingles import (
+        ensure_capped_shingle_rows,
+        ensure_shingle_postings,
+    )
+
+    cap = 3
+    art = ensure_shingle_postings(spark, sf_dir, 3, cap)
+    got = {r["s"]: [tuple(d) for d in r["ds"]] for r in art.collect()}
+    live = (
+        ensure_capped_shingle_rows(spark, sf_dir, 3, cap)
+        .groupBy("s")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds"))
+    )
+    want = {r["s"]: [tuple(d) for d in r["ds"]] for r in live.collect()}
+    assert got == want and len(got) > 0
+    for ds in got.values():
+        assert len(ds) <= cap
+        assert ds == sorted(ds), "ds must be doc_id-sorted at build time"
+    assert artifact_path(
+        "shingle_postings", sf_dir, "documents", params="n3c3"
+    ) != artifact_path("shingle_capped", sf_dir, "documents", params="n3c3")
+
+
 def test_ngram_occurrence_artifact_is_multiset_and_distinct_kind(spark, sf_dir):
     """The occurrence stream (bigram novelty's source) keeps DUPLICATE
     n-grams — multiset semantics, unlike the set-semantics shingle
