@@ -607,36 +607,89 @@ def _sq8_quantize(M):
     return q, (q * q).sum(axis=1)
 
 
-def sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-10 by int8-quantized cosine pre-ranking + exact re-rank.
+def _ensure_sq8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-keyed MATERIALIZED int8 code table (vec_id, q, qn): every
+    corpus vector's quantized codes (array<tinyint>, 1 B/component vs the
+    float column's 4 B) and its int64 squared code-norm.
 
-    Plan shape: ONE corpus scan through ``mapInPandas`` (quantized query
-    matrix is a captured constant, Q ≤ 10³ by the same contract as
-    :func:`knn_bruteforce`); each Arrow batch computes the integer dot
-    block (np.matmul on int64 — exact, order-independent), emits its
-    per-batch top-RERANK_CANDIDATES per query; a global window keeps the
-    overall top-C; only those C·Q rows join back to the full float vectors
-    for the exact cosine re-rank. At 100 TB the scan reads ~1/4 the bytes
-    of the float path and the expensive exact math touches only C·Q rows.
-    """
+    Until late round 8, :func:`sq8_topk` scanned the FULL float embedding
+    column and quantized per batch on every execution — its "~1/4 the
+    scan bytes" claim described the arithmetic, not the I/O. Materializing
+    the codes makes the claim literal: the pre-ranking scan reads the
+    1-byte codes table, and the per-vector quantization arithmetic runs
+    once per corpus content instead of once per execution. Row-independent
+    (no grouping, no posting lists), so the build is a pure map — nothing
+    about this artifact is corpus-proportional per row, unlike the
+    rejected band-postings idea (KNOWN_ISSUES). Local A/B at sf0.1 is
+    inside the noise band (the embeddings table is tiny — scan bytes
+    don't bind); ships on the 100 TB scan-bytes argument with the usual
+    staleness guarantees (corpus fingerprint + params token keyed on the
+    quantization levels and dimension)."""
     import numpy as np
     import pandas as pd
 
+    from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_df, artifact_path
     from kafka_connect_storage_cloud_formats_spark.functions.vectors import _stack64
+
+    path = artifact_path(
+        "sq8_codes", sf_dir, "embeddings", params=f"l{SQ8_LEVELS}d{DIM}"
+    )
+
+    def build(tmp: str) -> None:
+        base = _load(spark, sf_dir).select("vec_id", "embedding")
+
+        def quantize_batches(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                E = _stack64(pdf["embedding"])
+                q, qn = _sq8_quantize(E)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                        "q": list(q.astype(np.int8)),
+                        "qn": qn,
+                    }
+                )
+
+        base.mapInPandas(
+            quantize_batches, "vec_id long, q array<tinyint>, qn long"
+        ).write.parquet(tmp)
+
+    return artifact_df(path, build, spark)
+
+
+def sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 by int8-quantized cosine pre-ranking + exact re-rank.
+
+    Plan shape: ONE scan of the int8 CODE ARTIFACT through
+    ``mapInPandas`` (quantized query matrix is a captured constant,
+    Q ≤ 10³ by the same contract as :func:`knn_bruteforce`); each Arrow
+    batch computes the integer dot block (np.matmul on int64 — exact,
+    order-independent), emits its per-batch top-RERANK_CANDIDATES per
+    query; a global window keeps the overall top-C; only those C·Q rows
+    join back to the full float vectors for the exact cosine re-rank. At
+    100 TB the pre-ranking scan reads ~1/4 the bytes of the float path —
+    literally, since late round 8 (see :func:`_ensure_sq8_codes`) — and
+    the expensive exact math touches only C·Q rows.
+    """
+    import numpy as np
+    import pandas as pd
 
     base = _load(spark, sf_dir).select("vec_id", "embedding")
     qrows = base.filter(F.col("vec_id") % QUERY_MOD == 0).collect()
     q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     Qm = np.stack([np.asarray(r["embedding"]) for r in qrows]).astype(np.float64)
     Qq, Qn = _sq8_quantize(Qm)
+    codes = _ensure_sq8_codes(spark, sf_dir)
 
     def score_batches(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            E = _stack64(pdf["embedding"])
+            Eq = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["q"]])
+            En = pdf["qn"].to_numpy(dtype=np.int64)
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            Eq, En = _sq8_quantize(E)
             dots = Qq @ Eq.T  # exact int64 block
             acos = dots.astype(np.float64) / (
                 np.sqrt(Qn.astype(np.float64))[:, None]
@@ -658,7 +711,7 @@ def sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    scored = base.mapInPandas(
+    scored = codes.mapInPandas(
         score_batches, "q_id long, neighbor_id long, approx_cos double"
     )
     wc = Window.partitionBy("q_id").orderBy(F.desc("approx_cos"), F.asc("neighbor_id"))

@@ -119,8 +119,14 @@ _CHANGED_THIS_ROUND = [
     #   is already in the stale list above; knn_bruteforce itself is
     #   UNCHANGED — it remains the honest live scan.)
     "sq8_recall_at_10",
+    # - sq8_topk (late round 8): the pre-ranking scan reads the
+    #   content-keyed int8 code artifact (similarity._ensure_sq8_codes)
+    #   instead of quantizing the float column per execution — the
+    #   1/4-scan-bytes claim made literal; codes pinned bit-equal to the
+    #   inline quantizer in tests/test_similarity.py.
+    "sq8_topk",
 ]
-# Out-of-window touches, documented (47 of the 50 window slots are
+# Out-of-window touches, documented (48 of the 50 window slots are
 # claimed above; the rest of the window follows registration order):
 # 1. catalog.table_path/path_fingerprint/load_table became
 #    scheme-agnostic (round-7 verdict's lead item) — this transits EVERY

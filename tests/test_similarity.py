@@ -99,6 +99,48 @@ def test_sq8_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.85, f"sq8 recall@10 {recall} too low"
 
 
+def test_sq8_codes_artifact_matches_inline_quantization(spark, sf_dir):
+    """Round-8: the int8 code artifact (the table sq8_topk's pre-ranking
+    scan reads — the literal form of its 1/4-scan-bytes claim) must hold
+    exactly the codes/norms the inline quantizer produces for every
+    corpus vector (integers — parquet roundtrip exact), under the
+    params-keyed path, without rebuilding on a second consumer call."""
+    import os
+
+    import numpy as np
+
+    from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_path
+    from kafka_connect_storage_cloud_formats_spark.operators.similarity import (
+        DIM,
+        SQ8_LEVELS,
+        _ensure_sq8_codes,
+        _load,
+        _sq8_quantize,
+    )
+
+    path = artifact_path(
+        "sq8_codes", sf_dir, "embeddings", params=f"l{SQ8_LEVELS}d{DIM}"
+    )
+    art = _ensure_sq8_codes(spark, sf_dir)
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    stamp = os.stat(os.path.join(path, "_SUCCESS")).st_mtime_ns
+    _ensure_sq8_codes(spark, sf_dir)  # second consumer: cache hit
+    assert os.stat(os.path.join(path, "_SUCCESS")).st_mtime_ns == stamp
+
+    got = {
+        r["vec_id"]: (tuple(r["q"]), r["qn"]) for r in art.collect()
+    }
+    rows = _load(spark, sf_dir).select("vec_id", "embedding").collect()
+    E = np.stack([np.asarray(r["embedding"]) for r in rows]).astype(np.float64)
+    q, qn = _sq8_quantize(E)
+    want = {
+        r["vec_id"]: (tuple(int(c) for c in q[i]), int(qn[i]))
+        for i, r in enumerate(rows)
+    }
+    assert got == want and len(got) > 0
+    assert all(-127 <= c <= 127 for ds, _ in got.values() for c in ds)
+
+
 def test_sq8_quantize_bounds():
     """Codes stay in [-127, 127]; zero vectors quantize to all-zero codes."""
     import numpy as np
