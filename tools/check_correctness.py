@@ -20,8 +20,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = set(sys.argv[2:])
+_args = [a for a in sys.argv[1:] if a != "--repeat"]
+# --repeat: execute every Spark query TWICE in the same process and require
+# hash-equal results from both executions. The second call serves the
+# registry's prepared-plan cache (round 9), so this certifies the cache-HIT
+# path against the oracle, not just the miss path the driver gate sees.
+REPEAT = "--repeat" in sys.argv[1:]
+SF_DIR = _args[0] if _args else "/root/testdata/sf0.01"
+ONLY = set(_args[1:])
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings".split()
@@ -83,6 +89,13 @@ def main() -> int:
             sdf = fn(spark, SF_DIR)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            if REPEAT:
+                sdf2 = fn(spark, SF_DIR)  # prepared-plan cache hit
+                srows2 = [tuple(r) for r in sdf2.collect()]
+                if value_hash(srows, scols) != value_hash(srows2, sdf2.columns):
+                    print(f"FAIL  {name}: repeat execution hash-diverged")
+                    failures += 1
+                    continue
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             failures += 1
