@@ -196,18 +196,21 @@ def ensure_artifact(
             if now - last_touch < ARTIFACT_TOUCH_INTERVAL_S:
                 return path
             fs = _fs_for(path, spark)
-            gen = fs.file_mtime(success)
+            gen = fs.generation(path)
             if gen is not None:
                 if gen != last_gen:
                     # Same content key, NEW generation: another driver
                     # deleted + rebuilt this path (identical rows, NEW
                     # part-file names — liveness touches refresh the
-                    # DIRECTORY mtime, never _SUCCESS, so a changed
-                    # _SUCCESS mtime is unambiguous). A bare exists
-                    # probe cannot see this — the one external mutation
+                    # DIRECTORY mtime, never _SUCCESS or the part files,
+                    # so a changed marker is unambiguous; the marker is
+                    # _SUCCESS mtime + part-listing digest, so even a
+                    # rebuild inside the FS's timestamp granularity
+                    # moves it — round-8 ADVICE). A bare exists probe
+                    # cannot see this — the one external mutation
                     # that would leave a cached plan's file index
                     # pointing at dead files forever (the same
-                    # generation marker _ensure_bucketed_table uses for
+                    # generation idea _ensure_bucketed_table uses for
                     # its REFRESH TABLE decision).
                     _drop_df_cache(path)
                 fs.touch(path)
@@ -216,7 +219,7 @@ def ensure_artifact(
             invalidate_session_memo(path)  # vanished externally → rebuild
     if fs is None:  # reuse the wrapper the self-heal path already built
         fs = _fs_for(path, spark)
-    gen = fs.file_mtime(success)  # doubles as existence probe + generation
+    gen = fs.generation(path)  # doubles as existence probe + generation
     done = gen is not None
     if done and not force:
         # consumer-open liveness: the sweep's grace window compares against
@@ -263,7 +266,7 @@ def ensure_artifact(
     # stale no-_SUCCESS directory squatting at ``path``, a read-only or
     # rename-incapable root — must fail loudly rather than let a reader
     # consume a partial artifact.
-    gen = fs.file_mtime(success)
+    gen = fs.generation(path)
     if gen is None:
         # Attribute the failure to the RENAME when one was attempted —
         # even when its error is None (Hadoop-style False with no
@@ -289,18 +292,19 @@ def ensure_artifact(
 
 
 # (applicationId, artifact path) → (monotonic time of the last liveness
-# touch this session, observed _SUCCESS mtime — the artifact's GENERATION
-# marker; see the throttle-firing comment in ensure_artifact). Entries
+# touch this session, observed generation marker — _SUCCESS mtime +
+# part-listing digest (fsio.generation); see the throttle-firing comment
+# in ensure_artifact). Entries
 # keyed by other applicationIds are evicted on insert (dead sessions —
 # same hygiene as catalog._TABLE_CACHE). A superseded generation's entry
 # simply goes unaddressed: consumers derive the artifact path from the
 # LIVE corpus fingerprint on every call, so a regenerated corpus is a
 # different key — never a stale hit.
-_ENSURED: dict[tuple[str, str], tuple[float, float]] = {}
+_ENSURED: dict[tuple[str, str], tuple[float, str]] = {}
 ARTIFACT_TOUCH_INTERVAL_S = 60.0
 
 
-def _remember_ensured(app: str | None, path: str, gen: float) -> None:
+def _remember_ensured(app: str | None, path: str, gen: str) -> None:
     if app is None:
         return
     for k in [k for k in _ENSURED if k[0] != app]:

@@ -43,7 +43,11 @@ _URI_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*://")
 
 
 def _is_uri(path: str) -> bool:
-    return path.startswith("file:") or bool(_URI_RE.match(path))
+    # RFC-3986 schemes are case-insensitive ("FILE:/x" == "file:/x"), and
+    # the pre-round-8 urlparse route accepted the mixed-case spelling —
+    # match it case-insensitively so that spelling keeps collapsing to a
+    # local path instead of dying in os.stat on the literal string.
+    return path[:5].lower() == "file:" or bool(_URI_RE.match(path))
 
 
 def canon_path(path: str) -> str:

@@ -96,6 +96,33 @@ class _HadoopFS:
             self.last_error = e
             return None
 
+    def generation(self, dir_path: str) -> str | None:
+        """Generation marker of a published artifact directory: ``None``
+        when ``<dir>/_SUCCESS`` is absent, else the ``_SUCCESS`` mtime
+        COMBINED with a digest of the recursive file listing (relative
+        name, length, mtime per file). The mtime alone is the cheap
+        discriminator; the listing digest closes its granularity hole
+        (round-8 ADVICE): an external delete+rebuild completing within the
+        filesystem's timestamp granularity (1 s on some FSes) leaves the
+        mtime unchanged, but a rebuild's part files carry NEW
+        writer-UUID names, so the digest always moves. Liveness touches
+        refresh the DIRECTORY mtime only — ``listFiles`` returns files,
+        never directories — so touches can't perturb the marker."""
+        import hashlib
+
+        mtime = self.file_mtime(dir_path + "/_SUCCESS")
+        if mtime is None:
+            return None
+        try:
+            entries = self.list_files_recursive(dir_path)
+        except Exception as e:
+            self.last_error = e
+            return None  # vanished between the probe and the listing
+        h = hashlib.md5()
+        for rel, length, mt in sorted(entries):
+            h.update(f"{rel}|{length}|{mt};".encode())
+        return f"{mtime}|{h.hexdigest()[:12]}"
+
     def touch(self, p: str) -> None:
         """Refresh mtime (liveness signal for the sweep grace window,
         round-6 ADVICE: reads must extend the grace, not just writes)."""

@@ -90,15 +90,18 @@ def get_spark(app_name: str = "kafka_connect_storage_cloud_formats_spark") -> Sp
         .config("spark.cleaner.referenceTracking.blocking", "false")
         .config("spark.cleaner.referenceTracking.blocking.shuffle", "false")
     )
-    if not master.startswith("local["):
-        # Multi-process masters (local-cluster, standalone): executors are
-        # separate JVMs whose Python workers do NOT inherit the driver's
-        # sys.path — ship the import path the same way spark-submit's
-        # spark.executorEnv.* would on a real cluster.
+    if master.startswith("local-cluster["):
+        # local-cluster ONLY (not any non-local master): its executors are
+        # separate JVMs on THIS machine whose Python workers do not inherit
+        # the driver's sys.path, so the driver's PYTHONPATH is the correct
+        # import path to ship. On a real standalone/yarn cluster the driver
+        # machine's PYTHONPATH is meaningless to remote executors — there
+        # the package ships via --py-files / image install, and a default
+        # here would override any deployment-provided
+        # spark.executorEnv.PYTHONPATH from spark-defaults.conf.
         builder = builder.config(
             "spark.executorEnv.PYTHONPATH", os.environ.get("PYTHONPATH", _PKG_PARENT)
         )
-    if master.startswith("local-cluster["):
         # The 1500m default is sized for local-cluster's per-worker memory
         # cap ONLY — on a real standalone/yarn master, executor sizing
         # belongs to deployment config, and a hardcoded small default

@@ -918,3 +918,35 @@ def test_cross_process_publish_race(tmp_path):
     assert _litter(str(root)) == []
     # no nested hidden tmp dir survived inside the winner either
     assert _litter(target) == []
+
+
+def test_generation_marker_sees_same_mtime_rebuild(tmp_path, spark):
+    """The generation marker must distinguish an external delete+rebuild
+    even when the new _SUCCESS lands with an IDENTICAL mtime (filesystem
+    timestamp granularity — round-8 ADVICE): rebuilds write part files
+    with new writer-UUID names, and the marker digests the recursive
+    listing, so it always moves."""
+    from kafka_connect_storage_cloud_formats_spark.fsio import _fs_for
+
+    art = tmp_path / "art"
+    art.mkdir()
+    (art / "_SUCCESS").write_bytes(b"")
+    (art / "part-00000-aaaa.parquet").write_bytes(b"x" * 10)
+    fixed = 1_700_000_000
+    os.utime(art / "_SUCCESS", (fixed, fixed))
+    os.utime(art / "part-00000-aaaa.parquet", (fixed, fixed))
+    fs = _fs_for(str(art), spark)
+    g1 = fs.generation(str(art))
+    assert g1 is not None
+
+    # same-mtime rebuild: new part name, byte-identical sizes, SAME mtimes
+    os.remove(art / "part-00000-aaaa.parquet")
+    (art / "part-00000-bbbb.parquet").write_bytes(b"x" * 10)
+    os.utime(art / "_SUCCESS", (fixed, fixed))
+    os.utime(art / "part-00000-bbbb.parquet", (fixed, fixed))
+    g2 = fs.generation(str(art))
+    assert g2 is not None and g2 != g1  # mtime equal, digest differs
+
+    # unpublished directory → None
+    os.remove(art / "_SUCCESS")
+    assert fs.generation(str(art)) is None

@@ -125,7 +125,10 @@ def test_file_uri_spellings_are_one_corpus(spark, sf_dir):
     )
 
     local = os.path.abspath(sf_dir)
-    for uri in (f"file://{local}", f"file:{local}"):
+    # FILE:/x included: RFC-3986 schemes are case-insensitive, and the
+    # pre-round-8 urlparse route accepted the mixed-case spelling
+    # (round-8 ADVICE #2)
+    for uri in (f"file://{local}", f"file:{local}", f"FILE:{local}"):
         assert canon_path(uri) == local
         assert table_path(uri, "region") == table_path(local, "region")
         assert path_fingerprint(table_path(uri, "region")) == path_fingerprint(
