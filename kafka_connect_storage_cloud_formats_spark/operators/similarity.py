@@ -1104,10 +1104,15 @@ def ivf_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe=1 truncates recall hard whenever a query's true neighbors live
     across a bucket boundary — so its recall is the one you most need
     measured, not guessed. Consumes the ground-truth artifact
-    (:func:`ensure_knn_ground_truth`); the probe side is the same shared
-    :func:`_ivf_probe` plan as the registered ivf_topk."""
+    (:func:`ensure_knn_ground_truth`); the probe side is the
+    MATERIALIZED-index path (:func:`ivf_topk_pruned`) — the serving shape
+    a recall sweep actually evaluates — result-identical to the live
+    ``ivf_topk`` by construction: both run the shared :func:`_ivf_probe`
+    against content-keyed centroids (doubles roundtrip parquet exactly)
+    and assert the SAME oracle SQL, which recomputes the coarse quantizer
+    inline."""
     bf = ensure_knn_ground_truth(spark, sf_dir).select("q_id", "neighbor_id")
-    ivf = ivf_topk(spark, sf_dir).select("q_id", "neighbor_id")
+    ivf = ivf_topk_pruned(spark, sf_dir).select("q_id", "neighbor_id")
     hits = bf.join(ivf, ["q_id", "neighbor_id"], "left_semi")
     return (
         bf.agg(

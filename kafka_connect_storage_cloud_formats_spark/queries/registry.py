@@ -109,6 +109,16 @@ _SIDE_EFFECT_QUERIES = frozenset(
         "json_roundtrip",
         "csv_roundtrip",
         "schema_evolution_roundtrip",
+        # Not side-effecting, but their DECLARED MEANING is "measure the
+        # live build": ivf_index_build force-rebuilds the index per call
+        # and neardup_clusters runs the live edge-collect + union-find at
+        # plan-build time. A memoized plan would skip exactly the work
+        # their bench rows exist to measure (verified: cached mins read
+        # 0.11 s / 0.40 s vs the honest 0.89 s / 1.48 s). Their CONSUMER
+        # paths (ivf_topk_pruned, training_corpus_stats via the label
+        # artifact) are the cached serving shape.
+        "ivf_index_build",
+        "neardup_clusters",
     }
 )
 

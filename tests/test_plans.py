@@ -29,6 +29,7 @@ def test_allowed_nested_are_documented_exceptions(spark, sf_dir):
         "ivf_topk_pruned",
         "ann_recall_at_10",
         "sq8_recall_at_10",
+        "ivf_recall_at_10",
     }
     assert ALLOWED_SCALAR_CROSS == {
         "q22_rich_inactive_customers",

@@ -136,3 +136,60 @@ def test_bench_payload_writer_partial_and_final(tmp_path, monkeypatch):
     # final write has no provisional marker
     final = bench._write_payload(samples, ["q1", "q2"])
     assert "passes_done" not in final
+
+
+def test_prepared_plan_cache_identity_and_exclusions():
+    """Read-only queries are served ONE immutable plan per (session,
+    corpus) — same object identity on a hit; excluded queries (scratch-dir
+    roundtrips, live-build entries) rebuild per call so each execution
+    re-runs the work their rows certify/measure."""
+    import os
+
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    from kafka_connect_storage_cloud_formats_spark import get_spark
+    from kafka_connect_storage_cloud_formats_spark.queries import registry
+
+    spark = get_spark("tests")
+    sf = "/root/testdata/sf0.001"
+    q1 = registry.QUERIES["q1_pricing_summary"][0]
+    assert q1(spark, sf) is q1(spark, sf)  # cache hit: identical plan object
+    for name in ("ivf_index_build", "orc_ingest_roundtrip"):
+        fn = registry.QUERIES[name][0]
+        assert fn.__name__ == name  # not wrapped by _prepared
+        assert name in registry._SIDE_EFFECT_QUERIES
+
+
+def test_prepared_plan_cache_invalidates_on_corpus_regeneration(tmp_path):
+    """A corpus REGENERATED at the same path must rebuild the prepared
+    plan (fingerprint revalidation — same contract as the table cache),
+    and the rebuilt plan must read the new data."""
+    import os
+    import shutil
+
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    from kafka_connect_storage_cloud_formats_spark import get_spark
+    from kafka_connect_storage_cloud_formats_spark.queries import registry
+
+    spark = get_spark("tests")
+    src = "/root/testdata/sf0.001"
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    for t in ("orders",):
+        shutil.copy(f"{src}/{t}.parquet", corpus / f"{t}.parquet")
+
+    fn = registry.QUERIES["orders_rollup"][0]
+    df1 = fn(spark, str(corpus))
+    rows1 = df1.collect()
+    assert fn(spark, str(corpus)) is df1  # stable corpus → cache hit
+
+    # regenerate: halve the orders table at the same path
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"COPY (SELECT * FROM read_parquet('{src}/orders.parquet') "
+        f"WHERE o_orderkey % 2 = 0) TO '{corpus}/orders.parquet' (FORMAT PARQUET)"
+    )
+    df2 = fn(spark, str(corpus))
+    assert df2 is not df1  # fingerprint moved → rebuilt plan
+    assert df2.collect() != rows1  # and it reads the regenerated data

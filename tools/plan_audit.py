@@ -48,6 +48,7 @@ ALLOWED_NESTED = {
     "ivf_topk_pruned",  # same assignment stage against the materialized index
     "ann_recall_at_10",  # 1-row recall-ratio cross + composed baselines
     "sq8_recall_at_10",  # same 1-row recall-ratio cross for the int8 tier
+    "ivf_recall_at_10",  # same 1-row cross + ivf_topk's Q×n_labels assignment
 }
 
 # Queries that fold a GLOBAL SCALAR into the plan via crossJoin(broadcast(
