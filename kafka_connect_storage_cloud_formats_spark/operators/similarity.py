@@ -86,6 +86,11 @@ def _collect_query_matrix(base: DataFrame, query_ids=None):
     else:
         qdf = qdf.filter(F.col("vec_id") % QUERY_MOD == 0)
     qrows = qdf.limit(MAX_QUERIES + 1).collect()
+    if not qrows:
+        raise ValueError(
+            "query set selected no vectors (empty query_ids match / "
+            f"no vec_id % {QUERY_MOD} == 0 rows in this corpus)"
+        )
     if len(qrows) > MAX_QUERIES:
         raise ValueError(
             f"query subset exceeds the Q <= {MAX_QUERIES} query-matrix "
