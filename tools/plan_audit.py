@@ -27,6 +27,7 @@ import json
 import os
 import re
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -142,8 +143,17 @@ def main() -> int:
     all_stats: dict = {}
     for name, fn in entry_mod.queries().items():
         try:
+            # Driver-time column (round-8 verdict ask #1 follow-through):
+            # wall-clock of the fn() call itself — pure driver work (py4j
+            # plan construction, artifact-memo checks, bounded collects;
+            # no action). First call per process = the cache-MISS build a
+            # fresh session pays once; with the registry's prepared-plan
+            # cache, later calls in the same process cost ~1-3 ms.
+            t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
+            build_s = round(time.perf_counter() - t0, 3)
             problems, stats = audit(name, df)
+            stats["driver_build_s"] = build_s
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: {e}")
             failures += 1
