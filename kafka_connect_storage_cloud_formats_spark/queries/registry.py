@@ -141,6 +141,18 @@ def _prepared(name: str, fn):
         key = (spark.sparkContext.applicationId, name, ident)
         fp = path_fingerprint(sf_dir, spark)
         hit = _PLAN_CACHE.get(key)
+        # newSession() clones share the applicationId and therefore this
+        # cache — the same deliberate contract as catalog._TABLE_CACHE
+        # (whose cached table plans underlie every query here, so a
+        # per-session plan cache would still execute under the building
+        # session's state one layer down). That is safe for the same
+        # reason it is there: registered queries read no temp views, and
+        # the one execution-time-sensitive session conf (timezone) is
+        # re-guarded on every call — the UTC check above runs against the
+        # CALLER's session, and a non-UTC caller bypasses the cache into
+        # the builder's own guards. Clones with materially divergent SQL
+        # confs are outside the engine's contract (apply_session_confs
+        # exists to align them).
         if hit is not None and hit[0] == fp:
             return hit[1]
         df = fn(spark, sf_dir)

@@ -193,3 +193,36 @@ def test_prepared_plan_cache_invalidates_on_corpus_regeneration(tmp_path):
     df2 = fn(spark, str(corpus))
     assert df2 is not df1  # fingerprint moved → rebuilt plan
     assert df2.collect() != rows1  # and it reads the regenerated data
+
+
+def test_prepared_plan_cache_serves_aligned_session_clones():
+    """spark.newSession() clones share the applicationId and (by the same
+    contract as catalog._TABLE_CACHE, which underlies every plan here)
+    the prepared-plan cache. An ALIGNED clone (apply_session_confs) gets
+    the shared plan and identical results; a conf-divergent clone (non-UTC
+    timezone) bypasses the cache into the builders' own loud guards."""
+    import os
+
+    import pytest
+
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    from kafka_connect_storage_cloud_formats_spark import get_spark
+    from kafka_connect_storage_cloud_formats_spark.queries import registry
+    from kafka_connect_storage_cloud_formats_spark.session import apply_session_confs
+
+    spark = get_spark("tests")
+    sf = "/root/testdata/sf0.001"
+    fn = registry.QUERIES["q13_order_count_distribution"][0]
+    df1 = fn(spark, sf)
+    clone = apply_session_confs(spark.newSession())
+    df2 = fn(clone, sf)
+    assert df2 is df1  # aligned clone: shared plan, same contract as load_table
+    assert sorted(map(tuple, df2.collect())) == sorted(map(tuple, df1.collect()))
+
+    # divergent clone: the wrapper must NOT serve the cache; the events
+    # builders raise loudly on a non-UTC session
+    bad = spark.newSession()
+    bad.conf.set("spark.sql.session.timeZone", "America/New_York")
+    ev_fn = registry.QUERIES["events_latest_per_user"][0]
+    with pytest.raises(Exception, match="UTC|timeZone|timezone"):
+        ev_fn(bad, sf).collect()
