@@ -442,32 +442,52 @@ ORDER BY label, dim
 """
 
 
-def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF search (nprobe=1): assign each query to its nearest label
-    centroid, then exact cosine top-10 *within that bucket only*.
+def ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int = 1) -> DataFrame:
+    """IVF search: assign each query to its ``nprobe`` nearest label
+    centroids, then exact cosine top-10 *within those buckets only*.
+
+    The registered entry keeps the default nprobe=1 (the oracle-pinned
+    result); ``nprobe`` is the standard IVF recall/cost dial — candidates
+    grow ~linearly with it and recall rises monotonically, reaching the
+    brute-force result exactly at nprobe = n_labels (pinned in
+    tests/test_similarity.py: probing every bucket IS the full scan,
+    identical ranking and tie-breaks).
 
     Scale shape: the centroid table is tiny (n_labels rows) and broadcast;
-    the bucket restriction turns the O(Q·N) scan into O(Q·N/n_labels), and
-    the corpus side is partition-prunable by label. The assignment subtree
-    (query→centroid, Q·C rows) is pure-JVM (``_jvm_dot``) so it is cheap to
-    re-evaluate wherever the optimizer embeds it (e.g. as a pruning
-    subquery); the corpus-scale re-rank keeps the Arrow path.
+    the bucket restriction turns the O(Q·N) scan into O(Q·nprobe·N/n_labels),
+    and the corpus side is partition-prunable by label. The assignment
+    subtree (query→centroid, Q·C rows) is pure-JVM (``_jvm_dot``) so it is
+    cheap to re-evaluate wherever the optimizer embeds it (e.g. as a
+    pruning subquery); the corpus-scale re-rank keeps the Arrow path.
     """
     return _ivf_probe(
-        spark, sf_dir, _ivf_centroids_unsorted(spark, sf_dir), _with_norm(_load(spark, sf_dir))
+        spark,
+        sf_dir,
+        _ivf_centroids_unsorted(spark, sf_dir),
+        _with_norm(_load(spark, sf_dir)),
+        nprobe=nprobe,
     )
 
 
 def _ivf_probe(
-    spark: SparkSession, sf_dir: str, cent_long: DataFrame, corpus: DataFrame
+    spark: SparkSession,
+    sf_dir: str,
+    cent_long: DataFrame,
+    corpus: DataFrame,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """THE IVF probe (nprobe=1), shared by ``ivf_topk`` (live-derived
-    centroids + live corpus) and ``ivf_topk_pruned`` (materialized centroid
-    parquet + label-partitioned index): both registry entries assert the
-    same oracle, so the assignment tie-break / nprobe / re-rank logic must
+    """THE IVF probe, shared by ``ivf_topk`` (live-derived centroids +
+    live corpus) and ``ivf_topk_pruned`` (materialized centroid parquet +
+    label-partitioned index): both registry entries assert the same
+    oracle, so the assignment tie-break / nprobe / re-rank logic must
     not exist in two copies that can drift. ``cent_long`` is the coarse
     quantizer in long (label, dim, centroid) form; ``corpus`` carries
-    (vec_id, embedding, norm, label)."""
+    (vec_id, embedding, norm, label). ``nprobe`` widens the assignment to
+    the top-N centroids per query (same ordering/tie-break as the final
+    ranking: ccos desc, label asc); the downstream bucket join and global
+    top-k are nprobe-blind."""
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     cents = (
         cent_long.groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("dim", "centroid"))).alias("cd"))
@@ -488,7 +508,7 @@ def _ivf_probe(
         q.crossJoin(F.broadcast(cents))
         .withColumn("ccos", ccos)
         .withColumn("rn", F.row_number().over(wa))
-        .filter(F.col("rn") == 1)
+        .filter(F.col("rn") <= nprobe)
         .select("q_id", "q_emb", "q_norm", "c_label")
     )
     cosine = _dot("q_emb", "embedding") / (F.col("q_norm") * F.col("norm"))
@@ -606,7 +626,7 @@ FROM embeddings GROUP BY label ORDER BY label
 """
 
 
-def ivf_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivf_topk_pruned(spark: SparkSession, sf_dir: str, nprobe: int = 1) -> DataFrame:
     """IVF search against the *materialized* index (nprobe=1): queries are
     assigned to their nearest centroid, then the bucket scan reads the
     label-partitioned parquet written by :func:`build_ivf_index` through a
@@ -634,7 +654,9 @@ def ivf_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # path of every probe (measured: 1–3 s of added latency/variance at
     # sf0.1; at 100 TB the probe's time-to-first-byte would eat the same
     # stall).
-    return _ivf_probe(spark, sf_dir, published_df(spark, index_path + "_centroids"), stored)
+    return _ivf_probe(
+        spark, sf_dir, published_df(spark, index_path + "_centroids"), stored, nprobe=nprobe
+    )
 
 
 # ------------------------------------------------- scalar-quantized (int8) kNN

@@ -215,3 +215,48 @@ def test_query_matrix_bound_enforced(spark, sf_dir):
         map(tuple, S.knn_bruteforce(spark, sf_dir, query_ids=qids).collect())
     )
     assert explicit_rows == default_rows
+
+
+def test_ivf_nprobe_full_probe_equals_bruteforce(spark, sf_dir):
+    """nprobe = n_labels probes every bucket — the IVF result must then be
+    BIT-equal to the exact brute-force top-k (same cosine chain, same
+    tie-breaks): the invariant that pins the multi-probe widening as a
+    pure recall/cost dial, not a result rewrite."""
+    from kafka_connect_storage_cloud_formats_spark.operators.similarity import (
+        ivf_topk_pruned,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_labels = emb.select("label").distinct().count()
+    bf = sorted(map(tuple, knn_bruteforce(spark, sf_dir).collect()))
+    full = sorted(map(tuple, ivf_topk(spark, sf_dir, nprobe=n_labels).collect()))
+    assert full == bf
+    full_pruned = sorted(
+        map(tuple, ivf_topk_pruned(spark, sf_dir, nprobe=n_labels).collect())
+    )
+    assert full_pruned == bf
+
+
+def test_ivf_nprobe_recall_monotone(spark, sf_dir):
+    """Widening nprobe can only ADD candidates, so hits against the exact
+    ground truth are monotone non-decreasing in nprobe."""
+    from kafka_connect_storage_cloud_formats_spark.operators.similarity import (
+        ensure_knn_ground_truth,
+    )
+
+    gt = {
+        (r["q_id"], r["neighbor_id"])
+        for r in ensure_knn_ground_truth(spark, sf_dir).collect()
+    }
+    hits = []
+    for nprobe in (1, 2, 4):
+        got = {
+            (r["q_id"], r["neighbor_id"])
+            for r in ivf_topk(spark, sf_dir, nprobe=nprobe).collect()
+        }
+        hits.append(len(gt & got))
+    assert hits[0] <= hits[1] <= hits[2]
+    import pytest
+
+    with pytest.raises(ValueError, match="nprobe"):
+        ivf_topk(spark, sf_dir, nprobe=0)
