@@ -1,0 +1,134 @@
+"""Structural correctness for the trained IVF quantizer (no SQL oracle —
+a 5-round k-means is not one DuckDB query; these pin the properties that
+matter instead: determinism across partitioning, convergence direction,
+full-probe equivalence to brute force, and measured recall benefit)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_storage_cloud_formats_spark.operators.kmeans_ivf import (
+    _assign_clusters,
+    _collect_centroid_matrix,
+    _update_centroids,
+    ivf_kmeans_topk,
+    train_kmeans_quantizer,
+)
+from kafka_connect_storage_cloud_formats_spark.operators.similarity import (
+    ensure_knn_ground_truth,
+    ivf_topk,
+    knn_bruteforce,
+)
+
+K, ITERS = 8, 3  # small-corpus test parameters (sf0.001: 500 vectors)
+
+
+def test_kmeans_assignment_partition_invariant(spark, sf_dir):
+    """The whole training loop must be partitioning-independent: the
+    assignment artifact derivation re-run over a repartitioned corpus
+    produces bit-identical clusters (associative decimal update + fixed
+    vectorized assignment)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    seed = emb.orderBy("vec_id").limit(K).collect()
+    labels = np.arange(K, dtype=np.int64)
+    M = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in seed])
+    base = {
+        (r["vec_id"], r["cluster"]) for r in _assign_clusters(emb, labels, M).collect()
+    }
+    shuffled = {
+        (r["vec_id"], r["cluster"])
+        for r in _assign_clusters(emb.repartition(7), labels, M).collect()
+    }
+    assert base == shuffled
+    c1 = {
+        (r["label"], r["dim"]): r["centroid"]
+        for r in _update_centroids(emb, _assign_clusters(emb, labels, M)).collect()
+    }
+    c2 = {
+        (r["label"], r["dim"]): r["centroid"]
+        for r in _update_centroids(
+            emb.repartition(5), _assign_clusters(emb.repartition(3), labels, M)
+        ).collect()
+    }
+    assert c1 == c2  # exact doubles — decimal sums are associative
+
+
+def test_kmeans_sse_non_increasing(spark, sf_dir):
+    """Lloyd's invariant: within-cluster SSE is non-increasing over
+    iterations (each step optimizes one factor exactly)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    seed = emb.orderBy("vec_id").limit(K).collect()
+    labels = np.arange(K, dtype=np.int64)
+    M = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in seed])
+    E = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in emb.orderBy("vec_id").collect()]
+    )
+
+    def sse(labels_, M_):
+        d = ((E[:, None, :] - M_[None, :, :]) ** 2).sum(axis=2)
+        return d.min(axis=1).sum()
+
+    sses = [sse(labels, M)]
+    for _ in range(ITERS):
+        assignment = _assign_clusters(emb, labels, M)
+        new_labels, new_M = _collect_centroid_matrix(
+            _update_centroids(emb, assignment)
+        )
+        keep = np.isin(labels, new_labels, invert=True)
+        if keep.any():
+            new_labels = np.concatenate([new_labels, labels[keep]])
+            new_M = np.concatenate([new_M, M[keep]])
+            order = np.argsort(new_labels)
+            new_labels, new_M = new_labels[order], new_M[order]
+        labels, M = new_labels, new_M
+        sses.append(sse(labels, M))
+    for a, b in zip(sses, sses[1:]):
+        assert b <= a + 1e-9, sses
+
+
+def test_kmeans_full_probe_equals_bruteforce(spark, sf_dir):
+    """nprobe = k probes every trained cell — bit-equal to brute force,
+    the same invariant as the label quantizer."""
+    bf = sorted(map(tuple, knn_bruteforce(spark, sf_dir).collect()))
+    full = sorted(
+        map(
+            tuple,
+            ivf_kmeans_topk(spark, sf_dir, k=K, iters=ITERS, nprobe=K).collect(),
+        )
+    )
+    assert full == bf
+
+
+def test_kmeans_quantizer_beats_label_quantizer_at_nprobe1(spark):
+    """The point of training: on the real sf0.01 corpus, recall@10 at
+    nprobe=1 with k-means cells must beat the semantic-label bucketing
+    (geometry vs class labels). Run at sf0.01 for a meaningful margin."""
+    sf = "/root/testdata/sf0.01"
+    gt = {
+        (r["q_id"], r["neighbor_id"])
+        for r in ensure_knn_ground_truth(spark, sf).collect()
+    }
+    n_labels = (
+        spark.read.parquet(f"{sf}/embeddings.parquet").select("label").distinct().count()
+    )
+    label_hits = {
+        (r["q_id"], r["neighbor_id"]) for r in ivf_topk(spark, sf, nprobe=1).collect()
+    }
+    trained_hits = {
+        (r["q_id"], r["neighbor_id"])
+        for r in ivf_kmeans_topk(spark, sf, k=n_labels, iters=5, nprobe=1).collect()
+    }
+    r_label = len(gt & label_hits) / len(gt)
+    r_trained = len(gt & trained_hits) / len(gt)
+    assert r_trained > r_label, (r_trained, r_label)
+
+
+def test_kmeans_rejects_bad_params(spark, sf_dir):
+    with pytest.raises(ValueError, match="k and iters"):
+        train_kmeans_quantizer(spark, sf_dir, k=0)
+    with pytest.raises(ValueError, match="k and iters"):
+        train_kmeans_quantizer(spark, sf_dir, iters=0)
