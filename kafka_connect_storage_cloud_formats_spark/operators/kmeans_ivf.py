@@ -205,3 +205,57 @@ def ivf_kmeans_topk(
         .join(assignment.select("vec_id", F.col("cluster").alias("label")), "vec_id")
     )
     return _ivf_probe(spark, sf_dir, cent_long, corpus, nprobe=nprobe)
+
+
+def build_kmeans_ivf_index(
+    spark: SparkSession, sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> str:
+    """Materialize the TRAINED IVF index: the corpus written to parquet
+    PARTITIONED BY the k-means cell (mirror of
+    :func:`~.similarity.build_ivf_index`, which partitions by the label
+    column) — probes then touch only assigned cells via dynamic partition
+    pruning. Content-keyed like every index artifact; the centroid table
+    is the trainer's own artifact, so the index needs only the
+    partitioned corpus."""
+    from kafka_connect_storage_cloud_formats_spark.artifacts import (
+        artifact_path,
+        ensure_artifact,
+    )
+
+    assignment, _ = train_kmeans_quantizer(spark, sf_dir, k=k, iters=iters)
+    path = artifact_path(
+        "kmeans_ivf_index", sf_dir, "embeddings", params=f"k{k}i{iters}d{DIM}"
+    )
+    ensure_artifact(
+        path,
+        lambda tmp: _load(spark, sf_dir)
+        .select("vec_id", "embedding")
+        .join(assignment.select("vec_id", F.col("cluster").alias("label")), "vec_id")
+        .write.partitionBy("label")
+        .parquet(tmp),
+        spark=spark,
+    )
+    return path
+
+
+def ivf_kmeans_topk_pruned(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Trained-quantizer probe against the MATERIALIZED index (the
+    serving shape): identical results to :func:`ivf_kmeans_topk` — the
+    index changes the access path (label-partitioned files + DPP), never
+    the answer."""
+    from kafka_connect_storage_cloud_formats_spark.artifacts import published_df
+
+    _, cent_long = train_kmeans_quantizer(spark, sf_dir, k=k, iters=iters)
+    index_path = build_kmeans_ivf_index(spark, sf_dir, k=k, iters=iters)
+    stored = _with_norm(
+        published_df(spark, index_path).select(
+            "vec_id", "embedding", F.col("label").cast("long").alias("label")
+        )
+    )
+    return _ivf_probe(spark, sf_dir, cent_long, stored, nprobe=nprobe)

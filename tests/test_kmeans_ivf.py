@@ -132,3 +132,28 @@ def test_kmeans_rejects_bad_params(spark, sf_dir):
         train_kmeans_quantizer(spark, sf_dir, k=0)
     with pytest.raises(ValueError, match="k and iters"):
         train_kmeans_quantizer(spark, sf_dir, iters=0)
+
+
+def test_kmeans_pruned_index_matches_live_probe(spark, sf_dir):
+    """The materialized trained index changes the access path, never the
+    answer: pruned == live for nprobe 1 and 2, exact doubles."""
+    from kafka_connect_storage_cloud_formats_spark.operators.kmeans_ivf import (
+        ivf_kmeans_topk_pruned,
+    )
+
+    for nprobe in (1, 2):
+        live = sorted(
+            map(
+                tuple,
+                ivf_kmeans_topk(spark, sf_dir, k=K, iters=ITERS, nprobe=nprobe).collect(),
+            )
+        )
+        pruned = sorted(
+            map(
+                tuple,
+                ivf_kmeans_topk_pruned(
+                    spark, sf_dir, k=K, iters=ITERS, nprobe=nprobe
+                ).collect(),
+            )
+        )
+        assert pruned == live
