@@ -323,6 +323,23 @@ def invalidate_session_memo(path: str) -> None:
     _drop_df_cache(path)
 
 
+# Callbacks fired whenever an artifact's cached plans are dropped (the
+# generation-changed / vanished-externally cases). Higher layers that
+# memoize plans EMBEDDING artifact file indexes register here so the
+# self-heal reaches them too — the query registry's prepared-plan cache
+# registers a listener (queries/registry.py); without it a registry plan
+# built over the dead file index would be served for the rest of the
+# session (only failing loudly at scan time) even though the artifact
+# layer itself healed. Listeners get the artifact path; they may over-
+# invalidate (the event is rare — an external delete+rebuild).
+_INVALIDATION_LISTENERS: list = []
+
+
+def register_invalidation_listener(fn) -> None:
+    if fn not in _INVALIDATION_LISTENERS:
+        _INVALIDATION_LISTENERS.append(fn)
+
+
 def _drop_df_cache(path: str) -> None:
     """Drop every session's cached DataFrame plan over ``path`` — for the
     generation-changed case (external delete + rebuild at the same
@@ -330,6 +347,8 @@ def _drop_df_cache(path: str) -> None:
     the cached plan's file index lists the DEAD part files."""
     for k in [k for k in _DF_CACHE if k[1] == path]:
         del _DF_CACHE[k]
+    for fn in _INVALIDATION_LISTENERS:
+        fn(path)
 
 
 # (applicationId, artifact path) → DataFrame over the published parquet.

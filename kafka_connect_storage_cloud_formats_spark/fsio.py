@@ -117,7 +117,16 @@ class _HadoopFS:
             entries = self.list_files_recursive(dir_path)
         except Exception as e:
             self.last_error = e
-            return None  # vanished between the probe and the listing
+            # Disambiguate: a listing failure on a still-published artifact
+            # is a READ-side fault (permissions, object-store hiccup), not
+            # absence — returning None there would make ensure_artifact
+            # re-run a corpus-scale build of a live artifact and then fail
+            # with a misleading "no _SUCCESS after build". Only a genuine
+            # vanish race (the _SUCCESS we just statted is gone) maps to
+            # None; anything else surfaces loudly.
+            if self.file_mtime(dir_path + "/_SUCCESS") is None:
+                return None
+            raise
         h = hashlib.md5()
         for rel, length, mt in sorted(entries):
             h.update(f"{rel}|{length}|{mt};".encode())

@@ -1,4 +1,4 @@
-"""Trained IVF coarse quantizer: deterministic distributed k-means.
+"""Trained IVF coarse quantizer: deterministic distributed SPHERICAL k-means.
 
 Why this exists: the embeddings corpus ships a ``label`` column that the
 IVF tier uses as its coarse quantizer, and the measured recall sweep
@@ -12,27 +12,40 @@ that trainer Spark-first and re-uses the existing probe machinery
 unchanged (:func:`~.similarity._ivf_probe` is quantizer-agnostic — it
 takes any (label, dim, centroid) long table and any labeled corpus).
 
+SPHERICAL, because the probe ranks by COSINE: training with euclidean
+assignment while serving with cosine routing would make the two stages
+disagree whenever centroid norms differ (a query could probe a different
+cell than the one its neighbors were trained into — a silent recall cap
+flagged in round-9 review). Spherical k-means assigns by cosine and
+updates with the mean of the UNIT-normalized members (the direction that
+maximizes the summed cosine for a fixed assignment), so the trained cells
+and the probe's routing optimize the same geometry, and the objective
+Σ cos(x, c_assigned) is monotone non-decreasing per iteration (pinned).
+
 Scale shape (the textbook distributed Lloyd's iteration):
 
 - **assign** — centroids are a k×d matrix, tiny at any realistic k
   (2^16 × 64 floats ≈ 32 MB), broadcast as a captured constant into ONE
   ``mapInPandas`` pass over the corpus; each Arrow batch computes the
-  full distance block vectorized and emits (vec_id, cluster). No
+  full cosine block vectorized and emits (vec_id, cluster). No
   shuffle; O(N·k·d) flops spread across every core.
-- **update** — decimal-exact per-dimension means grouped by cluster
-  (the same fixed-point trick as ``ivf_centroids``): integer/decimal
-  sums are associative, so the new centroids are INDEPENDENT of
-  partitioning — the whole training run is bit-reproducible on 1 core
-  or 1000 executors.
+- **update** — decimal-exact per-dimension means of the UNIT-normalized
+  members, grouped by cluster (the same fixed-point trick as
+  ``ivf_centroids``; the per-row normalization is row-local IEEE, so it
+  is identical on every partitioning): integer/decimal sums are
+  associative, so the new centroids are INDEPENDENT of partitioning —
+  the whole training run is bit-reproducible on 1 core or 1000
+  executors.
 - **iterate** — a fixed, small number of rounds; the k×d centroid
   matrix round-trips through the driver between rounds (bounded by k,
   the same metadata-scale contract as the query matrix).
 
 Determinism contract (what makes this testable/cacheable):
 - init = the k vectors with the smallest vec_ids (no RNG);
-- assignment tie-break = lowest cluster id (np.argmin takes the first
-  minimum; distances are computed by one fixed vectorized expression);
-- update = associative decimal means;
+- assignment tie-break = lowest cluster id (np.argmax-equivalent takes
+  the first maximum; cosines are computed by one fixed vectorized
+  expression);
+- update = associative decimal means of row-locally normalized vectors;
 - empty clusters keep their previous centroid.
 
 The trained (assignments, centroids) pair is a content-keyed ARTIFACT
@@ -41,8 +54,9 @@ like the IVF index itself. No registry entry: a 5-round k-means is not
 reasonably expressible as one DuckDB oracle query; its correctness is
 pinned structurally instead (tests/test_kmeans_ivf.py): bit-identical
 across partitionings, monotone non-increasing within-cluster SSE over
-iterations, and measured recall@10 strictly above the label quantizer
-at equal nprobe on the real corpus.
+iterations (the spherical objective Σ cos, non-DECREASING), and
+measured recall@10 strictly above the label quantizer at equal nprobe
+on the real corpus.
 """
 
 from __future__ import annotations
@@ -81,24 +95,29 @@ def _collect_centroid_matrix(cent_long: DataFrame):
 def _assign_clusters(corpus: DataFrame, labels, M) -> DataFrame:
     """One vectorized pass: (vec_id, embedding) → (vec_id, cluster).
 
-    argmin over squared euclidean distance; ``x·x`` is constant per row so
-    the comparison key is ``c·c - 2·x·c`` — one matmul per Arrow batch.
-    Ties take the lowest cluster id (np.argmin picks the first minimum and
-    ``labels`` is sorted ascending)."""
+    argmax over COSINE to each centroid — the same metric the probe
+    routes by, so training cells and serving cells agree. One matmul per
+    Arrow batch against the norm-scaled centroid matrix (a vector's own
+    norm scales every cosine equally, so it never affects the argmax and
+    is not computed). Ties take the lowest cluster id (first maximum;
+    ``labels`` is sorted ascending). Zero-norm centroids score -inf so
+    they can never capture a vector spuriously."""
     import numpy as np
     import pandas as pd
 
     from kafka_connect_storage_cloud_formats_spark.functions.vectors import _stack64
 
-    cc = (M * M).sum(axis=1)  # (k,)
+    cn = np.sqrt((M * M).sum(axis=1))  # (k,)
+    Mn = np.where(cn[:, None] > 0.0, M / np.where(cn == 0.0, 1.0, cn)[:, None], np.nan)
 
     def assign(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
             E = _stack64(pdf["embedding"])  # (b, d)
-            scores = cc[None, :] - 2.0 * (E @ M.T)  # (b, k)
-            idx = np.argmin(scores, axis=1)
+            scores = E @ Mn.T  # (b, k); NaN cols (zero-norm centroid) lose
+            scores = np.nan_to_num(scores, nan=-np.inf)
+            idx = np.argmax(scores, axis=1)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
@@ -112,14 +131,28 @@ def _assign_clusters(corpus: DataFrame, labels, M) -> DataFrame:
 
 
 def _update_centroids(corpus: DataFrame, assignment: DataFrame) -> DataFrame:
-    """Decimal-exact per-dimension means grouped by assigned cluster —
-    the ``ivf_centroids`` aggregation with the trained label: associative
-    sums ⇒ bit-identical at any partitioning."""
-    pos = corpus.join(assignment, "vec_id").select(
-        F.col("cluster").alias("label"),
-        F.posexplode(F.col("embedding")).alias("dim", "val"),
+    """Decimal-exact per-dimension means of the UNIT-NORMALIZED members,
+    grouped by assigned cluster (the spherical-k-means maximizer of the
+    summed cosine for a fixed assignment, up to scale — which cosine
+    ignores). Per-row normalization (val / l2(embedding)) is row-local
+    IEEE arithmetic, so it is identical on every partitioning; the
+    decimal sums stay associative ⇒ bit-identical at any parallelism.
+    Zero vectors contribute their raw zeros (norm treated as 1)."""
+    from kafka_connect_storage_cloud_formats_spark.functions.vectors import dot
+
+    norm = F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+    pos = (
+        corpus.join(assignment, "vec_id")
+        .withColumn("__n", F.when(norm > 0.0, norm).otherwise(F.lit(1.0)))
+        .select(
+            F.col("cluster").alias("label"),
+            F.col("__n"),
+            F.posexplode(F.col("embedding")).alias("dim", "val"),
+        )
     )
-    quant = F.floor(F.col("val").cast("double") * F.lit(1e15)).cast("decimal(38,0)")
+    quant = F.floor(F.col("val").cast("double") / F.col("__n") * F.lit(1e15)).cast(
+        "decimal(38,0)"
+    )
     return pos.groupBy("label", "dim").agg(
         (
             F.sum(quant).cast("double") / F.lit(1e15) / F.count(F.lit(1)).cast("double")
@@ -143,7 +176,11 @@ def train_kmeans_quantizer(
 
     if k < 1 or iters < 1:
         raise ValueError(f"k and iters must be >= 1 (got k={k}, iters={iters})")
-    params = f"k{k}i{iters}d{DIM}"
+    # "cos" = the assignment/update metric (spherical). The tag exists so
+    # the euclidean-trained artifacts an earlier code version published
+    # can never be served to this derivation (params-token staleness
+    # contract, same as every artifact kind).
+    params = f"k{k}i{iters}d{DIM}cos"
     assign_path = artifact_path("kmeans_assign", sf_dir, "embeddings", params=params)
     cent_path = artifact_path("kmeans_cents", sf_dir, "embeddings", params=params)
 
@@ -224,7 +261,7 @@ def build_kmeans_ivf_index(
 
     assignment, _ = train_kmeans_quantizer(spark, sf_dir, k=k, iters=iters)
     path = artifact_path(
-        "kmeans_ivf_index", sf_dir, "embeddings", params=f"k{k}i{iters}d{DIM}"
+        "kmeans_ivf_index", sf_dir, "embeddings", params=f"k{k}i{iters}d{DIM}cos"
     )
     ensure_artifact(
         path,

@@ -113,7 +113,7 @@ def bucketed_artifact_path(
 # content-keyed path (new part-file names) — the session must REFRESH or
 # every subsequent scan reads the dead cached file listing. Evicted per
 # the standard other-app hygiene on insert.
-_BKT_SUCCESS_SEEN: dict[tuple[str, str], float] = {}
+_BKT_SUCCESS_SEEN: dict[tuple[str, str], str] = {}
 # (applicationId, table name, artifact path) whose catalog LOCATION this
 # session has already validated — the DESCRIBE round-trip runs once per
 # binding, not per call.
@@ -180,15 +180,17 @@ def _ensure_bucketed_table(
     from kafka_connect_storage_cloud_formats_spark.fsio import _fs_for
 
     fs = _fs_for(path, spark)
-    # _SUCCESS mtime doubles as the published probe (None ⇒ unpublished)
-    # AND the artifact's GENERATION marker: liveness touches refresh the
-    # directory mtime, never _SUCCESS, so a changed _SUCCESS mtime under
-    # the same path means another driver deleted + rebuilt the artifact
-    # (new part-file names) between our calls — the one external mutation
-    # a bare exists probe cannot see (it re-observes _SUCCESS present).
-    # REFRESH on change, or the session's cached file index serves
-    # FileNotFound forever.
-    success_mtime = fs.file_mtime(path + "/_SUCCESS")
+    # The generation marker (fsio.generation: _SUCCESS mtime + a digest of
+    # the recursive part listing — the SAME marker ensure_artifact uses
+    # since round 9) doubles as the published probe (None ⇒ unpublished):
+    # liveness touches refresh the directory mtime, never _SUCCESS or the
+    # part files, so a changed marker under the same path means another
+    # driver deleted + rebuilt the artifact (new part-file names) between
+    # our calls — even a rebuild landing inside the filesystem's timestamp
+    # granularity moves the digest. The one external mutation a bare
+    # exists probe cannot see. REFRESH on change, or the session's cached
+    # file index serves FileNotFound forever.
+    success_mtime = fs.generation(path)
     was_published = success_mtime is not None
     if not was_published:
         # This site checks the REAL filesystem every call (it needs the
@@ -198,11 +200,11 @@ def _ensure_bucketed_table(
         invalidate_session_memo(path)
     ensure_artifact(path, build, spark=spark)
     if not was_published:
-        success_mtime = fs.file_mtime(path + "/_SUCCESS")
+        success_mtime = fs.generation(path)
 
     app = spark.sparkContext.applicationId
 
-    def _remember(mtime: float | None, vkey: tuple[str, str, str]) -> None:
+    def _remember(mtime: str | None, vkey: tuple[str, str, str]) -> None:
         for k in [k for k in _BKT_SUCCESS_SEEN if k[0] != app]:
             del _BKT_SUCCESS_SEEN[k]
         if mtime is not None:

@@ -75,6 +75,7 @@ def _collect_query_matrix(base: DataFrame, query_ids=None):
     import numpy as np
 
     qdf = base.select("vec_id", "embedding")
+    ids: list | None = None
     if query_ids is not None:
         ids = [int(i) for i in query_ids]
         if len(ids) > MAX_QUERIES:
@@ -90,6 +91,16 @@ def _collect_query_matrix(base: DataFrame, query_ids=None):
         raise ValueError(
             "query set selected no vectors (empty query_ids match / "
             f"no vec_id % {QUERY_MOD} == 0 rows in this corpus)"
+        )
+    if ids is not None and len(qrows) < len(set(ids)):
+        # an explicit query set is a CONTRACT: silently evaluating on the
+        # subset that happens to exist would report recall/top-k over
+        # fewer queries than the caller asked for
+        found = {r["vec_id"] for r in qrows}
+        missing = sorted(set(ids) - found)[:5]
+        raise ValueError(
+            f"{len(set(ids)) - len(found)} of {len(set(ids))} explicit "
+            f"query_ids not present in the corpus (first missing: {missing})"
         )
     if len(qrows) > MAX_QUERIES:
         raise ValueError(

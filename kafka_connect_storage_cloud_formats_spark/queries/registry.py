@@ -95,11 +95,42 @@ _ALL.update(SCALE_UTILS_QUERIES)
 #   write IS the thing being measured/certified) are never memoized.
 #   Artifact builds (ensure_*) are not per-call effects: they are
 #   content-keyed and self-memoizing, so caching their consumers is safe.
-# - residual (shared with artifacts' consumer-open memo): an artifact
-#   deleted+rebuilt externally under an unchanged corpus leaves the cached
-#   plan holding the dead file index — the next action fails LOUDLY with
-#   FileNotFound and a fresh process self-heals; nothing stale is served.
+# - artifact delete+rebuild under an unchanged corpus: the artifact
+#   layer's generation detection fires its invalidation listeners
+#   (artifacts.register_invalidation_listener) and this cache clears, so
+#   the self-heal reaches plans embedding the dead file index within one
+#   touch-throttle interval; in the window before detection the next
+#   action fails LOUDLY with FileNotFound — nothing stale is served.
+# - sweep-liveness note: cache hits skip ensure_artifact's throttled
+#   touch, but the stale-sibling sweep only runs when a NEW generation is
+#   published, which requires the corpus fingerprint to have moved — and
+#   a moved fingerprint is a cache MISS here (revalidated per call), so
+#   the consumers of the old artifact stop being served from this cache
+#   at exactly the moment a sweep becomes possible. In-flight scans
+#   crossing a regeneration are protected by the sweep's grace window,
+#   same as before this cache existed.
 _PLAN_CACHE: dict[tuple[str, str, str], tuple[str, DataFrame]] = {}
+
+
+def _on_artifact_invalidated(_path: str) -> None:
+    """Artifact-layer self-heal reaches the plan cache too: a cached
+    registry plan may EMBED the invalidated artifact's file index (the
+    registry doesn't know which queries consume which artifacts, so the
+    whole cache clears — the event is an external delete+rebuild, rare
+    enough that over-invalidation is the right trade; the next call per
+    query is one rebuild)."""
+    _PLAN_CACHE.clear()
+
+
+def _register_invalidation_hook() -> None:
+    from kafka_connect_storage_cloud_formats_spark.artifacts import (
+        register_invalidation_listener,
+    )
+
+    register_invalidation_listener(_on_artifact_invalidated)
+
+
+_register_invalidation_hook()
 
 _SIDE_EFFECT_QUERIES = frozenset(
     {

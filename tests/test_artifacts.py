@@ -950,3 +950,16 @@ def test_generation_marker_sees_same_mtime_rebuild(tmp_path, spark):
     # unpublished directory → None
     os.remove(art / "_SUCCESS")
     assert fs.generation(str(art)) is None
+
+
+def test_invalidation_listener_reaches_plan_cache(tmp_path, spark):
+    """The artifact layer's self-heal must reach HIGHER caches that embed
+    artifact file indexes: _drop_df_cache fires registered listeners, and
+    the query registry registers one that clears its prepared-plan cache."""
+    from kafka_connect_storage_cloud_formats_spark import artifacts as A
+    from kafka_connect_storage_cloud_formats_spark.queries import registry
+
+    assert registry._on_artifact_invalidated in A._INVALIDATION_LISTENERS
+    registry._PLAN_CACHE[("app", "q", "/x")] = ("fp", None)
+    A._drop_df_cache("/some/artifact/path")
+    assert registry._PLAN_CACHE == {}

@@ -55,9 +55,12 @@ def test_kmeans_assignment_partition_invariant(spark, sf_dir):
     assert c1 == c2  # exact doubles — decimal sums are associative
 
 
-def test_kmeans_sse_non_increasing(spark, sf_dir):
-    """Lloyd's invariant: within-cluster SSE is non-increasing over
-    iterations (each step optimizes one factor exactly)."""
+def test_kmeans_spherical_objective_non_decreasing(spark, sf_dir):
+    """Spherical Lloyd's invariant: the summed best-cell cosine
+    (the objective BOTH steps optimize — assignment picks each point's
+    max-cosine cell, the normalized-member mean is the direction
+    maximizing the summed cosine for a fixed assignment) is
+    non-decreasing over iterations."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", "embedding"
     )
@@ -67,12 +70,14 @@ def test_kmeans_sse_non_increasing(spark, sf_dir):
     E = np.stack(
         [np.asarray(r["embedding"], dtype=np.float64) for r in emb.orderBy("vec_id").collect()]
     )
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
 
-    def sse(labels_, M_):
-        d = ((E[:, None, :] - M_[None, :, :]) ** 2).sum(axis=2)
-        return d.min(axis=1).sum()
+    def objective(M_):
+        cn = np.linalg.norm(M_, axis=1, keepdims=True)
+        Mn = M_ / np.where(cn == 0.0, 1.0, cn)
+        return (En @ Mn.T).max(axis=1).sum()
 
-    sses = [sse(labels, M)]
+    objs = [objective(M)]
     for _ in range(ITERS):
         assignment = _assign_clusters(emb, labels, M)
         new_labels, new_M = _collect_centroid_matrix(
@@ -85,9 +90,9 @@ def test_kmeans_sse_non_increasing(spark, sf_dir):
             order = np.argsort(new_labels)
             new_labels, new_M = new_labels[order], new_M[order]
         labels, M = new_labels, new_M
-        sses.append(sse(labels, M))
-    for a, b in zip(sses, sses[1:]):
-        assert b <= a + 1e-9, sses
+        objs.append(objective(M))
+    for a, b in zip(objs, objs[1:]):
+        assert b >= a - 1e-9, objs
 
 
 def test_kmeans_full_probe_equals_bruteforce(spark, sf_dir):

@@ -260,3 +260,16 @@ def test_ivf_nprobe_recall_monotone(spark, sf_dir):
 
     with pytest.raises(ValueError, match="nprobe"):
         ivf_topk(spark, sf_dir, nprobe=0)
+
+
+def test_query_matrix_missing_explicit_ids_raise(spark, sf_dir):
+    """An explicit query set is a contract: ids absent from the corpus
+    must raise, not silently shrink the evaluation."""
+    import pytest
+
+    from kafka_connect_storage_cloud_formats_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    real = [r["vec_id"] for r in emb.select("vec_id").limit(2).collect()]
+    with pytest.raises(ValueError, match="not present"):
+        S.knn_bruteforce(spark, sf_dir, query_ids=real + [10**15])

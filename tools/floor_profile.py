@@ -27,6 +27,8 @@ def main() -> int:
     import __spark_entry__ as entry_mod
     from kafka_connect_storage_cloud_formats_spark import get_spark
 
+    from kafka_connect_storage_cloud_formats_spark.queries import registry
+
     spark = get_spark("floor_profile")
     queries = entry_mod.queries()
     if ONLY:
@@ -41,6 +43,12 @@ def main() -> int:
     for name, fn in queries.items():
         best = (1e9, 0.0, 0.0)
         for _ in range(2):
+            # This tool attributes the COLD plan-build floor; the
+            # registry's prepared-plan cache (round 9) would otherwise
+            # turn every timed fn() into a ~1 ms hit and the build column
+            # into noise. Clearing it per trial measures what a fresh
+            # session pays (bench.py measures the cached steady state).
+            registry._PLAN_CACHE.clear()
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             t1 = time.perf_counter()
