@@ -19,7 +19,7 @@ gate certifies the WHOLE pipeline, not just its pieces.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_connect_storage_cloud_formats_spark.catalog import load_table
@@ -98,3 +98,76 @@ def write_training_corpus(spark: SparkSession, sf_dir: str, out_dir: str) -> Dat
 TRAINING_PIPELINE_QUERIES = {
     "training_corpus_stats": (training_corpus_stats, TRAINING_CORPUS_SQL),
 }
+
+
+SEQ_CAPACITY = 2048  # tokens per packed training sequence (default)
+
+
+def pack_training_sequences(
+    spark: SparkSession, sf_dir: str, capacity: int = SEQ_CAPACITY
+) -> DataFrame:
+    """Assign the curated corpus to fixed-capacity TRAINING SEQUENCES —
+    the concat-and-chunk packing step between curation and tokenization
+    in an LLM data pipeline (documents are laid out in a deterministic
+    order, the token stream is cut every ``capacity`` tokens, and each
+    document is tagged with the sequence it starts in).
+
+    Semantics (the standard streaming-concat layout, fully declarative):
+    documents are ordered by ``doc_id`` (deterministic), each occupies
+    the half-open token interval ``[cumsum - n_tokens, cumsum)`` of the
+    concatenated stream, and ``seq_id = floor(start / capacity)`` — the
+    sequence whose window contains the document's first token. Exactly
+    one row per kept document (a partition of the corpus, pinned by
+    tests); per-sequence totals can exceed ``capacity`` only via the
+    documents straddling a boundary (bounded by construction: one
+    straddler per cut).
+
+    Scale shape: ONE global ordering window (range-partitioned sort on
+    doc_id — the same shuffle a global orderBy pays) computes the running
+    token total; everything else is map-side arithmetic. At 100 TB the
+    window is the honest cost of a deterministic global layout; pipelines
+    that only need per-shard packing would partition the window by shard
+    key instead (same plan, narrower exchange). Tokens are whitespace
+    tokens (the engine's corpus-wide convention, operators/text.py);
+    swapping in a BPE count changes the measure, not the plan."""
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    kept = _kept_docs(spark, sf_dir)
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    docs = kept.select(
+        "doc_id", "lang", n_tokens.alias("n_tokens")
+    ).withColumn("token_end", F.sum("n_tokens").over(w))
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            (F.col("token_end") - F.col("n_tokens")).alias("token_start"),
+            F.floor((F.col("token_end") - F.col("n_tokens")) / F.lit(capacity))
+            .cast("long")
+            .alias("seq_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def packed_sequence_stats(
+    spark: SparkSession, sf_dir: str, capacity: int = SEQ_CAPACITY
+) -> DataFrame:
+    """Per-sequence inventory of the packed layout: document count, token
+    total, and fill ratio — the numbers a packing job reports (how full
+    are the sequences, how much padding would tokenization pay)."""
+    packed = pack_training_sequences(spark, sf_dir, capacity=capacity)
+    return (
+        packed.groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .withColumn(
+            "fill_ratio", F.col("total_tokens").cast("double") / F.lit(float(capacity))
+        )
+        .orderBy("seq_id")
+    )

@@ -459,3 +459,45 @@ def test_parity_sink_many_file_groups(spark, sf_dir, tmp_path):
     assert len(written) == sum(-(-c // flush) for c in per_part.values())
     back = spark.read.orc([f"{out}/{k}" for k in written])
     assert back.count() == n
+
+
+def test_pack_training_sequences_partition_and_capacity(spark, sf_dir):
+    """Packing invariants: exactly one row per kept document (a partition
+    of the curated corpus), intervals are contiguous in doc_id order,
+    seq_id is the window containing each document's first token, and a
+    sequence's token total exceeds capacity only through its single
+    boundary straddler."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_storage_cloud_formats_spark.operators.training_pipeline import (
+        _kept_docs,
+        pack_training_sequences,
+        packed_sequence_stats,
+    )
+
+    cap = 500
+    packed = pack_training_sequences(spark, sf_dir, capacity=cap)
+    rows = packed.orderBy("doc_id").collect()
+    kept_ids = sorted(
+        r["doc_id"] for r in _kept_docs(spark, sf_dir).select("doc_id").collect()
+    )
+    assert [r["doc_id"] for r in rows] == kept_ids  # exact partition
+
+    pos = 0
+    for r in rows:
+        assert r["token_start"] == pos  # contiguous concat layout
+        assert r["seq_id"] == pos // cap
+        pos += r["n_tokens"]
+
+    stats = packed_sequence_stats(spark, sf_dir, capacity=cap).collect()
+    assert sum(s["n_docs"] for s in stats) == len(kept_ids)
+    # every sequence except possibly the last starts at most one straddler
+    # over capacity: total_tokens < capacity + max single doc length
+    max_doc = max(r["n_tokens"] for r in rows)
+    for s in stats:
+        assert s["total_tokens"] < cap + max_doc
+
+    import pytest
+
+    with pytest.raises(ValueError, match="capacity"):
+        pack_training_sequences(spark, sf_dir, capacity=0)
