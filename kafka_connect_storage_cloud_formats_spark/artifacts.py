@@ -131,11 +131,32 @@ def artifact_path(
         base = os.path.basename(os.path.normpath(resolved))
     phash = hashlib.md5(resolved.encode()).hexdigest()[:6]
     ptag = f"_{params}" if params else ""
+    # The artifact NAME does not encode ``table`` — only the table's
+    # content fingerprint — so two tables sharing one (kind, params)
+    # would form ONE sweep family whose members retire each other as
+    # stale generations (round-9 review). Every current kind is bound to
+    # exactly one table by convention; enforce that mechanically so a
+    # future second-table reuse fails at the call site with the fix
+    # (vary kind or params per table) instead of as silent rebuild churn.
+    fam = (kind, params, f"{base}-{phash}")
+    bound = _KIND_TABLE.setdefault(fam, table)
+    if bound != table:
+        raise ValueError(
+            f"artifact kind {kind!r} (params {params!r}) is already bound "
+            f"to table {bound!r} for this corpus; deriving it from "
+            f"{table!r} too would make the two artifacts sweep each other "
+            f"as stale generations — use a distinct kind or params token"
+        )
     root = artifact_root()
     name = f"engine_{kind}{ptag}_{base}-{phash}_{corpus_fingerprint(sf_dir, table, spark)}"
     if "://" in root:
         return root.rstrip("/") + "/" + name
     return os.path.join(root, name)
+
+
+# (kind, params, sf-tag) → source table: the one-table-per-family
+# convention artifact_path enforces (see comment there).
+_KIND_TABLE: dict[tuple[str, str, str], str] = {}
 
 
 def _tmp_path(path: str) -> str:
@@ -171,6 +192,7 @@ def ensure_artifact(
     app = spark.sparkContext.applicationId if spark is not None else None
     success = path + "/_SUCCESS"
     fs = None
+    probed_missing = False
     if app is not None and not force:
         # Session memo (round 8): once THIS session has observed the
         # published ``_SUCCESS``, re-verifying existence on every consumer
@@ -214,12 +236,15 @@ def ensure_artifact(
                     # its REFRESH TABLE decision).
                     _drop_df_cache(path)
                 fs.touch(path)
-                _ENSURED[(app, path)] = (now, gen)
+                _remember_ensured(app, path, gen)
                 return path
             invalidate_session_memo(path)  # vanished externally → rebuild
+            probed_missing = True  # the generation probe just returned None
     if fs is None:  # reuse the wrapper the self-heal path already built
         fs = _fs_for(path, spark)
-    gen = fs.generation(path)  # doubles as existence probe + generation
+    # doubles as existence probe + generation; the self-heal path above
+    # already observed None this call — don't pay the RPC twice
+    gen = None if probed_missing else fs.generation(path)
     done = gen is not None
     if done and not force:
         # consumer-open liveness: the sweep's grace window compares against

@@ -64,6 +64,19 @@ def canon_path(path: str) -> str:
         return path  # plain local path (possibly with a legal ':' in a segment)
     parsed = urlparse(path)
     if parsed.scheme in ("", "file"):
+        # file://HOST/path carries an authority this engine cannot honor
+        # (there is no remote-host file access); silently dropping it
+        # would rewrite the corpus path — file://data/sf0.1 (a common
+        # mis-spelling of file:///data/sf0.1) would quietly become
+        # /sf0.1, the wrong corpus if it exists and a baffling error if
+        # not. Reject loudly; '' and localhost are the RFC-8089 local
+        # spellings.
+        if parsed.netloc not in ("", "localhost"):
+            raise ValueError(
+                f"file: URI with non-local authority {parsed.netloc!r} "
+                f"({path!r}); for a local path use file:///abs/path or "
+                f"file:/abs/path"
+            )
         local = unquote(parsed.path) or "/"
         return local
     return path.rstrip("/") or path
@@ -110,9 +123,17 @@ def path_fingerprint(path: str, spark: SparkSession | None = None) -> str:
             h.update(f"{rel}|{length}|{mtime_ms};".encode())
         return h.hexdigest()[:12]
     if os.path.isdir(path):
+        # followlinks: a partition dir symlinked from shared storage is
+        # part of what Spark READS, so it must be part of the fingerprint
+        # — without it, regenerating content behind the symlink would
+        # silently serve stale cached plans/artifacts (round-9 review).
+        # Matches the remote branch, whose Hadoop listing resolves links.
+        # (A symlink CYCLE would hang the walk; corpora are plain data
+        # trees — cycles are a caller error, same posture as os.stat on a
+        # missing path.)
         files = [
             os.path.join(root, f)
-            for root, _, names in os.walk(path)
+            for root, _, names in os.walk(path, followlinks=True)
             for f in names
         ]
     else:

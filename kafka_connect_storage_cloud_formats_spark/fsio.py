@@ -96,39 +96,72 @@ class _HadoopFS:
             self.last_error = e
             return None
 
+    @staticmethod
+    def _not_found(e: Exception) -> bool:
+        """True when a JVM exception is a FileNotFoundException (py4j
+        surfaces the Java class name in both the message and, for
+        Py4JJavaError, java_exception)."""
+        je = getattr(e, "java_exception", None)
+        return "FileNotFoundException" in (str(je) if je is not None else str(e))
+
+    def _mtime_strict(self, p: str) -> float | None:
+        """mtime of ``p``; ``None`` ONLY for genuine absence
+        (FileNotFound). Any other stat fault raises — absence and
+        transient read faults must not conflate where the caller's
+        reaction to absence is a corpus-scale rebuild (generation())."""
+        try:
+            return (
+                self._fs.getFileStatus(self._jPath(p)).getModificationTime() / 1000.0
+            )
+        except Exception as e:
+            self.last_error = e
+            if self._not_found(e):
+                return None
+            raise
+
     def generation(self, dir_path: str) -> str | None:
         """Generation marker of a published artifact directory: ``None``
         when ``<dir>/_SUCCESS`` is absent, else the ``_SUCCESS`` mtime
-        COMBINED with a digest of the recursive file listing (relative
-        name, length, mtime per file). The mtime alone is the cheap
-        discriminator; the listing digest closes its granularity hole
-        (round-8 ADVICE): an external delete+rebuild completing within the
-        filesystem's timestamp granularity (1 s on some FSes) leaves the
-        mtime unchanged, but a rebuild's part files carry NEW
+        COMBINED with a digest of the recursive VISIBLE-file listing
+        (relative name, length, mtime per file). The mtime alone is the
+        cheap discriminator; the listing digest closes its granularity
+        hole (round-8 ADVICE): an external delete+rebuild completing
+        within the filesystem's timestamp granularity (1 s on some FSes)
+        leaves the mtime unchanged, but a rebuild's part files carry NEW
         writer-UUID names, so the digest always moves. Liveness touches
         refresh the DIRECTORY mtime only — ``listFiles`` returns files,
-        never directories — so touches can't perturb the marker."""
+        never directories — so touches can't perturb the marker.
+
+        Only reader-VISIBLE files are digested (no path segment starting
+        with ``_`` or ``.`` — Hadoop/Spark hidden-file semantics): a
+        publish-race loser's nested ``_tmp.*`` litter is invisible to
+        readers by exactly this rule, so its appearance/cleanup must not
+        read as a generation change (it would spuriously drop every plan
+        cache downstream). ``_SUCCESS`` itself is hidden too — its mtime
+        is already the marker's first component.
+
+        Absence vs fault: the ``_SUCCESS`` stat maps ONLY FileNotFound to
+        None; any other stat or listing fault on a still-published
+        artifact raises loudly instead of masquerading as "unpublished"
+        (which would trigger a spurious corpus-scale rebuild)."""
         import hashlib
 
-        mtime = self.file_mtime(dir_path + "/_SUCCESS")
+        mtime = self._mtime_strict(dir_path + "/_SUCCESS")
         if mtime is None:
             return None
         try:
             entries = self.list_files_recursive(dir_path)
         except Exception as e:
             self.last_error = e
-            # Disambiguate: a listing failure on a still-published artifact
-            # is a READ-side fault (permissions, object-store hiccup), not
-            # absence — returning None there would make ensure_artifact
-            # re-run a corpus-scale build of a live artifact and then fail
-            # with a misleading "no _SUCCESS after build". Only a genuine
-            # vanish race (the _SUCCESS we just statted is gone) maps to
-            # None; anything else surfaces loudly.
-            if self.file_mtime(dir_path + "/_SUCCESS") is None:
+            # a listing failure on a still-published artifact is a
+            # READ-side fault; only a genuine vanish race maps to None
+            if self._mtime_strict(dir_path + "/_SUCCESS") is None:
                 return None
             raise
         h = hashlib.md5()
         for rel, length, mt in sorted(entries):
+            if any(seg[:1] in ("_", ".") for seg in rel.split("/")):
+                continue  # hidden to readers ⇒ hidden to the marker
             h.update(f"{rel}|{length}|{mt};".encode())
         return f"{mtime}|{h.hexdigest()[:12]}"
 

@@ -963,3 +963,42 @@ def test_invalidation_listener_reaches_plan_cache(tmp_path, spark):
     registry._PLAN_CACHE[("app", "q", "/x")] = ("fp", None)
     A._drop_df_cache("/some/artifact/path")
     assert registry._PLAN_CACHE == {}
+
+
+def test_generation_marker_ignores_hidden_litter(tmp_path, spark):
+    """Reader-invisible files (path segments starting '_'/'.') must not
+    perturb the generation marker: a publish-race loser's nested _tmp
+    litter appearing or being cleaned up is not a generation change
+    (round-9 review — it would spuriously drop every downstream plan
+    cache)."""
+    from kafka_connect_storage_cloud_formats_spark.fsio import _fs_for
+
+    art = tmp_path / "art"
+    art.mkdir()
+    (art / "_SUCCESS").write_bytes(b"")
+    (art / "part-00000-aaaa.parquet").write_bytes(b"x" * 10)
+    fs = _fs_for(str(art), spark)
+    g1 = fs.generation(str(art))
+    nested = art / "_tmp.engine_thing.deadbeef"
+    nested.mkdir()
+    (nested / "part-00000-bbbb.parquet").write_bytes(b"y" * 20)
+    assert fs.generation(str(art)) == g1  # hidden litter invisible
+    (nested / "part-00000-bbbb.parquet").unlink()
+    nested.rmdir()
+    assert fs.generation(str(art)) == g1
+
+
+def test_artifact_kind_table_binding_enforced(tmp_path):
+    """One (kind, params) per table per corpus family: a second table
+    reusing the pair must fail at the call site, not churn the sweep."""
+    import pytest
+
+    from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_path
+
+    corpus = _fake_corpus(tmp_path)
+    (tmp_path / "events.parquet").write_bytes(b"ev")
+    artifact_path("bindtest", corpus, "documents", params="p1")
+    artifact_path("bindtest", corpus, "documents", params="p1")  # same: fine
+    artifact_path("bindtest", corpus, "events", params="p2")  # new params: fine
+    with pytest.raises(ValueError, match="already bound"):
+        artifact_path("bindtest", corpus, "events", params="p1")

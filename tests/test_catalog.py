@@ -259,3 +259,17 @@ def test_colon_in_local_path_is_not_a_scheme(tmp_path, monkeypatch, spark):
     assert is_remote("hdfs://nn/corpus")
     assert is_remote("s3a://bucket/corpus")
     assert is_remote("viewfs://mount/corpus")
+
+
+def test_file_uri_foreign_authority_rejected():
+    """file://HOST/path carries an authority the engine cannot honor —
+    silently dropping it would rewrite the corpus path (file://data/x,
+    the common mis-spelling of file:///data/x, would become /x). Reject;
+    '' and localhost are the RFC-8089 local spellings."""
+    import pytest
+
+    from kafka_connect_storage_cloud_formats_spark.catalog import canon_path
+
+    assert canon_path("file://localhost/data/sf0.1") == "/data/sf0.1"
+    with pytest.raises(ValueError, match="authority"):
+        canon_path("file://data/sf0.1")
