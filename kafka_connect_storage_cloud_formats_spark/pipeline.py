@@ -53,13 +53,14 @@ class IngestPipeline:
     def run_batch(self, records: DataFrame) -> list[str] | None:
         """Process one batch of enveloped records (the reference's
         ``S3SinkTask.put``). Returns written file keys in parity mode."""
-        validate_engine_schema(self.value_schema)
-        value_cols = [
-            records[f.name].cast(f.dataType).alias(f.name) for f in self.value_schema.fields
-        ]
+        # ONE cast projection (coerce_stream) serves batch and streaming —
+        # an inline copy here could drift (round-9 review); __post_init__
+        # already validated the schema (dataclass mutation is unsupported).
+        value_names = [f.name for f in self.value_schema.fields]
+        coerced = coerce_stream(records, self.value_schema)
         if self.parity_naming:
-            enveloped = records.select(
-                *[c for c in ENVELOPE_COLS if c in records.columns], *value_cols
+            enveloped = coerced.select(
+                *[c for c in ENVELOPE_COLS if c in records.columns], *value_names
             )
             return write_orc_parity(
                 enveloped,
@@ -69,7 +70,7 @@ class IngestPipeline:
                 value_cols=[f.name for f in self.value_schema.fields],
             )
         keep = [c for c in self.partition_cols if c in records.columns]
-        df = records.select(*keep, *value_cols)
+        df = coerced.select(*keep, *value_names)
         # Per-poll semantics without data loss: a bare mode="overwrite" at
         # out_dir would TRUNCATE every earlier batch on the second put().
         # Instead each batch lands in a deterministic batch=<id> subdir
@@ -87,22 +88,32 @@ class IngestPipeline:
         # idempotent overwrite). Kafka-envelope batches are deterministic
         # (offsets are data); a caller feeding a non-deterministic plan
         # must localCheckpoint/persist it before put().
-        batch_dir = self.out_dir
-        if "offset" in records.columns:
-            import hashlib
-
-            from pyspark.sql import functions as F
-
-            id_cols = [c for c in ("topic", "partition") if c in records.columns]
-            ranges = (
-                records.groupBy(*id_cols)
-                .agg(F.min("offset"), F.max("offset"), F.count(F.lit(1)))
-                .collect()
+        if "offset" not in records.columns:
+            # Without offsets there is no batch identity: the overwrite
+            # would land at out_dir itself and TRUNCATE every earlier
+            # batch's batch=<id> subdir on the second put() — silent data
+            # loss (round-9 review). run_batch's input contract is the
+            # Kafka envelope; a plain one-shot write wants
+            # write_orc_partitioned directly.
+            raise ValueError(
+                "run_batch requires enveloped records (an 'offset' column "
+                "— with_kafka_envelope); for a plain one-shot write use "
+                "sinks.orc_sink.write_orc_partitioned"
             )
-            tag = hashlib.md5(
-                repr(sorted(tuple(r) for r in ranges)).encode()
-            ).hexdigest()[:12]
-            batch_dir = f"{self.out_dir}/batch={tag}"
+        import hashlib
+
+        from pyspark.sql import functions as F
+
+        id_cols = [c for c in ("topic", "partition") if c in records.columns]
+        ranges = (
+            records.groupBy(*id_cols)
+            .agg(F.min("offset"), F.max("offset"), F.count(F.lit(1)))
+            .collect()
+        )
+        tag = hashlib.md5(
+            repr(sorted(tuple(r) for r in ranges)).encode()
+        ).hexdigest()[:12]
+        batch_dir = f"{self.out_dir}/batch={tag}"
         write_orc_partitioned(
             df,
             batch_dir,
@@ -116,6 +127,18 @@ class IngestPipeline:
         log (``_spark_metadata``) — the Spark-native replacement for the
         reference's deterministic-name-overwrite recovery
         (``DataWriterOrcTest.java:102-124``)."""
+        if self.parity_naming:
+            # The file-sink streaming path cannot produce the reference's
+            # offset-named one-file-per-flush layout (that finalize is a
+            # batch rename pass); silently writing the Hive layout under a
+            # parity config would hand the caller a different on-disk
+            # contract per entry point (round-9 review). foreachBatch +
+            # run_batch per micro-batch is the parity streaming shape.
+            raise NotImplementedError(
+                "parity_naming on the streaming path: drive run_batch from "
+                "foreachBatch; the file-sink path writes the Spark-native "
+                "layout only"
+            )
         value_names = [f.name for f in self.value_schema.fields]
         keep = [c for c in self.partition_cols if c in records.columns]
         df = coerce_stream(records, self.value_schema).select(*keep, *value_names)
@@ -123,6 +146,8 @@ class IngestPipeline:
             df.writeStream.format("orc")
             .option("path", self.out_dir)
             .option("checkpointLocation", checkpoint)
+            # honor the count-based rotation config on this entry point too
+            .option("maxRecordsPerFile", self.flush_size)
             .trigger(availableNow=True)
         )
         if keep:
@@ -176,8 +201,6 @@ class EvolvingIngest:
     def ingest(self, records: DataFrame, schema: T.StructType) -> list[str] | None:
         """Write one enveloped batch carrying ``schema``. Raises
         IncompatibleSchemaError on a disallowed change."""
-        from pyspark.sql import functions as F
-
         action = self.tracker.observe(schema)
         if action == "rotate" or self._pipe is None:
             self.generation += 1
@@ -207,7 +230,11 @@ class EvolvingIngest:
             reader = reader.option("pathGlobFilter", "*.orc").option(
                 "recursiveFileLookup", "true"
             )
-        return reader.load(self.base_dir)
+        back = reader.load(self.base_dir)
+        # gen=/batch= are write-layout bookkeeping discovered as partition
+        # columns on the non-parity (Hive-layout) path, not data — same
+        # contract as IngestPipeline.read_back (round-9 review)
+        return back.drop(*[c for c in ("gen", "batch") if c in back.columns])
 
 
 def coerce_stream(records: DataFrame, schema: T.StructType) -> DataFrame:

@@ -127,6 +127,12 @@ def write_orc_parity(
     rename each group directory's single part-file to the reference key.
     """
     if value_cols is None:
+        # Default = everything except the engine's envelope columns. NOTE
+        # 'key' and 'ts' are envelope names here (the Kafka record key and
+        # kafka_stream_source's timestamp alias) — a BUSINESS column with
+        # either name is silently excluded by this default; such callers
+        # must pass value_cols explicitly (as IngestPipeline does, from
+        # its value schema).
         value_cols = [
             c for c in df.columns if c not in (topic_col, partition_col, offset_col, "key", "ts")
         ]
@@ -198,13 +204,25 @@ def write_orc_parity(
         + "/__topic=*/__partition=*/__start_offset=*/part-*"
         + EXTENSION
     )
+    # Partition-dir names carry Spark's escapePathName encoding (%XX for
+    # '#', ':', '%', space, ...): parse them back through the inverse, or
+    # a topic like 'a#b' (written as __topic=a%23b) would produce file
+    # keys naming the ESCAPED string and the reference's '#'→'_'
+    # sanitation would never fire (round-9 review).
+    import re as _re
+
+    def _unescape_partition_value(v: str) -> str:
+        return _re.sub(
+            r"%([0-9A-Fa-f]{2})", lambda m: chr(int(m.group(1), 16)), v
+        )
+
     groups: dict[tuple[str, int, int], list] = {}
     for st in fs.globStatus(pattern) or []:
         p = st.getPath()
         off_dir, part_dir = p.getParent(), p.getParent().getParent()
         topic_dir = part_dir.getParent()
         key = (
-            topic_dir.getName().split("=", 1)[1],
+            _unescape_partition_value(topic_dir.getName().split("=", 1)[1]),
             int(part_dir.getName().split("=", 1)[1]),
             int(off_dir.getName().split("=", 1)[1]),
         )

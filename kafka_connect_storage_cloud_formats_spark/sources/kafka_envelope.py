@@ -55,6 +55,20 @@ def with_kafka_envelope(
         # validate unconditionally: an unknown partitioner must fail even on
         # the keyless path, not be silently swallowed
         raise ValueError(f"unknown partitioner {partitioner!r}")
+    if partitioner == "mod" and not partition_key:
+        # "mod" IS key % N — without a key it would silently fall through
+        # to the full-row hash and an oracle reproducing the modulo
+        # assignment would mismatch every row (round-9 review)
+        raise ValueError("partitioner='mod' requires partition_key")
+    clobbered = [c for c in ("topic", "partition", "offset", "key") if c in df.columns]
+    if clobbered:
+        # withColumn would silently REPLACE caller data with the synthesized
+        # envelope (worst case: a business 'partition' column becomes the
+        # window key AND the default order column — every row ties)
+        raise ValueError(
+            f"input already carries envelope column(s) {clobbered}; rename "
+            "them or drop them before synthesizing an envelope"
+        )
     if partition_key and partitioner == "hash":
         part = F.pmod(F.xxhash64(F.col(partition_key)), F.lit(num_partitions))
     elif partition_key:  # "mod"
@@ -68,10 +82,19 @@ def with_kafka_envelope(
         part = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(num_partitions))
     part = part.cast("int")
     out = df.withColumn("topic", F.lit(topic)).withColumn("partition", part)
+    # TOTAL ordering: row_number over a non-unique ordering is
+    # shuffle-arrival-dependent, so the lead column (order_col /
+    # partition_key / first column) is tiebroken by every remaining SOURCE
+    # column — deterministic for any input as a content→offset multiset
+    # (fully duplicate rows are interchangeable by definition). The
+    # documented DETERMINISTIC contract previously held only for unique
+    # order columns (round-9 review).
     order = order_col or partition_key
-    if order is None:
-        order = out.columns[0]
-    w = Window.partitionBy("partition").orderBy(F.col(order).asc())
+    lead = [order] if order is not None else []
+    tiebreak = [c for c in df.columns if c not in lead]
+    w = Window.partitionBy("partition").orderBy(
+        *[F.col(c).asc() for c in lead + tiebreak]
+    )
     out = out.withColumn("offset", (F.row_number().over(w) - F.lit(1)).cast("long"))
     out = out.withColumn(
         "key", F.col(key_col).cast("string") if key_col else F.lit(None).cast("string")

@@ -501,3 +501,88 @@ def test_pack_training_sequences_partition_and_capacity(spark, sf_dir):
 
     with pytest.raises(ValueError, match="capacity"):
         pack_training_sequences(spark, sf_dir, capacity=0)
+
+
+def test_envelope_validation_and_tie_determinism(spark):
+    """Round-9 review fixes: mod without a key raises (it IS key % N);
+    pre-existing envelope columns raise instead of being clobbered; and a
+    NON-unique order column still yields a deterministic content→offset
+    multiset (total ordering via full-row tiebreak) across partitionings."""
+    rows = spark.range(30).select(
+        (F.col("id") % 3).alias("grp"),
+        F.concat(F.lit("v"), F.col("id")).alias("val"),
+    )
+    with pytest.raises(ValueError, match="partition_key"):
+        with_kafka_envelope(rows, topic="t", partitioner="mod")
+    with pytest.raises(ValueError, match="envelope column"):
+        with_kafka_envelope(
+            rows.withColumn("offset", F.lit(0)), topic="t"
+        )
+    # grp is 10-way tied within each topic-partition: the old single-column
+    # ordering made offsets shuffle-arrival-dependent
+    a = with_kafka_envelope(
+        rows.coalesce(1), topic="t", num_partitions=2,
+        partition_key="grp", order_col="grp",
+    )
+    b = with_kafka_envelope(
+        rows.repartition(8), topic="t", num_partitions=2,
+        partition_key="grp", order_col="grp",
+    )
+    key = lambda df: sorted(
+        (r["partition"], r["offset"], r["grp"], r["val"]) for r in df.collect()
+    )
+    assert key(a) == key(b)
+
+
+def test_run_batch_requires_envelope_offsets(spark, tmp_path):
+    """A non-enveloped batch must be rejected: without a batch identity the
+    second put() would TRUNCATE the first (round-9 review)."""
+    plain = spark.range(5).select(
+        F.lit(True).alias("boolean_col"),
+        F.col("id").cast("int").alias("int_col"),
+        F.col("id").cast("long").alias("long_col"),
+        F.col("id").cast("float").alias("float_col"),
+        F.col("id").cast("double").alias("double_col"),
+        F.col("id").cast("string").alias("string_col"),
+    )
+    pipe = IngestPipeline(str(tmp_path / "o"), SIX_TYPE_SCHEMA)
+    with pytest.raises(ValueError, match="offset"):
+        pipe.run_batch(plain)
+
+
+def test_run_stream_rejects_parity_naming(spark, tmp_path):
+    """The file-sink streaming path cannot produce the offset-named parity
+    layout; a parity config must fail loudly, not silently write the
+    Spark-native layout (round-9 review)."""
+    pipe = IngestPipeline(
+        str(tmp_path / "o"), SIX_TYPE_SCHEMA, parity_naming=True
+    )
+    src = make_records(spark, 3)
+    with pytest.raises(NotImplementedError, match="foreachBatch"):
+        pipe.run_stream(src, str(tmp_path / "cp"))
+
+
+def test_parity_topic_with_escaped_chars(spark, tmp_path):
+    """A topic containing '#' rides partitionBy as %23; the finalize must
+    unescape before building file keys so the reference's '#'→'_'
+    sanitation applies to the REAL topic string (round-9 review)."""
+    out = str(tmp_path / "out")
+    records = make_records(spark, 4, topic="a#b")
+    pipe = IngestPipeline(out, SIX_TYPE_SCHEMA, flush_size=10, parity_naming=True)
+    written = pipe.run_batch(records)
+    assert written == [file_key_to_commit("topics", "a#b", "a#b", 0, 0)]
+    assert written[0].startswith("topics_a_b_a_b_")  # sanitized, unescaped
+    assert pipe.read_back(spark).count() == 4
+
+
+def test_evolving_read_back_drops_bookkeeping_cols(spark, tmp_path):
+    """Non-parity EvolvingIngest read_back must not leak gen=/batch=
+    write-layout partition columns into the returned schema (round-9
+    review; parity path already hid them via recursiveFileLookup)."""
+    from kafka_connect_storage_cloud_formats_spark.pipeline import EvolvingIngest
+
+    ing = EvolvingIngest(str(tmp_path / "evo"), parity_naming=False, flush_size=100)
+    ing.ingest(make_records(spark, 5), SIX_TYPE_SCHEMA)
+    back = ing.read_back(spark)
+    assert "gen" not in back.columns and "batch" not in back.columns
+    assert back.count() == 5
