@@ -1,26 +1,33 @@
 """Deduplication operators over the ``documents`` table.
 
-The four standard tiers of an LLM-data dedup pipeline, each designed for
+The standard tiers of an LLM-data dedup pipeline, each designed for
 100 TB and each with an exact DuckDB oracle:
 
 - **exact** — hash-groupBy. The shuffle key is a 256-bit content hash, not
   the document text, so the shuffle moves ~32 B/row instead of the corpus.
-- **n-gram Jaccard** — exact set-similarity self-join: explode distinct word
-  shingles, join on shingle, count shared. At scale the candidate join is
-  bounded by shingle document-frequency (a hot shingle fans out
-  quadratically); the MinHash-LSH tier below is the scale path, this exact
-  tier is the verifier.
+- **canonicalizing** — same shape over a normalization of the text (case/
+  punctuation/whitespace collapsed).
+- **n-gram Jaccard** — exact set-similarity over DF-capped word shingles:
+  pair generation from a join-ready posting-list artifact, shared-count
+  aggregate, exact Jaccard. The MinHash-LSH tier below is the scale path;
+  this exact tier is the verifier.
 - **MinHash-LSH** — signatures of K min-hashes (md5-string hash family, so
   the oracle can recompute them bit-for-bit), banded into B buckets;
   candidate pairs share ≥1 band. Estimated Jaccard = matching-component
   fraction. The LSH join shuffles only (band_id, band_hash) keys.
-- **SimHash** — 32-bit token-weighted fingerprint; near-dup pairs are
-  signatures within Hamming distance d. Self-join is bounded by splitting
-  the 32 bits into 4 blocks (pigeonhole: distance ≤3 ⇒ one identical block).
+- **SimHash** — 64-bit token-vote fingerprint carried as two 32-bit halves
+  (signed-bigint-safe in both engines); near-dup pairs are fingerprints
+  within Hamming distance ≤3. The self-join key is a TWO-LEVEL exact
+  pigeonhole (4×16-bit blocks, then 4×12-bit complement sub-blocks per
+  block choice — 16 composite keys/doc): distance ≤3 ⇒ some composite key
+  shared (see ``_simhash_candidate_keys``).
+- **fuzzy prefix** — capped Levenshtein blocks; **near-dup clustering +
+  labels** — connected components over strong LSH pairs, artifact-served.
 
-At 100 TB the md5 hex-string hashing would be swapped for ``xxhash64``
-(cheaper, 64-bit); md5 is used here because both engines implement it
-identically, making every stage oracle-checkable.
+At 100 TB the md5 hex-string hashing is swapped for ``xxhash64`` via
+``SPARK_GRAFT_HASH_FAMILY`` (cheaper, JVM-codegen'd); md5 is the default
+because both engines implement it identically, making every stage
+oracle-checkable.
 """
 
 from __future__ import annotations
@@ -85,17 +92,21 @@ def dedup_canonical(
     (case, punctuation, spacing) that byte-exact hashing misses, at the
     same map+groupBy cost as dedup_exact: the shuffle carries a hash of
     the canonical form, never the text — 32 hex bytes under the md5
-    family (oracle-reproducible default), a stringified 64-bit xxhash64
-    under the production family (round-7 verdict ask #5: one flag governs
-    every decision hash). The hash is a pure EQUALITY key here, so the
-    groups — keep_doc_id, n_docs, n_raw_variants — are identical under
-    either family (pinned on a fixture in tests/test_dedup.py and
-    verified equal on the real sf0.01 corpus); only the canon_hash
-    column's representation differs, which is why the oracle gate always
-    runs under md5. Measured A/B at sf0.1 (interleaved, min-of-3):
-    1.06× — the canonicalization regexes dominate this map, so the
-    family choice is about key WIDTH at the shuffle (8-byte long vs
-    32-hex string at 100 TB), not local map time."""
+    family (oracle-reproducible default), a PAIR of independent 64-bit
+    xxhash64 values under the production family (round-9 review: a single
+    64-bit equality key has real birthday-collision mass at 10^10+ docs —
+    a collision silently merges two distinct canonical groups; two
+    independent 64-bit hashes restore a 128-bit key at two cheap codegen
+    hashes over the ONCE-materialized canonical string, still 16 B at the
+    shuffle vs md5's 32-hex). The hash is a pure EQUALITY key here, so
+    the groups — keep_doc_id, n_docs, n_raw_variants — agree across
+    families (pinned on a fixture in tests/test_dedup.py and verified
+    equal on the real sf0.01 corpus); only the canon_hash column's
+    representation differs, which is why the oracle gate always runs
+    under md5. The variant count hashes the text (COUNT(DISTINCT
+    md5(text)), mirrored by the oracle): a bare countDistinct("text")
+    would ship every distinct document through the exchange — the exact
+    corpus-sized shuffle this tier exists to avoid (round-9 review)."""
     family = family or hash_family()
     docs = load_table(spark, sf_dir, "documents")
     canon = F.trim(
@@ -103,14 +114,25 @@ def dedup_canonical(
             F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
         )
     )
-    chash = F.md5(canon) if family == "md5" else F.xxhash64(canon).cast("string")
+    # materialize the canonical string ONCE per row: codegen does not CSE
+    # repeated identical calls, and the regex chain dominates this map
+    base = docs.withColumn("__canon", canon)
+    if family == "md5":
+        keyed = base.select(F.md5("__canon").alias("canon_hash"), "doc_id", "text")
+    else:
+        keyed = base.select(
+            F.concat_ws(
+                "|", F.xxhash64("__canon"), F.xxhash64("__canon", F.lit(1))
+            ).alias("canon_hash"),
+            "doc_id",
+            "text",
+        )
     return (
-        docs.select(chash.alias("canon_hash"), "doc_id", "text")
-        .groupBy("canon_hash")
+        keyed.groupBy("canon_hash")
         .agg(
             F.min("doc_id").alias("keep_doc_id"),
             F.count(F.lit(1)).alias("n_docs"),
-            F.countDistinct("text").alias("n_raw_variants"),
+            F.countDistinct(F.md5("text")).alias("n_raw_variants"),
         )
         .orderBy("keep_doc_id")
     )
@@ -123,7 +145,7 @@ WITH c AS (
                                  ' +', ' ', 'g'))) AS canon_hash
   FROM documents)
 SELECT canon_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_docs,
-       COUNT(DISTINCT text) AS n_raw_variants
+       COUNT(DISTINCT md5(text)) AS n_raw_variants
 FROM c GROUP BY canon_hash
 ORDER BY keep_doc_id
 """
@@ -131,16 +153,14 @@ ORDER BY keep_doc_id
 
 # ------------------------------------------------------- exact n-gram Jaccard
 def _shingle_rows(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle) distinct rows. ``word_shingles`` already emits a
-    per-document ``array_distinct`` array, so exploding it IS distinct —
-    no extra shuffle (a trailing ``.distinct()`` here would re-shuffle the
-    full shingle stream for nothing). ``spread`` parallelizes the
-    tokenize→shingle derivation when the source scan can't split
-    (single-row-group files serialize ~2 s of string work on one core at
-    sf0.1); it is a guarded no-op at scale where splits ≫ cores."""
-    return spread(docs).select(
-        "doc_id", F.explode(word_shingles("text", SHINGLE_N)).alias("s")
-    )
+    """(doc_id, shingle) distinct rows — THE tokenize→shingle derivation
+    (shingles.shingle_stream), projected to the two columns this tier
+    needs. One definition: an inline copy here previously duplicated the
+    spread+explode chain and could drift from the artifact builders
+    (round-9 review)."""
+    from kafka_connect_storage_cloud_formats_spark.operators.shingles import shingle_stream
+
+    return shingle_stream(docs, SHINGLE_N).select("doc_id", "s")
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -347,7 +367,7 @@ def _ensure_minhash_sigs(
     # cache path; md5 keeps its historical token so existing artifacts
     # stay valid.
     ptag = f"k{MINHASH_K}n{SHINGLE_N}" + ("" if family == "md5" else f"x{family}")
-    path = artifact_path("minhash_sigs", sf_dir, "documents", params=ptag)
+    path = artifact_path("minhash_sigs", sf_dir, "documents", params=ptag, spark=spark)
     # The build aggregates the SHARED materialized shingle stream (n=3 —
     # the same artifact the Jaccard tier scans) instead of re-deriving
     # tokenize+shingle from the corpus: at 100 TB one corpus scan publishes

@@ -181,8 +181,8 @@ def train_kmeans_quantizer(
     # can never be served to this derivation (params-token staleness
     # contract, same as every artifact kind).
     params = f"k{k}i{iters}d{DIM}cos"
-    assign_path = artifact_path("kmeans_assign", sf_dir, "embeddings", params=params)
-    cent_path = artifact_path("kmeans_cents", sf_dir, "embeddings", params=params)
+    assign_path = artifact_path("kmeans_assign", sf_dir, "embeddings", params=params, spark=spark)
+    cent_path = artifact_path("kmeans_cents", sf_dir, "embeddings", params=params, spark=spark)
 
     def build_both(tmp: str) -> None:
         corpus = _load(spark, sf_dir).select("vec_id", "embedding")
@@ -261,7 +261,7 @@ def build_kmeans_ivf_index(
 
     assignment, _ = train_kmeans_quantizer(spark, sf_dir, k=k, iters=iters)
     path = artifact_path(
-        "kmeans_ivf_index", sf_dir, "embeddings", params=f"k{k}i{iters}d{DIM}cos"
+        "kmeans_ivf_index", sf_dir, "embeddings", params=f"k{k}i{iters}d{DIM}cos", spark=spark
     )
     ensure_artifact(
         path,

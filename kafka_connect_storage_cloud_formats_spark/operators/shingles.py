@@ -30,15 +30,21 @@ from kafka_connect_storage_cloud_formats_spark.functions.text_functions import w
 
 
 def shingle_stream(docs: DataFrame, n: int) -> DataFrame:
-    """(doc_id, source, s) rows: one row per DISTINCT word-``n``-gram per
+    """(doc_id[, source], s) rows: one row per DISTINCT word-``n``-gram per
     document (``word_shingles`` emits a per-document ``array_distinct``
     array, so exploding it IS distinct — no extra shuffle). ``source``
-    rides along (a short tag, ~10 B/row in parquet) so the contamination
-    split needs no join back to documents; consumers that don't need it
-    prune it at the parquet scan. ``spread`` parallelizes the derivation
-    when the source scan can't split — a guarded no-op at scale."""
+    rides along WHEN PRESENT (a short tag, ~10 B/row in parquet) so the
+    contamination split needs no join back to documents; consumers that
+    don't need it prune it at the parquet scan, and synthetic (doc_id,
+    text)-only frames (equivalence tests) work without one. THE
+    tokenize→shingle derivation — dedup's Jaccard/minhash chain and every
+    shingle artifact builder call this one definition (round-9 review:
+    an inline copy in dedup.py could drift). ``spread`` parallelizes the
+    derivation when the source scan can't split — a guarded no-op at
+    scale."""
+    keep = [c for c in ("doc_id", "source") if c in docs.columns]
     return spread(docs).select(
-        "doc_id", "source", F.explode(word_shingles("text", n)).alias("s")
+        *keep, F.explode(word_shingles("text", n)).alias("s")
     )
 
 
@@ -63,7 +69,7 @@ def ensure_capped_shingle_rows(
     can never serve a stale stream."""
     from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_df, artifact_path
 
-    path = artifact_path("shingle_capped", sf_dir, "documents", params=f"n{n}c{cap}")
+    path = artifact_path("shingle_capped", sf_dir, "documents", params=f"n{n}c{cap}", spark=spark)
 
     def build(tmp: str) -> None:
         sh_all = ensure_shingle_rows(spark, sf_dir, n).select("doc_id", "s")
@@ -108,7 +114,7 @@ def ensure_shingle_postings(
     n and cap like the capped stream it derives from."""
     from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_df, artifact_path
 
-    path = artifact_path("shingle_postings", sf_dir, "documents", params=f"n{n}c{cap}")
+    path = artifact_path("shingle_postings", sf_dir, "documents", params=f"n{n}c{cap}", spark=spark)
 
     def build(tmp: str) -> None:
         sized = ensure_capped_shingle_rows(spark, sf_dir, n, cap)
@@ -145,7 +151,7 @@ def ensure_ngram_occurrence_rows(spark: SparkSession, sf_dir: str, n: int) -> Da
     cache path)."""
     from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_df, artifact_path
 
-    path = artifact_path("ngram_occ", sf_dir, "documents", params=f"n{n}")
+    path = artifact_path("ngram_occ", sf_dir, "documents", params=f"n{n}", spark=spark)
     return artifact_df(
         path,
         lambda tmp: ngram_occurrence_stream(load_table(spark, sf_dir, "documents"), n)
@@ -162,7 +168,7 @@ def ensure_shingle_rows(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
     roundtrip is exact (hash-neutral)."""
     from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_df, artifact_path
 
-    path = artifact_path("shingle_rows", sf_dir, "documents", params=f"n{n}")
+    path = artifact_path("shingle_rows", sf_dir, "documents", params=f"n{n}", spark=spark)
     return artifact_df(
         path,
         lambda tmp: shingle_stream(load_table(spark, sf_dir, "documents"), n)

@@ -600,7 +600,7 @@ def build_ivf_index(
         # params token = derivation version + vector dim: bump "v1" if the
         # index layout or centroid math ever changes, so a retuned build
         # can't silently serve the previous scheme's artifact.
-        out_dir = artifact_path("ivf_index", sf_dir, "embeddings", params=f"v1d{DIM}")
+        out_dir = artifact_path("ivf_index", sf_dir, "embeddings", params=f"v1d{DIM}", spark=spark)
     ensure_artifact(
         out_dir,
         lambda tmp: _load(spark, sf_dir).write.partitionBy("label").parquet(tmp),

@@ -411,10 +411,13 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the round-5 ``localCheckpoint`` an executor loss is ordinary task
     # retry, not a failed job.
     sh = ensure_shingle_rows(spark, sf_dir, CONTAMINATION_SHINGLE_N)
-    bench = (
-        sh.filter(F.col("source") == BENCHMARK_SOURCE)
-        .select(F.col("doc_id").alias("bench_doc"), "s")
-        .distinct()
+    # no .distinct(): the artifact is already one row per (doc_id, s) —
+    # word_shingles emits a per-document array_distinct array — so a
+    # distinct here re-shuffled an already-unique stream per execution
+    # for nothing (round-9 review; the corpus side below always relied
+    # on exactly this property)
+    bench = sh.filter(F.col("source") == BENCHMARK_SOURCE).select(
+        F.col("doc_id").alias("bench_doc"), "s"
     )
     corpus = sh.filter(F.col("source") != BENCHMARK_SOURCE).select("doc_id", "s")
     return (

@@ -249,8 +249,16 @@ _CHANGED_THIS_ROUND = [
     #   ask #5). Result pinned bit-identical to the single-stage plan
     #   (tests/test_dedup.py); 10.8× fewer candidates at sf0.1.
     "simhash_near_pairs",
+    # - dedup_canonical: the variant count hashes the text before the
+    #   distinct (COUNT(DISTINCT md5(text)) on BOTH engines — a bare
+    #   countDistinct(text) shipped every distinct document through the
+    #   exchange), and the xxhash64 production family's equality key
+    #   widened to a pair of independent 64-bit hashes (collision mass at
+    #   10^10+ docs). md5-family values unchanged except via the md5()
+    #   pre-hash, which the oracle mirrors.
+    "dedup_canonical",
 ]
-# Out-of-window transits, documented (43 of the 50 window slots are
+# Out-of-window transits, documented (44 of the 50 window slots are
 # claimed above; the rest of the window follows registration order):
 # 1. The registry gained the PREPARED-PLAN cache below — it transits
 #    every non-side-effect query, but a cache hit returns the IDENTICAL
