@@ -139,11 +139,11 @@ def image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 IMAGE_DECODE_STATS_SQL = """
 WITH px AS (
-  SELECT doc_id AS media_id, [unicode(c) for c in string_split(text, '')] AS ps
+  SELECT doc_id AS media_id, CASE WHEN length(text) = 0 THEN CAST([] AS INTEGER[]) ELSE [unicode(c) for c in string_split(text, '')] END AS ps
   FROM documents WHERE doc_id % 3 = 0)
 SELECT media_id,
        CAST(len(ps) AS BIGINT) AS n_px,
-       CAST(list_sum(ps) AS BIGINT) AS sum_px,
+       CAST(coalesce(list_sum(ps), 0) AS BIGINT) AS sum_px,
        CAST(list_min(ps) AS INT) AS min_px,
        CAST(list_max(ps) AS INT) AS max_px
 FROM px ORDER BY media_id
@@ -231,7 +231,7 @@ def _features_sql() -> str:
     )
     return f"""
 WITH px AS (
-  SELECT doc_id AS media_id, [unicode(c) for c in string_split(text, '')] AS ps
+  SELECT doc_id AS media_id, CASE WHEN length(text) = 0 THEN CAST([] AS INTEGER[]) ELSE [unicode(c) for c in string_split(text, '')] END AS ps
   FROM documents)
 SELECT media_id, {sums} FROM px ORDER BY media_id
 """
@@ -290,7 +290,7 @@ def _resize_sql() -> str:
     return f"""
 WITH px AS (
   SELECT doc_id AS media_id,
-         [unicode(c) for c in string_split(text, '')] AS ps,
+         CASE WHEN length(text) = 0 THEN CAST([] AS INTEGER[]) ELSE [unicode(c) for c in string_split(text, '')] END AS ps,
          length(text) AS n,
          CAST(ceil(sqrt(CAST(length(text) AS DOUBLE))) AS BIGINT) AS w,
          CAST(ceil(CAST(length(text) AS DOUBLE)

@@ -292,9 +292,11 @@ def _hash_bucket(salt: str, family: str | None = None):
         return F.pmod(
             F.xxhash64(F.concat(F.lit(salt), F.col("doc_id"))), F.lit(256)
         ).cast("int")
-    return F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), F.col("doc_id"))), 1, 2), 16, 10
-    ).cast("int")
+    # first byte of md5 = text_functions.md5_long(col, bits=8): the shared
+    # definition, not an inline twin that could drift (round-9 review)
+    from kafka_connect_storage_cloud_formats_spark.functions.text_functions import md5_long
+
+    return md5_long(F.concat(F.lit(salt), F.col("doc_id")), bits=8).cast("int")
 
 
 def corpus_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

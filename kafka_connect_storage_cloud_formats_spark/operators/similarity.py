@@ -295,7 +295,11 @@ def _ensure_hyperplane_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     planes_tag = hashlib.md5(repr(HYPERPLANES).encode()).hexdigest()[:8]
     path = artifact_path(
-        "hyperplane_sig", sf_dir, "embeddings", params=f"p{N_PLANES}d{DIM}h{planes_tag}"
+        "hyperplane_sig",
+        sf_dir,
+        "embeddings",
+        params=f"p{N_PLANES}d{DIM}h{planes_tag}",
+        spark=spark,
     )
     return artifact_df(
         path,
@@ -343,14 +347,23 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_bands = bands.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("q_id"), "band_id", "band_val"
     )
+    # No forced broadcast hint on q_bands: the query side is
+    # corpus-PROPORTIONAL (N/QUERY_MOD rows), so per the engine's
+    # gated-hints doctrine (session.py notes) AQE decides — broadcast
+    # while it fits, shuffle join at the scale where a forced hint would
+    # OOM the driver (round-9 review: the same hazard class the
+    # MAX_QUERIES bound closed for the collect paths).
     cand = (
-        F.broadcast(q_bands)
-        .join(bands, ["band_id", "band_val"])
+        q_bands.join(bands, ["band_id", "band_val"])
         .filter(F.col("vec_id") != F.col("q_id"))
         .select("q_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
     )
-    qv = base.select(
+    # qv is the QUERY subset only (round-9 review: the unfiltered form
+    # broadcast every corpus vector — the exact payload this operator's
+    # contract keeps off the wire; the join key q_id only ever matches
+    # query ids, so the filter is result-neutral)
+    qv = base.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
         F.col("norm").alias("q_norm"),
@@ -363,7 +376,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine = _dot("q_emb", "n_emb") / (F.col("q_norm") * F.col("n_norm"))
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        cand.join(F.broadcast(qv), "q_id")
+        cand.join(qv, "q_id")
         .join(cv, "neighbor_id")
         .select("q_id", "neighbor_id", cosine.alias("cosine"))
         .withColumn("rank", F.row_number().over(w))
@@ -524,8 +537,12 @@ def _ivf_probe(
     )
     cosine = _dot("q_emb", "embedding") / (F.col("q_norm") * F.col("norm"))
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    # assigned is corpus-proportional (nprobe × N/QUERY_MOD rows carrying
+    # q_emb): no forced broadcast hint — AQE broadcasts while it fits and
+    # falls back at scale (gated-hints doctrine; round-9 review). DPP on
+    # the pruned path keys off the join, not the hint.
     return (
-        F.broadcast(assigned)
+        assigned
         .join(corpus, (F.col("label") == F.col("c_label")) & (F.col("vec_id") != F.col("q_id")))
         .select("q_id", F.col("vec_id").alias("neighbor_id"), cosine.alias("cosine"))
         .withColumn("rank", F.row_number().over(w))
@@ -718,7 +735,7 @@ def _ensure_sq8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_connect_storage_cloud_formats_spark.functions.vectors import _stack64
 
     path = artifact_path(
-        "sq8_codes", sf_dir, "embeddings", params=f"l{SQ8_LEVELS}d{DIM}"
+        "sq8_codes", sf_dir, "embeddings", params=f"l{SQ8_LEVELS}d{DIM}", spark=spark
     )
 
     def build(tmp: str) -> None:
@@ -806,7 +823,11 @@ def sq8_topk(spark: SparkSession, sf_dir: str, query_ids=None) -> DataFrame:
         .select("q_id", "neighbor_id")
     )
     full = _with_norm(_load(spark, sf_dir))
-    qv = full.select(
+    # qv restricted to the COLLECTED query ids (Q <= MAX_QUERIES by the
+    # matrix contract): the unfiltered form broadcast the whole float
+    # corpus as the build side (round-9 review); this keeps the broadcast
+    # hint honest — the side is bounded, not SF-scaled
+    qv = full.filter(F.col("vec_id").isin([int(i) for i in q_ids])).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
         F.col("norm").alias("q_norm"),
@@ -891,8 +912,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: identical to ann_lsh_topk's candidate stage — a self
     equi-join on exploded (band_id, band_val) rows, then exact cosine only
-    on candidates. True dups (cosine→1) collide in every band, so recall at
-    the 0.9 threshold is high while the join stays near-linear.
+    on candidates. True dups (cosine→1) collide in every band, so recall
+    at the shipped COSINE_DUP_THRESHOLD (0.35 on this synthetic corpus —
+    production near-dup would run ~0.9, see the constant's note) is high
+    while the join stays near-linear.
     """
     base = _with_norm(_load(spark, sf_dir))
     # Both self-join sides consume the band rows, exploded from the
@@ -966,7 +989,7 @@ def ensure_knn_ground_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_df, artifact_path
 
     path = artifact_path(
-        "knn_gt", sf_dir, "embeddings", params=f"q{QUERY_MOD}k{TOP_K}"
+        "knn_gt", sf_dir, "embeddings", params=f"q{QUERY_MOD}k{TOP_K}", spark=spark
     )
     return artifact_df(
         path,
@@ -975,19 +998,15 @@ def ensure_knn_ground_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ann_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality evaluation of the ANN index: recall@10 of hyperplane-LSH vs
-    the exact brute-force baseline (measure, don't guess). One row:
-    (n_queries, hits, possible, recall). Deterministic on both engines, so
-    even the *evaluation* is oracle-gated."""
-    # bf is consumed twice (the possible-count aggregate and the semi
-    # join) — both reads hit the ground-truth artifact (a Q·k-row parquet),
-    # so neither pays the corpus scan. (Round 6 had measured a lazy
-    # localCheckpoint of the live bf result as a ~0.3 s LOSS; the artifact
-    # read replaces that whole trade.)
+def _recall_vs_truth(spark: SparkSession, sf_dir: str, approx: DataFrame) -> DataFrame:
+    """THE recall@k evaluation against the exact ground-truth artifact —
+    one definition for all three approximate tiers (LSH/SQ8/IVF), so a
+    tolerance or column change cannot drift between them (round-9 review;
+    the same one-copy rule as _ivf_probe). One row: (n_queries, hits,
+    possible, recall); deterministic on both engines, so even the
+    evaluation is oracle-gated."""
     bf = ensure_knn_ground_truth(spark, sf_dir).select("q_id", "neighbor_id")
-    ann = ann_lsh_topk(spark, sf_dir).select("q_id", "neighbor_id")
-    hits = bf.join(ann, ["q_id", "neighbor_id"], "left_semi")
+    hits = bf.join(approx.select("q_id", "neighbor_id"), ["q_id", "neighbor_id"], "left_semi")
     return (
         bf.agg(
             F.countDistinct("q_id").alias("n_queries"),
@@ -1001,6 +1020,17 @@ def ann_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("hits").cast("double") / F.col("possible").cast("double")).alias("recall"),
         )
     )
+
+
+def ann_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality evaluation of the ANN index: recall@10 of hyperplane-LSH vs
+    the exact brute-force baseline (measure, don't guess). One row:
+    (n_queries, hits, possible, recall). Deterministic on both engines, so
+    even the *evaluation* is oracle-gated."""
+    # bf is consumed twice inside _recall_vs_truth (the possible-count
+    # aggregate and the semi join) — both reads hit the ground-truth
+    # artifact (a Q·k-row parquet), so neither pays the corpus scan.
+    return _recall_vs_truth(spark, sf_dir, ann_lsh_topk(spark, sf_dir))
 
 
 def _ann_recall_sql() -> str:
@@ -1051,24 +1081,9 @@ ANN_RECALL_SQL = _ann_recall_sql()
 def sq8_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality evaluation of the int8 tier: recall@10 of sq8_topk vs the
     exact brute-force baseline — like ann_recall_at_10, the evaluation
-    itself is deterministic on both engines and oracle-gated. Consumes
-    the ground-truth artifact (:func:`ensure_knn_ground_truth`)."""
-    bf = ensure_knn_ground_truth(spark, sf_dir).select("q_id", "neighbor_id")
-    sq = sq8_topk(spark, sf_dir).select("q_id", "neighbor_id")
-    hits = bf.join(sq, ["q_id", "neighbor_id"], "left_semi")
-    return (
-        bf.agg(
-            F.countDistinct("q_id").alias("n_queries"),
-            F.count(F.lit(1)).alias("possible"),
-        )
-        .crossJoin(hits.agg(F.count(F.lit(1)).alias("hits")))
-        .select(
-            "n_queries",
-            "hits",
-            "possible",
-            (F.col("hits").cast("double") / F.col("possible").cast("double")).alias("recall"),
-        )
-    )
+    itself is deterministic on both engines and oracle-gated (shared
+    :func:`_recall_vs_truth`)."""
+    return _recall_vs_truth(spark, sf_dir, sq8_topk(spark, sf_dir))
 
 
 def _sq8_recall_sql() -> str:

@@ -236,10 +236,29 @@ _STALE_AFTER_R8 = [
     "image_resize_thumbnail", "salted_cohort_activity",
 ]
 _CHANGED_THIS_ROUND = [
-    # round 9 implementation changes (knn_bruteforce and sq8_topk — whose
+    # round 9 implementation changes (knn_bruteforce — whose
     # driver-collected query side moved to the LIMIT-capped, fail-loud
-    # _collect_query_matrix (round-8 verdict ask #3) — are already in the
+    # _collect_query_matrix (round-8 verdict ask #3) — is already in the
     # stale list above):
+    # - sq8_topk: same bounded-query-matrix change as knn_bruteforce,
+    #   plus (review round) its exact-rerank query side is filtered to
+    #   the collected ids before the broadcast (the unfiltered form
+    #   broadcast the whole float corpus as the build side).
+    "sq8_topk",
+    # - ann_recall_at_10 / sq8_recall_at_10: the recall evaluation is the
+    #   shared _recall_vs_truth helper (plan-identical; one definition
+    #   for the LSH/SQ8/IVF trio).
+    "ann_recall_at_10", "sq8_recall_at_10",
+    # - image_decode_stats (+ media_feature_extract, already in the stale
+    #   list): the oracle guards the empty-payload case — DuckDB
+    #   string_split('', '') yields [''], not [] — so a regenerated
+    #   corpus containing an empty document can no longer hash-diverge
+    #   (engine-vs-oracle parity pinned on a synthetic empty-doc corpus).
+    "image_decode_stats",
+    # - corpus_split_stats / stratified_sample: the md5-family bucket
+    #   expression is text_functions.md5_long(bits=8) — the shared
+    #   definition, expression-identical (no value change).
+    "corpus_split_stats", "stratified_sample",
     # - ivf_recall_at_10: NEW — completes the recall-evaluation family
     #   (LSH/SQ8/IVF) against the shared exact ground-truth artifact
     #   (round-8 verdict ask #4). Debuts in-window with a full oracle.
@@ -258,7 +277,7 @@ _CHANGED_THIS_ROUND = [
     #   pre-hash, which the oracle mirrors.
     "dedup_canonical",
 ]
-# Out-of-window transits, documented (44 of the 50 window slots are
+# Out-of-window transits, documented (50 of the 50 window slots are
 # claimed above; the rest of the window follows registration order):
 # 1. The registry gained the PREPARED-PLAN cache below — it transits
 #    every non-side-effect query, but a cache hit returns the IDENTICAL

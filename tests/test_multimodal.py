@@ -148,3 +148,36 @@ def test_audio_window_energy_matches_python(spark, sf_dir):
             assert r["n_samples"] == seg.size
             assert r["energy"] == int((seg * seg).sum())
             assert r["peak"] == int(seg.max())
+
+
+def test_empty_payload_oracle_parity(spark, tmp_path):
+    """Round-9 review: DuckDB string_split('', '') yields [''] (→ [-1]
+    via unicode), not [] — on an empty document the decode-stats/features
+    oracles silently diverged from the engine (n_px=1/sum=-1 vs 0/NULL).
+    Pin engine == oracle on a corpus that CONTAINS an empty doc (the
+    shipped corpora have none; a regenerated one might)."""
+    import duckdb
+
+    from kafka_connect_storage_cloud_formats_spark.operators.multimodal import (
+        IMAGE_DECODE_STATS_SQL,
+        image_decode_stats,
+    )
+
+    corpus = tmp_path / "sfempty"
+    corpus.mkdir()
+    rows = [(0, "", "web", 0, "en"), (3, "abc", "web", 3, "en")]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long, lang string"
+    ).coalesce(1).write.parquet(str(corpus / "documents.parquet"))
+
+    got = sorted(map(tuple, image_decode_stats(spark, str(corpus)).collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{corpus}/documents.parquet/*.parquet')"
+    )
+    want = sorted(map(tuple, con.sql(IMAGE_DECODE_STATS_SQL).fetchall()))
+    assert got == want
+    empty_row = [r for r in got if r[0] == 0][0]
+    assert empty_row[1] == 0 and empty_row[2] == 0  # n_px=0, sum_px=0
+    assert empty_row[3] is None and empty_row[4] is None  # min/max NULL
