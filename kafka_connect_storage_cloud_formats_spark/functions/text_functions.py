@@ -63,7 +63,7 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     while the SQL oracles' ``range(1, 1)`` correctly emit nothing.
     """
     c = F.col(text) if isinstance(text, str) else text
-    w = F.split(c, " ")
+    w = tokens(c)  # THE tokenizer — one definition (round-9 review)
     shingled = F.transform(
         F.sequence(F.lit(1), F.size(w) - (n - 1)),
         lambda i: F.array_join(F.slice(w, i, n), " "),
@@ -83,5 +83,16 @@ def md5_perm(col: Column, perm: int) -> Column:
 
 
 def md5_long(col: Column, bits: int = 32) -> Column:
-    """First ``bits`` bits of md5 as a non-negative long (hex → decimal)."""
+    """First ``bits`` bits of md5 as a non-negative long (hex → decimal).
+
+    ``bits`` must be a multiple of 4 (hex-digit granularity — anything
+    else silently truncated before this guard) and at most 60: 16 hex
+    digits can exceed BIGINT, and under the engine's ANSI sessions the
+    cast then ABORTS the job for ~half of all inputs rather than wrapping
+    (round-9 review, empirically confirmed at bits=64)."""
+    if bits % 4 or not 0 < bits <= 60:
+        raise ValueError(
+            f"bits must be a positive multiple of 4, <= 60 (got {bits}); "
+            "for 64-bit hashes use xxhash64"
+        )
     return F.conv(F.substring(F.md5(col), 1, bits // 4), 16, 10).cast("long")

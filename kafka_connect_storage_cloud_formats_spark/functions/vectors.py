@@ -17,10 +17,6 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def to_double_array(v: Column) -> Column:
-    return F.transform(v, lambda x: x.cast("double"))
-
-
 def dot(a: Column, b: Column) -> Column:
     """Sequential dot product in double precision."""
     return F.aggregate(
@@ -28,14 +24,10 @@ def dot(a: Column, b: Column) -> Column:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-
-
-def l2_norm(a: Column) -> Column:
-    return F.sqrt(dot(a, a))
-
-
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+# (to_double_array / l2_norm / cosine wrappers were removed round 9: no
+# caller anywhere in the package or tests — every operator composes its
+# cosine from dot()/dot_vec() with precomputed norms, and unused exports
+# in the bit-exactness-critical module are ungated drift surface.)
 
 
 # --------------------------------------------------------- vectorized (Arrow)
@@ -58,10 +50,30 @@ from pyspark.sql.types import DoubleType, LongType
 
 
 def _stack64(s: pd.Series) -> np.ndarray:
-    """Series of float32 arrays → (n, dim) float64 matrix (exact cast)."""
+    """Series of float32 arrays → (n, dim) float64 matrix (exact cast).
+
+    NULL or ragged-length embeddings fail LOUDLY with the actual defect
+    named: np.stack's bare "all input arrays must have the same shape"
+    (round-9 review) told the operator nothing about which row class
+    broke — and the Arrow paths cannot silently NULL-propagate like the
+    interpreted HOF ``dot`` does, so a corpus with NULL vectors must be
+    cleaned (or filtered) upstream by contract."""
     if len(s) == 0:
         return np.zeros((0, 1), dtype=np.float64)
-    return np.stack(s.to_numpy()).astype(np.float64)
+    vals = s.to_numpy()
+    nulls = sum(1 for v in vals if v is None)
+    if nulls:
+        raise ValueError(
+            f"{nulls} NULL embedding(s) in batch: the vectorized kernels "
+            "require non-null fixed-dim vectors — filter or impute upstream"
+        )
+    lens = {len(v) for v in vals}
+    if len(lens) > 1:
+        raise ValueError(
+            f"ragged embedding lengths in batch: {sorted(lens)} — the "
+            "corpus contract is one fixed dimension"
+        )
+    return np.stack(vals).astype(np.float64)
 
 
 def _seq_dot(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -86,7 +98,14 @@ def l2_norm_vec(a: pd.Series) -> pd.Series:
 def hyperplane_signature_udf(planes):
     """Factory: Pandas UDF computing an n-bit sign signature (bit j set iff
     dot(v, planes[j]) > 0), with the same per-dimension left-associated
-    accumulation as the oracle SQL."""
+    accumulation as the oracle SQL. At most 63 planes: bit 63 would flip
+    the LongType sign and numpy shifts ≥64 wrap (shift % 64), silently
+    merging unrelated LSH buckets (round-9 review) — a wider family needs
+    an array-of-longs signature."""
+    if len(planes) > 63:
+        raise ValueError(
+            f"{len(planes)} planes exceed the 63-bit long-signature bound"
+        )
     W = np.array(planes, dtype=np.float64)
 
     @pandas_udf(LongType())

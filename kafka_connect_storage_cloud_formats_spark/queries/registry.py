@@ -279,6 +279,13 @@ _CHANGED_THIS_ROUND = [
 ]
 # Out-of-window transits, documented (50 of the 50 window slots are
 # claimed above; the rest of the window follows registration order):
+# 0. q12_priority_by_returnflag moved to when/otherwise counters (a NULL
+#    o_orderpriority previously vanished from BOTH sums while the
+#    oracle's CASE counts it low). Result-neutral on every shipped
+#    corpus BY CONSTRUCTION (TPC-H priorities are never NULL; the review
+#    verified zero NULLs at all SFs) and re-verified hash-green at
+#    sf0.001/0.01/0.1 with --repeat on final HEAD; the window was full,
+#    so this latent-NULL hardening rides the documented-transit rule.
 # 1. The registry gained the PREPARED-PLAN cache below — it transits
 #    every non-side-effect query, but a cache hit returns the IDENTICAL
 #    immutable DataFrame object the builder returned (same logical plan;

@@ -45,7 +45,10 @@ def davg(col: Column | str, scale: int = 6) -> Column:
 
 
 def maybe_broadcast(df: DataFrame, bounded: bool = False) -> DataFrame:
-    """Broadcast-hint policy for dimension joins at 100 TB posture.
+    """THE broadcast-hint policy for dimension joins at 100 TB posture —
+    every relational hint decision flows through here (round-9 review:
+    the bounded branch was previously dead while region/nation called
+    F.broadcast directly, leaving the policy split across two spellings).
 
     ``bounded=True`` marks catalog-bounded dimensions whose cardinality is
     fixed at any scale factor (region: 5, nation: 25) — always safe to force.
@@ -138,8 +141,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(maybe_broadcast(nation, bounded=True), cust.c_nationkey == nation.n_nationkey)
+        .join(maybe_broadcast(region, bounded=True), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name", "r_name")
         .agg(
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
@@ -570,7 +573,7 @@ def q22_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey")
     )
     avg_bal = cust.agg(davg("c_acctbal").alias("avg_bal"))
-    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
+    rich = cust.crossJoin(maybe_broadcast(avg_bal, bounded=True)).filter(
         F.col("c_acctbal") > F.col("avg_bal")
     )
     inactive = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
@@ -732,8 +735,8 @@ def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(maybe_broadcast(sup), li.l_suppkey == sup.s_suppkey)
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sk"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("ck"))
+        .join(maybe_broadcast(n1, bounded=True), F.col("s_nationkey") == F.col("sk"))
+        .join(maybe_broadcast(n2, bounded=True), F.col("c_nationkey") == F.col("ck"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("yr"))
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"))
@@ -829,7 +832,7 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(maybe_broadcast(nation, bounded=True), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
@@ -935,9 +938,9 @@ def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(maybe_broadcast(sup), li.l_suppkey == sup.s_suppkey)
-        .join(F.broadcast(n_c), F.col("c_nationkey") == F.col("cnk"))
-        .join(F.broadcast(n_s), F.col("s_nationkey") == F.col("snk"))
-        .join(F.broadcast(region), F.col("crk") == region.r_regionkey)
+        .join(maybe_broadcast(n_c, bounded=True), F.col("c_nationkey") == F.col("cnk"))
+        .join(maybe_broadcast(n_s, bounded=True), F.col("s_nationkey") == F.col("snk"))
+        .join(maybe_broadcast(region, bounded=True), F.col("crk") == region.r_regionkey)
         .filter(F.col("r_name") == "ASIA")
         .groupBy(F.year("o_orderdate").alias("yr"))
         .agg((dsum(target) / dsum(rev)).alias("mkt_share"), F.count(F.lit(1)).alias("n_items"))
@@ -980,7 +983,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     max_rev = revenue.agg(F.max("total_rev").alias("mx"))
     return (
-        revenue.join(F.broadcast(max_rev), revenue.total_rev == F.col("mx"))
+        revenue.join(maybe_broadcast(max_rev, bounded=True), revenue.total_rev == F.col("mx"))
         .join(maybe_broadcast(sup), revenue.l_suppkey == sup.s_suppkey)
         .select("s_suppkey", "s_name", "total_rev")
         .orderBy("s_suppkey")
@@ -1015,7 +1018,7 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(maybe_broadcast(part), li.l_partkey == part.p_partkey)
         .join(maybe_broadcast(sup), li.l_suppkey == sup.s_suppkey)
-        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(maybe_broadcast(nation, bounded=True), sup.s_nationkey == nation.n_nationkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_profit"))
@@ -1053,7 +1056,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     threshold = per_part.agg((davg("part_value", 6) * F.lit(Q11_MULT)).alias("thr"))
     return (
-        per_part.crossJoin(F.broadcast(threshold))
+        per_part.crossJoin(maybe_broadcast(threshold, bounded=True))
         .filter(F.col("part_value") > F.col("thr"))
         .select("l_partkey", "part_value")
         .orderBy(F.desc("part_value"), "l_partkey")
@@ -1084,12 +1087,17 @@ def q12_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders = load_table(spark, sf_dir, "orders")
     is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    # when/otherwise, not bare boolean casts: a NULL o_orderpriority makes
+    # is_high and ~is_high both NULL, so the sums would skip the row
+    # entirely while the oracle's CASE ... ELSE counts it as a low line —
+    # latent on this corpus (no NULL priorities) but a hash break on any
+    # vintage with one (round-9 review)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_returnflag")
         .agg(
-            F.sum(is_high.cast("long")).alias("high_line_count"),
-            F.sum((~is_high).cast("long")).alias("low_line_count"),
+            F.sum(F.when(is_high, 1).otherwise(0).cast("long")).alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1).cast("long")).alias("low_line_count"),
         )
         .orderBy("l_returnflag")
     )
