@@ -38,6 +38,12 @@ def _check_supported(schema: dict) -> list[tuple[str, Any]]:
     where field_type is a primitive name or a ["null", primitive] union."""
     if schema.get("type") != "record":
         raise ValueError(f"unsupported root schema: {schema.get('type')!r}")
+    if not schema.get("fields"):
+        # legal Avro (every record encodes to b"") but a silent hazard in
+        # the Arrow batch paths: zip(*[]) yields NOTHING, so a million-row
+        # DataFrame would encode to zero rows with no error (round-9
+        # review). The engine's ingest surface requires >= 1 field anyway.
+        raise ValueError("zero-field record schemas are not supported")
     out = []
     for f in schema["fields"]:
         t = f["type"]
@@ -117,12 +123,13 @@ def _read_value(buf: bytes, pos: int, t: str) -> tuple[Any, int]:
 
 
 # ------------------------------------------------------------------ records
-def _encode_record_fields(fields: list, values: dict) -> bytes:
-    """Encode one record against a pre-validated field list (the per-batch
-    hot path: schema validation is lifted out of the per-record loop)."""
+def _encode_row(fields: list, row) -> bytes:
+    """Encode one record's values (POSITIONAL, field-declaration order)
+    against a pre-validated field list — THE per-record encoder, shared by
+    the dict-keyed API and the Arrow batch path (round-9 review: the batch
+    path previously carried its own near-copy of the union/null logic)."""
     out = bytearray()
-    for name, t in fields:
-        v = values.get(name)
+    for (name, t), v in zip(fields, row):
         if isinstance(t, list):  # ["null", T]
             if v is None:
                 _write_long(out, 0)
@@ -136,20 +143,44 @@ def _encode_record_fields(fields: list, values: dict) -> bytes:
     return bytes(out)
 
 
-def _decode_record_fields(fields: list, data: bytes) -> dict:
-    pos, out = 0, {}
-    for name, t in fields:
+def _encode_record_fields(fields: list, values: dict) -> bytes:
+    """Dict-keyed wrapper over :func:`_encode_row` (the per-batch hot path
+    uses the positional form directly)."""
+    return _encode_row(fields, [values.get(name) for name, _ in fields])
+
+
+def _decode_row(fields: list, data: bytes, cols: list, reject_nan: bool = False) -> None:
+    """Decode one record's payload, appending each field's value to its
+    per-column list — THE per-record decoder, shared by the dict-keyed API
+    and the Arrow batch path. ``reject_nan``: the batch path must refuse a
+    decoded NaN double (it would silently become SQL NULL at the
+    pandas→Arrow boundary); the plain-Python API can represent NaN and
+    keeps it."""
+    pos = 0
+    for (name, t), col in zip(fields, cols):
         if isinstance(t, list):
             branch, pos = _read_long(data, pos)
             if branch == 0:
-                out[name] = None
-            else:
-                out[name], pos = _read_value(data, pos, t[1])
+                col.append(None)
+                continue
+            v, pos = _read_value(data, pos, t[1])
         else:
-            out[name], pos = _read_value(data, pos, t)
+            v, pos = _read_value(data, pos, t)
+        if reject_nan and isinstance(v, float) and v != v:
+            raise ValueError(
+                f"NaN decoded for field {name!r}: not representable "
+                "across the Arrow-pandas boundary; use the JVM "
+                "from_avro path for NaN payloads"
+            )
+        col.append(v)
     if pos != len(data):
         raise ValueError(f"trailing bytes: consumed {pos} of {len(data)}")
-    return out
+
+
+def _decode_record_fields(fields: list, data: bytes) -> dict:
+    cols: list = [[] for _ in fields]
+    _decode_row(fields, data, cols)
+    return {name: col[0] for (name, _), col in zip(fields, cols)}
 
 
 def encode_record(schema: dict, values: dict) -> bytes:
@@ -206,32 +237,54 @@ def avro_encode_df(df, schema: dict):
             ),
         )
 
+    int_fields = {
+        name
+        for name, t in fields
+        if (t[1] if isinstance(t, list) else t) in ("int", "long")
+    }
+
     def enc(batches):
         # Positional hot loop: columns are materialized once per batch in
-        # field-declaration order and rows stream through zip() — no
-        # per-record dict construction.
-        def enc_row(row):
-            out = bytearray()
-            for (name, t), v in zip(fields, row):
-                if isinstance(t, list):  # ["null", T]
-                    if v is None:
-                        _write_long(out, 0)
-                    else:
-                        _write_long(out, 1)
-                        _write_value(out, t[1], v)
-                elif v is None:
-                    raise ValueError(f"null for non-nullable field {name!r}")
-                else:
-                    _write_value(out, t, v)
-            return bytes(out)
+        # field-declaration order and rows stream through zip() into the
+        # SHARED per-record encoder (_encode_row) — no per-record dict.
+        import numpy as np
 
         for pdf in batches:
-            cols = [
-                list(pdf[name].astype(object).where(pdf[name].notna(), None))
-                for name, _ in fields
-            ]
+            cols = []
+            for name, _t in fields:
+                col = pdf[name]
+                if name in int_fields and col.dtype.kind == "f":
+                    # Arrow→pandas renders an int64 column WITH NULLS as
+                    # float64: values beyond 2^53 have already lost
+                    # precision by the time we see them, so int() would
+                    # silently encode the WRONG number (round-9 review —
+                    # the one pure data-corruption hazard in this codec).
+                    # Refuse loudly past the exact-integer range; below
+                    # it, float64 round-trips every int exactly.
+                    finite = col.dropna()
+                    if len(finite) and finite.abs().max() >= 2.0**53:
+                        raise ValueError(
+                            f"nullable int/long field {name!r} arrived as "
+                            f"float64 (a null in the batch forces the "
+                            f"Arrow-pandas conversion) with |values| >= "
+                            f"2^53: exact encoding is impossible on this "
+                            f"path — use the JVM to_avro path or make the "
+                            f"field non-nullable"
+                        )
+                    if len(finite) and not np.array_equal(
+                        finite.to_numpy(), np.trunc(finite.to_numpy())
+                    ):
+                        raise ValueError(
+                            f"non-integral values in int/long field {name!r}"
+                        )
+                    # plain list, NOT Series.map: a float64 Series coerces
+                    # None back to NaN, which int() then rejects downstream
+                    cols.append([None if pd.isna(v) else int(v) for v in col])
+                    continue
+                cols.append(list(col.astype(object).where(col.notna(), None)))
             yield pd.DataFrame(
-                {"value": [enc_row(row) for row in zip(*cols)]}, dtype=object
+                {"value": [_encode_row(fields, row) for row in zip(*cols)]},
+                dtype=object,
             )
 
     return df.mapInPandas(enc, "value binary")
@@ -245,35 +298,13 @@ def avro_decode_df(df, schema: dict, spark_struct):
     fields = _check_supported(schema)
 
     def dec(batches):
-        # Decode straight into per-column lists (no per-record dict).
-        def dec_row(data, cols):
-            pos = 0
-            for (name, t), col in zip(fields, cols):
-                if isinstance(t, list):
-                    branch, pos = _read_long(data, pos)
-                    if branch == 0:
-                        col.append(None)
-                        continue
-                    v, pos = _read_value(data, pos, t[1])
-                else:
-                    v, pos = _read_value(data, pos, t)
-                # A decoded NaN would silently become SQL NULL at the
-                # pandas→Arrow boundary on the way back — refuse loudly
-                # (mirror of the encode-side guard).
-                if isinstance(v, float) and v != v:
-                    raise ValueError(
-                        f"NaN decoded for field {name!r}: not representable "
-                        "across the Arrow-pandas boundary; use the JVM "
-                        "from_avro path for NaN payloads"
-                    )
-                col.append(v)
-            if pos != len(data):
-                raise ValueError(f"trailing bytes: consumed {pos} of {len(data)}")
-
+        # Decode straight into per-column lists via the SHARED per-record
+        # decoder (_decode_row), NaN-rejecting on this path (a decoded NaN
+        # would silently become SQL NULL at the pandas→Arrow boundary).
         for pdf in batches:
             cols = [[] for _ in fields]
             for b in pdf["value"]:
-                dec_row(b, cols)
+                _decode_row(fields, b, cols, reject_nan=True)
             yield pd.DataFrame(
                 {name: col for (name, _), col in zip(fields, cols)}, dtype=object
             )

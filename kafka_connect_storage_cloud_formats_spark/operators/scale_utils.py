@@ -67,9 +67,22 @@ def salted_join(
 
     Cost: small side × salt_n (keep salt_n ≤ ~32); use only when AQE's
     skew split isn't enough (e.g. a single key > one executor's memory).
+
+    Salt basis: row-content hash PLUS a physical row id. Content alone is
+    not enough (round-9 review): the canonical skew case — one hot key
+    whose rows are duplicates or low-cardinality — would hash every hot
+    row to the same salt and re-concentrate on one reducer, defeating the
+    function's purpose. The row id component scatters identical rows;
+    it is partition-layout-dependent, which is immaterial here because
+    the salt only routes rows to reducers — the JOIN OUTPUT is identical
+    for any salt assignment (pinned by the result-equality test).
     """
     salted_big = big.withColumn(
-        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_n)).cast("int")
+        "__salt",
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in big.columns], F.monotonically_increasing_id()),
+            F.lit(salt_n),
+        ).cast("int"),
     )
     salts = F.array(*[F.lit(i) for i in range(salt_n)])
     salted_small = small.withColumn("__salt", F.explode(salts))

@@ -286,6 +286,15 @@ _CHANGED_THIS_ROUND = [
 #    verified zero NULLs at all SFs) and re-verified hash-green at
 #    sf0.001/0.01/0.1 with --repeat on final HEAD; the window was full,
 #    so this latent-NULL hardening rides the documented-transit rule.
+# 0b. avro_roundtrip's fallback codec unified its per-record encode/
+#    decode into one definition and gained guards for zero-field records
+#    and the Arrow float64 rendering of nullable int/long batches (a
+#    null + a value past 2^53 in one batch would have encoded the WRONG
+#    number; now a loud refusal). Byte-identical on the registered
+#    query's data by construction (events carries no such batch);
+#    re-verified hash-green at sf0.001/0.01/0.1 with --repeat on final
+#    HEAD, and the codec remains byte-cross-validated against the JVM
+#    Avro library in tests.
 # 1. The registry gained the PREPARED-PLAN cache below — it transits
 #    every non-side-effect query, but a cache hit returns the IDENTICAL
 #    immutable DataFrame object the builder returned (same logical plan;

@@ -75,9 +75,22 @@ def avro_field_type(avro_type: Any) -> tuple[T.DataType, bool]:
         # schema forbids.
         if len(non_null) != 1 or len(avro_type) - len(non_null) > 1:
             raise UnsupportedTypeError(f"only [null, T] unions supported, got {avro_type!r}")
+        if isinstance(non_null[0], list):
+            # Avro forbids immediately-nested unions; recursing would also
+            # DROP the inner null branch's nullability (round-9 review:
+            # [["null","long"]] reported non-nullable while admitting nulls)
+            raise UnsupportedTypeError(f"nested union not supported: {avro_type!r}")
         inner, _ = avro_field_type(non_null[0])
         return inner, "null" in avro_type
     if isinstance(avro_type, dict):  # e.g. {"type": "string"} long-form
+        if "logicalType" in avro_type:
+            # a logical type changes field SEMANTICS (timestamp-millis over
+            # long, decimal over bytes); silently degrading it to the raw
+            # type would reinterpret values — reject like the reference's
+            # six-type check (round-9 review)
+            raise UnsupportedTypeError(
+                f"logicalType not supported: {avro_type!r}"
+            )
         return avro_field_type(avro_type["type"])
     if isinstance(avro_type, str):
         if avro_type not in SIX_TYPE_MAP:

@@ -60,7 +60,11 @@ def _can_read(reader: T.StructType, writer: T.StructType) -> bool:
     Allowed: writer lacks reader fields only if those are nullable in the
     reader; writer's extra fields are dropped; same-name fields must have
     identical types (the six-type surface has no promotions — the reference
-    reparses strings but never widens, OrcRecordWriter.java:204-237)."""
+    reparses strings but never widens, OrcRecordWriter.java:204-237) AND a
+    non-nullable reader field requires a non-nullable writer field (a
+    nullable writer may carry nulls the reader's contract forbids —
+    round-9 review: the old check admitted them and the projection would
+    plant NULLs in a file group whose locked schema says NOT NULL)."""
     w = _field_map(writer)
     for rf in reader.fields:
         wf = w.get(rf.name)
@@ -69,12 +73,19 @@ def _can_read(reader: T.StructType, writer: T.StructType) -> bool:
                 return False
         elif wf.dataType != rf.dataType:
             return False
+        elif wf.nullable and not rf.nullable:
+            return False
     return True
 
 
 def is_compatible(old: T.StructType, new: T.StructType, mode: Compatibility) -> bool:
+    # NONE = no compatibility CHECKING (Connect StorageSchemaCompatibility
+    # semantics: every change is taken as-is and the sink rotates) — the
+    # pre-round-9 reading ("no change allowed") inverted it and failed the
+    # task on the first schema change under the mode whose whole point is
+    # to never fail on one.
     if mode is Compatibility.NONE:
-        return old == new
+        return True
     if mode is Compatibility.BACKWARD:  # new readers read old data
         return _can_read(new, old)
     if mode is Compatibility.FORWARD:  # old readers read new data
@@ -107,6 +118,11 @@ class SchemaTracker:
                 f"schema change rejected under {self.mode.value}: "
                 f"{self.current.simpleString()} -> {schema.simpleString()}"
             )
+        if self.mode is Compatibility.NONE:
+            # no projection under NONE: every change rotates and the new
+            # schema is current (Connect's rotate-on-any-change)
+            self.current = schema
+            return "rotate"
         cur = _field_map(self.current)
         lossless = all(
             f.name in cur and cur[f.name].dataType == f.dataType for f in schema.fields
@@ -130,11 +146,42 @@ def project_to_schema(
     ``passthrough``: extra columns (e.g. the Kafka envelope) carried through
     unchanged ahead of the value fields when present."""
     validate_engine_schema(target)
-    have = dict(df.dtypes)
-    cols = [F.col(c) for c in passthrough if c in have]
+    have = {f.name: f.dataType for f in df.schema.fields}
+    # Case-insensitive resolution, matching Spark's default analyzer
+    # (spark.sql.caseSensitive=false): a df column 'Score' satisfies a
+    # target field 'score' — the old exact-name lookup silently NULL-
+    # filled data that df.select() would have resolved (round-9 review).
+    # Ambiguity (two columns differing only by case) fails loudly.
+    lower_map: dict[str, str] = {}
+    for name in have:
+        key = name.lower()
+        if key in lower_map:
+            raise UnsupportedTypeError(
+                f"ambiguous columns {lower_map[key]!r}/{name!r} differ only "
+                f"by case; cannot project case-insensitively"
+            )
+        lower_map[key] = name
+    target_lower = {f.name.lower() for f in target.fields}
+    # a passthrough name that is ALSO a target field would emit the column
+    # twice (duplicate names break the write) — the target projection wins
+    cols = [
+        F.col(c)
+        for c in passthrough
+        if c.lower() in lower_map and c.lower() not in target_lower
+    ]
     for f in target.fields:
-        if f.name in have:
-            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        src = lower_map.get(f.name.lower())
+        if src is not None:
+            if have[src] != f.dataType:
+                # the docstring's promise, now kept: Connect's
+                # SchemaProjector raises on a type conflict — a silent
+                # cast would turn unparseable values into NULLs
+                raise UnsupportedTypeError(
+                    f"type conflict projecting {src!r}: input "
+                    f"{have[src].simpleString()} vs target "
+                    f"{f.dataType.simpleString()}"
+                )
+            cols.append(F.col(src).alias(f.name))
         elif f.nullable:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
         else:

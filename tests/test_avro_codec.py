@@ -9,6 +9,7 @@ import math
 import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
+from pyspark.sql import types as T
 
 from kafka_connect_storage_cloud_formats_spark.functions.avro_codec import (
     decode_record,
@@ -149,3 +150,55 @@ def test_nan_decode_fails_loudly():
     data = encode_record(SCHEMA, rec)
     out = decode_record(SCHEMA, data)  # record-level API: lossless
     assert math.isnan(out["value"])
+
+
+def test_encode_rejects_unsafe_nullable_long_batches(spark):
+    """Round-9 review: Arrow renders an int64 column WITH NULLS as float64,
+    so values past 2^53 arrive already rounded — int() would silently
+    encode the WRONG number. The encoder must refuse loudly; exact values
+    below 2^53 (and null-free columns of any magnitude) stay fine."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kafka_connect_storage_cloud_formats_spark.functions.avro_codec import (
+        avro_decode_df,
+        avro_encode_df,
+    )
+    from kafka_connect_storage_cloud_formats_spark.schema import spark_schema_to_avro
+
+    schema = T.StructType([T.StructField("x", T.LongType(), True)])
+    avro = spark_schema_to_avro(schema)
+
+    # null + huge value in ONE BATCH → float64 conversion → refuse
+    # (coalesce(1): the hazard is per-Arrow-batch — a null-free batch
+    # stays int64 and encodes exactly even at long-max)
+    bad = spark.createDataFrame([(9007199254740993,), (None,)], schema).coalesce(1)
+    with pytest.raises(Exception, match="2\\^53"):
+        avro_encode_df(bad, avro).collect()
+
+    # null + SAFE values round-trip exactly (2^53 - 1: the guard is
+    # conservative at exactly 2^53, where a float64 cannot distinguish
+    # 2^53 from 2^53 + 1)
+    ok = spark.createDataFrame(
+        [(9007199254740991,), (None,), (-5,)], schema
+    ).coalesce(1)
+    back = avro_decode_df(avro_encode_df(ok, avro), avro, schema)
+    assert sorted(
+        (r["x"] for r in back.collect()), key=lambda v: (v is None, v)
+    ) == [-5, 9007199254740991, None]
+
+    # null-FREE column of any magnitude stays int64 end to end
+    big = spark.createDataFrame([(9223372036854775807,), (1,)], schema)
+    back2 = avro_decode_df(avro_encode_df(big, avro), avro, schema)
+    assert sorted(r["x"] for r in back2.collect()) == [1, 9223372036854775807]
+
+
+def test_zero_field_record_rejected():
+    import pytest
+
+    from kafka_connect_storage_cloud_formats_spark.functions.avro_codec import (
+        encode_record,
+    )
+
+    with pytest.raises(ValueError, match="zero-field"):
+        encode_record({"type": "record", "name": "r", "fields": []}, {})

@@ -388,3 +388,34 @@ def test_bucketed_table_refreshes_after_external_rebuild(spark, sf_dir):
         ensure_artifact(p, rebuild, spark=spark)
     rows = bucketed_segment_revenue(spark, sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, first))
+
+
+def test_salted_join_scatters_duplicate_hot_rows(spark):
+    """Round-9 review: a content-only salt sent every duplicate hot-key row
+    to ONE reducer — the exact single-hot-key scenario the function exists
+    for. The row-id component must scatter identical rows across salts
+    while keeping the join output exactly equal to the plain join."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_storage_cloud_formats_spark.operators.scale_utils import (
+        salted_join,
+    )
+
+    # one hot key, all rows IDENTICAL (worst case for a content hash)
+    big = spark.range(2000).select(
+        F.lit(7).alias("k"), F.lit("same-payload").alias("v")
+    )
+    small = spark.createDataFrame([(7, "dim7"), (8, "dim8")], "k long, d string")
+    out = salted_join(big, small, "k", salt_n=8)
+    plain = big.join(small, "k")
+    assert out.count() == plain.count() == 2000
+    # scatter: recompute the salt expression the function uses and assert
+    # the identical rows now land in >1 bucket
+    salted = big.withColumn(
+        "__salt",
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in big.columns], F.monotonically_increasing_id()),
+            F.lit(8),
+        ),
+    )
+    assert salted.select("__salt").distinct().count() > 1

@@ -32,8 +32,13 @@ V2_TYPE_CHANGE = T.StructType(
 
 
 def test_compatibility_matrix():
+    # NONE = no compatibility CHECKING (Connect semantics): every change is
+    # accepted and the tracker rotates — the pre-round-9 reading rejected
+    # any change, failing the task under the mode whose point is to never
+    # fail on one
     assert is_compatible(V1, V1, Compatibility.NONE)
-    assert not is_compatible(V1, V2_ADD_NULLABLE, Compatibility.NONE)
+    assert is_compatible(V1, V2_ADD_NULLABLE, Compatibility.NONE)
+    assert is_compatible(V1, V2_TYPE_CHANGE, Compatibility.NONE)
     # BACKWARD: new schema must read old data → added field must be nullable
     assert is_compatible(V1, V2_ADD_NULLABLE, Compatibility.BACKWARD)
     assert not is_compatible(V1, V2_ADD_REQUIRED, Compatibility.BACKWARD)
@@ -42,9 +47,51 @@ def test_compatibility_matrix():
     # FULL: both directions
     assert is_compatible(V1, V2_ADD_NULLABLE, Compatibility.FULL)
     assert not is_compatible(V1, V2_ADD_REQUIRED, Compatibility.FULL)
-    # type changes never compatible on the six-type surface
-    for m in Compatibility:
-        assert not is_compatible(V1, V2_TYPE_CHANGE, m) or m is Compatibility.NONE and V1 == V2_TYPE_CHANGE
+    # type changes never compatible on the six-type checked modes
+    for m in (Compatibility.BACKWARD, Compatibility.FORWARD, Compatibility.FULL):
+        assert not is_compatible(V1, V2_TYPE_CHANGE, m)
+    # a nullable writer cannot serve a NON-nullable reader field (its nulls
+    # would land in a file group whose locked schema says NOT NULL)
+    v1_nullable_id = T.StructType(
+        [T.StructField("id", T.LongType(), True), V1.fields[1]]
+    )
+    # FORWARD: old readers (V1, id NOT NULL) read new data (nullable id) —
+    # must be rejected; the reverse direction (nullable reader) is fine
+    assert not is_compatible(V1, v1_nullable_id, Compatibility.FORWARD)
+    assert is_compatible(v1_nullable_id, V1, Compatibility.FORWARD)
+
+
+def test_tracker_none_mode_rotates_on_any_change():
+    """Connect's NONE: no checking, rotate on every change."""
+    t = SchemaTracker(Compatibility.NONE)
+    assert t.observe(V1) == "rotate"
+    assert t.observe(V1) == "continue"
+    assert t.observe(V2_TYPE_CHANGE) == "rotate"  # even a type change
+    assert t.current == V2_TYPE_CHANGE
+
+
+def test_projection_type_conflict_raises(spark):
+    """Connect's SchemaProjector raises on a type conflict; a silent cast
+    would turn unparseable values into NULLs."""
+    df = spark.range(3).select(
+        F.col("id").cast("string").alias("id"),
+        F.lit("x").alias("name"),
+    )
+    with pytest.raises(Exception, match="type conflict"):
+        project_to_schema(df, V1)
+
+
+def test_projection_case_insensitive_resolution(spark):
+    """Spark's default analyzer resolves names case-insensitively; the
+    projection must too (the old exact lookup silently NULL-filled a
+    present column)."""
+    df = spark.range(4).select(
+        F.col("id"),
+        F.lit("n").alias("Name"),  # case differs from the target field
+    )
+    proj = project_to_schema(df, V1)
+    assert proj.columns == ["id", "name"]
+    assert proj.filter(F.col("name").isNull()).count() == 0
 
 
 def test_tracker_rotation_and_rejection():
