@@ -38,15 +38,32 @@ def asof_join(
     ``ORDER BY ts DESC LIMIT 1``. Callers needing determinism under such
     ties should pre-deduplicate the right side or extend its sort key
     (the driver's events table has no same-(user, ts) purchase pairs at
-    any SF — verified round 5)."""
+    any SF — verified round 5).
+
+    NULL semantics (round-9 review — both latent on the shipped corpora
+    but wrong for general callers):
+    - the carried payload is a one-struct-per-right-row marker, so a
+      right row whose VALUE is NULL still counts as "a right row exists"
+      and the left row reads that NULL — a bare last(col, ignorenulls)
+      skipped it and carried a STALE older value;
+    - right rows with a NULL key are dropped before the union (SQL
+      equality never matches NULL), so a NULL-key left row gets NULL,
+      not an enrichment from the NULL-key "group" the window would
+      otherwise form."""
     # unionByName(allowMissingColumns=True) null-fills each side's missing
     # columns with the other side's types — the left side needs no explicit
-    # lit(None).cast(...) padding of the __r_* columns (that is exactly the
+    # lit(None).cast(...) padding of the __r struct (that is exactly the
     # mechanism already relied on for the right side's missing left columns).
     lt = left.withColumn("__side", F.lit(1))
-    rt = right.select(
-        on, ts, *[F.col(c).alias(f"__r_{c}") for c in right_cols]
-    ).withColumn("__side", F.lit(0))
+    rt = (
+        right.filter(F.col(on).isNotNull())
+        .select(
+            on,
+            ts,
+            F.struct(*[F.col(c).alias(c) for c in right_cols]).alias("__r"),
+        )
+        .withColumn("__side", F.lit(0))
+    )
     unioned = lt.unionByName(rt, allowMissingColumns=True)
     w = (
         Window.partitionBy(on)
@@ -54,14 +71,15 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
-        "*",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in right_cols
-        ],
+        "*", F.last("__r", ignorenulls=True).over(w).alias("__asof")
     )
-    return carried.filter(F.col("__side") == 1).drop(
-        "__side", *[f"__r_{c}" for c in right_cols]
+    return (
+        carried.filter(F.col("__side") == 1)
+        .select(
+            "*",
+            *[F.col("__asof").getField(c).alias(f"asof_{c}") for c in right_cols],
+        )
+        .drop("__side", "__r", "__asof")
     )
 
 
@@ -69,7 +87,10 @@ def clicks_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each click enriched with the user's most recent at-or-before purchase
     value; per-user aggregate so the output is compact and hash-stable."""
     ev = load_table(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    # no event_id: it was never consumed downstream and every click row
+    # would carry it through the as-of window shuffle for nothing
+    # (round-9 review; the oracle's CTE drops it identically)
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
     purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
     joined = asof_join(clicks, purchases, on="user_id", ts="ts", right_cols=("value",))
     return (
@@ -87,11 +108,11 @@ def clicks_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CLICKS_ASOF_SQL = """
 WITH clicks AS (
-  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+  SELECT user_id, ts FROM events WHERE event_type = 'click'),
 purchases AS (
   SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
 enriched AS (
-  SELECT c.user_id, c.event_id,
+  SELECT c.user_id,
          (SELECT p.value FROM purchases p
           WHERE p.user_id = c.user_id AND p.ts <= c.ts
           ORDER BY p.ts DESC LIMIT 1) AS asof_value

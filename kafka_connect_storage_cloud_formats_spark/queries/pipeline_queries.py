@@ -32,52 +32,86 @@ EVENTS_VALUE_SCHEMA = T.StructType(
 )
 
 
+def _proc_start(pid: int) -> int | None:
+    """Kernel start time (clock ticks) of ``pid``, or None if unreadable.
+    The (pid, starttime) pair identifies a process INSTANCE: a recycled
+    pid gets a new starttime, so ownership tests can't adopt a stranger's
+    directory (round-9 review). Field 22 of /proc/<pid>/stat, parsed
+    after the last ')' because comm may contain spaces/parens."""
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as f:
+            raw = f.read().decode("ascii", "replace")
+        return int(raw[raw.rindex(")") + 2 :].split()[19])
+    except (OSError, ValueError, IndexError):
+        return None
+
+
 def _scratch_dir(prefix: str, sf_dir: str) -> str:
-    """Per-process sink scratch dir ``<tmp>/<prefix>_<sftag>_<pid>``:
+    """Per-process sink scratch dir ``<tmp>/<prefix>_<sftag>_<pid>-<start>``:
     repeated runs inside one process (bench min-of-n) reuse + overwrite,
     while a fresh checker process can never read stale files from an
-    earlier run. Creating one also SWEEPS same-prefix siblings whose pid
-    is dead (round 6): without a lifecycle, every driver/pytest/bench
-    process stranded its outputs forever — hundreds of dirs per
-    multi-round session. Live siblings (a concurrent session mid-write)
-    are never touched — pid liveness is the ownership test."""
+    earlier run. Creating one also SWEEPS same-prefix siblings whose
+    owning process INSTANCE is gone (round 6; round 9 added the process
+    start time to the suffix — bare pid liveness adopted a dead owner's
+    directory whenever the kernel recycled its pid to us, and the
+    read-back would then aggregate a stale vintage's files alongside
+    fresh ones). Live siblings (a concurrent session mid-write) are
+    never touched — (pid alive AND starttime matches) is the ownership
+    test; pre-round-9 bare-pid dirs sweep under the old rule."""
     base = os.path.basename(os.path.normpath(sf_dir))
     stem = f"{prefix}_{base}_"
     tmp = tempfile.gettempdir()
+    self_tag = f"{os.getpid()}-{_proc_start(os.getpid()) or 0}"
     try:
         for d in os.listdir(tmp):
             if not d.startswith(stem):
                 continue
+            suffix = d[len(stem):]
+            if suffix == self_tag:
+                continue  # ours (this very process instance): reuse
+            pid_s, _, start_s = suffix.partition("-")
             try:
-                pid = int(d[len(stem):])
+                pid = int(pid_s)
             except ValueError:
-                continue
-            if pid == os.getpid():
-                continue
+                continue  # foreign naming — not ours to manage
+            alive = True
             try:
-                os.kill(pid, 0)  # raises if the owning process is gone
+                os.kill(pid, 0)
             except ProcessLookupError:
+                alive = False
+            except PermissionError:
+                pass  # alive under another uid
+            if alive and start_s:
+                # pid alive: owner only if the instance matches; a
+                # recycled pid (different starttime) marks a DEAD owner
+                alive = str(_proc_start(pid) or "") == start_s
+            if not alive:
                 import shutil
 
                 shutil.rmtree(os.path.join(tmp, d), ignore_errors=True)
-            except PermissionError:
-                pass  # alive under another uid — leave it
     except OSError:
         pass
-    return os.path.join(tmp, f"{stem}{os.getpid()}")
+    return os.path.join(tmp, f"{stem}{self_tag}")
 
 
-def _run_events_pipeline(spark: SparkSession, sf_dir: str, parity: bool) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    # modular partitioner so the oracle can reproduce partition assignment in SQL
-    env = with_kafka_envelope(
-        events,
+def _events_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE events envelope every roundtrip query writes: the modular
+    partitioner (user_id % 3) IS the contract the SQL oracles reproduce,
+    so its parameters must exist in exactly one place (round-9 review:
+    three copies could drift, breaking one oracle family while the rest
+    stayed green)."""
+    return with_kafka_envelope(
+        load_table(spark, sf_dir, "events"),
         topic="events",
         num_partitions=3,
         partition_key="user_id",
         order_col="event_id",
         partitioner="mod",
     )
+
+
+def _run_events_pipeline(spark: SparkSession, sf_dir: str, parity: bool) -> DataFrame:
+    env = _events_envelope(spark, sf_dir)
     out = _scratch_dir(
         f"engine_orc_roundtrip_{'parity' if parity else 'native'}", sf_dir
     )
@@ -149,15 +183,7 @@ def _format_roundtrip(spark: SparkSession, sf_dir: str, fmt: str, compression: s
         write_partitioned,
     )
 
-    events = load_table(spark, sf_dir, "events")
-    env = with_kafka_envelope(
-        events,
-        topic="events",
-        num_partitions=3,
-        partition_key="user_id",
-        order_col="event_id",
-        partitioner="mod",
-    )
+    env = _events_envelope(spark, sf_dir)
     cols = ["partition", "event_id", "user_id", "event_type"]
     if fmt in ("orc", "parquet"):
         cols.append("value")
@@ -230,25 +256,22 @@ def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         SchemaTracker,
     )
 
-    events = load_table(spark, sf_dir, "events")
-    env = with_kafka_envelope(
-        events,
-        topic="events",
-        num_partitions=3,
-        partition_key="user_id",
-        order_col="event_id",
-        partitioner="mod",
-    )
+    env = _events_envelope(spark, sf_dir)
     out = _scratch_dir("engine_schema_evo", sf_dir)
     v1 = env.filter(F.col("event_id") % 2 == 0)
     v2 = env.filter(F.col("event_id") % 2 == 1)
     tracker = SchemaTracker(Compatibility.BACKWARD)
-    assert tracker.observe(EVENTS_V1_SCHEMA) == "rotate"
+    # explicit checks, not asserts: python -O strips asserts, and the
+    # compatibility gate is the thing this query exists to exercise
+    # (round-9 review)
+    if tracker.observe(EVENTS_V1_SCHEMA) != "rotate":
+        raise RuntimeError("first schema must open a file group")
     IngestPipeline(out + "/g1", EVENTS_V1_SCHEMA, flush_size=10_000).run_batch(v1)
     v2_schema = T.StructType(
         EVENTS_V1_SCHEMA.fields + [T.StructField("value", T.DoubleType(), True)]
     )
-    assert tracker.observe(v2_schema) == "rotate"
+    if tracker.observe(v2_schema) != "rotate":
+        raise RuntimeError("nullable-add under BACKWARD must rotate")
     IngestPipeline(out + "/g2", v2_schema, flush_size=10_000).run_batch(v2)
     merged = (
         spark.read.format("orc")

@@ -295,6 +295,18 @@ _CHANGED_THIS_ROUND = [
 #    re-verified hash-green at sf0.001/0.01/0.1 with --repeat on final
 #    HEAD, and the codec remains byte-cross-validated against the JVM
 #    Avro library in tests.
+# 0c. clicks_asof_purchase: asof_join gained general-caller NULL
+#    semantics (struct-marker carry — a NULL right VALUE is still "the
+#    latest right row"; NULL keys never match) and dropped a dead
+#    event_id column from the window shuffle. Both latent/result-neutral
+#    on the shipped corpora (no NULL values or keys; the column was
+#    never consumed) — unit-pinned on a synthetic frame, re-verified
+#    hash-green at sf0.001/0.01/0.1 with --repeat. The roundtrip
+#    queries' scratch-dir suffix gained the process start time (pid
+#    reuse could adopt a dead owner's stale files) and their shared
+#    envelope moved to one helper with identical parameters — location/
+#    refactor-only; the three not already in the window re-verified at
+#    all three SFs.
 # 1. The registry gained the PREPARED-PLAN cache below — it transits
 #    every non-side-effect query, but a cache hit returns the IDENTICAL
 #    immutable DataFrame object the builder returned (same logical plan;

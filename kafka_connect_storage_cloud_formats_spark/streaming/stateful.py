@@ -21,7 +21,15 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-GAP_US = 30 * 60 * 1_000_000  # 30 minutes, µs
+from kafka_connect_storage_cloud_formats_spark.streaming.windows import (
+    SESSION_GAP_MINUTES,
+    WATERMARK,
+)
+
+# derived from windows.SESSION_GAP_MINUTES — the batch session_window
+# oracle and this stateful sessionizer must share ONE gap definition
+# (round-9 review)
+GAP_US = SESSION_GAP_MINUTES * 60 * 1_000_000
 
 OUTPUT_SCHEMA = (
     "user_id bigint, session_start timestamp, session_end timestamp, "
@@ -96,7 +104,7 @@ def _sessionize_group(
         yield _emit(user_id, closed)
 
 
-def sessionize_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+def sessionize_stream(events: DataFrame, watermark: str = WATERMARK) -> DataFrame:
     """events(user_id, ts, value, ...) stream → closed-session stream.
 
     Sessions close two ways: a later event arrives ≥ GAP after the last

@@ -30,7 +30,14 @@ from kafka_connect_storage_cloud_formats_spark.queries.relational import dsum
 TUMBLE = "15 minutes"
 SLIDE_LEN = "1 hour"
 SLIDE_STEP = "15 minutes"
-SESSION_GAP = "30 minutes"
+# ONE numeric source for the session gap: the batch session_window plan,
+# its SQL oracle, AND the stateful sessionizer (streaming/stateful.py)
+# all derive from SESSION_GAP_MINUTES — two hardcoded spellings of "30
+# minutes" could silently desynchronize the stateful operator from the
+# batch oracle it is tested against (round-9 review; same one-definition
+# rule as _interval_pair_cond).
+SESSION_GAP_MINUTES = 30
+SESSION_GAP = f"{SESSION_GAP_MINUTES} minutes"
 WATERMARK = "2 hours"
 
 

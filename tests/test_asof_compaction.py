@@ -91,3 +91,25 @@ def test_replay_dedup_collapses_double_delivery(spark):
     once = replayed.dropDuplicates(["event_id"])
     assert once.count() == 3
     assert once.agg(F.sum("value")).first()[0] == 6.0
+
+
+def test_asof_join_null_semantics(spark):
+    """Round-9 review: (a) a right row whose VALUE is NULL is still 'the
+    latest right row' — the left reads that NULL, never a stale older
+    value; (b) NULL keys never match (SQL equality), so a NULL-key left
+    row gets NULL even when NULL-key right rows exist."""
+    from kafka_connect_storage_cloud_formats_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 3.0), (None, 3.0)], "k long, ts double"
+    )
+    right = spark.createDataFrame(
+        [(1, 1.0, 5.0), (1, 2.0, None), (None, 1.0, 9.0)],
+        "k long, ts double, value double",
+    )
+    out = {
+        (r["k"], r["ts"]): r["asof_value"]
+        for r in asof_join(left, right, on="k", ts="ts").collect()
+    }
+    assert out[(1, 3.0)] is None  # latest right row carries NULL — not 5.0
+    assert out[(None, 3.0)] is None  # NULL keys never match
