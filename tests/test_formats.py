@@ -142,13 +142,26 @@ def test_scratch_dir_sweeps_dead_pids_and_spares_live(tmp_path, monkeypatch):
             break
         except PermissionError:
             pid -= 1
-    (tmp_path / f"engine_x_sf0.01_{pid}").mkdir()
-    (tmp_path / f"engine_x_sf0.01_{os.getpid()}").mkdir()  # our own
+    from kafka_connect_storage_cloud_formats_spark.queries.pipeline_queries import (
+        _proc_start,
+    )
+
+    self_tag = f"{os.getpid()}-{_proc_start(os.getpid()) or 0}"
+    (tmp_path / f"engine_x_sf0.01_{pid}").mkdir()  # dead, pre-r9 bare-pid form
+    (tmp_path / f"engine_x_sf0.01_{self_tag}").mkdir()  # our own instance
     (tmp_path / "engine_x_sf0.01_notapid").mkdir()  # foreign name
     (tmp_path / f"engine_y_sf0.01_{pid}").mkdir()  # other prefix
+    # RECYCLED-PID case (round 9): a dir naming OUR live pid but a
+    # different process start time belongs to a dead owner whose pid the
+    # kernel reused — must sweep, where bare-pid liveness wrongly adopted
+    (tmp_path / f"engine_x_sf0.01_{os.getpid()}-123").mkdir()
     out = _scratch_dir("engine_x", sf)
-    assert out == str(tmp_path / f"engine_x_sf0.01_{os.getpid()}")
+    assert out == str(tmp_path / f"engine_x_sf0.01_{self_tag}")
+    assert (tmp_path / f"engine_x_sf0.01_{self_tag}").exists(), "own dir reused"
     assert not (tmp_path / f"engine_x_sf0.01_{pid}").exists(), "dead pid swept"
+    assert not (
+        tmp_path / f"engine_x_sf0.01_{os.getpid()}-123"
+    ).exists(), "recycled-pid impostor swept"
     assert (tmp_path / "engine_x_sf0.01_notapid").exists()
     assert (tmp_path / f"engine_y_sf0.01_{pid}").exists(), "other prefix untouched"
     del dead
