@@ -15,6 +15,14 @@ Usage:
   git worktree add /tmp/oldcode <old-commit>
   python3 tools/ab_bench.py /tmp/oldcode /root/repo q1 q2 ... [--passes 3]
 
+CAVEAT — executor-side code is NOT swapped between passes: the session
+pins the worker PYTHONPATH to tree B's root at JVM start, and module-
+level pandas_udfs / mapInPandas helper globals are cloudpickled BY
+REFERENCE, so workers resolve them from tree B in BOTH passes. The tool
+compares DRIVER-side plan construction and plan SHAPE; a change living
+inside an executor-side Python kernel body reads ~1.00x here and must be
+A/B'd with separate processes per tree instead (round-9 review).
+
 Round-5 result (r4 @47a708a vs r5 HEAD, 3 interleaved passes, sf0.1):
 changed-set total 23.2 -> 15.4 s (0.66x) with all five unchanged
 controls inside 0.93-1.05x — the round-5 speedups are plan work, not
@@ -32,12 +40,20 @@ argv = sys.argv[1:]
 passes = 3
 if "--passes" in argv:
     i = argv.index("--passes")
+    if i + 1 >= len(argv) or not argv[i + 1].isdigit():
+        raise SystemExit("usage: ab_bench.py TREE_A TREE_B [q ...] --passes N")
     passes = int(argv[i + 1])
     argv = argv[:i] + argv[i + 2 :]
 keep_state = "--keep-state" in argv
 if keep_state:
     argv.remove("--keep-state")
-tree_a, tree_b = argv[0], argv[1]
+if len(argv) < 2:
+    raise SystemExit("usage: ab_bench.py TREE_A TREE_B [q ...] [--passes N]")
+# abspath both trees: __spark_entry__ rewrites sys.path[0] to an abspath,
+# and --keep-state identifies trees by exact string match against it — a
+# trailing slash / relative spelling silently degraded keep-state to the
+# cold purge path (round-9 review)
+tree_a, tree_b = os.path.abspath(argv[0]), os.path.abspath(argv[1])
 subset = argv[2:]
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 

@@ -80,6 +80,12 @@ def main() -> int:
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    unknown = ONLY - set(queries)
+    if unknown:
+        # a misspelled filter previously matched nothing and the gate
+        # printed PASS over zero queries — a false green (round-9 review)
+        print(f"FAIL  unknown query name(s) in filter: {sorted(unknown)}")
+        return 1
     failures = 0
     for name, fn in queries.items():
         if ONLY and name not in ONLY:

@@ -35,6 +35,8 @@ _ARGS = sys.argv[1:]
 JSON_OUT = None
 if "--json" in _ARGS:
     i = _ARGS.index("--json")
+    if i + 1 >= len(_ARGS):
+        raise SystemExit("usage: plan_audit.py [sf_dir] --json <out.json>")
     JSON_OUT = _ARGS[i + 1]
     _ARGS = _ARGS[:i] + _ARGS[i + 2 :]
 SF_DIR = _ARGS[0] if _ARGS else "/root/testdata/sf0.01"
