@@ -172,6 +172,66 @@ def _tmp_path(path: str) -> str:
     return name if not parent else parent + "/" + name
 
 
+# --- consumed-artifact recording (for higher-layer plan caches) ----------
+# A memoized logical plan EMBEDS the file indexes of every artifact it
+# consumed at build time, but the memoizing layer (the query registry's
+# prepared-plan cache) doesn't know which artifacts a given query touches.
+# Builders run inside ``record_consumed_artifacts()`` so the cache entry can
+# carry exactly that set and re-run the generation check on every HIT
+# (round-10 ADVICE: invalidation listeners fire only from ensure_artifact's
+# generation probe, which never runs once every consumer is a cache hit — an
+# external delete+rebuild under an unchanged corpus left a fully-cached
+# session on permanent FileNotFound).
+_RECORD_STACK: list[set] = []
+
+
+class record_consumed_artifacts:
+    """Context manager yielding the set of artifact paths ensured/opened
+    while active (re-entrant: nested recorders each get the full set of
+    their own window)."""
+
+    def __enter__(self):
+        s: set = set()
+        _RECORD_STACK.append(s)
+        return s
+
+    def __exit__(self, *exc) -> bool:
+        _RECORD_STACK.pop()
+        return False
+
+
+def _record_consumed(path: str) -> None:
+    for s in _RECORD_STACK:
+        s.add(path)
+
+
+def revalidate_artifact(path: str, spark: SparkSession) -> bool:
+    """Throttled liveness + generation re-check of an already-consumed
+    artifact — the plan-cache HIT path's counterpart of
+    :func:`ensure_artifact`'s fast path (same memo, same touch throttle,
+    same generation marker). Returns True when the artifact is live and
+    unchanged; False after firing the invalidation listeners (external
+    delete, or delete+rebuild at the same content key) so the caller
+    rebuilds its plan instead of serving a dead file index. Within the
+    touch-throttle interval this is a dict lookup — a cache hit stays
+    cheap."""
+    app = spark.sparkContext.applicationId
+    last = _ENSURED.get((app, path))
+    if last is not None and time.monotonic() - last[0] < ARTIFACT_TOUCH_INTERVAL_S:
+        return True
+    fs = _fs_for(path, spark)
+    gen = fs.generation(path)
+    if gen is None:
+        invalidate_session_memo(path)  # fires listeners via _drop_df_cache
+        return False
+    changed = last is not None and gen != last[1]
+    if changed:
+        _drop_df_cache(path)
+    fs.touch(path)
+    _remember_ensured(app, path, gen)
+    return not changed
+
+
 def ensure_artifact(
     path: str,
     build: Callable[[str], None],
@@ -189,6 +249,7 @@ def ensure_artifact(
     still re-runs ``build`` — that's what an index-build benchmark measures
     — but never replaces the published copy: same content key ⇒ same
     content)."""
+    _record_consumed(path)
     app = spark.sparkContext.applicationId if spark is not None else None
     success = path + "/_SUCCESS"
     fs = None
@@ -430,6 +491,7 @@ def published_df(spark: SparkSession, path: str) -> "DataFrame":
     very call chain (e.g. ``build_ivf_index`` returns only after both
     index parts are published) — the same immutable-plan cache as
     :func:`artifact_df`, without a second existence round-trip."""
+    _record_consumed(path)
     app = spark.sparkContext.applicationId
     key = (app, path)
     hit = _DF_CACHE.get(key)

@@ -49,14 +49,20 @@ def asof_join(
     - right rows with a NULL key are dropped before the union (SQL
       equality never matches NULL), so a NULL-key left row gets NULL,
       not an enrichment from the NULL-key "group" the window would
-      otherwise form."""
+      otherwise form;
+    - right rows with a NULL timestamp are dropped too (round-10
+      ADVICE): the oracle semantics ``right.ts <= left.ts`` exclude
+      them (SQL comparison with NULL is never true), but Spark's
+      ``orderBy(ts.asc())`` is NULLS FIRST — an unfiltered NULL-ts
+      right row would sort before every left row and be carried as the
+      "earliest" enrichment."""
     # unionByName(allowMissingColumns=True) null-fills each side's missing
     # columns with the other side's types — the left side needs no explicit
     # lit(None).cast(...) padding of the __r struct (that is exactly the
     # mechanism already relied on for the right side's missing left columns).
     lt = left.withColumn("__side", F.lit(1))
     rt = (
-        right.filter(F.col(on).isNotNull())
+        right.filter(F.col(on).isNotNull() & F.col(ts).isNotNull())
         .select(
             on,
             ts,

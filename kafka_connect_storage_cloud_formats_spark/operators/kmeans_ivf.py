@@ -96,18 +96,31 @@ def _assign_clusters(corpus: DataFrame, labels, M) -> DataFrame:
     """One vectorized pass: (vec_id, embedding) → (vec_id, cluster).
 
     argmax over COSINE to each centroid — the same metric the probe
-    routes by, so training cells and serving cells agree. One matmul per
-    Arrow batch against the norm-scaled centroid matrix (a vector's own
-    norm scales every cosine equally, so it never affects the argmax and
-    is not computed). Ties take the lowest cluster id (first maximum;
-    ``labels`` is sorted ascending). Zero-norm centroids score -inf so
-    they can never capture a vector spuriously."""
+    routes by, so training cells and serving cells agree. One vectorized
+    pass per Arrow batch against the norm-scaled centroid matrix (a
+    vector's own norm scales every cosine equally, so it never affects
+    the argmax and is not computed). Ties take the lowest cluster id
+    (first maximum; ``labels`` is sorted ascending). Zero-norm centroids
+    score -inf so they can never capture a vector spuriously.
+
+    Bit-exactness (round 10): scores accumulate PER DIMENSION over the
+    batch×k block — ``acc += E[:, d] * Mn[:, d]`` in index order from a
+    zero start — the same left-associated IEEE chain as the engine's
+    oracle-SQL dot discipline (functions/vectors.py), and the centroid
+    norms come from the same ``_seq_dot`` loop. That makes every trained
+    assignment REPLAYABLE by a DuckDB oracle term-for-term (the
+    registered ``ivf_kmeans_topk`` entry unrolls the full training as
+    SQL), where the previous BLAS matmul's pairwise summation was only
+    approximately reproducible."""
     import numpy as np
     import pandas as pd
 
-    from kafka_connect_storage_cloud_formats_spark.functions.vectors import _stack64
+    from kafka_connect_storage_cloud_formats_spark.functions.vectors import (
+        _seq_dot,
+        _stack64,
+    )
 
-    cn = np.sqrt((M * M).sum(axis=1))  # (k,)
+    cn = np.sqrt(_seq_dot(M, M))  # (k,)
     Mn = np.where(cn[:, None] > 0.0, M / np.where(cn == 0.0, 1.0, cn)[:, None], np.nan)
 
     def assign(batches):
@@ -115,7 +128,10 @@ def _assign_clusters(corpus: DataFrame, labels, M) -> DataFrame:
             if not len(pdf):
                 continue
             E = _stack64(pdf["embedding"])  # (b, d)
-            scores = E @ Mn.T  # (b, k); NaN cols (zero-norm centroid) lose
+            scores = np.zeros((E.shape[0], Mn.shape[0]), dtype=np.float64)
+            for d in range(E.shape[1]):  # left-associated per (row, cluster)
+                scores += E[:, d : d + 1] * Mn[None, :, d]
+            # NaN cols (zero-norm centroid) lose
             scores = np.nan_to_num(scores, nan=-np.inf)
             idx = np.argmax(scores, axis=1)
             yield pd.DataFrame(
@@ -176,11 +192,12 @@ def train_kmeans_quantizer(
 
     if k < 1 or iters < 1:
         raise ValueError(f"k and iters must be >= 1 (got k={k}, iters={iters})")
-    # "cos" = the assignment/update metric (spherical). The tag exists so
-    # the euclidean-trained artifacts an earlier code version published
-    # can never be served to this derivation (params-token staleness
+    # "cosla" = spherical (cosine) metric + Left-Associated score
+    # accumulation (round 10 — the matmul-trained "cos" artifacts an
+    # earlier code version published can differ in the last ulp, so they
+    # can never be served to this derivation; params-token staleness
     # contract, same as every artifact kind).
-    params = f"k{k}i{iters}d{DIM}cos"
+    params = f"k{k}i{iters}d{DIM}cosla"
     assign_path = artifact_path("kmeans_assign", sf_dir, "embeddings", params=params, spark=spark)
     cent_path = artifact_path("kmeans_cents", sf_dir, "embeddings", params=params, spark=spark)
 
@@ -261,7 +278,7 @@ def build_kmeans_ivf_index(
 
     assignment, _ = train_kmeans_quantizer(spark, sf_dir, k=k, iters=iters)
     path = artifact_path(
-        "kmeans_ivf_index", sf_dir, "embeddings", params=f"k{k}i{iters}d{DIM}cos", spark=spark
+        "kmeans_ivf_index", sf_dir, "embeddings", params=f"k{k}i{iters}d{DIM}cosla", spark=spark
     )
     ensure_artifact(
         path,

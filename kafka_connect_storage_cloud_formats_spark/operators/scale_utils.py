@@ -59,6 +59,7 @@ def salted_join(
     small: DataFrame,
     key: str,
     salt_n: int = 8,
+    salt_cols: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Skew-resistant equi-join: scatter the big side across ``salt_n``
     sub-keys, replicate the small side once per sub-key. Output equals
@@ -68,21 +69,29 @@ def salted_join(
     Cost: small side × salt_n (keep salt_n ≤ ~32); use only when AQE's
     skew split isn't enough (e.g. a single key > one executor's memory).
 
-    Salt basis: row-content hash PLUS a physical row id. Content alone is
-    not enough (round-9 review): the canonical skew case — one hot key
-    whose rows are duplicates or low-cardinality — would hash every hot
-    row to the same salt and re-concentrate on one reducer, defeating the
-    function's purpose. The row id component scatters identical rows;
-    it is partition-layout-dependent, which is immaterial here because
-    the salt only routes rows to reducers — the JOIN OUTPUT is identical
-    for any salt assignment (pinned by the result-equality test).
+    Salt basis (round-10 ADVICE — the salt must be DETERMINISTIC per
+    row): ``salt_cols`` names the columns hashed into the salt — pass a
+    unique row id (the production shape: fact tables carry one). The
+    previous basis mixed in ``monotonically_increasing_id()``, whose
+    value depends on the upstream partition layout: after an executor
+    loss, a recomputed map task could assign DIFFERENT salts than the
+    lost attempt, and reducers that already fetched the old shuffle
+    blocks would see a row twice or not at all (the SPARK-23207 class
+    of lost/duplicated rows) — precisely on the 100 TB / executor-loss
+    posture this function exists for. With ``salt_cols=None`` the salt
+    hashes ALL big-side columns: still deterministic under retries, but
+    duplicate hot rows share a salt and re-concentrate on one reducer —
+    callers with duplicate-heavy hot keys must supply a unique id (or
+    deduplicate first). Fail-safe over fast: correctness under stage
+    re-execution beats perfect scatter.
     """
+    basis = salt_cols if salt_cols is not None else tuple(big.columns)
+    missing = [c for c in basis if c not in big.columns]
+    if missing:
+        raise ValueError(f"salt_cols {missing} not in big side columns {big.columns}")
     salted_big = big.withColumn(
         "__salt",
-        F.pmod(
-            F.xxhash64(*[F.col(c) for c in big.columns], F.monotonically_increasing_id()),
-            F.lit(salt_n),
-        ).cast("int"),
+        F.pmod(F.xxhash64(*[F.col(c) for c in basis]), F.lit(salt_n)).cast("int"),
     )
     salts = F.array(*[F.lit(i) for i in range(salt_n)])
     salted_small = small.withColumn("__salt", F.explode(salts))
@@ -412,18 +421,21 @@ def salted_cohort_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     any hot user over salt_n reducers. Results are identical to the plain
     join (the oracle); only the shuffle layout differs. The deterministic
     heavy hammer for when AQE's skew split isn't enough (a single key
-    larger than one executor's memory)."""
+    larger than one executor's memory). The salt hashes ``event_id`` —
+    the table's unique row id — so identical (user_id, value) rows of a
+    hot user still scatter across reducers while the assignment stays
+    deterministic under stage re-execution (see :func:`salted_join`)."""
     from kafka_connect_storage_cloud_formats_spark.catalog import load_table
     from kafka_connect_storage_cloud_formats_spark.queries.relational import dsum
 
-    events = load_table(spark, sf_dir, "events").select("user_id", "value")
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
     dim = (
         events.select("user_id")
         .distinct()
         .filter(F.col("user_id") % 3 != 0)
         .withColumn("cohort", (F.col("user_id") % 10).cast("long"))
     )
-    joined = salted_join(events, dim, "user_id", salt_n=8)
+    joined = salted_join(events, dim, "user_id", salt_n=8, salt_cols=("event_id",))
     return (
         joined.groupBy("cohort")
         .agg(

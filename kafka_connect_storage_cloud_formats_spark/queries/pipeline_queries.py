@@ -81,10 +81,18 @@ def _scratch_dir(prefix: str, sf_dir: str) -> str:
                 alive = False
             except PermissionError:
                 pass  # alive under another uid
-            if alive and start_s:
+            if alive and start_s and start_s != "0":
                 # pid alive: owner only if the instance matches; a
-                # recycled pid (different starttime) marks a DEAD owner
-                alive = str(_proc_start(pid) or "") == start_s
+                # recycled pid (different starttime) marks a DEAD owner.
+                # A "0" tag (owner ran where /proc was unreadable) or a
+                # None probe (WE can't read /proc — e.g. macOS) leaves
+                # ownership UNKNOWN: keep the directory on bare pid
+                # liveness rather than delete a possibly-live sibling's
+                # files mid-write (round-10 ADVICE — `str(None or "")`
+                # compared unequal and swept live dirs off-Linux).
+                probed = _proc_start(pid)
+                if probed is not None:
+                    alive = str(probed) == start_s
             if not alive:
                 import shutil
 

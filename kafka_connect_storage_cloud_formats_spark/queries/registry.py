@@ -95,12 +95,18 @@ _ALL.update(SCALE_UTILS_QUERIES)
 #   write IS the thing being measured/certified) are never memoized.
 #   Artifact builds (ensure_*) are not per-call effects: they are
 #   content-keyed and self-memoizing, so caching their consumers is safe.
-# - artifact delete+rebuild under an unchanged corpus: the artifact
-#   layer's generation detection fires its invalidation listeners
-#   (artifacts.register_invalidation_listener) and this cache clears, so
-#   the self-heal reaches plans embedding the dead file index within one
-#   touch-throttle interval; in the window before detection the next
-#   action fails LOUDLY with FileNotFound — nothing stale is served.
+# - artifact delete+rebuild under an unchanged corpus: each cache entry
+#   records the artifact paths its builder consumed
+#   (artifacts.record_consumed_artifacts), and every HIT re-runs the
+#   throttled generation check on them (artifacts.revalidate_artifact —
+#   within the touch-throttle interval that is a dict lookup). A changed
+#   or vanished generation fires the invalidation listeners, this cache
+#   clears, and the call falls through to a rebuild — so the self-heal
+#   reaches fully-cached sessions too (round-10 ADVICE: previously the
+#   generation check lived only in ensure_artifact, which a hit skips
+#   entirely, leaving a cached plan on permanent FileNotFound). In the
+#   sub-interval window before detection the next action fails LOUDLY
+#   with FileNotFound — nothing stale is served.
 # - sweep-liveness note: cache hits skip ensure_artifact's throttled
 #   touch, but the stale-sibling sweep only runs when a NEW generation is
 #   published, which requires the corpus fingerprint to have moved — and
@@ -109,7 +115,8 @@ _ALL.update(SCALE_UTILS_QUERIES)
 #   at exactly the moment a sweep becomes possible. In-flight scans
 #   crossing a regeneration are protected by the sweep's grace window,
 #   same as before this cache existed.
-_PLAN_CACHE: dict[tuple[str, str, str], tuple[str, DataFrame]] = {}
+# key → (corpus fingerprint, built plan, artifact paths the build consumed)
+_PLAN_CACHE: dict[tuple[str, str, str], tuple[str, DataFrame, frozenset]] = {}
 
 
 def _on_artifact_invalidated(_path: str) -> None:
@@ -185,15 +192,33 @@ def _prepared(name: str, fn):
         # confs are outside the engine's contract (apply_session_confs
         # exists to align them).
         if hit is not None and hit[0] == fp:
-            return hit[1]
-        df = fn(spark, sf_dir)
+            from kafka_connect_storage_cloud_formats_spark.artifacts import (
+                revalidate_artifact,
+            )
+
+            # Re-check every artifact this plan embeds (throttled — a dict
+            # lookup within the touch interval). Run ALL of them even after
+            # a failure: each check doubles as the artifact's liveness
+            # touch, and one stale member shouldn't stop the others' sweep
+            # protection. A failed check fires the invalidation listeners,
+            # which clear THIS cache — re-read instead of trusting `hit`.
+            live = all([revalidate_artifact(p, spark) for p in hit[2]])
+            hit = _PLAN_CACHE.get(key)
+            if live and hit is not None and hit[0] == fp:
+                return hit[1]
+        from kafka_connect_storage_cloud_formats_spark.artifacts import (
+            record_consumed_artifacts,
+        )
+
+        with record_consumed_artifacts() as consumed:
+            df = fn(spark, sf_dir)
         # evict entries of dead applicationIds (same rule as the table
         # cache): they can never be served again, but left in place they
         # pin py4j handles bound to stopped JVMs for the process lifetime
         app = key[0]
         for k in [k for k in _PLAN_CACHE if k[0] != app]:
             del _PLAN_CACHE[k]
-        _PLAN_CACHE[key] = (fp, df)
+        _PLAN_CACHE[key] = (fp, df, frozenset(consumed))
         return df
 
     return wrapped

@@ -960,9 +960,59 @@ def test_invalidation_listener_reaches_plan_cache(tmp_path, spark):
     from kafka_connect_storage_cloud_formats_spark.queries import registry
 
     assert registry._on_artifact_invalidated in A._INVALIDATION_LISTENERS
-    registry._PLAN_CACHE[("app", "q", "/x")] = ("fp", None)
+    registry._PLAN_CACHE[("app", "q", "/x")] = ("fp", None, frozenset())
     A._drop_df_cache("/some/artifact/path")
     assert registry._PLAN_CACHE == {}
+
+
+def test_plan_cache_hit_revalidates_consumed_artifacts(spark, tmp_path, monkeypatch):
+    """Round-10 ADVICE: the generation check previously lived only in
+    ensure_artifact, which a plan-cache HIT skips entirely — after an
+    external delete+rebuild of an artifact under an unchanged corpus, a
+    fully-cached session served permanent FileNotFound. Now each cache
+    entry records its consumed artifact paths and every hit re-runs the
+    throttled generation check on them."""
+    import shutil
+
+    from kafka_connect_storage_cloud_formats_spark import artifacts as A
+    from kafka_connect_storage_cloud_formats_spark.queries import registry
+
+    path = str(tmp_path / "engine_fakekind_sfx-abc123_0123456789ab")
+
+    def build(tmp: str) -> None:
+        spark.range(5).write.parquet(tmp)
+
+    calls = []
+
+    def q(spark_, sf_dir):
+        calls.append(1)
+        return A.artifact_df(path, build, spark_)
+
+    wrapped = registry._prepared("fake_plan_cache_q", q)
+    sf_dir = "/root/testdata/sf0.001"
+    assert wrapped(spark, sf_dir).count() == 5
+    wrapped(spark, sf_dir)
+    assert len(calls) == 1, "second call must be a cache hit"
+    # hits within the touch-throttle interval stay dict-lookup cheap and
+    # must not rebuild
+    wrapped(spark, sf_dir)
+    assert len(calls) == 1
+
+    # EXTERNAL delete + rebuild at the same content key: same rows, new
+    # part-file names — the cached plan's file index points at dead files
+    shutil.rmtree(path)
+    spark.range(5).write.parquet(path)
+    monkeypatch.setattr(A, "ARTIFACT_TOUCH_INTERVAL_S", 0.0)
+    df3 = wrapped(spark, sf_dir)
+    assert len(calls) == 2, "generation change on hit must rebuild the plan"
+    assert df3.count() == 5  # and the rebuilt plan reads the LIVE files
+
+    # EXTERNAL delete with no rebuild: the hit must self-heal by
+    # re-running the builder (which re-publishes), never FileNotFound
+    shutil.rmtree(path)
+    df4 = wrapped(spark, sf_dir)
+    assert len(calls) == 3
+    assert df4.count() == 5
 
 
 def test_generation_marker_ignores_hidden_litter(tmp_path, spark):

@@ -113,3 +113,20 @@ def test_asof_join_null_semantics(spark):
     }
     assert out[(1, 3.0)] is None  # latest right row carries NULL — not 5.0
     assert out[(None, 3.0)] is None  # NULL keys never match
+
+
+def test_asof_join_drops_null_right_timestamps(spark):
+    """Round-10 ADVICE: a right row with a NULL timestamp must never be
+    carried — the oracle semantics (right.ts <= left.ts) exclude it, but
+    Spark's NULLS FIRST ordering would otherwise sort it before every
+    left row and serve it as the 'earliest' enrichment."""
+    from kafka_connect_storage_cloud_formats_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 3.0)], "k long, ts double")
+    right = spark.createDataFrame(
+        [(1, None, 42.0), (1, 5.0, 7.0)], "k long, ts double, value double"
+    )
+    rows = asof_join(left, right, on="k", ts="ts").collect()
+    # the only valid right rows are ts=NULL (excluded) and ts=5.0 (> 3.0,
+    # excluded by at-or-before) → no enrichment
+    assert rows[0]["asof_value"] is None

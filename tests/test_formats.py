@@ -155,6 +155,12 @@ def test_scratch_dir_sweeps_dead_pids_and_spares_live(tmp_path, monkeypatch):
     # different process start time belongs to a dead owner whose pid the
     # kernel reused — must sweep, where bare-pid liveness wrongly adopted
     (tmp_path / f"engine_x_sf0.01_{os.getpid()}-123").mkdir()
+    # OWNERSHIP-UNKNOWN cases (round 10 ADVICE — /proc-less platforms):
+    # a live pid whose start tag is "0" (owner couldn't read /proc when it
+    # created the dir) must be KEPT on bare pid liveness, not compared
+    # against a real starttime and deleted mid-write
+    live_unknown = tmp_path / f"engine_x_sf0.01_{os.getpid()}-0"
+    live_unknown.mkdir()
     out = _scratch_dir("engine_x", sf)
     assert out == str(tmp_path / f"engine_x_sf0.01_{self_tag}")
     assert (tmp_path / f"engine_x_sf0.01_{self_tag}").exists(), "own dir reused"
@@ -164,4 +170,25 @@ def test_scratch_dir_sweeps_dead_pids_and_spares_live(tmp_path, monkeypatch):
     ).exists(), "recycled-pid impostor swept"
     assert (tmp_path / "engine_x_sf0.01_notapid").exists()
     assert (tmp_path / f"engine_y_sf0.01_{pid}").exists(), "other prefix untouched"
+    assert live_unknown.exists(), "live pid with unknown start kept"
     del dead
+
+
+def test_scratch_dir_keeps_live_sibling_when_proc_unreadable(tmp_path, monkeypatch):
+    """Round-10 ADVICE: when THIS process cannot read /proc (macOS), every
+    starttime probe returns None — the old comparison `str(None or '') ==
+    start_s` was False and deleted a LIVE sibling's directory mid-write.
+    Ownership must degrade to bare pid liveness: live pid → keep."""
+    import os
+    import tempfile as _tf
+
+    from kafka_connect_storage_cloud_formats_spark.queries import pipeline_queries as pq
+
+    monkeypatch.setattr(_tf, "gettempdir", lambda: str(tmp_path))
+    monkeypatch.setattr(pq, "_proc_start", lambda pid: None)  # /proc-less
+    live = tmp_path / f"engine_x_sf0.01_{os.getpid()}-4242"
+    live.mkdir()
+    out = pq._scratch_dir("engine_x", "/data/sf0.01")
+    assert live.exists(), "live sibling must survive a None starttime probe"
+    # and our own tag degrades to pid-0 on this platform
+    assert out.endswith(f"_{os.getpid()}-0")

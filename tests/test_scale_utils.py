@@ -390,32 +390,65 @@ def test_bucketed_table_refreshes_after_external_rebuild(spark, sf_dir):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, first))
 
 
-def test_salted_join_scatters_duplicate_hot_rows(spark):
-    """Round-9 review: a content-only salt sent every duplicate hot-key row
-    to ONE reducer — the exact single-hot-key scenario the function exists
-    for. The row-id component must scatter identical rows across salts
-    while keeping the join output exactly equal to the plain join."""
+def test_salted_join_scatters_duplicate_hot_rows_via_salt_cols(spark):
+    """Round-10 ADVICE: the salt must be DETERMINISTIC under stage
+    re-execution, so the row-id component is now caller-supplied
+    (``salt_cols`` naming a unique id) instead of
+    monotonically_increasing_id (layout-dependent → lost/duplicated rows
+    after an executor loss). With a unique id the duplicate-hot-row case
+    still scatters across salts, and the join output equals the plain
+    join exactly."""
     from pyspark.sql import functions as F
 
     from kafka_connect_storage_cloud_formats_spark.operators.scale_utils import (
         salted_join,
     )
 
-    # one hot key, all rows IDENTICAL (worst case for a content hash)
+    # one hot key, payload IDENTICAL across rows, but a unique row id
     big = spark.range(2000).select(
-        F.lit(7).alias("k"), F.lit("same-payload").alias("v")
+        F.col("id").alias("row_id"),
+        F.lit(7).alias("k"),
+        F.lit("same-payload").alias("v"),
     )
     small = spark.createDataFrame([(7, "dim7"), (8, "dim8")], "k long, d string")
-    out = salted_join(big, small, "k", salt_n=8)
+    out = salted_join(big, small, "k", salt_n=8, salt_cols=("row_id",))
     plain = big.join(small, "k")
     assert out.count() == plain.count() == 2000
     # scatter: recompute the salt expression the function uses and assert
-    # the identical rows now land in >1 bucket
+    # the unique-id salt lands the identical-payload rows in all 8 buckets
     salted = big.withColumn(
-        "__salt",
-        F.pmod(
-            F.xxhash64(*[F.col(c) for c in big.columns], F.monotonically_increasing_id()),
-            F.lit(8),
-        ),
+        "__salt", F.pmod(F.xxhash64(F.col("row_id")), F.lit(8)).cast("int")
     )
-    assert salted.select("__salt").distinct().count() > 1
+    assert salted.select("__salt").distinct().count() == 8
+
+
+def test_salted_join_salt_is_deterministic_and_validates_cols(spark):
+    """The salt expression must be a pure function of row content (stage
+    retries recompute identical salts — the SPARK-23207 hazard class), and
+    a salt_cols column absent from the big side must fail loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kafka_connect_storage_cloud_formats_spark.operators.scale_utils import (
+        salted_join,
+    )
+
+    big = spark.range(500).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("payload")
+    )
+    small = spark.createDataFrame([(i, f"d{i}") for i in range(7)], "k long, d string")
+    # determinism: two independent evaluations (fresh plans, repartitioned
+    # differently) must produce the identical (payload → salt) map — the
+    # property monotonically_increasing_id broke
+    def salts(df):
+        s = df.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(8)).cast("int"),
+        )
+        return {r["payload"]: r["__salt"] for r in s.collect()}
+
+    assert salts(big) == salts(big.repartition(13))
+    out = salted_join(big, small, "k", salt_n=8)
+    assert out.count() == big.join(small, "k").count()
+    with pytest.raises(ValueError, match="salt_cols"):
+        salted_join(big, small, "k", salt_cols=("no_such_col",))
