@@ -95,11 +95,6 @@ def write_training_corpus(spark: SparkSession, sf_dir: str, out_dir: str) -> Dat
     return kept
 
 
-TRAINING_PIPELINE_QUERIES = {
-    "training_corpus_stats": (training_corpus_stats, TRAINING_CORPUS_SQL),
-}
-
-
 SEQ_CAPACITY = 2048  # tokens per packed training sequence (default)
 
 
@@ -171,3 +166,60 @@ def packed_sequence_stats(
         )
         .orderBy("seq_id")
     )
+
+
+# ------------------------------------------------------------ DuckDB oracles
+# (round 10 — the round-9 verdict's lead item: the packing pair shipped
+# with structural tests only; it is plainly SQL-expressible, so it gets the
+# full hash gate like every other first-class operator.) The oracle replays
+# the ENTIRE lineage: LSH clustering → representative filter → quality gate
+# (the _kept_docs contract, via dedup._cluster_ctes) → the cumsum window →
+# floor(start / capacity). The window SUM over BIGINT is HUGEINT in DuckDB —
+# CAST back to BIGINT (driver-environment hazard, see check_correctness).
+_KEPT_PACKED_CTES = (
+    _cluster_ctes()
+    + f""",
+kept AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents JOIN clusters USING (doc_id)
+  WHERE doc_id = cluster_id
+    AND length(text) BETWEEN {MIN_CHARS} AND {MAX_CHARS}),
+packed AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           - n_tokens AS token_start
+  FROM kept),
+seqs AS (
+  SELECT doc_id, lang, n_tokens, token_start,
+         CAST(FLOOR(CAST(token_start AS DOUBLE) / {SEQ_CAPACITY}) AS BIGINT) AS seq_id
+  FROM packed)
+"""
+)
+
+PACK_SEQUENCES_SQL = (
+    _KEPT_PACKED_CTES
+    + """
+SELECT doc_id, lang, n_tokens, token_start, seq_id
+FROM seqs ORDER BY doc_id
+"""
+)
+
+PACKED_STATS_SQL = (
+    _KEPT_PACKED_CTES
+    + f"""
+SELECT seq_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MIN(doc_id) AS first_doc,
+       CAST(CAST(SUM(n_tokens) AS BIGINT) AS DOUBLE) / {float(SEQ_CAPACITY)} AS fill_ratio
+FROM seqs GROUP BY seq_id ORDER BY seq_id
+"""
+)
+
+
+TRAINING_PIPELINE_QUERIES = {
+    "training_corpus_stats": (training_corpus_stats, TRAINING_CORPUS_SQL),
+    "pack_training_sequences": (pack_training_sequences, PACK_SEQUENCES_SQL),
+    "packed_sequence_stats": (packed_sequence_stats, PACKED_STATS_SQL),
+}

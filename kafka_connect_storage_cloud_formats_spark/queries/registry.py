@@ -39,6 +39,7 @@ from kafka_connect_storage_cloud_formats_spark.operators.scale_utils import SCAL
 from kafka_connect_storage_cloud_formats_spark.operators.compaction import COMPACTION_QUERIES
 from kafka_connect_storage_cloud_formats_spark.operators.dedup import DEDUP_QUERIES
 from kafka_connect_storage_cloud_formats_spark.operators.multimodal import MULTIMODAL_QUERIES
+from kafka_connect_storage_cloud_formats_spark.operators.kmeans_ivf import KMEANS_IVF_QUERIES
 from kafka_connect_storage_cloud_formats_spark.operators.profiling import PROFILING_QUERIES
 from kafka_connect_storage_cloud_formats_spark.operators.similarity import SIMILARITY_QUERIES
 from kafka_connect_storage_cloud_formats_spark.operators.training_pipeline import TRAINING_PIPELINE_QUERIES
@@ -62,6 +63,12 @@ _ALL.update(RELATIONAL_QUERIES)
 _ALL.update(TEXT_QUERIES)
 _ALL.update(DEDUP_QUERIES)
 _ALL.update(SIMILARITY_QUERIES)
+# Trained-quantizer IVF serving tier (round 10): the label-quantizer
+# ivf_topk/ivf_topk_pruned/ivf_recall_at_10 entries above stay registered
+# as the DEGENERATE BASELINE (an untrained coarse quantizer — recall@10
+# 0.15 at nprobe=1); the ivf_kmeans_* trio is the serving default a 100 TB
+# deployment should run (~2× recall at identical probe cost, SCALE.md).
+_ALL.update(KMEANS_IVF_QUERIES)
 _ALL.update(MULTIMODAL_QUERIES)
 _ALL.update(STREAMING_WINDOW_QUERIES)
 _ALL.update(PROFILING_QUERIES)
@@ -238,110 +245,70 @@ _ALL = {
 # the window has served its purpose and the positional invariant is
 # expected to lapse until the next rotation (tests/test_registry.py keys
 # its window assertion off this constant).
-ROTATED_FOR_ROUND = 9
+ROTATED_FOR_ROUND = 10
 
-_STALE_AFTER_R8 = [
-    # the 41 registered queries whose latest driver rows are r7-vintage
-    # (tools/rotate_registry.py) — they lead the r9 window so the
-    # ≤1-round-stale invariant holds a seventh consecutive round
-    "parquet_roundtrip", "json_roundtrip", "schema_evolution_roundtrip",
-    "csv_roundtrip", "q21_sole_late_supplier", "q2_min_acctbal_supplier",
-    "q22_rich_inactive_customers", "orders_cube", "events_pivot_hourly",
-    "q7_nation_trade_volume", "q14_promo_revenue_share",
-    "q19_disjunctive_revenue", "q10_returned_revenue",
-    "q13_order_count_distribution", "q6_forecast_revenue",
-    "q8_nation_market_share", "q15_top_supplier", "part_brand_type_setops",
-    "array_function_gallery", "doc_top_terms", "text_quality_stats",
-    "lang_id_heuristic", "token_count_bpe", "doc_fingerprint",
-    "benchmark_contamination", "doc_bigram_novelty", "dedup_exact",
-    "minhash_signatures", "minhash_lsh_pairs", "neardup_clusters",
-    "dedup_fuzzy_prefix", "knn_bruteforce", "ann_lsh_topk",
-    "ivf_centroids", "ivf_topk", "ivf_index_build", "ivf_topk_pruned",
-    "dedup_embedding_cosine", "media_feature_extract",
-    "image_resize_thumbnail", "salted_cohort_activity",
+_STALE_AFTER_R9 = [
+    # NEW this round (never driver-evidenced — they lead the window):
+    # the trained-quantizer IVF serving trio, whose oracles REPLAY the
+    # full k-means training in SQL (operators/kmeans_ivf.py), and the
+    # training-sequence packing pair (operators/training_pipeline.py) —
+    # the round-9 verdict's lead item (both shipped r9 without oracle
+    # rows; now registered with full hash gates).
+    "ivf_kmeans_topk",
+    "ivf_kmeans_topk_pruned",
+    "ivf_kmeans_recall_at_10",
+    "pack_training_sequences",
+    "packed_sequence_stats",
+    # the 42 registered queries whose latest driver rows are r8-vintage
+    # (tools/rotate_registry.py) — they fill the r10 window so the
+    # ≤1-round-stale invariant holds an eighth consecutive round
+    "orc_ingest_roundtrip", "orc_partitioned_roundtrip", "avro_roundtrip",
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+    "top_orders_per_customer", "orders_rollup", "customers_without_orders",
+    "distinct_parts_per_supplier", "events_hourly_rollup",
+    "q4_priority_with_late_ship", "q16_supplier_counts",
+    "q17_small_quantity_revenue", "q18_large_orders",
+    "scalar_function_gallery", "q9_product_type_profit",
+    "q11_important_parts", "q12_priority_by_returnflag",
+    "q20_promotion_suppliers", "orders_price_moments",
+    "scrub_numeric_tokens", "vocab_stats", "doc_quality_deciles",
+    "dedup_ngram_jaccard", "simhash_fingerprints", "media_catalog",
+    "video_frame_index", "audio_window_energy", "events_funnel",
+    "events_interval_join", "events_tumbling_15m", "events_sliding_1h",
+    "events_session_30m", "orders_column_profile", "events_value_quantiles",
+    "approx_profile", "events_latest_per_user", "replay_dedup",
+    "training_corpus_stats", "clicks_asof_purchase",
+    "bucketed_segment_revenue",
 ]
 _CHANGED_THIS_ROUND = [
-    # round 9 implementation changes (knn_bruteforce — whose
-    # driver-collected query side moved to the LIMIT-capped, fail-loud
-    # _collect_query_matrix (round-8 verdict ask #3) — is already in the
-    # stale list above):
-    # - sq8_topk: same bounded-query-matrix change as knn_bruteforce,
-    #   plus (review round) its exact-rerank query side is filtered to
-    #   the collected ids before the broadcast (the unfiltered form
-    #   broadcast the whole float corpus as the build side).
-    "sq8_topk",
-    # - ann_recall_at_10 / sq8_recall_at_10: the recall evaluation is the
-    #   shared _recall_vs_truth helper (plan-identical; one definition
-    #   for the LSH/SQ8/IVF trio).
-    "ann_recall_at_10", "sq8_recall_at_10",
-    # - image_decode_stats (+ media_feature_extract, already in the stale
-    #   list): the oracle guards the empty-payload case — DuckDB
-    #   string_split('', '') yields [''], not [] — so a regenerated
-    #   corpus containing an empty document can no longer hash-diverge
-    #   (engine-vs-oracle parity pinned on a synthetic empty-doc corpus).
-    "image_decode_stats",
-    # - corpus_split_stats / stratified_sample: the md5-family bucket
-    #   expression is text_functions.md5_long(bits=8) — the shared
-    #   definition, expression-identical (no value change).
-    "corpus_split_stats", "stratified_sample",
-    # - ivf_recall_at_10: NEW — completes the recall-evaluation family
-    #   (LSH/SQ8/IVF) against the shared exact ground-truth artifact
-    #   (round-8 verdict ask #4). Debuts in-window with a full oracle.
-    "ivf_recall_at_10",
-    # - simhash_near_pairs: candidate generation gained the second exact
-    #   pigeonhole stage (12-bit complement sub-blocks — round-8 verdict
-    #   ask #5). Result pinned bit-identical to the single-stage plan
-    #   (tests/test_dedup.py); 10.8× fewer candidates at sf0.1.
-    "simhash_near_pairs",
-    # - dedup_canonical: the variant count hashes the text before the
-    #   distinct (COUNT(DISTINCT md5(text)) on BOTH engines — a bare
-    #   countDistinct(text) shipped every distinct document through the
-    #   exchange), and the xxhash64 production family's equality key
-    #   widened to a pair of independent 64-bit hashes (collision mass at
-    #   10^10+ docs). md5-family values unchanged except via the md5()
-    #   pre-hash, which the oracle mirrors.
-    "dedup_canonical",
+    # round 10 implementation changes not already leading the window
+    # (clicks_asof_purchase — whose asof_join now drops NULL-timestamp
+    # right rows per the round-10 ADVICE — is in the stale list above):
+    # - salted_cohort_activity: the salt basis moved from
+    #   monotonically_increasing_id (layout-dependent → lost/duplicated
+    #   join rows on a stage retry after executor loss) to a
+    #   deterministic hash of the caller-named unique row id (event_id).
+    #   Output identical by construction (the salt only routes rows);
+    #   fresh row certifies the shipped expression.
+    "salted_cohort_activity",
 ]
-# Out-of-window transits, documented (50 of the 50 window slots are
+# Out-of-window transits, documented (48 of the 50 window slots are
 # claimed above; the rest of the window follows registration order):
-# 0. q12_priority_by_returnflag moved to when/otherwise counters (a NULL
-#    o_orderpriority previously vanished from BOTH sums while the
-#    oracle's CASE counts it low). Result-neutral on every shipped
-#    corpus BY CONSTRUCTION (TPC-H priorities are never NULL; the review
-#    verified zero NULLs at all SFs) and re-verified hash-green at
-#    sf0.001/0.01/0.1 with --repeat on final HEAD; the window was full,
-#    so this latent-NULL hardening rides the documented-transit rule.
-# 0b. avro_roundtrip's fallback codec unified its per-record encode/
-#    decode into one definition and gained guards for zero-field records
-#    and the Arrow float64 rendering of nullable int/long batches (a
-#    null + a value past 2^53 in one batch would have encoded the WRONG
-#    number; now a loud refusal). Byte-identical on the registered
-#    query's data by construction (events carries no such batch);
-#    re-verified hash-green at sf0.001/0.01/0.1 with --repeat on final
-#    HEAD, and the codec remains byte-cross-validated against the JVM
-#    Avro library in tests.
-# 0c. clicks_asof_purchase: asof_join gained general-caller NULL
-#    semantics (struct-marker carry — a NULL right VALUE is still "the
-#    latest right row"; NULL keys never match) and dropped a dead
-#    event_id column from the window shuffle. Both latent/result-neutral
-#    on the shipped corpora (no NULL values or keys; the column was
-#    never consumed) — unit-pinned on a synthetic frame, re-verified
-#    hash-green at sf0.001/0.01/0.1 with --repeat. The roundtrip
-#    queries' scratch-dir suffix gained the process start time (pid
-#    reuse could adopt a dead owner's stale files) and their shared
-#    envelope moved to one helper with identical parameters — location/
-#    refactor-only; the three not already in the window re-verified at
-#    all three SFs.
-# 1. The registry gained the PREPARED-PLAN cache below — it transits
-#    every non-side-effect query, but a cache hit returns the IDENTICAL
-#    immutable DataFrame object the builder returned (same logical plan;
-#    physical planning still happens fresh per action), revalidated per
-#    call by the same stat-only corpus fingerprint the table cache uses —
-#    result-neutral by construction. Re-verified hash-green for all 92
-#    queries at sf0.001/0.01/0.1 on final HEAD (tools/check_correctness.py
-#    executes every query through the cache, twice per process in the
-#    repeat harness, so both miss and hit paths are oracle-certified).
-_PRIORITY = _STALE_AFTER_R8 + _CHANGED_THIS_ROUND
+# 1. The prepared-plan cache now records the artifact paths each builder
+#    consumed and re-runs the throttled generation check on every HIT
+#    (round-10 ADVICE; see the cache comment above). Transits every
+#    non-side-effect query but is result-neutral by construction: a
+#    validated hit returns the identical immutable DataFrame object, and
+#    a failed validation falls through to the builder. Re-verified
+#    hash-green for all 97 queries at sf0.001/0.01/0.1 with --repeat
+#    (both cache paths) on final HEAD.
+# 2. The k-means trainer's assignment kernel moved from one BLAS matmul
+#    to per-dimension left-associated accumulation (and centroid norms
+#    to the same _seq_dot loop) so the training is SQL-replayable; the
+#    artifact params token bumped cos→cosla. Measured ZERO assignment
+#    flips at sf0.1 (identical recall sweep); the consuming trio debuts
+#    in-window anyway, so the change is fully driver-certified.
+_PRIORITY = _STALE_AFTER_R9 + _CHANGED_THIS_ROUND
 
 QUERIES: dict = {n: _ALL[n] for n in _PRIORITY if n in _ALL}
 QUERIES.update({n: v for n, v in _ALL.items() if n not in QUERIES})

@@ -1,7 +1,10 @@
-"""Structural correctness for the trained IVF quantizer (no SQL oracle —
-a 5-round k-means is not one DuckDB query; these pin the properties that
-matter instead: determinism across partitioning, convergence direction,
-full-probe equivalence to brute force, and measured recall benefit)."""
+"""Structural correctness for the trained IVF quantizer. Since round 10
+the registered ivf_kmeans_* trio ALSO carries a full DuckDB oracle (the
+left-associated trainer unrolls into SQL — kmeans_ivf._kmeans_training_ctes),
+so the driver hash-gates training end-to-end; these tests pin the
+properties an oracle equality can't express: determinism across
+partitioning, convergence direction, full-probe equivalence to brute
+force, and the measured recall benefit over the label quantizer."""
 
 import numpy as np
 import pytest

@@ -30,6 +30,11 @@ def test_allowed_nested_are_documented_exceptions(spark, sf_dir):
         "ann_recall_at_10",
         "sq8_recall_at_10",
         "ivf_recall_at_10",
+        # round 10: the trained-quantizer trio shares the same bounded
+        # _ivf_probe assignment stage (Q × k centroids, broadcast)
+        "ivf_kmeans_topk",
+        "ivf_kmeans_topk_pruned",
+        "ivf_kmeans_recall_at_10",
     }
     assert ALLOWED_SCALAR_CROSS == {
         "q22_rich_inactive_customers",

@@ -52,6 +52,12 @@ ALLOWED_NESTED = {
     "ann_recall_at_10",  # 1-row recall-ratio cross + composed baselines
     "sq8_recall_at_10",  # same 1-row recall-ratio cross for the int8 tier
     "ivf_recall_at_10",  # same 1-row cross + ivf_topk's Q×n_labels assignment
+    # trained-quantizer trio (round 10): the same shared _ivf_probe
+    # assignment stage (Q × k centroids, broadcast) and, for the recall
+    # row, the same 1-row recall-ratio cross as the other tiers
+    "ivf_kmeans_topk",
+    "ivf_kmeans_topk_pruned",
+    "ivf_kmeans_recall_at_10",
 }
 
 # Queries that fold a GLOBAL SCALAR into the plan via crossJoin(broadcast(
