@@ -270,7 +270,11 @@ def ivf_kmeans_topk(
 
 
 def build_kmeans_ivf_index(
-    spark: SparkSession, sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    force: bool = False,
 ) -> str:
     """Materialize the TRAINED IVF index: the corpus written to parquet
     PARTITIONED BY the k-means cell (mirror of
@@ -296,8 +300,29 @@ def build_kmeans_ivf_index(
         .write.partitionBy("label")
         .parquet(tmp),
         spark=spark,
+        force=force,
     )
     return path
+
+
+def ivf_kmeans_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained-index build as a first-class registered step (mirror of
+    ``similarity.ivf_index_build`` — the label tier's row): (re)writes the
+    cell-partitioned parquet index and returns the per-cell inventory read
+    back FROM the index files, proving the write, the trained bucket
+    layout, and the read path. Benching this entry measures the honest
+    index-build cost (the TRAINING stays its own once-per-corpus
+    artifact — a rebuild repartitions the corpus by the already-trained
+    assignment, exactly the recurring job shape at 100 TB where training
+    is amortized and the index is rebuilt per corpus drop);
+    ``ivf_kmeans_topk_pruned`` then measures the probe alone."""
+    path = build_kmeans_ivf_index(spark, sf_dir, force=True)
+    return (
+        spark.read.parquet(path)
+        .groupBy(F.col("label").cast("long").alias("label"))
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("label")
+    )
 
 
 def ivf_kmeans_topk_pruned(
@@ -506,13 +531,26 @@ FROM tot, h
 """
 
 
+def _kmeans_index_build_sql() -> str:
+    """Per-cell inventory of the trained index — the assignment replay
+    (``cl{fi}``) IS the cell layout the build partitions by."""
+    train, fi = _kmeans_training_ctes()
+    return f"""
+WITH {train}
+SELECT cluster AS label, CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM cl{fi} GROUP BY cluster ORDER BY label
+"""
+
+
 KMEANS_TOPK_SQL = _kmeans_topk_sql()
 KMEANS_RECALL_SQL = _kmeans_recall_sql()
+KMEANS_INDEX_BUILD_SQL = _kmeans_index_build_sql()
 
 KMEANS_IVF_QUERIES = {
     "ivf_kmeans_topk": (ivf_kmeans_topk, KMEANS_TOPK_SQL),
     # the materialized index changes the access path, never the answer —
     # same oracle, same doctrine as ivf_topk/ivf_topk_pruned
     "ivf_kmeans_topk_pruned": (ivf_kmeans_topk_pruned, KMEANS_TOPK_SQL),
+    "ivf_kmeans_index_build": (ivf_kmeans_index_build, KMEANS_INDEX_BUILD_SQL),
     "ivf_kmeans_recall_at_10": (ivf_kmeans_recall_at_10, KMEANS_RECALL_SQL),
 }

@@ -164,6 +164,11 @@ _SIDE_EFFECT_QUERIES = frozenset(
         # artifact) are the cached serving shape.
         "ivf_index_build",
         "neardup_clusters",
+        # round 10: the trained tier's build row — same declared meaning
+        # as ivf_index_build (a memoized plan would skip the measured
+        # rebuild); its consumer path (ivf_kmeans_topk_pruned) is the
+        # cached serving shape
+        "ivf_kmeans_index_build",
     }
 )
 
@@ -256,6 +261,7 @@ _STALE_AFTER_R9 = [
     # rows; now registered with full hash gates).
     "ivf_kmeans_topk",
     "ivf_kmeans_topk_pruned",
+    "ivf_kmeans_index_build",
     "ivf_kmeans_recall_at_10",
     "pack_training_sequences",
     "packed_sequence_stats",
@@ -292,8 +298,8 @@ _CHANGED_THIS_ROUND = [
     #   fresh row certifies the shipped expression.
     "salted_cohort_activity",
 ]
-# Out-of-window transits, documented (48 of the 50 window slots are
-# claimed above; the rest of the window follows registration order):
+# Out-of-window transits, documented (49 of the 50 window slots are
+# claimed above; the last slot follows registration order):
 # 1. The prepared-plan cache now records the artifact paths each builder
 #    consumed and re-runs the throttled generation check on every HIT
 #    (round-10 ADVICE; see the cache comment above). Transits every

@@ -135,6 +135,29 @@ def test_kmeans_quantizer_beats_label_quantizer_at_nprobe1(spark):
     assert r_trained > r_label, (r_trained, r_label)
 
 
+def test_kmeans_index_build_inventory_matches_assignment(spark, sf_dir):
+    """The registered build row must read its inventory back FROM the
+    written index files, and that inventory must equal the trained
+    assignment's per-cell counts (write path + partition layout + read
+    path all proven in one equality)."""
+    from kafka_connect_storage_cloud_formats_spark.operators.kmeans_ivf import (
+        ivf_kmeans_index_build,
+    )
+
+    inv = {
+        r["label"]: r["n_vectors"]
+        for r in ivf_kmeans_index_build(spark, sf_dir).collect()
+    }
+    assignment, _ = train_kmeans_quantizer(spark, sf_dir)
+    src = {
+        r["cluster"]: r["n"]
+        for r in assignment.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert inv == src
+
+
 def test_kmeans_rejects_bad_params(spark, sf_dir):
     with pytest.raises(ValueError, match="k and iters"):
         train_kmeans_quantizer(spark, sf_dir, k=0)
