@@ -205,31 +205,50 @@ def _record_consumed(path: str) -> None:
         s.add(path)
 
 
-def revalidate_artifact(path: str, spark: SparkSession) -> bool:
-    """Throttled liveness + generation re-check of an already-consumed
-    artifact — the plan-cache HIT path's counterpart of
-    :func:`ensure_artifact`'s fast path (same memo, same touch throttle,
-    same generation marker). Returns True when the artifact is live and
-    unchanged; False after firing the invalidation listeners (external
-    delete, or delete+rebuild at the same content key) so the caller
-    rebuilds its plan instead of serving a dead file index. Within the
-    touch-throttle interval this is a dict lookup — a cache hit stays
-    cheap."""
-    app = spark.sparkContext.applicationId
-    last = _ENSURED.get((app, path))
-    if last is not None and time.monotonic() - last[0] < ARTIFACT_TOUCH_INTERVAL_S:
-        return True
+def _probe_and_refresh(
+    app: str | None, path: str, spark: SparkSession | None, last_gen: str | None
+) -> tuple[str | None, bool]:
+    """THE generation-probe + liveness-touch + memo-refresh step, shared by
+    :func:`ensure_artifact`'s fast path and :func:`revalidate_artifact`
+    (one definition — the two consumers of the staleness protocol must not
+    drift, round-10 review). Returns ``(generation, changed)``:
+    generation ``None`` means the artifact VANISHED externally (the session
+    memo is invalidated and the invalidation listeners fire, so dependent
+    plan caches clear); ``changed`` means another driver deleted+rebuilt it
+    at the same content key (dependent DataFrame plans are dropped — their
+    file indexes list the dead part files — and listeners fire), while the
+    refreshed memo records the LIVE generation either way."""
     fs = _fs_for(path, spark)
     gen = fs.generation(path)
     if gen is None:
         invalidate_session_memo(path)  # fires listeners via _drop_df_cache
-        return False
-    changed = last is not None and gen != last[1]
+        return None, False
+    changed = last_gen is not None and gen != last_gen
     if changed:
         _drop_df_cache(path)
     fs.touch(path)
     _remember_ensured(app, path, gen)
-    return not changed
+    return gen, changed
+
+
+def revalidate_artifact(path: str, spark: SparkSession) -> bool:
+    """Throttled liveness + generation re-check of an already-consumed
+    artifact — the plan-cache HIT path's counterpart of
+    :func:`ensure_artifact`'s fast path (same memo, same touch throttle,
+    same shared :func:`_probe_and_refresh` step). Returns True when the
+    artifact is live and unchanged; False after firing the invalidation
+    listeners (external delete, or delete+rebuild at the same content
+    key) so the caller rebuilds its plan instead of serving a dead file
+    index. Within the touch-throttle interval this is a dict lookup — a
+    cache hit stays cheap."""
+    app = spark.sparkContext.applicationId
+    last = _ENSURED.get((app, path))
+    if last is not None and time.monotonic() - last[0] < ARTIFACT_TOUCH_INTERVAL_S:
+        return True
+    gen, changed = _probe_and_refresh(
+        app, path, spark, last[1] if last is not None else None
+    )
+    return gen is not None and not changed
 
 
 def ensure_artifact(
@@ -278,30 +297,23 @@ def ensure_artifact(
             now = time.monotonic()
             if now - last_touch < ARTIFACT_TOUCH_INTERVAL_S:
                 return path
-            fs = _fs_for(path, spark)
-            gen = fs.generation(path)
+            # Shared probe-and-refresh step (one definition with the
+            # plan-cache hit path's revalidate_artifact). A CHANGED
+            # generation means another driver deleted + rebuilt this path
+            # (identical rows, NEW part-file names — liveness touches
+            # refresh the DIRECTORY mtime, never _SUCCESS or the part
+            # files, and the marker is _SUCCESS mtime + part-listing
+            # digest, so even a rebuild inside the FS's timestamp
+            # granularity moves it — round-8 ADVICE): dependent DataFrame
+            # plans are dropped inside the helper, exactly the external
+            # mutation a bare exists probe cannot see (the same
+            # generation idea _ensure_bucketed_table uses for its
+            # REFRESH TABLE decision).
+            gen, _changed = _probe_and_refresh(app, path, spark, last_gen)
             if gen is not None:
-                if gen != last_gen:
-                    # Same content key, NEW generation: another driver
-                    # deleted + rebuilt this path (identical rows, NEW
-                    # part-file names — liveness touches refresh the
-                    # DIRECTORY mtime, never _SUCCESS or the part files,
-                    # so a changed marker is unambiguous; the marker is
-                    # _SUCCESS mtime + part-listing digest, so even a
-                    # rebuild inside the FS's timestamp granularity
-                    # moves it — round-8 ADVICE). A bare exists probe
-                    # cannot see this — the one external mutation
-                    # that would leave a cached plan's file index
-                    # pointing at dead files forever (the same
-                    # generation idea _ensure_bucketed_table uses for
-                    # its REFRESH TABLE decision).
-                    _drop_df_cache(path)
-                fs.touch(path)
-                _remember_ensured(app, path, gen)
                 return path
-            invalidate_session_memo(path)  # vanished externally → rebuild
-            probed_missing = True  # the generation probe just returned None
-    if fs is None:  # reuse the wrapper the self-heal path already built
+            probed_missing = True  # vanished externally → rebuild below
+    if fs is None:
         fs = _fs_for(path, spark)
     # doubles as existence probe + generation; the self-heal path above
     # already observed None this call — don't pay the RPC twice

@@ -114,14 +114,18 @@ _ALL.update(SCALE_UTILS_QUERIES)
 #   entirely, leaving a cached plan on permanent FileNotFound). In the
 #   sub-interval window before detection the next action fails LOUDLY
 #   with FileNotFound — nothing stale is served.
-# - sweep-liveness note: cache hits skip ensure_artifact's throttled
-#   touch, but the stale-sibling sweep only runs when a NEW generation is
-#   published, which requires the corpus fingerprint to have moved — and
-#   a moved fingerprint is a cache MISS here (revalidated per call), so
-#   the consumers of the old artifact stop being served from this cache
-#   at exactly the moment a sweep becomes possible. In-flight scans
-#   crossing a regeneration are protected by the sweep's grace window,
-#   same as before this cache existed.
+# - sweep-liveness note: since round 10 a cache hit refreshes each
+#   consumed artifact's liveness touch through revalidate_artifact's
+#   throttle (hits previously skipped ensure_artifact entirely), so a
+#   fully-cached session's artifacts stay inside the sweep grace window
+#   by the same mechanism as builder sessions. The stale-sibling sweep
+#   itself only runs when a NEW generation is published, which requires
+#   the corpus fingerprint to have moved — and a moved fingerprint is a
+#   cache MISS here (revalidated per call), so consumers of the old
+#   artifact stop being served from this cache at exactly the moment a
+#   sweep becomes possible. In-flight scans crossing a regeneration are
+#   protected by the sweep's grace window, same as before this cache
+#   existed.
 # key → (corpus fingerprint, built plan, artifact paths the build consumed)
 _PLAN_CACHE: dict[tuple[str, str, str], tuple[str, DataFrame, frozenset]] = {}
 
