@@ -32,7 +32,7 @@ oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_connect_storage_cloud_formats_spark.catalog import load_table, spread
@@ -80,6 +80,87 @@ SELECT sha256(text) AS content_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_c
 FROM documents
 GROUP BY sha256(text)
 ORDER BY keep_doc_id
+"""
+
+
+# ------------------------------------------------------------ incremental dedup
+# The modular split playing "published corpus" vs "new crawl batch" on the
+# driver's single documents table: doc_id % INCREMENT_MOD == INCREMENT_MOD-1
+# is the batch (~20%), the rest the corpus. A production caller passes its
+# own two tables; the split is the oracle-reproducible demo harness.
+INCREMENT_MOD = 5
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL exact dedup — the recurring curation job shape at
+    100 TB: a new crawl batch is deduplicated against the
+    already-published corpus (drop content the corpus already has) and
+    within itself (keep the smallest doc_id per new content), WITHOUT
+    ever re-scanning corpus text. Every other dedup tier here is
+    whole-corpus; real pipelines run those once, then this incrementally
+    per batch.
+
+    Scale shape: the corpus side is reduced to DISTINCT 32-hex content
+    hashes before the join (map-side partial aggregation; at 100 TB this
+    hash set is exactly what a production pipeline maintains as a
+    persisted table alongside the corpus, so the recurring job's scan is
+    hashes, not text), the batch anti-joins on the hash (shuffle carries
+    32 B keys), and the within-batch collapse is a per-hash window over
+    batch-sized data. Returns the per-language batch report — n_batch /
+    n_kept / n_dropped — the numbers an incremental curation run logs."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % INCREMENT_MOD == INCREMENT_MOD - 1
+    batch = docs.filter(is_batch).select(
+        "doc_id", "lang", F.sha2(F.col("text"), 256).alias("content_hash")
+    )
+    base_hashes = (
+        docs.filter(~is_batch)
+        .select(F.sha2(F.col("text"), 256).alias("content_hash"))
+        .distinct()
+    )
+    fresh = batch.join(base_hashes, "content_hash", "left_anti")
+    w = Window.partitionBy("content_hash")
+    kept = fresh.withColumn("min_id", F.min("doc_id").over(w)).filter(
+        F.col("doc_id") == F.col("min_id")
+    )
+    n_kept = F.coalesce(F.col("n_kept"), F.lit(0)).cast("long")
+    return (
+        batch.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_batch"))
+        .join(
+            kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept")),
+            "lang",
+            "left",
+        )
+        .select(
+            "lang",
+            "n_batch",
+            n_kept.alias("n_kept"),
+            (F.col("n_batch") - n_kept).alias("n_dropped"),
+        )
+        .orderBy("lang")
+    )
+
+
+DEDUP_INCREMENTAL_SQL = f"""
+WITH batch AS (
+  SELECT doc_id, lang, sha256(text) AS content_hash
+  FROM documents WHERE doc_id % {INCREMENT_MOD} = {INCREMENT_MOD - 1}),
+base_h AS (
+  SELECT DISTINCT sha256(text) AS content_hash
+  FROM documents WHERE doc_id % {INCREMENT_MOD} <> {INCREMENT_MOD - 1}),
+fresh AS (
+  SELECT b.* FROM batch b WHERE NOT EXISTS (
+    SELECT 1 FROM base_h h WHERE h.content_hash = b.content_hash)),
+kept AS (
+  SELECT lang, COUNT(*) AS n_kept FROM (
+    SELECT lang, ROW_NUMBER() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+    FROM fresh) f WHERE rn = 1 GROUP BY lang),
+tot AS (SELECT lang, COUNT(*) AS n_batch FROM batch GROUP BY lang)
+SELECT t.lang, t.n_batch, CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+       t.n_batch - CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_dropped
+FROM tot t LEFT JOIN kept k ON k.lang = t.lang
+ORDER BY t.lang
 """
 
 
@@ -1152,6 +1233,7 @@ ORDER BY d1, d2
 
 DEDUP_QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_incremental": (dedup_incremental, DEDUP_INCREMENTAL_SQL),
     "dedup_canonical": (dedup_canonical, DEDUP_CANONICAL_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
     "minhash_signatures": (minhash_signatures, MINHASH_SIGNATURES_SQL),

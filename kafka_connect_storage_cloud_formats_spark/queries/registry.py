@@ -258,17 +258,19 @@ ROTATED_FOR_ROUND = 10
 
 _STALE_AFTER_R9 = [
     # NEW this round (never driver-evidenced — they lead the window):
-    # the trained-quantizer IVF serving trio, whose oracles REPLAY the
-    # full k-means training in SQL (operators/kmeans_ivf.py), and the
+    # the trained-quantizer IVF serving family, whose oracles REPLAY the
+    # full k-means training in SQL (operators/kmeans_ivf.py), the
     # training-sequence packing pair (operators/training_pipeline.py) —
     # the round-9 verdict's lead item (both shipped r9 without oracle
-    # rows; now registered with full hash gates).
+    # rows; now registered with full hash gates) — and the incremental
+    # new-batch-vs-published-corpus dedup (operators/dedup.py).
     "ivf_kmeans_topk",
     "ivf_kmeans_topk_pruned",
     "ivf_kmeans_index_build",
     "ivf_kmeans_recall_at_10",
     "pack_training_sequences",
     "packed_sequence_stats",
+    "dedup_incremental",
     # the 42 registered queries whose latest driver rows are r8-vintage
     # (tools/rotate_registry.py) — they fill the r10 window so the
     # ≤1-round-stale invariant holds an eighth consecutive round
@@ -302,8 +304,9 @@ _CHANGED_THIS_ROUND = [
     #   fresh row certifies the shipped expression.
     "salted_cohort_activity",
 ]
-# Out-of-window transits, documented (49 of the 50 window slots are
-# claimed above; the last slot follows registration order):
+# Out-of-window transits, documented (all 50 window slots are claimed
+# above — 7 never-evidenced debuts, 42 r8-vintage refreshes,
+# salted_cohort_activity):
 # 1. The prepared-plan cache now records the artifact paths each builder
 #    consumed and re-runs the throttled generation check on every HIT
 #    (round-10 ADVICE; see the cache comment above). Transits every

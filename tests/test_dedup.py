@@ -660,3 +660,32 @@ def test_simhash_two_stage_blocking_result_identical(spark, sf_dir):
         out[two] = sorted(map(tuple, res.collect()))
     assert out[True] == out[False]
     assert cands[True] <= cands[False]
+
+
+def test_dedup_incremental_semantics(spark, tmp_path):
+    """Incremental dedup on a crafted split: a batch doc whose content the
+    corpus already has is dropped; within-batch duplicates collapse to one
+    kept copy; fresh content survives — counted per language."""
+    from kafka_connect_storage_cloud_formats_spark.operators.dedup import (
+        dedup_incremental,
+    )
+
+    rows = [
+        # corpus side (doc_id % 5 != 4)
+        (0, "shared-a", "en"),
+        (1, "corpus-only", "en"),
+        # batch side (doc_id % 5 == 4)
+        (4, "shared-a", "en"),        # corpus already has it → dropped
+        (9, "batch-fresh", "en"),     # kept (smallest id of its content)
+        (14, "batch-fresh", "en"),    # within-batch duplicate → dropped
+        (19, "batch-fresh-fr", "fr"),  # kept
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    out = {
+        r["lang"]: (r["n_batch"], r["n_kept"], r["n_dropped"])
+        for r in dedup_incremental(spark, sf).collect()
+    }
+    assert out == {"en": (3, 1, 2), "fr": (1, 1, 0)}
