@@ -188,3 +188,80 @@ def test_kmeans_pruned_index_matches_live_probe(spark, sf_dir):
             )
         )
         assert pruned == live
+
+
+def test_kmeans_sql_replay_parity_on_adversarial_corpus(spark, tmp_path):
+    """Engine-vs-DuckDB parity of the FULL training replay on a crafted
+    corpus hitting every edge the shipped corpora never exercise:
+    exact cosine TIES (duplicate one-hot vectors — argmax-first must
+    equal ROW_NUMBER's lowest-label in both engines), a ZERO VECTOR
+    (norm treated as 1 in the update; all-tie assignment → cluster 0),
+    a ZERO-NORM SEED CENTROID (scores -inf, captures nothing), and the
+    resulting EMPTY CLUSTERS (previous-centroid carry). The driver's
+    oracle gate certifies the real corpora; this pins the tie-break and
+    degenerate-geometry parity those corpora can't reach."""
+    import duckdb
+    import numpy as np
+
+    from kafka_connect_storage_cloud_formats_spark.operators.kmeans_ivf import (
+        _kmeans_training_ctes,
+        train_kmeans_quantizer,
+    )
+    from kafka_connect_storage_cloud_formats_spark.operators.similarity import DIM
+
+    def vec(*hot):
+        v = np.zeros(DIM, dtype=np.float32)
+        for i, w in hot:
+            v[i] = w
+        return [float(x) for x in v]
+
+    rows = [
+        (0, vec()),                     # zero vector, and the FIRST SEED → zero-norm centroid
+        (1, vec((0, 1.0))),             # seed 2: e0
+        (2, vec((1, 1.0))),             # seed 3: e1
+        (3, vec((0, 1.0))),             # duplicate of e0 (tie mass)
+        (4, vec((0, 1.0), (1, 1.0))),   # exactly between e0 and e1 → tie
+        (5, vec((1, 2.0))),             # scaled e1 (same direction)
+        (6, vec((2, 1.0))),             # orthogonal to both seeds
+        (7, vec((0, -1.0))),            # anti-parallel to e0
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).withColumn("label", (F.col("vec_id") % 2).cast("long")).write.parquet(
+        f"{sf}/embeddings.parquet"
+    )
+
+    k, iters = 3, 2
+    assignment, cents = train_kmeans_quantizer(spark, sf, k=k, iters=iters)
+    got_assign = sorted((r["vec_id"], r["cluster"]) for r in assignment.collect())
+    got_cents = sorted(
+        (r["label"], r["dim"], r["centroid"]) for r in cents.collect()
+    )
+
+    con = duckdb.connect()
+    # Spark writes a parquet DIRECTORY; the driver's corpora are single
+    # files, so the gate's bare-path read works there — glob here.
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf}/embeddings.parquet/*.parquet')"
+    )
+    train, fi = _kmeans_training_ctes(k, iters)
+    sql_assign = con.sql(
+        f"WITH {train} SELECT vec_id, cluster FROM cl{fi} ORDER BY vec_id"
+    ).fetchall()
+    sql_cents = con.sql(
+        f"WITH {train} SELECT label, dim, centroid FROM u{fi} ORDER BY label, dim"
+    ).fetchall()
+    assert got_assign == sorted((int(v), int(c)) for v, c in sql_assign)
+    # exact doubles — the replay must match the trainer to the last ulp
+    assert got_cents == sorted((int(l), int(d), float(c)) for l, d, c in sql_cents)
+    # the crafted geometry actually exercised the edges: the zero-norm
+    # seed centroid scores -inf (captures NOTHING — cluster 0 is empty,
+    # exercising the carry), the zero vector's remaining all-0 tie lands
+    # on the lowest live label in BOTH engines, and vec 4's exact
+    # e0-vs-e1 tie resolves low
+    by_vec = dict(got_assign)
+    assert 0 not in set(by_vec.values())  # zero-norm seed captured nothing
+    assert by_vec[0] == 1  # all-tie among live cells → lowest label
+    assert by_vec[4] == min(by_vec[1], by_vec[2])  # exact tie resolved low
