@@ -66,7 +66,7 @@ _ALL.update(SIMILARITY_QUERIES)
 # Trained-quantizer IVF serving tier (round 10): the label-quantizer
 # ivf_topk/ivf_topk_pruned/ivf_recall_at_10 entries above stay registered
 # as the DEGENERATE BASELINE (an untrained coarse quantizer — recall@10
-# 0.15 at nprobe=1); the ivf_kmeans_* trio is the serving default a 100 TB
+# 0.15 at nprobe=1); the ivf_kmeans_* family is the serving default a 100 TB
 # deployment should run (~2× recall at identical probe cost, SCALE.md).
 _ALL.update(KMEANS_IVF_QUERIES)
 _ALL.update(MULTIMODAL_QUERIES)
@@ -319,7 +319,7 @@ _CHANGED_THIS_ROUND = [
 #    to per-dimension left-associated accumulation (and centroid norms
 #    to the same _seq_dot loop) so the training is SQL-replayable; the
 #    artifact params token bumped cos→cosla. Measured ZERO assignment
-#    flips at sf0.1 (identical recall sweep); the consuming trio debuts
+#    flips at sf0.1 (identical recall sweep); the consuming family debuts
 #    in-window anyway, so the change is fully driver-certified.
 _PRIORITY = _STALE_AFTER_R9 + _CHANGED_THIS_ROUND
 

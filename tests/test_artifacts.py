@@ -1015,6 +1015,26 @@ def test_plan_cache_hit_revalidates_consumed_artifacts(spark, tmp_path, monkeypa
     assert df4.count() == 5
 
 
+def test_plan_cache_entries_record_consumed_artifacts(spark):
+    """Guard-the-guard: if the consumed-artifact recording silently broke
+    (an artifact open path that stops calling _record_consumed), hit-time
+    revalidation would still 'pass' while guarding nothing. Pin that a
+    REGISTERED artifact-backed query's cache entry carries a non-empty
+    consumed set."""
+    from kafka_connect_storage_cloud_formats_spark.queries import registry
+
+    registry._PLAN_CACHE.clear()
+    fn, _sql = registry.QUERIES["minhash_lsh_pairs"]  # signature-artifact-backed
+    fn(spark, "/root/testdata/sf0.001")
+    entries = [
+        v for k, v in registry._PLAN_CACHE.items() if k[1] == "minhash_lsh_pairs"
+    ]
+    assert entries, "registered artifact query must populate the plan cache"
+    consumed = entries[0][2]
+    assert consumed, "the builder's consumed artifact paths must be recorded"
+    assert all("engine_" in p for p in consumed), consumed
+
+
 def test_generation_marker_ignores_hidden_litter(tmp_path, spark):
     """Reader-invisible files (path segments starting '_'/'.') must not
     perturb the generation marker: a publish-race loser's nested _tmp
