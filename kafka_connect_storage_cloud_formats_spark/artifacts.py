@@ -182,32 +182,54 @@ def _tmp_path(path: str) -> str:
 # generation probe, which never runs once every consumer is a cache hit — an
 # external delete+rebuild under an unchanged corpus left a fully-cached
 # session on permanent FileNotFound).
-_RECORD_STACK: list[set] = []
+# Thread-LOCAL recorder stack (round-10 review): Spark drivers may run
+# concurrent actions from multiple Python threads, and a shared stack's
+# positional pop could discard ANOTHER thread's live recorder — its plan-
+# cache entry would then store an INCOMPLETE consumed set, silently
+# disabling exactly the hit-time revalidation this mechanism feeds. Each
+# thread records only its own window (a builder's artifact opens happen on
+# the thread that called the builder), and __exit__ removes by IDENTITY as
+# a second guard (two empty sets are ==-equal; a positional or equality
+# pop could still evict the wrong frame under re-entrancy).
+import threading as _threading
+
+_RECORD_TLS = _threading.local()
+
+
+def _record_stack() -> list:
+    stack = getattr(_RECORD_TLS, "stack", None)
+    if stack is None:
+        stack = _RECORD_TLS.stack = []
+    return stack
 
 
 class record_consumed_artifacts:
     """Context manager yielding the set of artifact paths ensured/opened
-    while active (re-entrant: nested recorders each get the full set of
-    their own window)."""
+    while active ON THIS THREAD (re-entrant: nested recorders each get
+    the full set of their own window)."""
 
     def __enter__(self):
-        s: set = set()
-        _RECORD_STACK.append(s)
-        return s
+        self._s: set = set()
+        _record_stack().append(self._s)
+        return self._s
 
     def __exit__(self, *exc) -> bool:
-        _RECORD_STACK.pop()
+        stack = _record_stack()
+        for i in range(len(stack) - 1, -1, -1):
+            if stack[i] is self._s:
+                del stack[i]
+                break
         return False
 
 
 def _record_consumed(path: str) -> None:
-    for s in _RECORD_STACK:
+    for s in _record_stack():
         s.add(path)
 
 
 def _probe_and_refresh(
     app: str | None, path: str, spark: SparkSession | None, last_gen: str | None
-) -> tuple[str | None, bool]:
+) -> tuple[str | None, bool, "_HadoopFS"]:
     """THE generation-probe + liveness-touch + memo-refresh step, shared by
     :func:`ensure_artifact`'s fast path and :func:`revalidate_artifact`
     (one definition — the two consumers of the staleness protocol must not
@@ -217,18 +239,21 @@ def _probe_and_refresh(
     plan caches clear); ``changed`` means another driver deleted+rebuilt it
     at the same content key (dependent DataFrame plans are dropped — their
     file indexes list the dead part files — and listeners fire), while the
-    refreshed memo records the LIVE generation either way."""
+    refreshed memo records the LIVE generation either way. The built FS
+    wrapper rides the return so a vanished-artifact caller reuses it for
+    the rebuild instead of paying _fs_for's JVM round-trips twice
+    (round-10 review — restores the pre-refactor reuse)."""
     fs = _fs_for(path, spark)
     gen = fs.generation(path)
     if gen is None:
         invalidate_session_memo(path)  # fires listeners via _drop_df_cache
-        return None, False
+        return None, False, fs
     changed = last_gen is not None and gen != last_gen
     if changed:
         _drop_df_cache(path)
     fs.touch(path)
     _remember_ensured(app, path, gen)
-    return gen, changed
+    return gen, changed, fs
 
 
 def revalidate_artifact(path: str, spark: SparkSession) -> bool:
@@ -245,7 +270,7 @@ def revalidate_artifact(path: str, spark: SparkSession) -> bool:
     last = _ENSURED.get((app, path))
     if last is not None and time.monotonic() - last[0] < ARTIFACT_TOUCH_INTERVAL_S:
         return True
-    gen, changed = _probe_and_refresh(
+    gen, changed, _fs = _probe_and_refresh(
         app, path, spark, last[1] if last is not None else None
     )
     return gen is not None and not changed
@@ -309,7 +334,7 @@ def ensure_artifact(
             # mutation a bare exists probe cannot see (the same
             # generation idea _ensure_bucketed_table uses for its
             # REFRESH TABLE decision).
-            gen, _changed = _probe_and_refresh(app, path, spark, last_gen)
+            gen, _changed, fs = _probe_and_refresh(app, path, spark, last_gen)
             if gen is not None:
                 return path
             probed_missing = True  # vanished externally → rebuild below

@@ -92,7 +92,24 @@ def dot_vec(a: pd.Series, b: pd.Series) -> pd.Series:
 @pandas_udf(DoubleType())
 def l2_norm_vec(a: pd.Series) -> pd.Series:
     A = _stack64(a)
-    return pd.Series(np.sqrt(_seq_dot(A, A)))
+    n = np.sqrt(_seq_dot(A, A))
+    # Zero-norm vectors fail LOUDLY (round-10 review): cosine similarity
+    # is undefined on them, and the downstream division's rendering
+    # DIVERGES between engines (Spark ANSI raises / non-ANSI NaN; DuckDB
+    # NULL) — so a corpus containing one would silently break the oracle
+    # hash gate instead of producing an answer. Same corpus-contract
+    # enforcement as _stack64's NULL/ragged guards; every similarity
+    # tier's corpus side flows through this norm (_with_norm). The
+    # k-means TRAINER deliberately tolerates zero vectors (norm-1 update,
+    # deterministic all-tie assignment) — it computes norms on its own
+    # path, not here.
+    if (n == 0.0).any():
+        raise ValueError(
+            f"{int((n == 0.0).sum())} zero-norm embedding(s) in batch: "
+            "cosine similarity is undefined on zero vectors — filter or "
+            "impute upstream (corpus contract)"
+        )
+    return pd.Series(n)
 
 
 def hyperplane_signature_udf(planes):

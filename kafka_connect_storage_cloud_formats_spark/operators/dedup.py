@@ -100,22 +100,29 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-corpus; real pipelines run those once, then this incrementally
     per batch.
 
-    Scale shape: the corpus side is reduced to DISTINCT 32-hex content
-    hashes before the join (map-side partial aggregation; at 100 TB this
-    hash set is exactly what a production pipeline maintains as a
-    persisted table alongside the corpus, so the recurring job's scan is
-    hashes, not text), the batch anti-joins on the hash (shuffle carries
-    32 B keys), and the within-batch collapse is a per-hash window over
-    batch-sized data. Returns the per-language batch report — n_batch /
-    n_kept / n_dropped — the numbers an incremental curation run logs."""
+    Scale shape: the corpus side is reduced to DISTINCT 32-BYTE binary
+    content hashes (``unhex(sha2)`` — half the bytes of the hex string
+    form; round-10 review) before the join — map-side partial
+    aggregation; at 100 TB this hash set is exactly what a production
+    pipeline maintains as a persisted table alongside the corpus, so the
+    recurring job's scan is hashes, not text. The batch anti-joins on
+    the hash (the shuffle carries 32 B keys) and the within-batch
+    collapse is a per-hash window over batch-sized data. The hash never
+    reaches the output (per-language counts only), so the key
+    representation is a pure internal choice — the oracle replays the
+    logic over its own hex strings (unhex is injective: identical
+    groups/anti-join either way). Returns the per-language batch report
+    — n_batch / n_kept / n_dropped — the numbers an incremental curation
+    run logs."""
     docs = load_table(spark, sf_dir, "documents")
+    content_hash = F.unhex(F.sha2(F.col("text"), 256))
     is_batch = F.col("doc_id") % INCREMENT_MOD == INCREMENT_MOD - 1
     batch = docs.filter(is_batch).select(
-        "doc_id", "lang", F.sha2(F.col("text"), 256).alias("content_hash")
+        "doc_id", "lang", content_hash.alias("content_hash")
     )
     base_hashes = (
         docs.filter(~is_batch)
-        .select(F.sha2(F.col("text"), 256).alias("content_hash"))
+        .select(content_hash.alias("content_hash"))
         .distinct()
     )
     fresh = batch.join(base_hashes, "content_hash", "left_anti")

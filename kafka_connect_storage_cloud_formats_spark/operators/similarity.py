@@ -20,6 +20,18 @@ starting at 0.0 — both engines execute the same IEEE ops in the same order,
 so doubles match to the last ulp. Spark's ``F.aggregate`` fold and an
 explicit ``0.0 + t1 + ... + tN`` SQL chain have identical association.
 
+Corpus contract (enforced loudly, round-10 review): embeddings must be
+non-NULL, fixed-dimension, and NON-ZERO-NORM — cosine is undefined on a
+zero vector and the engines' division renderings diverge (Spark ANSI
+raises / non-ANSI NaN; DuckDB NULL), so a zero vector would break the
+oracle hash gate silently instead of answering. The NULL/ragged guards
+live in ``functions.vectors._stack64``; the zero-norm guard in
+``l2_norm_vec`` (every ``_with_norm`` tier) and in the kNN kernel's own
+norm computations. The k-means TRAINER (operators/kmeans_ivf.py) is the
+deliberate exception: training tolerates zero vectors deterministically
+(norm-1 update, all-tie assignment) — only its serving PROBE requires
+this contract.
+
 Reference parity note: the reference repo (kafka-connect-storage-cloud-
 formats) has no similarity surface at all — these operators are the
 BASELINE.json north-star extensions ("LLM-data-pipeline operators …
@@ -192,6 +204,15 @@ def knn_bruteforce(
     base = _load(spark, sf_dir).select("vec_id", "embedding")
     q_ids, Qm = _collect_query_matrix(base, query_ids)
     q_norm = np.sqrt(_seq_dot(Qm, Qm))
+    # zero-norm contract (round-10 review): cosine is undefined on zero
+    # vectors and the engines' NaN/NULL renderings diverge — refuse
+    # loudly, same as l2_norm_vec on the _with_norm tiers (this tier's
+    # norms are computed in its own kernel, so it enforces its own gate)
+    if (q_norm == 0.0).any():
+        raise ValueError(
+            "zero-norm query vector(s): cosine similarity is undefined — "
+            "filter or impute upstream (corpus contract)"
+        )
 
     def score_batches(batches):
         for pdf in batches:
@@ -200,6 +221,12 @@ def knn_bruteforce(
             E = _stack64(pdf["embedding"])
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             n_norm = np.sqrt(_seq_dot(E, E))
+            if (n_norm == 0.0).any():
+                raise ValueError(
+                    f"{int((n_norm == 0.0).sum())} zero-norm embedding(s) "
+                    "in batch: cosine similarity is undefined — filter or "
+                    "impute upstream (corpus contract)"
+                )
             # per-dimension left-associated accumulation over the Q×B block:
             # same IEEE chain per (q, n) cell as the row-at-a-time oracle
             acc = np.zeros((len(q_ids), len(ids)), dtype=np.float64)

@@ -1015,6 +1015,45 @@ def test_plan_cache_hit_revalidates_consumed_artifacts(spark, tmp_path, monkeypa
     assert df4.count() == 5
 
 
+def test_consumed_artifact_recorder_is_thread_isolated():
+    """Round-10 review: the recorder stack is thread-local and exits by
+    identity — a recorder closing on one thread must never evict another
+    thread's live frame (a positional pop could, leaving that thread's
+    plan-cache entry with an incomplete consumed set and silently
+    disabling hit-time revalidation)."""
+    import threading
+
+    from kafka_connect_storage_cloud_formats_spark import artifacts as A
+
+    start_b = threading.Event()
+    a_done = threading.Event()
+    results: dict = {}
+
+    def thread_a():
+        with A.record_consumed_artifacts() as seen:
+            A._record_consumed("/art/a1")
+            start_b.set()  # B opens its recorder while A's is live
+            # wait for B to have opened (bounded)
+            b_open.wait(5)
+        a_done.set()  # A's frame closed; B's must survive
+        results["a"] = set(seen)
+
+    b_open = threading.Event()
+
+    def thread_b():
+        start_b.wait(5)
+        with A.record_consumed_artifacts() as seen:
+            b_open.set()
+            a_done.wait(5)  # A exits first — the cross-thread hazard
+            A._record_consumed("/art/b1")  # must still be recorded
+            results["b"] = set(seen)
+
+    ta, tb = threading.Thread(target=thread_a), threading.Thread(target=thread_b)
+    ta.start(); tb.start(); ta.join(10); tb.join(10)
+    assert results["a"] == {"/art/a1"}  # B's paths never leak into A
+    assert results["b"] == {"/art/b1"}  # A's exit never evicted B's frame
+
+
 def test_plan_cache_entries_record_consumed_artifacts(spark):
     """Guard-the-guard: if the consumed-artifact recording silently broke
     (an artifact open path that stops calling _record_consumed), hit-time

@@ -310,3 +310,32 @@ def test_query_matrix_missing_explicit_ids_raise(spark, sf_dir):
     real = [r["vec_id"] for r in emb.select("vec_id").limit(2).collect()]
     with pytest.raises(ValueError, match="not present"):
         S.knn_bruteforce(spark, sf_dir, query_ids=real + [10**15])
+
+
+def test_zero_norm_vectors_refused_loudly(spark, tmp_path):
+    """Corpus contract (round-10 review): a zero-norm embedding makes
+    cosine undefined and the engines' division renderings diverge (ANSI
+    raise / NaN vs NULL) — the similarity tiers must refuse loudly, on
+    both the kNN kernel path and the _with_norm path, instead of silently
+    hash-diverging from the oracle."""
+    import pytest
+
+    from kafka_connect_storage_cloud_formats_spark.operators.similarity import (
+        _with_norm,
+        knn_bruteforce,
+    )
+
+    rows = [(i, [0.0] * 64 if i == 50 else [float(i % 7 + 1)] * 64, i % 2)
+            for i in range(120)]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label long"
+    ).write.parquet(f"{sf}/embeddings.parquet")
+
+    # kernel path: the zero vector is a query (vec_id 50 % 50 == 0)
+    with pytest.raises(Exception, match="zero-norm"):
+        knn_bruteforce(spark, sf).collect()
+    # _with_norm path (every IVF/LSH/SQ8 corpus side)
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    with pytest.raises(Exception, match="zero-norm"):
+        _with_norm(emb).collect()
