@@ -321,6 +321,17 @@ _CHANGED_THIS_ROUND = [
 #    artifact params token bumped cos→cosla. Measured ZERO assignment
 #    flips at sf0.1 (identical recall sweep); the consuming family debuts
 #    in-window anyway, so the change is fully driver-certified.
+# 3. The zero-norm corpus guards (round-10 review) transit every
+#    similarity tier: l2_norm_vec now REFUSES zero-norm embeddings
+#    (_with_norm corpus sides — ann/ivf/sq8/embedding-cosine), and
+#    knn_bruteforce's kernel + query matrix gained the same check.
+#    Result-neutral BY CONSTRUCTION on any corpus the tiers previously
+#    answered correctly (a zero vector made cosine undefined and the
+#    engines' renderings diverge — the guard turns silent divergence
+#    into a loud refusal; the shipped corpora contain none). All
+#    transited queries re-verified hash-green at sf0.01 with --repeat
+#    and under local-cluster on final HEAD; the refusal is unit-pinned
+#    on a synthetic zero-vector corpus (tests/test_similarity.py).
 _PRIORITY = _STALE_AFTER_R9 + _CHANGED_THIS_ROUND
 
 QUERIES: dict = {n: _ALL[n] for n in _PRIORITY if n in _ALL}
