@@ -205,18 +205,27 @@ def _record_stack() -> list:
 
 class record_consumed_artifacts:
     """Context manager yielding the set of artifact paths ensured/opened
-    while active ON THIS THREAD (re-entrant: nested recorders each get
-    the full set of their own window)."""
+    while active ON THIS THREAD (re-entrant: nested ``with`` blocks each
+    get the full set of their own window — including re-entering one
+    instance, whose frames stack per ``__enter__`` so the inner exit can
+    never orphan the outer frame; round-10 second review). An instance is
+    NOT shareable across threads (each call site opens its own, and the
+    recording stack itself is thread-local)."""
+
+    def __init__(self) -> None:
+        self._frames: list = []
 
     def __enter__(self):
-        self._s: set = set()
-        _record_stack().append(self._s)
-        return self._s
+        s: set = set()
+        self._frames.append(s)
+        _record_stack().append(s)
+        return s
 
     def __exit__(self, *exc) -> bool:
+        s = self._frames.pop()
         stack = _record_stack()
         for i in range(len(stack) - 1, -1, -1):
-            if stack[i] is self._s:
+            if stack[i] is s:
                 del stack[i]
                 break
         return False
@@ -233,7 +242,7 @@ def _probe_and_refresh(
     """THE generation-probe + liveness-touch + memo-refresh step, shared by
     :func:`ensure_artifact`'s fast path and :func:`revalidate_artifact`
     (one definition — the two consumers of the staleness protocol must not
-    drift, round-10 review). Returns ``(generation, changed)``:
+    drift, round-10 review). Returns ``(generation, changed, fs)``:
     generation ``None`` means the artifact VANISHED externally (the session
     memo is invalidated and the invalidation listeners fire, so dependent
     plan caches clear); ``changed`` means another driver deleted+rebuilt it

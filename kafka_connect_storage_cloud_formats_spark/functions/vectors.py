@@ -89,27 +89,33 @@ def dot_vec(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(_seq_dot(A, B))
 
 
+def require_nonzero_norms(n: np.ndarray, what: str) -> np.ndarray:
+    """THE zero-norm corpus-contract guard (one definition — round-10
+    second review; the same one-copy rule as ``_stack64``'s NULL/ragged
+    guards it sits beside): cosine similarity is undefined on a zero
+    vector, and the downstream division's rendering DIVERGES between
+    engines (Spark ANSI raises / non-ANSI NaN; DuckDB NULL) — on the
+    ranking tiers that silently breaks the oracle hash gate, so the
+    contract refuses loudly and uniformly instead. Used by
+    ``l2_norm_vec`` (every ``_with_norm`` corpus side) and the kNN
+    kernel's own norm computations; the IVF probe's pure-JVM subtrees
+    enforce the same contract with a ``raise_error`` branch
+    (similarity._ivf_probe — Python guards are barred from the DPP
+    subtree). The k-means TRAINER deliberately tolerates zero vectors
+    (norm-1 update, deterministic all-tie assignment)."""
+    if (n == 0.0).any():
+        raise ValueError(
+            f"{int((n == 0.0).sum())} zero-norm {what}: cosine similarity "
+            "is undefined on zero vectors — filter or impute upstream "
+            "(corpus contract)"
+        )
+    return n
+
+
 @pandas_udf(DoubleType())
 def l2_norm_vec(a: pd.Series) -> pd.Series:
     A = _stack64(a)
-    n = np.sqrt(_seq_dot(A, A))
-    # Zero-norm vectors fail LOUDLY (round-10 review): cosine similarity
-    # is undefined on them, and the downstream division's rendering
-    # DIVERGES between engines (Spark ANSI raises / non-ANSI NaN; DuckDB
-    # NULL) — so a corpus containing one would silently break the oracle
-    # hash gate instead of producing an answer. Same corpus-contract
-    # enforcement as _stack64's NULL/ragged guards; every similarity
-    # tier's corpus side flows through this norm (_with_norm). The
-    # k-means TRAINER deliberately tolerates zero vectors (norm-1 update,
-    # deterministic all-tie assignment) — it computes norms on its own
-    # path, not here.
-    if (n == 0.0).any():
-        raise ValueError(
-            f"{int((n == 0.0).sum())} zero-norm embedding(s) in batch: "
-            "cosine similarity is undefined on zero vectors — filter or "
-            "impute upstream (corpus contract)"
-        )
-    return pd.Series(n)
+    return pd.Series(require_nonzero_norms(np.sqrt(_seq_dot(A, A)), "embedding(s) in batch"))
 
 
 def hyperplane_signature_udf(planes):

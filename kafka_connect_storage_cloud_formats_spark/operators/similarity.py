@@ -203,16 +203,15 @@ def knn_bruteforce(
 
     base = _load(spark, sf_dir).select("vec_id", "embedding")
     q_ids, Qm = _collect_query_matrix(base, query_ids)
-    q_norm = np.sqrt(_seq_dot(Qm, Qm))
-    # zero-norm contract (round-10 review): cosine is undefined on zero
-    # vectors and the engines' NaN/NULL renderings diverge — refuse
-    # loudly, same as l2_norm_vec on the _with_norm tiers (this tier's
-    # norms are computed in its own kernel, so it enforces its own gate)
-    if (q_norm == 0.0).any():
-        raise ValueError(
-            "zero-norm query vector(s): cosine similarity is undefined — "
-            "filter or impute upstream (corpus contract)"
-        )
+    # zero-norm contract enforced by the shared guard (one definition —
+    # functions.vectors.require_nonzero_norms): this tier computes norms
+    # in its own kernel rather than through l2_norm_vec, so it applies
+    # the guard at both of its norm sites
+    from kafka_connect_storage_cloud_formats_spark.functions.vectors import (
+        require_nonzero_norms,
+    )
+
+    q_norm = require_nonzero_norms(np.sqrt(_seq_dot(Qm, Qm)), "query vector(s)")
 
     def score_batches(batches):
         for pdf in batches:
@@ -220,13 +219,9 @@ def knn_bruteforce(
                 continue
             E = _stack64(pdf["embedding"])
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            n_norm = np.sqrt(_seq_dot(E, E))
-            if (n_norm == 0.0).any():
-                raise ValueError(
-                    f"{int((n_norm == 0.0).sum())} zero-norm embedding(s) "
-                    "in batch: cosine similarity is undefined — filter or "
-                    "impute upstream (corpus contract)"
-                )
+            n_norm = require_nonzero_norms(
+                np.sqrt(_seq_dot(E, E)), "embedding(s) in batch"
+            )
             # per-dimension left-associated accumulation over the Q×B block:
             # same IEEE chain per (q, n) cell as the row-at-a-time oracle
             acc = np.zeros((len(q_ids), len(ids)), dtype=np.float64)
@@ -539,6 +534,24 @@ def _ivf_probe(
     top-k are nprobe-blind."""
     if nprobe < 1:
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+
+    def _jvm_nonzero(norm_col, what: str):
+        # zero-norm contract on the PROBE's own subtrees (round-10 second
+        # review): the query side and the centroid table never pass
+        # through l2_norm_vec (the assignment subtree must stay pure-JVM
+        # for DPP — tests pin zero Python stages in it), so the loud
+        # refusal is a JVM branch: no-op on every valid row, raise_error
+        # on a zero norm instead of NaN cosines that silently diverge
+        # from the oracle's NULL rendering.
+        return F.when(norm_col > 0.0, norm_col).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"zero-norm {what}: cosine similarity is undefined — "
+                    "filter or impute upstream (corpus contract)"
+                )
+            )
+        )
+
     cents = (
         cent_long.groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("dim", "centroid"))).alias("cd"))
@@ -546,13 +559,15 @@ def _ivf_probe(
             F.col("label").alias("c_label"),
             F.transform("cd", lambda s: s["centroid"]).alias("c_emb"),
         )
-        .withColumn("c_norm", F.sqrt(_jvm_dot("c_emb", "c_emb")))
+        .withColumn("c_norm", _jvm_nonzero(F.sqrt(_jvm_dot("c_emb", "c_emb")), "centroid"))
     )
     q = _load(spark, sf_dir).filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
     )
-    q = q.withColumn("q_norm", F.sqrt(_jvm_dot("q_emb", "q_emb")))
+    q = q.withColumn(
+        "q_norm", _jvm_nonzero(F.sqrt(_jvm_dot("q_emb", "q_emb")), "query vector")
+    )
     ccos = _jvm_dot("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm"))
     wa = Window.partitionBy("q_id").orderBy(F.desc("ccos"), F.asc("c_label"))
     assigned = (

@@ -322,16 +322,20 @@ _CHANGED_THIS_ROUND = [
 #    flips at sf0.1 (identical recall sweep); the consuming family debuts
 #    in-window anyway, so the change is fully driver-certified.
 # 3. The zero-norm corpus guards (round-10 review) transit every
-#    similarity tier: l2_norm_vec now REFUSES zero-norm embeddings
-#    (_with_norm corpus sides — ann/ivf/sq8/embedding-cosine), and
-#    knn_bruteforce's kernel + query matrix gained the same check.
-#    Result-neutral BY CONSTRUCTION on any corpus the tiers previously
-#    answered correctly (a zero vector made cosine undefined and the
-#    engines' renderings diverge — the guard turns silent divergence
-#    into a loud refusal; the shipped corpora contain none). All
-#    transited queries re-verified hash-green at sf0.01 with --repeat
-#    and under local-cluster on final HEAD; the refusal is unit-pinned
-#    on a synthetic zero-vector corpus (tests/test_similarity.py).
+#    similarity tier: l2_norm_vec REFUSES zero-norm embeddings
+#    (_with_norm corpus sides), knn_bruteforce's kernel + query matrix
+#    apply the same shared guard, and _ivf_probe's pure-JVM query/
+#    centroid subtrees enforce it with a raise_error branch (Python
+#    guards are barred from the DPP subtree). Result-neutral on every
+#    corpus WITHOUT zero vectors (all shipped corpora — re-verified
+#    hash-green at sf0.01 with --repeat and under local-cluster on
+#    final HEAD). On a corpus WITH one, behavior changes deliberately:
+#    the ranking tiers previously hash-DIVERGED silently (Spark NaN vs
+#    DuckDB NULL orderings) and the threshold tier (embedding-cosine)
+#    happened to agree by dropping the row on both engines — the
+#    contract now refuses uniformly instead of answering per-tier
+#    (unit-pinned on a synthetic zero-vector corpus,
+#    tests/test_similarity.py).
 _PRIORITY = _STALE_AFTER_R9 + _CHANGED_THIS_ROUND
 
 QUERIES: dict = {n: _ALL[n] for n in _PRIORITY if n in _ALL}

@@ -339,3 +339,13 @@ def test_zero_norm_vectors_refused_loudly(spark, tmp_path):
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     with pytest.raises(Exception, match="zero-norm"):
         _with_norm(emb).collect()
+    # IVF probe's pure-JVM query subtree (round-10 second review: the
+    # query side never passes l2_norm_vec — its guard is a raise_error
+    # branch, and on the DPP-pruned path the corpus-side guard can be
+    # bypassed entirely when the zero vector's partition isn't probed)
+    from kafka_connect_storage_cloud_formats_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    with pytest.raises(Exception, match="zero-norm"):
+        ivf_topk(spark, sf).collect()
