@@ -520,11 +520,14 @@ def _minhash_pairs_unsorted(
     return _pairs_from_sigs(sig, family=family)
 
 
-def _pairs_from_sigs(sig: DataFrame, family: str | None = None) -> DataFrame:
-    """Band + self-join over any signature table (family-agnostic: the
-    component comparisons and the banded equi-join work identically on hex
-    strings and longs; only the band-hash expression differs — xxhash64
-    takes the row components directly, no string concat)."""
+def _band_rows(sig: DataFrame, family: str | None = None) -> DataFrame:
+    """(doc_id, sig array, band_id, band_hash) rows from a signature table —
+    THE banding derivation, shared by the whole-corpus self-join pair tier
+    and the incremental batch-vs-corpus tier (one definition: the band
+    layout IS the candidate contract, so two copies could silently band
+    differently). Family-agnostic: the band-hash expression differs
+    (xxhash64 takes the components directly, no string concat), everything
+    downstream compares components by equality."""
     family = family or hash_family()
     # SQL-string expressions (a handful of F.expr calls instead of ~100
     # py4j round-trips building the array/struct/when trees — ~0.4 s of
@@ -542,14 +545,27 @@ def _pairs_from_sigs(sig: DataFrame, family: str | None = None) -> DataFrame:
         f"struct({b} AS band_id, {band_hash(b)} AS band_hash)"
         for b in range(LSH_BANDS)
     )
-    bands = sig.select(
+    return sig.select(
         F.col("doc_id"),
         F.expr(f"array({', '.join(comps)}) AS sig"),
         F.expr(f"explode(array({band_structs})) AS bb"),
     ).select("doc_id", "sig", "bb.band_id", "bb.band_hash")
+
+
+# matching-component count between two banded rows' full signatures —
+# est_jaccard's numerator (shared by the pair tier and the incremental tier)
+_SIG_MATCHES = " + ".join(
+    f"IF(a.sig[{k}] = b.sig[{k}], 1, 0)" for k in range(MINHASH_K)
+)
+
+
+def _pairs_from_sigs(sig: DataFrame, family: str | None = None) -> DataFrame:
+    """Band + self-join over any signature table (family-agnostic — see
+    :func:`_band_rows`)."""
+    bands = _band_rows(sig, family=family)
     a = bands.alias("a")
     b = bands.alias("b")
-    matches = " + ".join(f"IF(a.sig[{k}] = b.sig[{k}], 1, 0)" for k in range(MINHASH_K))
+    matches = _SIG_MATCHES
     return (
         a.join(
             b,
@@ -599,6 +615,152 @@ pairs AS (
 
 
 MINHASH_LSH_SQL = _minhash_pairs_ctes() + "SELECT d1, d2, est_jaccard FROM pairs ORDER BY d1, d2"
+
+
+# ----------------------------------------------------- incremental near-dup
+# Strong-match threshold for the incremental tier = the clustering tier's
+# strong-edge threshold (CLUSTER_MIN_EST_JACCARD below): the recurring job
+# drops from the batch exactly the documents the whole-corpus pipeline
+# would have clustered away. 6/12 matching components is exactly
+# representable, so the >= compare is engine-identical.
+NEARDUP_INCR_MIN_EST = 0.5
+
+
+def neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup — the recurring curation job's second stage
+    (after :func:`dedup_incremental`'s exact tier): a new crawl batch is
+    LSH-banded against the PUBLISHED corpus signature artifact, so the
+    corpus side never recomputes a shingle or a hash — at 100 TB the
+    whole-corpus tiers (minhash_lsh_pairs, neardup_clusters) run once per
+    corpus, then every batch drop pays only batch-sized signature compute
+    plus a banded join against the ~100 B/doc signature table.
+
+    Uses the same modular batch/corpus split as ``dedup_incremental``
+    (doc_id % INCREMENT_MOD == INCREMENT_MOD-1 plays the new batch).
+
+    Semantics (deterministic, SQL-replayable):
+    - **dropped_corpus** — batch docs sharing ≥1 LSH band with a corpus
+      doc at est_jaccard ≥ NEARDUP_INCR_MIN_EST (a strong near-dup of
+      published content).
+    - **dropped_within** — surviving batch docs with a strong banded pair
+      to a SMALLER-id batch doc (greedy-by-id suppression, the standard
+      streaming dedup rule — deliberately NOT transitive connected
+      components: a batch is small enough that greedy suppression is the
+      per-drop production shape, and the rule is one self-join instead of
+      an iterative loop).
+    - **kept** — the rest.
+
+    Returns the per-language batch report (n_batch / n_dropped_corpus /
+    n_dropped_within / n_kept) — the numbers the recurring run logs.
+
+    Scale shape: batch signatures are computed live (batch-sized shingle
+    explode — the honest per-drop cost); corpus signatures come from the
+    content-keyed artifact FILTERED to the corpus split (filter pushes to
+    the parquet scan); both joins shuffle only (band_id, band_hash) keys
+    with the 12-component signature riding along (~200 B/row); the
+    report is a batch-sized aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % INCREMENT_MOD == INCREMENT_MOD - 1
+    batch_docs = docs.filter(is_batch)
+    # live batch signatures; published-artifact corpus signatures
+    batch_bands = _band_rows(_minhash_sigs_from(batch_docs))
+    corpus_bands = _band_rows(
+        _ensure_minhash_sigs(spark, sf_dir).filter(
+            F.col("doc_id") % INCREMENT_MOD != INCREMENT_MOD - 1
+        )
+    )
+    strong = F.expr(
+        f"cast(({_SIG_MATCHES}) AS DOUBLE) / {MINHASH_K} >= {NEARDUP_INCR_MIN_EST}"
+    )
+    vs_corpus = (
+        batch_bands.alias("a")
+        .join(
+            corpus_bands.alias("b"),
+            F.expr("a.band_id = b.band_id AND a.band_hash = b.band_hash"),
+        )
+        .filter(strong)
+        .select(F.col("a.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    within = (
+        batch_bands.alias("a")
+        .join(
+            batch_bands.alias("b"),
+            F.expr(
+                "a.band_id = b.band_id AND a.band_hash = b.band_hash "
+                "AND a.doc_id < b.doc_id"
+            ),
+        )
+        .filter(strong)
+        .select(F.col("b.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    dc = F.col("dc").isNotNull()
+    dw = ~dc & F.col("dw").isNotNull()
+    return (
+        batch_docs.select("doc_id", "lang")
+        .join(vs_corpus.withColumn("dc", F.lit(1)), "doc_id", "left")
+        .join(within.withColumn("dw", F.lit(1)), "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_batch"),
+            F.sum(dc.cast("long")).alias("n_dropped_corpus"),
+            F.sum(dw.cast("long")).alias("n_dropped_within"),
+            F.sum((~dc & ~F.col("dw").isNotNull()).cast("long")).alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _neardup_incremental_sql() -> str:
+    """Oracle: replay batch + corpus signatures and the banding exactly as
+    MINHASH_LSH_SQL does (same md5-chunk family, same band layout), split
+    by the same modular rule, then the two strong-match joins and the
+    per-language report."""
+    band_exprs = ", ".join(
+        "md5("
+        + " || '|' || ".join(f"mh_{b * LSH_ROWS + r:02d}" for r in range(LSH_ROWS))
+        + f") AS band_{b}"
+        for b in range(LSH_BANDS)
+    )
+    same_band = " OR ".join(f"a.band_{i} = b.band_{i}" for i in range(LSH_BANDS))
+    matches = " + ".join(
+        f"CASE WHEN a.mh_{k:02d} = b.mh_{k:02d} THEN 1 ELSE 0 END"
+        for k in range(MINHASH_K)
+    )
+    all_mh = ", ".join(f"mh_{k:02d}" for k in range(MINHASH_K))
+    est = f"CAST(({matches}) AS DOUBLE) / {MINHASH_K}"
+    return (
+        _minhash_sql_core()
+        + f""",
+bands AS (SELECT doc_id, {all_mh}, {band_exprs} FROM sig),
+bband AS (SELECT * FROM bands WHERE doc_id % {INCREMENT_MOD} = {INCREMENT_MOD - 1}),
+cband AS (SELECT * FROM bands WHERE doc_id % {INCREMENT_MOD} <> {INCREMENT_MOD - 1}),
+vs_corpus AS (
+  SELECT DISTINCT a.doc_id FROM bband a JOIN cband b ON ({same_band})
+  WHERE {est} >= {NEARDUP_INCR_MIN_EST}),
+within AS (
+  SELECT DISTINCT b.doc_id FROM bband a JOIN bband b
+  ON a.doc_id < b.doc_id AND ({same_band})
+  WHERE {est} >= {NEARDUP_INCR_MIN_EST}),
+marked AS (
+  SELECT d.lang,
+         CASE WHEN v.doc_id IS NOT NULL THEN 1 ELSE 0 END AS dc,
+         CASE WHEN v.doc_id IS NULL AND w.doc_id IS NOT NULL THEN 1 ELSE 0 END AS dw
+  FROM documents d
+  LEFT JOIN vs_corpus v ON v.doc_id = d.doc_id
+  LEFT JOIN within w ON w.doc_id = d.doc_id
+  WHERE d.doc_id % {INCREMENT_MOD} = {INCREMENT_MOD - 1})
+SELECT lang, COUNT(*) AS n_batch,
+       CAST(SUM(dc) AS BIGINT) AS n_dropped_corpus,
+       CAST(SUM(dw) AS BIGINT) AS n_dropped_within,
+       CAST(SUM(1 - dc - dw) AS BIGINT) AS n_kept
+FROM marked GROUP BY lang ORDER BY lang
+"""
+    )
+
+
+NEARDUP_INCREMENTAL_SQL = _neardup_incremental_sql()
 
 
 # ------------------------------------------------------------------- SimHash
@@ -1245,6 +1407,7 @@ DEDUP_QUERIES = {
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
     "minhash_signatures": (minhash_signatures, MINHASH_SIGNATURES_SQL),
     "minhash_lsh_pairs": (minhash_lsh_pairs, MINHASH_LSH_SQL),
+    "neardup_incremental": (neardup_incremental, NEARDUP_INCREMENTAL_SQL),
     "simhash_fingerprints": (simhash_fingerprints, SIMHASH_SQL),
     "simhash_near_pairs": (simhash_near_pairs, SIMHASH_PAIRS_SQL),
     "neardup_clusters": (neardup_clusters, NEARDUP_CLUSTERS_SQL),

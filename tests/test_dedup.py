@@ -689,3 +689,64 @@ def test_dedup_incremental_semantics(spark, tmp_path):
         for r in dedup_incremental(spark, sf).collect()
     }
     assert out == {"en": (3, 1, 2), "fr": (1, 1, 0)}
+
+
+def test_neardup_incremental_semantics(spark, tmp_path):
+    """Incremental NEAR-dup on a crafted split: a batch doc whose text the
+    corpus already has LSH-matches at est_jaccard 1.0 and is dropped
+    against the corpus; a within-batch duplicate of a smaller-id batch doc
+    is dropped by the greedy-by-id rule; fresh content survives. Exact
+    duplicates make the fixture deterministic (every signature component
+    matches); the distinct-text rows are deterministic too (fixed texts →
+    fixed md5 chunks)."""
+    from kafka_connect_storage_cloud_formats_spark.operators.dedup import (
+        neardup_incremental,
+    )
+
+    rows = [
+        # corpus side (doc_id % 5 != 4)
+        (0, "alpha beta gamma delta words", "en"),
+        (1, "completely different corpus sentence here", "en"),
+        # batch side (doc_id % 5 == 4)
+        (4, "alpha beta gamma delta words", "en"),  # corpus near-dup → dropped_corpus
+        (9, "fresh unique batch content tokens", "en"),  # kept (smallest id)
+        (14, "fresh unique batch content tokens", "en"),  # within-batch dup of 9 → dropped_within
+        (19, "nouvelle phrase unique en lot", "fr"),  # kept
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    out = {
+        r["lang"]: (
+            r["n_batch"],
+            r["n_dropped_corpus"],
+            r["n_dropped_within"],
+            r["n_kept"],
+        )
+        for r in neardup_incremental(spark, sf).collect()
+    }
+    assert out == {"en": (3, 1, 1, 1), "fr": (1, 0, 0, 1)}
+
+
+def test_neardup_incremental_corpus_dup_excluded_from_within(spark, tmp_path):
+    """A batch doc dropped against the corpus is counted ONLY as
+    dropped_corpus even when it also near-dups a smaller batch doc (the
+    report's categories are disjoint: corpus match wins)."""
+    from kafka_connect_storage_cloud_formats_spark.operators.dedup import (
+        neardup_incremental,
+    )
+
+    rows = [
+        (0, "alpha beta gamma delta words", "en"),  # corpus
+        (4, "alpha beta gamma delta words", "en"),  # batch: corpus dup (and dup of nothing smaller)
+        (9, "alpha beta gamma delta words", "en"),  # batch: corpus dup AND dup of batch doc 4
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    [r] = neardup_incremental(spark, sf).collect()
+    assert (r["n_batch"], r["n_dropped_corpus"], r["n_dropped_within"], r["n_kept"]) == (
+        2, 2, 0, 0,
+    )
