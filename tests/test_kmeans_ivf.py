@@ -265,3 +265,22 @@ def test_kmeans_sql_replay_parity_on_adversarial_corpus(spark, tmp_path):
     assert 0 not in set(by_vec.values())  # zero-norm seed captured nothing
     assert by_vec[0] == 1  # all-tie among live cells → lowest label
     assert by_vec[4] == min(by_vec[1], by_vec[2])  # exact tie resolved low
+
+
+def test_registered_nprobe4_recall_row(spark, sf_dir):
+    """The serving-grade registered row (round-11): ivf_kmeans_recall_nprobe4
+    IS the public dial at nprobe=4 (one definition), and widening the probe
+    can only help — its recall dominates the nprobe=1 default's."""
+    from kafka_connect_storage_cloud_formats_spark.operators.kmeans_ivf import (
+        SERVING_NPROBE,
+        ivf_kmeans_recall_at_10,
+        ivf_kmeans_recall_nprobe4,
+    )
+
+    assert SERVING_NPROBE == 4
+    r4 = ivf_kmeans_recall_nprobe4(spark, sf_dir).collect()[0]
+    dial = ivf_kmeans_recall_at_10(spark, sf_dir, nprobe=4).collect()[0]
+    assert r4 == dial
+    r1 = ivf_kmeans_recall_at_10(spark, sf_dir, nprobe=1).collect()[0]
+    assert r4["recall"] >= r1["recall"]
+    assert r4["possible"] == r1["possible"]
