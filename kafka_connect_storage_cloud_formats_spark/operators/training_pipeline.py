@@ -168,6 +168,92 @@ def packed_sequence_stats(
     )
 
 
+def pack_sequence_spans(
+    spark: SparkSession, sf_dir: str, capacity: int = SEQ_CAPACITY
+) -> DataFrame:
+    """BOUNDARY-SPLITTING packing (round-10 verdict ask #5): where
+    :func:`pack_training_sequences` assigns each document whole to the
+    sequence containing its first token, this variant emits the SPLIT
+    SPANS — one row per (document, sequence) overlap, so a document
+    straddling a capacity cut contributes a span to each sequence it
+    crosses. This is exact-capacity fill, the production packer shape:
+    every sequence holds exactly ``capacity`` tokens (except the tail),
+    and the tokenizer slices each document's token array at
+    ``[span_start, span_start + span_len)``.
+
+    Columns: ``doc_id``, ``seq_id``, ``span_start`` (offset within the
+    DOCUMENT's token array — what the tokenizer slices), ``span_len``,
+    and ``seq_offset`` (where the span lands inside the sequence — what
+    the sequence assembler writes at). Deterministic: same global layout
+    as the document-level variant (cumsum over doc_id order), then pure
+    span arithmetic.
+
+    Scale shape: identical to the document-level variant — ONE global
+    range-partitioned window for the running total — plus a map-side
+    ``sequence()`` explode whose fan-out is 1 + (straddled cuts), i.e.
+    ~1 row per document for any realistic capacity (the explode adds no
+    shuffle)."""
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    kept = _kept_docs(spark, sf_dir)
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    docs = (
+        kept.select("doc_id", n_tokens.alias("n_tokens"))
+        .withColumn("token_end", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("token_end") - F.col("n_tokens")).alias("token_start"),
+        )
+    )
+    cap = F.lit(capacity)
+    # kept docs have >= MIN_CHARS chars so n_tokens >= 1 and last >= first
+    first_seq = F.floor(F.col("token_start") / cap).cast("long")
+    last_seq = F.floor((F.col("token_start") + F.col("n_tokens") - 1) / cap).cast("long")
+    spanned = docs.select(
+        "doc_id",
+        "n_tokens",
+        "token_start",
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+    )
+    span_abs_start = F.greatest(F.col("seq_id") * cap, F.col("token_start"))
+    span_abs_end = F.least(
+        (F.col("seq_id") + 1) * cap, F.col("token_start") + F.col("n_tokens")
+    )
+    return spanned.select(
+        "doc_id",
+        "seq_id",
+        (span_abs_start - F.col("token_start")).alias("span_start"),
+        (span_abs_end - span_abs_start).alias("span_len"),
+        (span_abs_start - F.col("seq_id") * cap).alias("seq_offset"),
+    ).orderBy("doc_id", "seq_id")
+
+
+def packed_span_fill(
+    spark: SparkSession, sf_dir: str, capacity: int = SEQ_CAPACITY
+) -> DataFrame:
+    """Per-sequence inventory of the boundary-splitting layout: with
+    exact-capacity fill, ``fill_ratio`` is 1.0 BY CONSTRUCTION for every
+    sequence except the tail — the invariant the document-level variant's
+    stats row can only approximate. ``n_spans`` counts the contributing
+    (document, sequence) spans (straddlers count in each sequence they
+    touch)."""
+    spans = pack_sequence_spans(spark, sf_dir, capacity=capacity)
+    return (
+        spans.groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("span_len").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .withColumn(
+            "fill_ratio", F.col("total_tokens").cast("double") / F.lit(float(capacity))
+        )
+        .orderBy("seq_id")
+    )
+
+
 # ------------------------------------------------------------ DuckDB oracles
 # (round 10 — the round-9 verdict's lead item: the packing pair shipped
 # with structural tests only; it is plainly SQL-expressible, so it gets the
@@ -218,8 +304,51 @@ FROM seqs GROUP BY seq_id ORDER BY seq_id
 )
 
 
+# Boundary-splitting oracle: the same lineage chain, then span arithmetic
+# over a generate_series explode (DuckDB range(a, b) is end-EXCLUSIVE;
+# Spark sequence(a, b) is end-INCLUSIVE — hence last_seq + 1).
+_SPAN_CTES = (
+    _KEPT_PACKED_CTES
+    + f""",
+bounds AS (
+  SELECT doc_id, n_tokens, token_start,
+         CAST(FLOOR(CAST(token_start AS DOUBLE) / {SEQ_CAPACITY}) AS BIGINT) AS first_seq,
+         CAST(FLOOR(CAST(token_start + n_tokens - 1 AS DOUBLE) / {SEQ_CAPACITY}) AS BIGINT) AS last_seq
+  FROM packed),
+spans AS (
+  SELECT doc_id, t.s AS seq_id,
+         CAST(GREATEST(t.s * {SEQ_CAPACITY}, token_start) - token_start AS BIGINT) AS span_start,
+         CAST(LEAST((t.s + 1) * {SEQ_CAPACITY}, token_start + n_tokens)
+              - GREATEST(t.s * {SEQ_CAPACITY}, token_start) AS BIGINT) AS span_len,
+         CAST(GREATEST(t.s * {SEQ_CAPACITY}, token_start) - t.s * {SEQ_CAPACITY} AS BIGINT) AS seq_offset
+  FROM bounds, UNNEST(range(first_seq, last_seq + 1)) AS t(s))
+"""
+)
+
+PACK_SPANS_SQL = (
+    _SPAN_CTES
+    + """
+SELECT doc_id, seq_id, span_start, span_len, seq_offset
+FROM spans ORDER BY doc_id, seq_id
+"""
+)
+
+PACKED_SPAN_FILL_SQL = (
+    _SPAN_CTES
+    + f"""
+SELECT seq_id, COUNT(*) AS n_spans,
+       CAST(SUM(span_len) AS BIGINT) AS total_tokens,
+       MIN(doc_id) AS first_doc,
+       CAST(CAST(SUM(span_len) AS BIGINT) AS DOUBLE) / {float(SEQ_CAPACITY)} AS fill_ratio
+FROM spans GROUP BY seq_id ORDER BY seq_id
+"""
+)
+
+
 TRAINING_PIPELINE_QUERIES = {
     "training_corpus_stats": (training_corpus_stats, TRAINING_CORPUS_SQL),
     "pack_training_sequences": (pack_training_sequences, PACK_SEQUENCES_SQL),
     "packed_sequence_stats": (packed_sequence_stats, PACKED_STATS_SQL),
+    "pack_sequence_spans": (pack_sequence_spans, PACK_SPANS_SQL),
+    "packed_span_fill": (packed_span_fill, PACKED_SPAN_FILL_SQL),
 }

@@ -503,6 +503,54 @@ def test_pack_training_sequences_partition_and_capacity(spark, sf_dir):
         pack_training_sequences(spark, sf_dir, capacity=0)
 
 
+def test_pack_sequence_spans_exact_fill(spark, sf_dir):
+    """Boundary-splitting invariants (round-11): each document's spans
+    partition its token array exactly (contiguous, summing to n_tokens);
+    every sequence's spans tile [0, capacity) exactly — fill_ratio 1.0 by
+    construction except the tail; and the span layout agrees with the
+    document-level variant on which sequence holds each first token."""
+    import pytest
+    from kafka_connect_storage_cloud_formats_spark.operators.training_pipeline import (
+        pack_sequence_spans,
+        pack_training_sequences,
+        packed_span_fill,
+    )
+
+    cap = 500
+    spans = pack_sequence_spans(spark, sf_dir, capacity=cap).collect()
+    packed = {
+        r["doc_id"]: r for r in pack_training_sequences(spark, sf_dir, capacity=cap).collect()
+    }
+    by_doc: dict = {}
+    for r in spans:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(packed)  # every kept doc contributes spans
+    for doc_id, ss in by_doc.items():
+        ss.sort(key=lambda r: r["seq_id"])
+        assert ss[0]["span_start"] == 0
+        assert all(s["span_len"] >= 1 for s in ss)
+        pos = 0
+        for s in ss:
+            assert s["span_start"] == pos  # contiguous in-document
+            pos += s["span_len"]
+        assert pos == packed[doc_id]["n_tokens"]  # exact partition of the doc
+        # first span lands in the document-level variant's sequence
+        assert ss[0]["seq_id"] == packed[doc_id]["seq_id"]
+        # consecutive spans are consecutive sequences starting at offset 0
+        for prev, nxt in zip(ss, ss[1:]):
+            assert nxt["seq_id"] == prev["seq_id"] + 1
+            assert nxt["seq_offset"] == 0
+            assert prev["seq_offset"] + prev["span_len"] == cap
+    fill = packed_span_fill(spark, sf_dir, capacity=cap).collect()
+    assert [s["seq_id"] for s in fill] == list(range(len(fill)))
+    for s in fill[:-1]:
+        assert s["total_tokens"] == cap and s["fill_ratio"] == 1.0
+    assert fill[-1]["total_tokens"] <= cap
+
+    with pytest.raises(ValueError, match="capacity"):
+        pack_sequence_spans(spark, sf_dir, capacity=0)
+
+
 def test_envelope_validation_and_tie_determinism(spark):
     """Round-9 review fixes: mod without a key raises (it IS key % N);
     pre-existing envelope columns raise instead of being clobbered; and a
