@@ -184,8 +184,95 @@ def _update_centroids(corpus: DataFrame, assignment: DataFrame) -> DataFrame:
     )
 
 
+def _spread_seed_matrix(spark: SparkSession, corpus: DataFrame, k: int):
+    """Deterministic FARTHEST-POINT init (round-10 verdict ask #3): seed 0
+    is the lowest vec_id's vector; seed j is the vector whose maximum
+    cosine to the already-selected seeds is SMALLEST — the greedy
+    max-min-spread rule of k-means++ without its RNG (tie-break: lowest
+    vec_id), so it is exactly replayable (an iterative chain of
+    left-associated cosine maxima, the same discipline as the trainer).
+
+    Scale shape: the running ``maxcos`` column is maintained by one
+    vectorized mapInPandas pass per seed against the SINGLE newest seed
+    (never recomputing cosines to the whole selected set), and each seed
+    selection is a takeOrdered(1) — k-1 corpus scans + k-bounded driver
+    round-trips. localCheckpoint truncates the iterative lineage
+    (checkpoint-inherent: loop state, same as the CC loop).
+
+    Measured A/B on the shipped corpora (tools/ab_kmeans_init.py; SCALE.md
+    round 11): spread seeding buys a slightly BETTER spherical objective
+    (0.3424 vs 0.3332 at sf0.01) but WORSE recall@10 at every serving
+    nprobe (sf0.1: 0.2375/0.3550/0.5250 vs 0.2600/0.4025/0.5600 at
+    nprobe 1/2/4) — a more evenly spread Voronoi partition splits query
+    neighborhoods across more cells, exactly what low-nprobe probing
+    pays for. The smallest-vec_ids init therefore stays the registered
+    default; this function remains the measured alternative for corpora
+    whose ingest order co-locates low ids (where the lowid seeds would
+    start degenerate)."""
+    import numpy as np
+    import pandas as pd
+
+    from kafka_connect_storage_cloud_formats_spark.functions.vectors import (
+        _seq_dot,
+        _stack64,
+    )
+
+    n = corpus.count()
+    if n < k:
+        raise ValueError(f"corpus has {n} vectors < k={k}")
+    first = corpus.orderBy("vec_id").limit(1).collect()
+    seeds = [np.asarray(first[0]["embedding"], dtype=np.float64)]
+    state = corpus.select(
+        "vec_id", "embedding", F.lit(float("-inf")).cast("double").alias("maxcos")
+    )
+    schema = "vec_id long, embedding array<float>, maxcos double"
+    for _ in range(k - 1):
+        s = seeds[-1]
+        sn = float(np.sqrt(_seq_dot(s[None, :], s[None, :])[0]))
+        if sn <= 0.0:
+            raise ValueError(
+                "zero-norm seed vector: cosine spread is undefined — "
+                "filter or impute upstream (corpus contract)"
+            )
+        su = s / sn
+
+        def step(batches, su=su):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                E = _stack64(pdf["embedding"])
+                nrm = np.sqrt(_seq_dot(E, E))
+                if not (nrm > 0.0).all():
+                    raise ValueError(
+                        "zero-norm embedding: cosine spread is undefined — "
+                        "filter or impute upstream (corpus contract)"
+                    )
+                acc = np.zeros(E.shape[0], dtype=np.float64)
+                for d in range(E.shape[1]):  # left-associated
+                    acc += E[:, d] * su[d]
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                        "embedding": pdf["embedding"],
+                        "maxcos": np.maximum(
+                            pdf["maxcos"].to_numpy(dtype=np.float64), acc / nrm
+                        ),
+                    }
+                )
+
+        state = state.mapInPandas(step, schema).localCheckpoint(eager=True)
+        nxt = state.orderBy(F.asc("maxcos"), F.asc("vec_id")).limit(1).collect()[0]
+        seeds.append(np.asarray(nxt["embedding"], dtype=np.float64))
+    labels = np.arange(k, dtype=np.int64)
+    return labels, np.stack(seeds)
+
+
 def train_kmeans_quantizer(
-    spark: SparkSession, sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    init: str = "lowid",
 ):
     """Train the coarse quantizer; returns (assignment DF (vec_id,
     cluster), centroid long DF (label, dim, centroid)) — both read from
@@ -200,26 +287,34 @@ def train_kmeans_quantizer(
 
     if k < 1 or iters < 1:
         raise ValueError(f"k and iters must be >= 1 (got k={k}, iters={iters})")
+    if init not in ("lowid", "spread"):
+        raise ValueError(f"init must be 'lowid' or 'spread', got {init!r}")
     # "cosla" = spherical (cosine) metric + Left-Associated score
     # accumulation (round 10 — the matmul-trained "cos" artifacts an
     # earlier code version published can differ in the last ulp, so they
     # can never be served to this derivation; params-token staleness
-    # contract, same as every artifact kind).
-    params = f"k{k}i{iters}d{DIM}cosla"
+    # contract, same as every artifact kind). A non-default init joins the
+    # token (different seeds ⇒ different artifacts, never shared).
+    params = f"k{k}i{iters}d{DIM}cosla" + ("" if init == "lowid" else f"-{init}")
     assign_path = artifact_path("kmeans_assign", sf_dir, "embeddings", params=params, spark=spark)
     cent_path = artifact_path("kmeans_cents", sf_dir, "embeddings", params=params, spark=spark)
 
     def build_both(tmp: str) -> None:
         corpus = _load(spark, sf_dir).select("vec_id", "embedding")
-        # deterministic init: the k smallest vec_ids (no RNG — seeds are
-        # banned state here; any fixed rule works and this one is cheap)
-        seed_rows = corpus.orderBy("vec_id").limit(k).collect()
-        if len(seed_rows) < k:
-            raise ValueError(f"corpus has {len(seed_rows)} vectors < k={k}")
-        labels = np.arange(k, dtype=np.int64)
-        M = np.stack(
-            [np.asarray(r["embedding"], dtype=np.float64) for r in seed_rows]
-        )
+        if init == "spread":
+            labels, M = _spread_seed_matrix(spark, corpus, k)
+        else:
+            # deterministic default init: the k smallest vec_ids (no RNG —
+            # seeds are banned state here; any fixed rule works and this
+            # one is cheap; the measured farthest-point alternative is
+            # _spread_seed_matrix)
+            seed_rows = corpus.orderBy("vec_id").limit(k).collect()
+            if len(seed_rows) < k:
+                raise ValueError(f"corpus has {len(seed_rows)} vectors < k={k}")
+            labels = np.arange(k, dtype=np.int64)
+            M = np.stack(
+                [np.asarray(r["embedding"], dtype=np.float64) for r in seed_rows]
+            )
         for _ in range(iters):
             assignment = _assign_clusters(corpus, labels, M)
             new_long = _update_centroids(corpus, assignment)

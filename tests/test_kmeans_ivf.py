@@ -284,3 +284,29 @@ def test_registered_nprobe4_recall_row(spark, sf_dir):
     r1 = ivf_kmeans_recall_at_10(spark, sf_dir, nprobe=1).collect()[0]
     assert r4["recall"] >= r1["recall"]
     assert r4["possible"] == r1["possible"]
+
+
+def test_spread_init_trains_and_is_deterministic(spark, sf_dir):
+    """The measured farthest-point init alternative (round-11 A/B,
+    SCALE.md): trains under its own params token (never shares the
+    default's artifacts), labels every vector, and two calls serve the
+    identical content-keyed training. Bad init names are refused."""
+    from kafka_connect_storage_cloud_formats_spark.operators.kmeans_ivf import (
+        train_kmeans_quantizer,
+    )
+
+    a1, c1 = train_kmeans_quantizer(spark, sf_dir, k=4, iters=2, init="spread")
+    a2, _ = train_kmeans_quantizer(spark, sf_dir, k=4, iters=2, init="spread")
+    rows1 = sorted((r["vec_id"], r["cluster"]) for r in a1.collect())
+    assert rows1 == sorted((r["vec_id"], r["cluster"]) for r in a2.collect())
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert len(rows1) == n  # every vector labeled exactly once
+    assert len({c for _, c in rows1}) <= 4
+    default, _ = train_kmeans_quantizer(spark, sf_dir, k=4, iters=2)
+    # different seeds → (on this corpus) a genuinely different training
+    assert sorted((r["vec_id"], r["cluster"]) for r in default.collect()) != rows1
+
+    import pytest
+
+    with pytest.raises(ValueError, match="init"):
+        train_kmeans_quantizer(spark, sf_dir, k=4, iters=2, init="rng")
