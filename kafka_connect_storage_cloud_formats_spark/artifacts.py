@@ -191,9 +191,27 @@ def _tmp_path(path: str) -> str:
 # the thread that called the builder), and __exit__ removes by IDENTITY as
 # a second guard (two empty sets are ==-equal; a positional or equality
 # pop could still evict the wrong frame under re-entrancy).
+#
+# CROSS-THREAD fallback (round-10 ADVICE): nothing enforces the
+# opens-happen-on-the-caller's-thread assumption — a builder that fans its
+# ensure_artifact/artifact_df calls across a thread pool would open
+# artifacts on threads with NO active frame, silently recording an
+# incomplete consumed set (the exact failure mode the thread-local design
+# exists to prevent, via a different path). So an open on a frame-less
+# thread records into EVERY live frame process-wide (_ALL_FRAMES, under a
+# lock). Deliberately conservative in the SAFE direction: a concurrent
+# UNRELATED query's recorder may pick up extra paths, whose only cost is a
+# spurious hit-time revalidation (throttled dict lookup) or, worst case, an
+# unnecessary plan rebuild — while UNDER-recording silently disables the
+# revalidation an entry depends on. Same-thread opens stay precise (they
+# record only into this thread's frames, as before). (A contextvar would
+# not help here: threading.Thread/ThreadPoolExecutor workers start with a
+# fresh context, so frames would still not propagate.)
 import threading as _threading
 
 _RECORD_TLS = _threading.local()
+_ALL_FRAMES: list = []  # every live frame, any thread (append/remove under lock)
+_ALL_FRAMES_LOCK = _threading.Lock()
 
 
 def _record_stack() -> list:
@@ -205,10 +223,12 @@ def _record_stack() -> list:
 
 class record_consumed_artifacts:
     """Context manager yielding the set of artifact paths ensured/opened
-    while active ON THIS THREAD (re-entrant: nested ``with`` blocks each
-    get the full set of their own window — including re-entering one
+    while active ON THIS THREAD — plus any opened on threads that carry no
+    recorder of their own (e.g. a builder's worker pool; see the
+    cross-thread fallback note above). Re-entrant: nested ``with`` blocks
+    each get the full set of their own window — including re-entering one
     instance, whose frames stack per ``__enter__`` so the inner exit can
-    never orphan the outer frame; round-10 second review). An instance is
+    never orphan the outer frame (round-10 second review). An instance is
     NOT shareable across threads (each call site opens its own, and the
     recording stack itself is thread-local)."""
 
@@ -219,6 +239,8 @@ class record_consumed_artifacts:
         s: set = set()
         self._frames.append(s)
         _record_stack().append(s)
+        with _ALL_FRAMES_LOCK:
+            _ALL_FRAMES.append(s)
         return s
 
     def __exit__(self, *exc) -> bool:
@@ -228,11 +250,25 @@ class record_consumed_artifacts:
             if stack[i] is s:
                 del stack[i]
                 break
+        with _ALL_FRAMES_LOCK:
+            for i in range(len(_ALL_FRAMES) - 1, -1, -1):
+                if _ALL_FRAMES[i] is s:
+                    del _ALL_FRAMES[i]
+                    break
         return False
 
 
 def _record_consumed(path: str) -> None:
-    for s in _record_stack():
+    own = _record_stack()
+    if own:
+        for s in own:
+            s.add(path)
+        return
+    # frame-less thread (a builder's worker): conservative fan-out to every
+    # live recorder so no plan-cache entry under-records its consumed set
+    with _ALL_FRAMES_LOCK:
+        frames = list(_ALL_FRAMES)
+    for s in frames:
         s.add(path)
 
 

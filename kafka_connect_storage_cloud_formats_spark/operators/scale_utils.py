@@ -54,6 +54,9 @@ def bucketed_join(spark: SparkSession, left_table: str, right_table: str, on: li
     return spark.table(left_table).join(spark.table(right_table), on)
 
 
+_SALT_DEFAULT_WARNED = False  # one-time salt_cols=None signal (see below)
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
@@ -86,6 +89,24 @@ def salted_join(
     re-execution beats perfect scatter.
     """
     basis = salt_cols if salt_cols is not None else tuple(big.columns)
+    if salt_cols is None:
+        # One-time signal (round-10 ADVICE): the all-columns default is
+        # retry-safe but duplicate hot ROWS share a salt and re-concentrate
+        # on one reducer — the performance cliff this function exists to
+        # prevent arrives silently. Callers with duplicate-heavy hot keys
+        # must name a unique-id basis; say so once instead of never.
+        global _SALT_DEFAULT_WARNED
+        if not _SALT_DEFAULT_WARNED:
+            _SALT_DEFAULT_WARNED = True
+            import warnings
+
+            warnings.warn(
+                "salted_join: salt_cols not set — salting on ALL big-side "
+                "columns (deterministic, but duplicate rows of a hot key "
+                "share a salt and re-concentrate). Pass salt_cols=(<unique "
+                "row id>,) for full scatter.",
+                stacklevel=2,
+            )
     missing = [c for c in basis if c not in big.columns]
     if missing:
         raise ValueError(f"salt_cols {missing} not in big side columns {big.columns}")

@@ -1054,6 +1054,38 @@ def test_consumed_artifact_recorder_is_thread_isolated():
     assert results["b"] == {"/art/b1"}  # A's exit never evicted B's frame
 
 
+def test_consumed_artifact_recorder_reaches_worker_threads():
+    """Round-10 ADVICE: a builder that fans artifact opens across a thread
+    pool must still record a COMPLETE consumed set — opens on frame-less
+    worker threads fall back to every live recorder (conservative in the
+    safe direction), while a thread carrying its OWN recorder stays
+    precise (its opens never leak into other threads' frames)."""
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    from kafka_connect_storage_cloud_formats_spark import artifacts as A
+
+    with A.record_consumed_artifacts() as seen:
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            list(pool.map(A._record_consumed, ["/art/w1", "/art/w2"]))
+    assert seen == {"/art/w1", "/art/w2"}
+
+    # precision: a worker with its own recorder records only into it
+    results: dict = {}
+
+    def own_recorder_worker():
+        with A.record_consumed_artifacts() as inner:
+            A._record_consumed("/art/inner")
+            results["inner"] = set(inner)
+
+    with A.record_consumed_artifacts() as outer:
+        t = threading.Thread(target=own_recorder_worker)
+        t.start(); t.join(10)
+        A._record_consumed("/art/outer")
+    assert results["inner"] == {"/art/inner"}
+    assert outer == {"/art/outer"}  # the framed worker's open never fanned out
+
+
 def test_plan_cache_entries_record_consumed_artifacts(spark):
     """Guard-the-guard: if the consumed-artifact recording silently broke
     (an artifact open path that stops calling _record_consumed), hit-time

@@ -452,3 +452,25 @@ def test_salted_join_salt_is_deterministic_and_validates_cols(spark):
     assert out.count() == big.join(small, "k").count()
     with pytest.raises(ValueError, match="salt_cols"):
         salted_join(big, small, "k", salt_cols=("no_such_col",))
+
+
+def test_salted_join_default_basis_warns_once(spark):
+    """Round-10 ADVICE: the all-columns salt basis is retry-safe but loses
+    the skew scatter on duplicate hot rows — the default must SAY so
+    (once), and an explicit salt_cols must stay silent."""
+    import warnings
+
+    from kafka_connect_storage_cloud_formats_spark.operators import scale_utils as su
+
+    big = spark.range(20).selectExpr("id", "id % 3 AS k")
+    small = spark.range(3).selectExpr("id AS k", "id * 10 AS v")
+    su._SALT_DEFAULT_WARNED = False
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        su.salted_join(big, small, "k").collect()
+        su.salted_join(big, small, "k").collect()  # second call: silent
+    assert len([x for x in w if "salt_cols" in str(x.message)]) == 1
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        su.salted_join(big, small, "k", salt_cols=("id",)).collect()
+    assert not [x for x in w2 if "salt_cols" in str(x.message)]
