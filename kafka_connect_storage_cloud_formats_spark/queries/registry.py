@@ -254,89 +254,89 @@ _ALL = {
 # the window has served its purpose and the positional invariant is
 # expected to lapse until the next rotation (tests/test_registry.py keys
 # its window assertion off this constant).
-ROTATED_FOR_ROUND = 10
+ROTATED_FOR_ROUND = 11
 
-_STALE_AFTER_R9 = [
+# WINDOW-CAPACITY NOTE (round 11): 103 registered queries no longer fit a
+# 2×50-window ≤1-round-stale invariant — the registry outgrew the 100
+# ceiling this round (the verdict's own asks added 4 queries). The
+# guarantee becomes: at most ceil(N/50)-rounds staleness via rotation
+# (= 3 queries per round slip to the round after next, declared
+# explicitly below), every new/changed query still debuts in-window, and
+# EVERY query is re-certified on HEAD each round by the full-registry
+# oracle run (tools/check_correctness.py --repeat — a standing round
+# gate). The 3 that slip are the simplest single-fact aggregate shapes
+# in the relational pack; their operator families stay in-window
+# (q1/q3/q5/q7/q8/q21/q22, orders_cube, events_pivot_hourly...).
+_SLIPPED_TO_R12 = [
+    "q6_forecast_revenue",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+]
+
+_STALE_AFTER_R10 = [
     # NEW this round (never driver-evidenced — they lead the window):
-    # the trained-quantizer IVF serving family, whose oracles REPLAY the
-    # full k-means training in SQL (operators/kmeans_ivf.py), the
-    # training-sequence packing pair (operators/training_pipeline.py) —
-    # the round-9 verdict's lead item (both shipped r9 without oracle
-    # rows; now registered with full hash gates) — and the incremental
-    # new-batch-vs-published-corpus dedup (operators/dedup.py).
-    "ivf_kmeans_topk",
-    "ivf_kmeans_topk_pruned",
-    "ivf_kmeans_index_build",
-    "ivf_kmeans_recall_at_10",
-    "pack_training_sequences",
-    "packed_sequence_stats",
-    "dedup_incremental",
-    # the 42 registered queries whose latest driver rows are r8-vintage
-    # (tools/rotate_registry.py) — they fill the r10 window so the
-    # ≤1-round-stale invariant holds an eighth consecutive round
-    "orc_ingest_roundtrip", "orc_partitioned_roundtrip", "avro_roundtrip",
-    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-    "top_orders_per_customer", "orders_rollup", "customers_without_orders",
-    "distinct_parts_per_supplier", "events_hourly_rollup",
-    "q4_priority_with_late_ship", "q16_supplier_counts",
-    "q17_small_quantity_revenue", "q18_large_orders",
-    "scalar_function_gallery", "q9_product_type_profit",
-    "q11_important_parts", "q12_priority_by_returnflag",
-    "q20_promotion_suppliers", "orders_price_moments",
-    "scrub_numeric_tokens", "vocab_stats", "doc_quality_deciles",
-    "dedup_ngram_jaccard", "simhash_fingerprints", "media_catalog",
-    "video_frame_index", "audio_window_energy", "events_funnel",
-    "events_interval_join", "events_tumbling_15m", "events_sliding_1h",
-    "events_session_30m", "orders_column_profile", "events_value_quantiles",
-    "approx_profile", "events_latest_per_user", "replay_dedup",
-    "training_corpus_stats", "clicks_asof_purchase",
-    "bucketed_segment_revenue",
+    # the incremental near-dup tier (batch banded against the published
+    # signature artifact — round-10 verdict ask #1), the trained tier's
+    # serving-grade recall point (ask #2), and the boundary-splitting
+    # packing pair (ask #5).
+    "neardup_incremental",
+    "ivf_kmeans_recall_nprobe4",
+    "pack_sequence_spans",
+    "packed_span_fill",
+    # the 46 of 49 r9-vintage queries that fit the window (oldest class;
+    # the 3 in _SLIPPED_TO_R12 wait one more round)
+    "parquet_roundtrip", "json_roundtrip", "schema_evolution_roundtrip",
+    "csv_roundtrip", "q21_sole_late_supplier", "q2_min_acctbal_supplier",
+    "q22_rich_inactive_customers", "orders_cube", "events_pivot_hourly",
+    "q7_nation_trade_volume", "q14_promo_revenue_share",
+    "q19_disjunctive_revenue", "q10_returned_revenue",
+    "q8_nation_market_share",
+    "part_brand_type_setops", "array_function_gallery", "doc_top_terms",
+    "text_quality_stats", "lang_id_heuristic", "token_count_bpe",
+    "doc_fingerprint", "benchmark_contamination", "doc_bigram_novelty",
+    "dedup_exact", "dedup_canonical", "minhash_signatures",
+    "minhash_lsh_pairs", "simhash_near_pairs", "neardup_clusters",
+    "dedup_fuzzy_prefix", "knn_bruteforce", "ann_lsh_topk",
+    "ivf_centroids", "ivf_topk", "ivf_index_build", "ivf_topk_pruned",
+    "sq8_topk", "sq8_recall_at_10", "ivf_recall_at_10",
+    "dedup_embedding_cosine", "ann_recall_at_10", "image_decode_stats",
+    "media_feature_extract", "image_resize_thumbnail",
+    "corpus_split_stats", "stratified_sample",
 ]
-_CHANGED_THIS_ROUND = [
-    # round 10 implementation changes not already leading the window
-    # (clicks_asof_purchase — whose asof_join now drops NULL-timestamp
-    # right rows per the round-10 ADVICE — is in the stale list above):
-    # - salted_cohort_activity: the salt basis moved from
-    #   monotonically_increasing_id (layout-dependent → lost/duplicated
-    #   join rows on a stage retry after executor loss) to a
-    #   deterministic hash of the caller-named unique row id (event_id).
-    #   Output identical by construction (the salt only routes rows);
-    #   fresh row certifies the shipped expression.
-    "salted_cohort_activity",
+_CHANGED_THIS_ROUND_R11: list = [
+    # (none take window slots: every implementation change this round is
+    # either a new query above or a verified result-neutral transit below)
 ]
-# Out-of-window transits, documented (all 50 window slots are claimed
-# above — 7 never-evidenced debuts, 42 r8-vintage refreshes,
-# salted_cohort_activity):
-# 1. The prepared-plan cache now records the artifact paths each builder
-#    consumed and re-runs the throttled generation check on every HIT
-#    (round-10 ADVICE; see the cache comment above). Transits every
-#    non-side-effect query but is result-neutral by construction: a
-#    validated hit returns the identical immutable DataFrame object, and
-#    a failed validation falls through to the builder. Re-verified
-#    hash-green for all 97 queries at sf0.001/0.01/0.1 with --repeat
-#    (both cache paths) on final HEAD.
-# 2. The k-means trainer's assignment kernel moved from one BLAS matmul
-#    to per-dimension left-associated accumulation (and centroid norms
-#    to the same _seq_dot loop) so the training is SQL-replayable; the
-#    artifact params token bumped cos→cosla. Measured ZERO assignment
-#    flips at sf0.1 (identical recall sweep); the consuming family debuts
-#    in-window anyway, so the change is fully driver-certified.
-# 3. The zero-norm corpus guards (round-10 review) transit every
-#    similarity tier: l2_norm_vec REFUSES zero-norm embeddings
-#    (_with_norm corpus sides), knn_bruteforce's kernel + query matrix
-#    apply the same shared guard, and _ivf_probe's pure-JVM query/
-#    centroid subtrees enforce it with a raise_error branch (Python
-#    guards are barred from the DPP subtree). Result-neutral on every
-#    corpus WITHOUT zero vectors (all shipped corpora — re-verified
-#    hash-green at sf0.01 with --repeat and under local-cluster on
-#    final HEAD). On a corpus WITH one, behavior changes deliberately:
-#    the ranking tiers previously hash-DIVERGED silently (Spark NaN vs
-#    DuckDB NULL orderings) and the threshold tier (embedding-cosine)
-#    happened to agree by dropping the row on both engines — the
-#    contract now refuses uniformly instead of answering per-tier
-#    (unit-pinned on a synthetic zero-vector corpus,
-#    tests/test_similarity.py).
-_PRIORITY = _STALE_AFTER_R9 + _CHANGED_THIS_ROUND
+# Out-of-window transits, documented (all 50 slots are claimed above):
+# 1. The training-replay oracle's probe CTE (_kmeans_probe_ctes) gained
+#    zero-norm error() guards (round-10 ADVICE — engine/oracle contract
+#    symmetry) and the rn <= nprobe generalization; at the registered
+#    default nprobe=1, `rn <= 1` ≡ `rn = 1` and the guards are no-ops on
+#    every corpus without zero-norm rows (all shipped corpora — the same
+#    doctrine as round 10's engine-side zero-norm transit). Transits
+#    ivf_kmeans_topk / ivf_kmeans_topk_pruned / ivf_kmeans_recall_at_10
+#    (r10-evidenced); re-verified hash-green at sf0.001 + sf0.01
+#    (--repeat) this round, and the generalized path ITSELF is
+#    driver-certified through the in-window ivf_kmeans_recall_nprobe4.
+# 2. _band_rows extraction (operators/dedup.py): the banding expressions
+#    moved verbatim from _pairs_from_sigs into a shared helper so the
+#    incremental tier cannot drift from the pair tier. Verified
+#    OPTIMIZED-PLAN-IDENTICAL (normalized expression ids) against the
+#    pre-refactor module and hash-green at sf0.001/0.01 — transits
+#    minhash_lsh_pairs (in-window anyway), neardup_clusters (in-window),
+#    training_corpus_stats, pack_training_sequences, packed_sequence_stats.
+# 3. The consumed-artifact recorder's cross-thread fan-out (artifacts.py,
+#    round-10 ADVICE): result-neutral by construction — recording is
+#    observational; re-verified by the full-registry --repeat run (both
+#    plan-cache paths) on final HEAD.
+# 4. train_kmeans_quantizer gained the measured-and-rejected init="spread"
+#    arm (own params token; SCALE.md round-11 A/B). The default path is
+#    byte-identical (same seeds, same token) — the kmeans family's
+#    artifacts are untouched.
+# 5. salted_join's one-time salt_cols=None warning (scale_utils.py):
+#    signal-only; the registered query names salt_cols and is silent.
+
+_PRIORITY = _STALE_AFTER_R10 + _CHANGED_THIS_ROUND_R11
 
 QUERIES: dict = {n: _ALL[n] for n in _PRIORITY if n in _ALL}
 QUERIES.update({n: v for n, v in _ALL.items() if n not in QUERIES})

