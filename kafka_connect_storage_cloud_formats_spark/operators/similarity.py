@@ -170,10 +170,20 @@ def _sql_dot(a: str, b: str) -> str:
 
 
 def _sql_base() -> str:
+    """Shared oracle base: corpus + norms + the query subset. The norm
+    carries the engine's zero-norm refusal MIRRORED as an ``error()``
+    branch (round-11, extending the round-10 ADVICE closure beyond the
+    kmeans probe): the engine side refuses zero-norm embeddings loudly
+    (l2_norm_vec / _jvm_nonzero), so the oracle must fail the same way on
+    degenerate geometry instead of silently ranking NULL cosines — a
+    no-op on every shipped corpus (all norms positive)."""
     return f"""
 base AS (SELECT vec_id, embedding, label,
-                sqrt({_sql_dot('embedding', 'embedding')}) AS norm
-         FROM embeddings),
+                CASE WHEN n0 > 0 THEN n0
+                     ELSE error('zero-norm embedding: cosine similarity is undefined') END AS norm
+         FROM (SELECT vec_id, embedding, label,
+                      sqrt({_sql_dot('embedding', 'embedding')}) AS n0
+               FROM embeddings) b0),
 q AS (SELECT * FROM base WHERE vec_id % {QUERY_MOD} = 0)
 """
 
@@ -607,7 +617,10 @@ cents AS (
   SELECT label AS c_label, list(centroid ORDER BY dim) AS c_emb
   FROM cent_long GROUP BY label),
 cents2 AS (
-  SELECT c_label, c_emb, sqrt({_sql_dot('c_emb', 'c_emb')}) AS c_norm FROM cents),
+  SELECT c_label, c_emb,
+         CASE WHEN cn0 > 0 THEN cn0
+              ELSE error('zero-norm centroid: cosine similarity is undefined') END AS c_norm
+  FROM (SELECT c_label, c_emb, sqrt({_sql_dot('c_emb', 'c_emb')}) AS cn0 FROM cents) c0),
 assign AS (
   SELECT q.vec_id AS q_id, c_label,
          {_sql_dot('q.embedding', 'c_emb')} / (q.norm * c_norm) AS ccos
@@ -1242,7 +1255,10 @@ cents AS (
   SELECT label AS c_label, list(centroid ORDER BY dim) AS c_emb
   FROM cent_long GROUP BY label),
 cents2 AS (
-  SELECT c_label, c_emb, sqrt({_sql_dot('c_emb', 'c_emb')}) AS c_norm FROM cents),
+  SELECT c_label, c_emb,
+         CASE WHEN cn0 > 0 THEN cn0
+              ELSE error('zero-norm centroid: cosine similarity is undefined') END AS c_norm
+  FROM (SELECT c_label, c_emb, sqrt({_sql_dot('c_emb', 'c_emb')}) AS cn0 FROM cents) c0),
 assign AS (
   SELECT q.vec_id AS q_id, c_label,
          {_sql_dot('q.embedding', 'c_emb')} / (q.norm * c_norm) AS ccos

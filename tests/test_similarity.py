@@ -349,3 +349,38 @@ def test_zero_norm_vectors_refused_loudly(spark, tmp_path):
 
     with pytest.raises(Exception, match="zero-norm"):
         ivf_topk(spark, sf).collect()
+
+
+def test_oracle_mirrors_zero_norm_refusal(tmp_path):
+    """Round-11 (extends the round-10 ADVICE closure to every tier): the
+    DuckDB oracles must refuse degenerate geometry the same way the
+    engine does — a zero-norm embedding fires the error() branch instead
+    of silently ranking NULL cosines (the asymmetric-contract hazard)."""
+    import duckdb
+    import pandas as pd
+    import pytest
+
+    from kafka_connect_storage_cloud_formats_spark.operators.kmeans_ivf import (
+        KMEANS_TOPK_SQL,
+    )
+    from kafka_connect_storage_cloud_formats_spark.operators.similarity import (
+        IVF_TOPK_SQL,
+        KNN_BRUTEFORCE_SQL,
+    )
+
+    df = pd.DataFrame(
+        {
+            "vec_id": list(range(120)),
+            "embedding": [
+                [0.0] * 64 if i == 50 else [float(i % 7 + 1)] * 64 for i in range(120)
+            ],
+            "label": [i % 2 for i in range(120)],
+        }
+    )
+    pq = str(tmp_path / "embeddings.parquet")
+    df.to_parquet(pq)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{pq}')")
+    for sql in (KNN_BRUTEFORCE_SQL, IVF_TOPK_SQL, KMEANS_TOPK_SQL):
+        with pytest.raises(Exception, match="zero-norm"):
+            con.execute(sql).fetchall()

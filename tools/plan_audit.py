@@ -58,6 +58,7 @@ ALLOWED_NESTED = {
     "ivf_kmeans_topk",
     "ivf_kmeans_topk_pruned",
     "ivf_kmeans_recall_at_10",
+    "ivf_kmeans_recall_nprobe4",  # same probe + 1-row cross, nprobe=4
 }
 
 # Queries that fold a GLOBAL SCALAR into the plan via crossJoin(broadcast(
