@@ -35,6 +35,8 @@ def test_allowed_nested_are_documented_exceptions(spark, sf_dir):
         "ivf_kmeans_topk",
         "ivf_kmeans_topk_pruned",
         "ivf_kmeans_recall_at_10",
+        # round 11: the serving-grade recall row — same probe, nprobe=4
+        "ivf_kmeans_recall_nprobe4",
     }
     assert ALLOWED_SCALAR_CROSS == {
         "q22_rich_inactive_customers",
