@@ -41,7 +41,9 @@ Scale shape (the textbook distributed Lloyd's iteration):
   the same metadata-scale contract as the query matrix).
 
 Determinism contract (what makes this testable/cacheable):
-- init = the k vectors with the smallest vec_ids (no RNG);
+- init = the k vectors with the smallest vec_ids (no RNG; the measured
+  farthest-point alternative ``init="spread"`` is equally deterministic
+  but serves worse recall at low nprobe — SCALE.md round-11 A/B);
 - assignment tie-break = lowest cluster id (np.argmax-equivalent takes
   the first maximum; cosines are computed by one fixed vectorized
   expression);
@@ -184,7 +186,7 @@ def _update_centroids(corpus: DataFrame, assignment: DataFrame) -> DataFrame:
     )
 
 
-def _spread_seed_matrix(spark: SparkSession, corpus: DataFrame, k: int):
+def _spread_seed_matrix(corpus: DataFrame, k: int):
     """Deterministic FARTHEST-POINT init (round-10 verdict ask #3): seed 0
     is the lowest vec_id's vector; seed j is the vector whose maximum
     cosine to the already-selected seeds is SMALLEST — the greedy
@@ -302,7 +304,7 @@ def train_kmeans_quantizer(
     def build_both(tmp: str) -> None:
         corpus = _load(spark, sf_dir).select("vec_id", "embedding")
         if init == "spread":
-            labels, M = _spread_seed_matrix(spark, corpus, k)
+            labels, M = _spread_seed_matrix(corpus, k)
         else:
             # deterministic default init: the k smallest vec_ids (no RNG —
             # seeds are banned state here; any fixed rule works and this
