@@ -318,6 +318,12 @@ _CHANGED_THIS_ROUND_R11: list = [
 #    (r10-evidenced); re-verified hash-green at sf0.001 + sf0.01
 #    (--repeat) this round, and the generalized path ITSELF is
 #    driver-certified through the in-window ivf_kmeans_recall_nprobe4.
+#    The same error() mirror was then extended to _sql_base and both
+#    label-tier centroid-norm sites (operators/similarity.py) — every
+#    affected similarity query sits IN this round's window, so those
+#    changed oracles earn fresh driver rows; unit-pinned on a synthetic
+#    zero-vector corpus for all three oracle shapes
+#    (tests/test_similarity.py::test_oracle_mirrors_zero_norm_refusal).
 # 2. _band_rows extraction (operators/dedup.py): the banding expressions
 #    moved verbatim from _pairs_from_sigs into a shared helper so the
 #    incremental tier cannot drift from the pair tier. Verified
