@@ -72,8 +72,15 @@ def main() -> int:
     room = WINDOW - len(stale)
     print(f"\n# window slots left for _CHANGED_THIS_ROUND: {room}")
     if room < 0:
-        print("# WARNING: stale set alone exceeds the window — some queries will"
-              " go >1 round without fresh evidence; prioritize by age.")
+        print(f"# WINDOW OVERFLOW ({-room} past capacity): with >2×{WINDOW} registered")
+        print("# queries the ≤1-round-stale invariant is unsatisfiable (round-11")
+        print("# protocol). Declare the overflow EXPLICITLY — move the slipped")
+        print(f"# names into _SLIPPED_TO_R{latest_round + 2} (pick the simplest/most-stable")
+        print("# shapes whose operator families stay in-window; never a query that")
+        print("# changed this round), keep them OUT of the window, and lead the")
+        print("# NEXT rotation with them. tests/test_registry.py enforces that the")
+        print("# declared slip list exactly matches the actual overflow and that")
+        print("# every slipped query has a row from the latest or previous round.")
     print(f"# remember: ROTATED_FOR_ROUND = {latest_round + 1}")
     return 0
 
