@@ -626,6 +626,36 @@ MINHASH_LSH_SQL = _minhash_pairs_ctes() + "SELECT d1, d2, est_jaccard FROM pairs
 NEARDUP_INCR_MIN_EST = 0.5
 
 
+def _ensure_batch_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-keyed MATERIALIZED signature table of the BATCH split — the
+    per-drop persisted intermediate of the incremental near-dup job: the
+    batch's shingle+hash+min chain runs exactly once per drop, every
+    consumer (the vs-corpus band join, both sides of the within-batch
+    self-join, and — when a drop is accepted — the merge into the corpus
+    signature table) reads the ~100 B/doc parquet instead. Signatures are
+    computed by the SAME `_sigs_from_shingles` chain as the corpus
+    artifact (family-keyed params, same staleness/atomic-publish
+    contract), so batch and corpus signatures can never band differently."""
+    from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_df, artifact_path
+
+    family = hash_family()
+    ptag = (
+        f"k{MINHASH_K}n{SHINGLE_N}incr{INCREMENT_MOD}b"
+        + ("" if family == "md5" else f"x{family}")
+    )
+    path = artifact_path("minhash_sigs", sf_dir, "documents", params=ptag, spark=spark)
+    return artifact_df(
+        path,
+        lambda tmp: _minhash_sigs_from(
+            load_table(spark, sf_dir, "documents").filter(
+                F.col("doc_id") % INCREMENT_MOD == INCREMENT_MOD - 1
+            ),
+            family=family,
+        ).write.parquet(tmp),
+        spark,
+    )
+
+
 def neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL near-dup — the recurring curation job's second stage
     (after :func:`dedup_incremental`'s exact tier): a new crawl batch is
@@ -653,17 +683,25 @@ def neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns the per-language batch report (n_batch / n_dropped_corpus /
     n_dropped_within / n_kept) — the numbers the recurring run logs.
 
-    Scale shape: batch signatures are computed live (batch-sized shingle
-    explode — the honest per-drop cost); corpus signatures come from the
-    content-keyed artifact FILTERED to the corpus split (filter pushes to
-    the parquet scan); both joins shuffle only (band_id, band_hash) keys
-    with the 12-component signature riding along (~200 B/row); the
-    report is a batch-sized aggregate."""
+    Scale shape: the BATCH signature table is built once per drop as its
+    own content-keyed artifact (`_ensure_batch_minhash_sigs` — the
+    per-drop signature compute is paid exactly once; this plan consumes
+    it THREE times, as the vs-corpus join's left side and both sides of
+    the within-batch self-join, and measured without the artifact Spark
+    re-ran the batch shingle+hash chain for each reference: 4 scans of
+    the documents table, zero exchange reuse — at a 20 TB batch that is
+    three redundant corpus-scale passes. Production pipelines persist
+    batch signatures anyway: an accepted drop's signatures merge into
+    the corpus signature table). Corpus signatures come from the
+    published whole-corpus artifact FILTERED to the corpus split (the
+    filter pushes into the parquet scan); both joins shuffle only
+    (band_id, band_hash) keys with the 12-component signature riding
+    along (~200 B/row); the report is a batch-sized aggregate."""
     docs = load_table(spark, sf_dir, "documents")
     is_batch = F.col("doc_id") % INCREMENT_MOD == INCREMENT_MOD - 1
     batch_docs = docs.filter(is_batch)
-    # live batch signatures; published-artifact corpus signatures
-    batch_bands = _band_rows(_minhash_sigs_from(batch_docs))
+    # artifact-backed batch signatures; published-artifact corpus signatures
+    batch_bands = _band_rows(_ensure_batch_minhash_sigs(spark, sf_dir))
     corpus_bands = _band_rows(
         _ensure_minhash_sigs(spark, sf_dir).filter(
             F.col("doc_id") % INCREMENT_MOD != INCREMENT_MOD - 1
