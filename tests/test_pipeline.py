@@ -634,3 +634,43 @@ def test_evolving_read_back_drops_bookkeeping_cols(spark, tmp_path):
     back = ing.read_back(spark)
     assert "gen" not in back.columns and "batch" not in back.columns
     assert back.count() == 5
+
+
+def test_pack_sequence_spans_capacity_edges(spark, sf_dir):
+    """Capacity edge regimes: capacity=1 fragments every document into
+    per-token spans (every sequence holds exactly one token — fan-out =
+    total tokens, the explode's worst case), and a capacity larger than
+    the whole corpus yields exactly one span per document in sequence 0.
+    Both must keep the exact-partition invariant."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_storage_cloud_formats_spark.operators.training_pipeline import (
+        pack_sequence_spans,
+        pack_training_sequences,
+    )
+
+    total_tokens = {
+        r["doc_id"]: r["n_tokens"]
+        for r in pack_training_sequences(spark, sf_dir, capacity=1000).collect()
+    }
+    corpus_tokens = sum(total_tokens.values())
+
+    # capacity=1: one span per token, all span_len == 1, seq ids are the
+    # global token positions
+    one = pack_sequence_spans(spark, sf_dir, capacity=1)
+    agg = one.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("span_len").alias("mn"),
+        F.max("span_len").alias("mx"),
+        F.countDistinct("seq_id").alias("nseq"),
+    ).collect()[0]
+    assert (agg["n"], agg["mn"], agg["mx"], agg["nseq"]) == (
+        corpus_tokens, 1, 1, corpus_tokens,
+    )
+
+    # capacity >> corpus: exactly one span per doc, all in sequence 0
+    big = pack_sequence_spans(spark, sf_dir, capacity=corpus_tokens + 1).collect()
+    assert len(big) == len(total_tokens)
+    for r in big:
+        assert r["seq_id"] == 0 and r["span_start"] == 0
+        assert r["span_len"] == total_tokens[r["doc_id"]]
