@@ -1121,6 +1121,131 @@ ORDER BY d1, d2
 """
 
 
+# -------------------------------------------- incremental near-dup (SimHash)
+def _ensure_batch_simhash_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-keyed MATERIALIZED fingerprint table of the BATCH split —
+    the SimHash counterpart of :func:`_ensure_batch_minhash_sigs` (same
+    per-drop doctrine: the batch's token-explode + vote chain runs once
+    per drop; both sides of every candidate join read the 3-longs/row
+    parquet; an accepted drop's fingerprints merge into the corpus
+    table). Same bit-layout/family params discipline as the corpus
+    fingerprint artifact."""
+    from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_df, artifact_path
+
+    family = hash_family()
+    ptag = (
+        f"b{SIMHASH_BITS}l{SIMHASH_LANE_BITS}incr{INCREMENT_MOD}b"
+        + ("" if family == "md5" else f"x{family}")
+    )
+    path = artifact_path("simhash_fp", sf_dir, "documents", params=ptag, spark=spark)
+    return artifact_df(
+        path,
+        lambda tmp: _simhash_fp_from(
+            load_table(spark, sf_dir, "documents").filter(
+                F.col("doc_id") % INCREMENT_MOD == INCREMENT_MOD - 1
+            ),
+            family=family,
+        ).write.parquet(tmp),
+        spark,
+    )
+
+
+def neardup_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup, SimHash tier — the fingerprint-family
+    counterpart of :func:`neardup_incremental` (same modular batch/corpus
+    split, same per-language report contract, same greedy-by-id
+    within-batch rule), completing the recurring-curation story across
+    BOTH published near-dup artifacts: a pipeline that maintains MinHash
+    signatures runs the banded tier, one that maintains SimHash
+    fingerprints runs this one — per crawl drop, at artifact cost.
+
+    Strong match = Hamming distance ≤ SIMHASH_MAX_HAMMING (the
+    ``simhash_near_pairs`` threshold). Candidates come from the SAME
+    two-level pigeonhole keys as the whole-corpus tier
+    (:func:`_simhash_candidate_keys` — one definition), so both joins are
+    composite-key equi-joins: batch keys × corpus keys, and the batch
+    self-join; the key rows carry 3 longs + 3 key columns (~48 B).
+    Scale shape: corpus fingerprints come from the PUBLISHED artifact
+    filtered to the corpus split (filter pushes into the scan); batch
+    fingerprints are their own per-drop artifact
+    (:func:`_ensure_batch_simhash_fps`) consumed by all three join
+    sides."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % INCREMENT_MOD == INCREMENT_MOD - 1
+    batch_keys = _simhash_candidate_keys(_ensure_batch_simhash_fps(spark, sf_dir))
+    corpus_keys = _simhash_candidate_keys(
+        _ensure_simhash_fps(spark, sf_dir).filter(
+            F.col("doc_id") % INCREMENT_MOD != INCREMENT_MOD - 1
+        )
+    )
+    same_key = F.expr(
+        "a.key_id = b.key_id AND a.blk_val = b.blk_val AND a.sub_val = b.sub_val"
+    )
+    hamming = F.bit_count(
+        F.col("a.simhash_hi").bitwiseXOR(F.col("b.simhash_hi"))
+    ) + F.bit_count(F.col("a.simhash_lo").bitwiseXOR(F.col("b.simhash_lo")))
+    vs_corpus = (
+        batch_keys.alias("a")
+        .join(corpus_keys.alias("b"), same_key)
+        .filter(hamming <= SIMHASH_MAX_HAMMING)
+        .select(F.col("a.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    within = (
+        batch_keys.alias("a")
+        .join(
+            batch_keys.alias("b"),
+            same_key & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(hamming <= SIMHASH_MAX_HAMMING)
+        .select(F.col("b.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    dc = F.col("dc").isNotNull()
+    return (
+        docs.filter(is_batch)
+        .select("doc_id", "lang")
+        .join(vs_corpus.withColumn("dc", F.lit(1)), "doc_id", "left")
+        .join(within.withColumn("dw", F.lit(1)), "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_batch"),
+            F.sum(dc.cast("long")).alias("n_dropped_corpus"),
+            F.sum((~dc & F.col("dw").isNotNull()).cast("long")).alias("n_dropped_within"),
+            F.sum((~dc & ~F.col("dw").isNotNull()).cast("long")).alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+NEARDUP_INCREMENTAL_SIMHASH_SQL = _simhash_sql_core() + f""",
+bfp AS (SELECT * FROM fp WHERE doc_id % {INCREMENT_MOD} = {INCREMENT_MOD - 1}),
+cfp AS (SELECT * FROM fp WHERE doc_id % {INCREMENT_MOD} <> {INCREMENT_MOD - 1}),
+vs_corpus AS (
+  SELECT DISTINCT a.doc_id FROM bfp a JOIN cfp b
+  ON bit_count(xor(a.simhash_hi, b.simhash_hi))
+     + bit_count(xor(a.simhash_lo, b.simhash_lo)) <= {SIMHASH_MAX_HAMMING}),
+within AS (
+  SELECT DISTINCT b.doc_id FROM bfp a JOIN bfp b
+  ON a.doc_id < b.doc_id
+ AND bit_count(xor(a.simhash_hi, b.simhash_hi))
+     + bit_count(xor(a.simhash_lo, b.simhash_lo)) <= {SIMHASH_MAX_HAMMING}),
+marked AS (
+  SELECT d.lang,
+         CASE WHEN v.doc_id IS NOT NULL THEN 1 ELSE 0 END AS dc,
+         CASE WHEN v.doc_id IS NULL AND w.doc_id IS NOT NULL THEN 1 ELSE 0 END AS dw
+  FROM documents d
+  LEFT JOIN vs_corpus v ON v.doc_id = d.doc_id
+  LEFT JOIN within w ON w.doc_id = d.doc_id
+  WHERE d.doc_id % {INCREMENT_MOD} = {INCREMENT_MOD - 1})
+SELECT lang, COUNT(*) AS n_batch,
+       CAST(SUM(dc) AS BIGINT) AS n_dropped_corpus,
+       CAST(SUM(dw) AS BIGINT) AS n_dropped_within,
+       CAST(SUM(1 - dc - dw) AS BIGINT) AS n_kept
+FROM marked GROUP BY lang ORDER BY lang
+"""
+
+
 # ------------------------------------------------- near-dup cluster assignment
 CLUSTER_MIN_EST_JACCARD = 0.5
 MAX_CC_ITERATIONS = 20
@@ -1446,6 +1571,10 @@ DEDUP_QUERIES = {
     "minhash_signatures": (minhash_signatures, MINHASH_SIGNATURES_SQL),
     "minhash_lsh_pairs": (minhash_lsh_pairs, MINHASH_LSH_SQL),
     "neardup_incremental": (neardup_incremental, NEARDUP_INCREMENTAL_SQL),
+    "neardup_incremental_simhash": (
+        neardup_incremental_simhash,
+        NEARDUP_INCREMENTAL_SIMHASH_SQL,
+    ),
     "simhash_fingerprints": (simhash_fingerprints, SIMHASH_SQL),
     "simhash_near_pairs": (simhash_near_pairs, SIMHASH_PAIRS_SQL),
     "neardup_clusters": (neardup_clusters, NEARDUP_CLUSTERS_SQL),

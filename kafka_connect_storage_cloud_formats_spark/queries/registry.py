@@ -260,35 +260,38 @@ ROTATED_FOR_ROUND = 11
 # 2×50-window ≤1-round-stale invariant — the registry outgrew the 100
 # ceiling this round (the verdict's own asks added 4 queries). The
 # guarantee becomes: at most ceil(N/50)-rounds staleness via rotation
-# (= 3 queries per round slip to the round after next, declared
+# (= N-100 queries per round slip to the round after next, declared
 # explicitly below), every new/changed query still debuts in-window, and
 # EVERY query is re-certified on HEAD each round by the full-registry
 # oracle run (tools/check_correctness.py --repeat — a standing round
-# gate). The 3 that slip are the simplest single-fact aggregate shapes
+# gate). The 4 that slip are the simplest single-fact aggregate shapes
 # in the relational pack; their operator families stay in-window
 # (q1/q3/q5/q7/q8/q21/q22, orders_cube, events_pivot_hourly...).
 _SLIPPED_TO_R12 = [
     "q6_forecast_revenue",
     "q13_order_count_distribution",
     "q15_top_supplier",
+    "q14_promo_revenue_share",
 ]
 
 _STALE_AFTER_R10 = [
     # NEW this round (never driver-evidenced — they lead the window):
-    # the incremental near-dup tier (batch banded against the published
-    # signature artifact — round-10 verdict ask #1), the trained tier's
+    # the incremental near-dup tiers (the new batch against the published
+    # MinHash signature / SimHash fingerprint artifacts — round-10 verdict
+    # ask #1 and its fingerprint-family completion), the trained tier's
     # serving-grade recall point (ask #2), and the boundary-splitting
     # packing pair (ask #5).
     "neardup_incremental",
+    "neardup_incremental_simhash",
     "ivf_kmeans_recall_nprobe4",
     "pack_sequence_spans",
     "packed_span_fill",
-    # the 46 of 49 r9-vintage queries that fit the window (oldest class;
-    # the 3 in _SLIPPED_TO_R12 wait one more round)
+    # the 45 of 49 r9-vintage queries that fit the window (oldest class;
+    # the 4 in _SLIPPED_TO_R12 wait one more round)
     "parquet_roundtrip", "json_roundtrip", "schema_evolution_roundtrip",
     "csv_roundtrip", "q21_sole_late_supplier", "q2_min_acctbal_supplier",
     "q22_rich_inactive_customers", "orders_cube", "events_pivot_hourly",
-    "q7_nation_trade_volume", "q14_promo_revenue_share",
+    "q7_nation_trade_volume",
     "q19_disjunctive_revenue", "q10_returned_revenue",
     "q8_nation_market_share",
     "part_brand_type_setops", "array_function_gallery", "doc_top_terms",

@@ -750,3 +750,36 @@ def test_neardup_incremental_corpus_dup_excluded_from_within(spark, tmp_path):
     assert (r["n_batch"], r["n_dropped_corpus"], r["n_dropped_within"], r["n_kept"]) == (
         2, 2, 0, 0,
     )
+
+
+def test_neardup_incremental_simhash_semantics(spark, tmp_path):
+    """SimHash incremental tier on the same crafted split as the MinHash
+    test: exact duplicates are Hamming 0 under every fingerprint family,
+    so corpus-dup and within-batch classifications are deterministic;
+    distinct texts land far beyond the ≤3 threshold."""
+    from kafka_connect_storage_cloud_formats_spark.operators.dedup import (
+        neardup_incremental_simhash,
+    )
+
+    rows = [
+        (0, "alpha beta gamma delta words", "en"),
+        (1, "completely different corpus sentence here", "en"),
+        (4, "alpha beta gamma delta words", "en"),  # corpus dup → dropped_corpus
+        (9, "fresh unique batch content tokens", "en"),  # kept
+        (14, "fresh unique batch content tokens", "en"),  # dup of 9 → dropped_within
+        (19, "nouvelle phrase unique en lot", "fr"),  # kept
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    out = {
+        r["lang"]: (
+            r["n_batch"],
+            r["n_dropped_corpus"],
+            r["n_dropped_within"],
+            r["n_kept"],
+        )
+        for r in neardup_incremental_simhash(spark, sf).collect()
+    }
+    assert out == {"en": (3, 1, 1, 1), "fr": (1, 0, 0, 1)}
