@@ -437,7 +437,10 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ensure_minhash_sigs(
-    spark: SparkSession, sf_dir: str, family: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    family: str | None = None,
+    split: str | None = None,
 ) -> DataFrame:
     """Corpus-fingerprinted MATERIALIZED signature table (parquet, atomic
     publish — artifacts.py), shared by every LSH consumer: ``minhash_lsh_
@@ -446,29 +449,49 @@ def _ensure_minhash_sigs(
     corpus-scale shingle+md5+min chain. At 100 TB the signature table is
     the standard persisted intermediate of a dedup pipeline — ~100 B/doc,
     built once per corpus, consumed by every downstream stage. Signatures
-    are hex strings, so the parquet roundtrip is exact (hash-neutral)."""
+    are hex strings, so the parquet roundtrip is exact (hash-neutral).
+
+    ``split="batch"`` builds the BATCH-split table instead (the per-drop
+    persisted intermediate of the incremental tier): its own params
+    token, its build tokenizes the batch rows directly — in production
+    the batch is NEW content no corpus artifact contains — while the
+    default whole-corpus build aggregates the SHARED shingle artifact.
+    ONE function so the artifact-path/params convention cannot fork
+    between the corpus and batch tables (round-11 review)."""
     from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_df, artifact_path
 
+    if split not in (None, "batch"):
+        raise ValueError(f"split must be None or 'batch', got {split!r}")
     family = family or hash_family()
     # family-keyed params token: the two families' signature tables have
     # different column types (hex string vs long) and must never share a
     # cache path; md5 keeps its historical token so existing artifacts
-    # stay valid.
-    ptag = f"k{MINHASH_K}n{SHINGLE_N}" + ("" if family == "md5" else f"x{family}")
-    path = artifact_path("minhash_sigs", sf_dir, "documents", params=ptag, spark=spark)
-    # The build aggregates the SHARED materialized shingle stream (n=3 —
-    # the same artifact the Jaccard tier scans) instead of re-deriving
-    # tokenize+shingle from the corpus: at 100 TB one corpus scan publishes
-    # the shingle artifact and every downstream derivation (Jaccard pairs,
-    # signatures) aggregates from it. Result is identical by construction
-    # (tests/test_dedup.py pins artifact content against the direct chain).
-    return artifact_df(
-        path,
-        lambda tmp: _sigs_from_shingles(
-            ensure_shingle_rows(spark, sf_dir, SHINGLE_N), family=family
-        ).write.parquet(tmp),
-        spark,
+    # stay valid. The batch split adds its own infix for the same reason.
+    ptag = (
+        f"k{MINHASH_K}n{SHINGLE_N}"
+        + (f"incr{INCREMENT_MOD}b" if split == "batch" else "")
+        + ("" if family == "md5" else f"x{family}")
     )
+    path = artifact_path("minhash_sigs", sf_dir, "documents", params=ptag, spark=spark)
+    if split == "batch":
+        builder = lambda tmp: _minhash_sigs_from(  # noqa: E731
+            load_table(spark, sf_dir, "documents").filter(
+                F.col("doc_id") % INCREMENT_MOD == INCREMENT_MOD - 1
+            ),
+            family=family,
+        ).write.parquet(tmp)
+    else:
+        # The whole-corpus build aggregates the SHARED materialized shingle
+        # stream (n=3 — the same artifact the Jaccard tier scans) instead
+        # of re-deriving tokenize+shingle from the corpus: at 100 TB one
+        # corpus scan publishes the shingle artifact and every downstream
+        # derivation (Jaccard pairs, signatures) aggregates from it. Result
+        # is identical by construction (tests/test_dedup.py pins artifact
+        # content against the direct chain).
+        builder = lambda tmp: _sigs_from_shingles(  # noqa: E731
+            ensure_shingle_rows(spark, sf_dir, SHINGLE_N), family=family
+        ).write.parquet(tmp)
+    return artifact_df(path, builder, spark)
 
 
 def _minhash_sql_core() -> str:
@@ -626,34 +649,49 @@ MINHASH_LSH_SQL = _minhash_pairs_ctes() + "SELECT d1, d2, est_jaccard FROM pairs
 NEARDUP_INCR_MIN_EST = 0.5
 
 
-def _ensure_batch_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content-keyed MATERIALIZED signature table of the BATCH split — the
-    per-drop persisted intermediate of the incremental near-dup job: the
-    batch's shingle+hash+min chain runs exactly once per drop, every
-    consumer (the vs-corpus band join, both sides of the within-batch
-    self-join, and — when a drop is accepted — the merge into the corpus
-    signature table) reads the ~100 B/doc parquet instead. Signatures are
-    computed by the SAME `_sigs_from_shingles` chain as the corpus
-    artifact (family-keyed params, same staleness/atomic-publish
-    contract), so batch and corpus signatures can never band differently."""
-    from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_df, artifact_path
+def _incr_report(
+    batch_docs: DataFrame, vs_corpus: DataFrame, within: DataFrame
+) -> DataFrame:
+    """THE per-language incremental report — (lang, n_batch,
+    n_dropped_corpus, n_dropped_within, n_kept) — shared by both
+    fingerprint families (one definition: the category-disjointness rule
+    must not exist in two copies that could drift; round-11 review).
+    ``within`` holds only corpus-surviving docs by construction, so the
+    categories partition the batch."""
+    dc = F.col("dc").isNotNull()
+    dw = ~dc & F.col("dw").isNotNull()
+    return (
+        batch_docs.select("doc_id", "lang")
+        .join(vs_corpus.withColumn("dc", F.lit(1)), "doc_id", "left")
+        .join(within.withColumn("dw", F.lit(1)), "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_batch"),
+            F.sum(dc.cast("long")).alias("n_dropped_corpus"),
+            F.sum(dw.cast("long")).alias("n_dropped_within"),
+            F.sum((~dc & ~F.col("dw").isNotNull()).cast("long")).alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
 
-    family = hash_family()
-    ptag = (
-        f"k{MINHASH_K}n{SHINGLE_N}incr{INCREMENT_MOD}b"
-        + ("" if family == "md5" else f"x{family}")
-    )
-    path = artifact_path("minhash_sigs", sf_dir, "documents", params=ptag, spark=spark)
-    return artifact_df(
-        path,
-        lambda tmp: _minhash_sigs_from(
-            load_table(spark, sf_dir, "documents").filter(
-                F.col("doc_id") % INCREMENT_MOD == INCREMENT_MOD - 1
-            ),
-            family=family,
-        ).write.parquet(tmp),
-        spark,
-    )
+
+# The report's SQL counterpart, shared by both family oracles: expects
+# CTEs ``vs_corpus(doc_id)`` and ``within(doc_id)`` in scope.
+_INCR_REPORT_SQL = f""",
+marked AS (
+  SELECT d.lang,
+         CASE WHEN v.doc_id IS NOT NULL THEN 1 ELSE 0 END AS dc,
+         CASE WHEN v.doc_id IS NULL AND w.doc_id IS NOT NULL THEN 1 ELSE 0 END AS dw
+  FROM documents d
+  LEFT JOIN vs_corpus v ON v.doc_id = d.doc_id
+  LEFT JOIN within w ON w.doc_id = d.doc_id
+  WHERE d.doc_id % {INCREMENT_MOD} = {INCREMENT_MOD - 1})
+SELECT lang, COUNT(*) AS n_batch,
+       CAST(SUM(dc) AS BIGINT) AS n_dropped_corpus,
+       CAST(SUM(dw) AS BIGINT) AS n_dropped_within,
+       CAST(SUM(1 - dc - dw) AS BIGINT) AS n_kept
+FROM marked GROUP BY lang ORDER BY lang
+"""
 
 
 def neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -672,12 +710,17 @@ def neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     - **dropped_corpus** — batch docs sharing ≥1 LSH band with a corpus
       doc at est_jaccard ≥ NEARDUP_INCR_MIN_EST (a strong near-dup of
       published content).
-    - **dropped_within** — surviving batch docs with a strong banded pair
-      to a SMALLER-id batch doc (greedy-by-id suppression, the standard
-      streaming dedup rule — deliberately NOT transitive connected
-      components: a batch is small enough that greedy suppression is the
-      per-drop production shape, and the rule is one self-join instead of
-      an iterative loop).
+    - **dropped_within** — corpus-SURVIVING (fresh) batch docs with a
+      strong banded pair to a smaller-id FRESH batch doc — the same
+      collapse domain as ``dedup_incremental``'s exact tier (round-11
+      review: suppressing against ALL batch docs let a doc that was
+      itself dropped vs the corpus suppress fresh content with no
+      surviving representative anywhere — near-dup similarity is not
+      transitive). Greedy-by-id over fresh docs gives every dropped doc
+      a DESCENDING chain of strong pairs ending at a kept doc (the
+      chain's minimum has no smaller fresh partner), i.e. the
+      min-representative contract of ``neardup_clusters`` without the
+      iterative CC loop.
     - **kept** — the rest.
 
     Returns the per-language batch report (n_batch / n_dropped_corpus /
@@ -701,7 +744,7 @@ def neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_batch = F.col("doc_id") % INCREMENT_MOD == INCREMENT_MOD - 1
     batch_docs = docs.filter(is_batch)
     # artifact-backed batch signatures; published-artifact corpus signatures
-    batch_bands = _band_rows(_ensure_batch_minhash_sigs(spark, sf_dir))
+    batch_bands = _band_rows(_ensure_minhash_sigs(spark, sf_dir, split="batch"))
     corpus_bands = _band_rows(
         _ensure_minhash_sigs(spark, sf_dir).filter(
             F.col("doc_id") % INCREMENT_MOD != INCREMENT_MOD - 1
@@ -720,10 +763,13 @@ def neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_id"))
         .distinct()
     )
+    # within-batch suppression runs among corpus-SURVIVORS only (see
+    # docstring); the anti-join is batch-sized
+    fresh_bands = batch_bands.join(vs_corpus, "doc_id", "left_anti")
     within = (
-        batch_bands.alias("a")
+        fresh_bands.alias("a")
         .join(
-            batch_bands.alias("b"),
+            fresh_bands.alias("b"),
             F.expr(
                 "a.band_id = b.band_id AND a.band_hash = b.band_hash "
                 "AND a.doc_id < b.doc_id"
@@ -733,21 +779,7 @@ def neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("b.doc_id").alias("doc_id"))
         .distinct()
     )
-    dc = F.col("dc").isNotNull()
-    dw = ~dc & F.col("dw").isNotNull()
-    return (
-        batch_docs.select("doc_id", "lang")
-        .join(vs_corpus.withColumn("dc", F.lit(1)), "doc_id", "left")
-        .join(within.withColumn("dw", F.lit(1)), "doc_id", "left")
-        .groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_batch"),
-            F.sum(dc.cast("long")).alias("n_dropped_corpus"),
-            F.sum(dw.cast("long")).alias("n_dropped_within"),
-            F.sum((~dc & ~F.col("dw").isNotNull()).cast("long")).alias("n_kept"),
-        )
-        .orderBy("lang")
-    )
+    return _incr_report(batch_docs, vs_corpus, within)
 
 
 def _neardup_incremental_sql() -> str:
@@ -777,24 +809,13 @@ cband AS (SELECT * FROM bands WHERE doc_id % {INCREMENT_MOD} <> {INCREMENT_MOD -
 vs_corpus AS (
   SELECT DISTINCT a.doc_id FROM bband a JOIN cband b ON ({same_band})
   WHERE {est} >= {NEARDUP_INCR_MIN_EST}),
+fresh AS (SELECT * FROM bband
+          WHERE doc_id NOT IN (SELECT doc_id FROM vs_corpus)),
 within AS (
-  SELECT DISTINCT b.doc_id FROM bband a JOIN bband b
+  SELECT DISTINCT b.doc_id FROM fresh a JOIN fresh b
   ON a.doc_id < b.doc_id AND ({same_band})
-  WHERE {est} >= {NEARDUP_INCR_MIN_EST}),
-marked AS (
-  SELECT d.lang,
-         CASE WHEN v.doc_id IS NOT NULL THEN 1 ELSE 0 END AS dc,
-         CASE WHEN v.doc_id IS NULL AND w.doc_id IS NOT NULL THEN 1 ELSE 0 END AS dw
-  FROM documents d
-  LEFT JOIN vs_corpus v ON v.doc_id = d.doc_id
-  LEFT JOIN within w ON w.doc_id = d.doc_id
-  WHERE d.doc_id % {INCREMENT_MOD} = {INCREMENT_MOD - 1})
-SELECT lang, COUNT(*) AS n_batch,
-       CAST(SUM(dc) AS BIGINT) AS n_dropped_corpus,
-       CAST(SUM(dw) AS BIGINT) AS n_dropped_within,
-       CAST(SUM(1 - dc - dw) AS BIGINT) AS n_kept
-FROM marked GROUP BY lang ORDER BY lang
-"""
+  WHERE {est} >= {NEARDUP_INCR_MIN_EST})"""
+        + _INCR_REPORT_SQL
     )
 
 
@@ -976,7 +997,9 @@ fp AS (SELECT doc_id, CAST({bits['hi']} AS BIGINT) AS simhash_hi,
 SIMHASH_SQL = _simhash_sql_core() + "SELECT doc_id, simhash_hi, simhash_lo FROM fp ORDER BY doc_id"
 
 
-def _ensure_simhash_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ensure_simhash_fps(
+    spark: SparkSession, sf_dir: str, split: str | None = None
+) -> DataFrame:
     """Corpus-fingerprinted MATERIALIZED fingerprint table (3 longs/row,
     parquet, atomic publish — artifacts.py). Round 7: replaces the
     per-run ``localCheckpoint`` in the near-pair self-join — the same
@@ -988,22 +1011,30 @@ def _ensure_simhash_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     table; the hash family joins the key the same way the minhash
     signature table's does (md5 keeps its historical token, so existing
     artifacts stay valid — an xxhash64 session builds and reads its own
-    family-keyed table and can never serve md5 fingerprints)."""
+    family-keyed table and can never serve md5 fingerprints).
+
+    ``split="batch"`` builds the BATCH-split table (the incremental
+    tier's per-drop intermediate, own params infix) — one function so
+    the path/params convention cannot fork (round-11 review)."""
     from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_df, artifact_path
 
+    if split not in (None, "batch"):
+        raise ValueError(f"split must be None or 'batch', got {split!r}")
     family = hash_family()
     path = artifact_path(
         "simhash_fp",
         sf_dir,
         "documents",
         params=f"b{SIMHASH_BITS}l{SIMHASH_LANE_BITS}"
+        + (f"incr{INCREMENT_MOD}b" if split == "batch" else "")
         + ("" if family == "md5" else f"x{family}"),
     )
+    docs = load_table(spark, sf_dir, "documents")
+    if split == "batch":
+        docs = docs.filter(F.col("doc_id") % INCREMENT_MOD == INCREMENT_MOD - 1)
     return artifact_df(
         path,
-        lambda tmp: _simhash_fp_from(
-            load_table(spark, sf_dir, "documents"), family=family
-        ).write.parquet(tmp),
+        lambda tmp: _simhash_fp_from(docs, family=family).write.parquet(tmp),
         spark,
     )
 
@@ -1122,34 +1153,6 @@ ORDER BY d1, d2
 
 
 # -------------------------------------------- incremental near-dup (SimHash)
-def _ensure_batch_simhash_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content-keyed MATERIALIZED fingerprint table of the BATCH split —
-    the SimHash counterpart of :func:`_ensure_batch_minhash_sigs` (same
-    per-drop doctrine: the batch's token-explode + vote chain runs once
-    per drop; both sides of every candidate join read the 3-longs/row
-    parquet; an accepted drop's fingerprints merge into the corpus
-    table). Same bit-layout/family params discipline as the corpus
-    fingerprint artifact."""
-    from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_df, artifact_path
-
-    family = hash_family()
-    ptag = (
-        f"b{SIMHASH_BITS}l{SIMHASH_LANE_BITS}incr{INCREMENT_MOD}b"
-        + ("" if family == "md5" else f"x{family}")
-    )
-    path = artifact_path("simhash_fp", sf_dir, "documents", params=ptag, spark=spark)
-    return artifact_df(
-        path,
-        lambda tmp: _simhash_fp_from(
-            load_table(spark, sf_dir, "documents").filter(
-                F.col("doc_id") % INCREMENT_MOD == INCREMENT_MOD - 1
-            ),
-            family=family,
-        ).write.parquet(tmp),
-        spark,
-    )
-
-
 def neardup_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL near-dup, SimHash tier — the fingerprint-family
     counterpart of :func:`neardup_incremental` (same modular batch/corpus
@@ -1163,16 +1166,19 @@ def neardup_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``simhash_near_pairs`` threshold). Candidates come from the SAME
     two-level pigeonhole keys as the whole-corpus tier
     (:func:`_simhash_candidate_keys` — one definition), so both joins are
-    composite-key equi-joins: batch keys × corpus keys, and the batch
-    self-join; the key rows carry 3 longs + 3 key columns (~48 B).
-    Scale shape: corpus fingerprints come from the PUBLISHED artifact
-    filtered to the corpus split (filter pushes into the scan); batch
-    fingerprints are their own per-drop artifact
-    (:func:`_ensure_batch_simhash_fps`) consumed by all three join
-    sides."""
+    composite-key equi-joins: batch keys × corpus keys, and the
+    fresh-batch self-join (corpus-survivors only — same within-rule as
+    the MinHash tier, see :func:`neardup_incremental`); the key rows
+    carry 3 longs + 3 key columns (~48 B). Scale shape: corpus
+    fingerprints come from the PUBLISHED artifact filtered to the corpus
+    split (filter pushes into the scan); batch fingerprints are their
+    own per-drop artifact (``_ensure_simhash_fps(split="batch")``)
+    consumed by all three join sides."""
     docs = load_table(spark, sf_dir, "documents")
     is_batch = F.col("doc_id") % INCREMENT_MOD == INCREMENT_MOD - 1
-    batch_keys = _simhash_candidate_keys(_ensure_batch_simhash_fps(spark, sf_dir))
+    batch_keys = _simhash_candidate_keys(
+        _ensure_simhash_fps(spark, sf_dir, split="batch")
+    )
     corpus_keys = _simhash_candidate_keys(
         _ensure_simhash_fps(spark, sf_dir).filter(
             F.col("doc_id") % INCREMENT_MOD != INCREMENT_MOD - 1
@@ -1191,59 +1197,38 @@ def neardup_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_id"))
         .distinct()
     )
+    fresh_keys = batch_keys.join(vs_corpus, "doc_id", "left_anti")
     within = (
-        batch_keys.alias("a")
+        fresh_keys.alias("a")
         .join(
-            batch_keys.alias("b"),
+            fresh_keys.alias("b"),
             same_key & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .filter(hamming <= SIMHASH_MAX_HAMMING)
         .select(F.col("b.doc_id").alias("doc_id"))
         .distinct()
     )
-    dc = F.col("dc").isNotNull()
-    return (
-        docs.filter(is_batch)
-        .select("doc_id", "lang")
-        .join(vs_corpus.withColumn("dc", F.lit(1)), "doc_id", "left")
-        .join(within.withColumn("dw", F.lit(1)), "doc_id", "left")
-        .groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_batch"),
-            F.sum(dc.cast("long")).alias("n_dropped_corpus"),
-            F.sum((~dc & F.col("dw").isNotNull()).cast("long")).alias("n_dropped_within"),
-            F.sum((~dc & ~F.col("dw").isNotNull()).cast("long")).alias("n_kept"),
-        )
-        .orderBy("lang")
-    )
+    return _incr_report(docs.filter(is_batch), vs_corpus, within)
 
 
-NEARDUP_INCREMENTAL_SIMHASH_SQL = _simhash_sql_core() + f""",
+NEARDUP_INCREMENTAL_SIMHASH_SQL = (
+    _simhash_sql_core()
+    + f""",
 bfp AS (SELECT * FROM fp WHERE doc_id % {INCREMENT_MOD} = {INCREMENT_MOD - 1}),
 cfp AS (SELECT * FROM fp WHERE doc_id % {INCREMENT_MOD} <> {INCREMENT_MOD - 1}),
 vs_corpus AS (
   SELECT DISTINCT a.doc_id FROM bfp a JOIN cfp b
   ON bit_count(xor(a.simhash_hi, b.simhash_hi))
      + bit_count(xor(a.simhash_lo, b.simhash_lo)) <= {SIMHASH_MAX_HAMMING}),
+fresh AS (SELECT * FROM bfp
+          WHERE doc_id NOT IN (SELECT doc_id FROM vs_corpus)),
 within AS (
-  SELECT DISTINCT b.doc_id FROM bfp a JOIN bfp b
+  SELECT DISTINCT b.doc_id FROM fresh a JOIN fresh b
   ON a.doc_id < b.doc_id
  AND bit_count(xor(a.simhash_hi, b.simhash_hi))
-     + bit_count(xor(a.simhash_lo, b.simhash_lo)) <= {SIMHASH_MAX_HAMMING}),
-marked AS (
-  SELECT d.lang,
-         CASE WHEN v.doc_id IS NOT NULL THEN 1 ELSE 0 END AS dc,
-         CASE WHEN v.doc_id IS NULL AND w.doc_id IS NOT NULL THEN 1 ELSE 0 END AS dw
-  FROM documents d
-  LEFT JOIN vs_corpus v ON v.doc_id = d.doc_id
-  LEFT JOIN within w ON w.doc_id = d.doc_id
-  WHERE d.doc_id % {INCREMENT_MOD} = {INCREMENT_MOD - 1})
-SELECT lang, COUNT(*) AS n_batch,
-       CAST(SUM(dc) AS BIGINT) AS n_dropped_corpus,
-       CAST(SUM(dw) AS BIGINT) AS n_dropped_within,
-       CAST(SUM(1 - dc - dw) AS BIGINT) AS n_kept
-FROM marked GROUP BY lang ORDER BY lang
-"""
+     + bit_count(xor(a.simhash_lo, b.simhash_lo)) <= {SIMHASH_MAX_HAMMING})"""
+    + _INCR_REPORT_SQL
+)
 
 
 # ------------------------------------------------- near-dup cluster assignment

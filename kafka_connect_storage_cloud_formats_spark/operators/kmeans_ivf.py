@@ -219,11 +219,18 @@ def _spread_seed_matrix(corpus: DataFrame, k: int):
         _stack64,
     )
 
-    n = corpus.count()
-    if n < k:
-        raise ValueError(f"corpus has {n} vectors < k={k}")
     first = corpus.orderBy("vec_id").limit(1).collect()
+    if not first:
+        raise ValueError(f"corpus has 0 vectors < k={k}")
     seeds = [np.asarray(first[0]["embedding"], dtype=np.float64)]
+    # Already-selected rows are EXCLUDED from every later argmin (round-11
+    # review): on a degenerate corpus where every vector has cosine ~1.0
+    # to a seed (e.g. scalar multiples of one direction), the bare argmin
+    # would silently re-select the same row k-1 times and train coincident
+    # centroids. The exclusion list is k-bounded (cheap isin); it also
+    # makes a too-small corpus fail loudly (the selection runs dry)
+    # without a separate corpus-scale count() pass.
+    seed_ids = [int(first[0]["vec_id"])]
     state = corpus.select(
         "vec_id", "embedding", F.lit(float("-inf")).cast("double").alias("maxcos")
     )
@@ -263,8 +270,18 @@ def _spread_seed_matrix(corpus: DataFrame, k: int):
                 )
 
         state = state.mapInPandas(step, schema).localCheckpoint(eager=True)
-        nxt = state.orderBy(F.asc("maxcos"), F.asc("vec_id")).limit(1).collect()[0]
-        seeds.append(np.asarray(nxt["embedding"], dtype=np.float64))
+        picked = (
+            state.filter(~F.col("vec_id").isin(seed_ids))
+            .orderBy(F.asc("maxcos"), F.asc("vec_id"))
+            .limit(1)
+            .collect()
+        )
+        if not picked:
+            raise ValueError(
+                f"corpus has only {len(seed_ids)} vectors < k={k}"
+            )
+        seeds.append(np.asarray(picked[0]["embedding"], dtype=np.float64))
+        seed_ids.append(int(picked[0]["vec_id"]))
     labels = np.arange(k, dtype=np.int64)
     return labels, np.stack(seeds)
 

@@ -256,9 +256,9 @@ _ALL = {
 # its window assertion off this constant).
 ROTATED_FOR_ROUND = 11
 
-# WINDOW-CAPACITY NOTE (round 11): 103 registered queries no longer fit a
+# WINDOW-CAPACITY NOTE (round 11): 104 registered queries no longer fit a
 # 2×50-window ≤1-round-stale invariant — the registry outgrew the 100
-# ceiling this round (the verdict's own asks added 4 queries). The
+# ceiling this round (the round's asks added 5 queries). The
 # guarantee becomes: at most ceil(N/50)-rounds staleness via rotation
 # (= N-100 queries per round slip to the round after next, declared
 # explicitly below), every new/changed query still debuts in-window, and

@@ -783,3 +783,29 @@ def test_neardup_incremental_simhash_semantics(spark, tmp_path):
         for r in neardup_incremental_simhash(spark, sf).collect()
     }
     assert out == {"en": (3, 1, 1, 1), "fr": (1, 0, 0, 1)}
+
+
+def test_neardup_incremental_dropped_doc_does_not_suppress_fresh(spark, tmp_path):
+    """Round-11 review: within-batch suppression runs among corpus-
+    SURVIVORS only. Batch doc A (id 4) is a strong near-dup of corpus doc
+    C and is dropped vs the corpus; batch doc B (id 9) is a strong
+    near-dup of A but NOT of C (near-dup similarity is not transitive) —
+    B must be KEPT, not suppressed by the already-dropped A. Texts were
+    searched offline against the md5 MinHash reference:
+    est(A,C)=0.833, est(B,A)=0.500, est(B,C)=0.417 (< 0.5)."""
+    from kafka_connect_storage_cloud_formats_spark.operators.dedup import (
+        neardup_incremental,
+    )
+
+    C = "w10 w4 w12 w20 w1 w2 w26 w17 w3 w11 w18 w1 w29 w16 w6 w1 w2 w13 w13 w2 w7 w2 w17 w13"
+    A = "w10 w15 w12 w20 w1 w2 w26 w17 w3 w11 w18 w1 w29 w16 w6 w1 w2 w13 w13 w2 w7 w2 w17 w13"
+    B = "w10 w15 w12 w20 w1 w2 w26 w17 w3 w24 w18 w1 w7 w16 w6 w12 w2 w13 w13 w2 w7 w2 w17 w4"
+    rows = [(0, C, "en"), (4, A, "en"), (9, B, "en")]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    [r] = neardup_incremental(spark, sf).collect()
+    assert (r["n_batch"], r["n_dropped_corpus"], r["n_dropped_within"], r["n_kept"]) == (
+        2, 1, 0, 1,
+    )

@@ -310,3 +310,26 @@ def test_spread_init_trains_and_is_deterministic(spark, sf_dir):
 
     with pytest.raises(ValueError, match="init"):
         train_kmeans_quantizer(spark, sf_dir, k=4, iters=2, init="rng")
+
+
+def test_spread_init_degenerate_corpus_selects_distinct_seeds(spark, tmp_path):
+    """Round-11 review: on a corpus where every vector has cosine ~1.0 to
+    every other (scalar multiples of one direction), the spread argmin
+    must still select k DISTINCT rows (already-selected ids are excluded)
+    instead of silently duplicating seed 0; and a corpus smaller than k
+    runs the selection dry with a loud error instead of duplicating."""
+    import pytest
+
+    from kafka_connect_storage_cloud_formats_spark.operators.kmeans_ivf import (
+        _spread_seed_matrix,
+    )
+
+    rows = [(i, [float(i + 1)] * 64) for i in range(6)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    labels, M = _spread_seed_matrix(emb, 3)
+    assert len(labels) == 3 and M.shape == (3, 64)
+    # distinct rows were picked: the scalar multiples differ in magnitude
+    assert len({tuple(r) for r in M.tolist()}) == 3
+
+    with pytest.raises(ValueError, match="< k"):
+        _spread_seed_matrix(emb, 7)

@@ -90,6 +90,13 @@ def test_unevidenced_queries_lead_the_driver_window():
         f"outside={sorted(outside)} declared={sorted(declared)}; reorder "
         "_PRIORITY or fix the declaration in queries/registry.py"
     )
+    # (c) the slip list is no larger than arithmetic requires: N queries
+    # minus two windows' capacity. A larger declared list would silently
+    # weaken the staleness bound the round protocol documents.
+    assert len(declared) <= max(0, len(names) - 100), (
+        f"{len(declared)} slipped queries declared but the window shortfall "
+        f"is only {max(0, len(names) - 100)} (N={len(names)})"
+    )
     recent_rows: set = set()
     for f in _correctness_files():
         if any(
