@@ -265,11 +265,17 @@ def _record_consumed(path: str) -> None:
             s.add(path)
         return
     # frame-less thread (a builder's worker): conservative fan-out to every
-    # live recorder so no plan-cache entry under-records its consumed set
+    # live recorder so no plan-cache entry under-records its consumed set.
+    # The adds happen UNDER the lock (round-11 ADVICE): with a snapshot,
+    # a frame whose owner exits between the snapshot and the add could be
+    # mutated after __exit__ — while the owner iterates/copies the
+    # returned set ("set changed size during iteration") or after it
+    # froze a consumed set missing the late path. Holding the lock across
+    # the adds serializes with __exit__'s removal; adds are cheap and the
+    # lock is only contended on this rare frame-less-thread path.
     with _ALL_FRAMES_LOCK:
-        frames = list(_ALL_FRAMES)
-    for s in frames:
-        s.add(path)
+        for s in _ALL_FRAMES:
+            s.add(path)
 
 
 def _probe_and_refresh(

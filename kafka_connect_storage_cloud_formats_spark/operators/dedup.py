@@ -641,12 +641,17 @@ MINHASH_LSH_SQL = _minhash_pairs_ctes() + "SELECT d1, d2, est_jaccard FROM pairs
 
 
 # ----------------------------------------------------- incremental near-dup
-# Strong-match threshold for the incremental tier = the clustering tier's
-# strong-edge threshold (CLUSTER_MIN_EST_JACCARD below): the recurring job
-# drops from the batch exactly the documents the whole-corpus pipeline
-# would have clustered away. 6/12 matching components is exactly
+# The clustering tier's strong-edge threshold (used by _cluster_ctes and
+# the label artifact below; hoisted above the incremental section so the
+# incremental threshold is ASSIGNED from it — round-11 ADVICE: a duplicated
+# literal would let a future cluster-threshold change silently fork the
+# incremental tier from the "drops exactly what the whole-corpus pipeline
+# would cluster away" contract). 6/12 matching components is exactly
 # representable, so the >= compare is engine-identical.
-NEARDUP_INCR_MIN_EST = 0.5
+CLUSTER_MIN_EST_JACCARD = 0.5
+# Strong-match threshold for the incremental tier = the clustering tier's
+# strong-edge threshold, by assignment.
+NEARDUP_INCR_MIN_EST = CLUSTER_MIN_EST_JACCARD
 
 
 def _incr_report(
@@ -1232,7 +1237,8 @@ within AS (
 
 
 # ------------------------------------------------- near-dup cluster assignment
-CLUSTER_MIN_EST_JACCARD = 0.5
+# (CLUSTER_MIN_EST_JACCARD is defined above the incremental section so the
+# incremental tier's threshold can be ASSIGNED from it — round-11 ADVICE.)
 MAX_CC_ITERATIONS = 20
 # Adaptive CC strategy gate: an edge set at or below this many rows is
 # solved driver-side (union-find over collected edges — the same

@@ -80,8 +80,13 @@ def test_unevidenced_queries_lead_the_driver_window():
     # Round 11: 100+ registered queries no longer fit a 2×50-window
     # ≤1-round-stale invariant. Overflow must be (a) EXPLICITLY declared
     # (registry._SLIPPED_TO_R12-style list — a silent slip is the lapse
-    # this test exists to catch), (b) evidenced in the PREVIOUS round
-    # (≤2-rounds-stale bound), and (c) no larger than the window shortfall.
+    # this test exists to catch), (b) evidenced in the latest or previous
+    # round's window — which, with the slipped query then waiting one
+    # extra round, bounds its evidence gap at its r{N+1} debut to the
+    # ceil(N/50)-round bound registry.py documents (round-11 ADVICE: the
+    # earlier "≤2-rounds-stale" wording overstated what this enforces —
+    # a query slipped from a previous-round window is 3 rounds stale at
+    # debut), and (c) no larger than the window shortfall.
     from kafka_connect_storage_cloud_formats_spark.queries import registry as _reg
 
     declared = set(getattr(_reg, f"_SLIPPED_TO_R{ROTATED_FOR_ROUND + 1}", []))
