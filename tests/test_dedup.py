@@ -809,3 +809,143 @@ def test_neardup_incremental_dropped_doc_does_not_suppress_fresh(spark, tmp_path
     assert (r["n_batch"], r["n_dropped_corpus"], r["n_dropped_within"], r["n_kept"]) == (
         2, 1, 0, 1,
     )
+
+
+def test_curation_chain_semantics(spark, tmp_path):
+    """Chained disposition on a crafted split exercising every stage:
+    exact duplicates die in the exact tier (and never reach the near-dup
+    tier), true near-dups (superset texts: est_jaccard 0.75/0.83 with
+    shared bands — deterministic under the md5 family) die in the
+    near-dup tier, fresh content is kept."""
+    from kafka_connect_storage_cloud_formats_spark.operators.dedup import (
+        curation_drop_report,
+    )
+
+    rows = [
+        # corpus side (doc_id % 5 != 4)
+        (0, "alpha beta gamma delta epsilon zeta", "en"),
+        (1, "completely different corpus sentence here", "en"),
+        # batch side (doc_id % 5 == 4)
+        (4, "alpha beta gamma delta epsilon zeta", "en"),        # exact_corpus
+        (9, "alpha beta gamma delta epsilon zeta extra", "en"),  # neardup_corpus (est 0.75, 1 band)
+        (14, "one two three four five six seven eight", "en"),   # kept (smallest of its pair)
+        (19, "one two three four five six seven eight nine", "en"),  # neardup_within of 14 (est 0.83)
+        (24, "fresh unique batch content tokens", "en"),         # kept
+        (29, "fresh unique batch content tokens", "en"),         # exact_within (dup of 24)
+        (34, "nouvelle phrase unique en lot", "fr"),             # kept
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    out = {r["lang"]: r.asDict() for r in curation_drop_report(spark, sf).collect()}
+    assert out["en"] == {
+        "lang": "en", "n_batch": 6,
+        "n_exact_corpus": 1, "n_exact_within": 1,
+        "n_neardup_corpus": 1, "n_neardup_within": 1,
+        "n_kept": 2,
+    }
+    assert out["fr"] == {
+        "lang": "fr", "n_batch": 1,
+        "n_exact_corpus": 0, "n_exact_within": 0,
+        "n_neardup_corpus": 0, "n_neardup_within": 0,
+        "n_kept": 1,
+    }
+
+
+def test_curation_disposition_partitions_batch_and_reconciles_exact_tier(spark, sf_dir):
+    """On the real corpus: every batch doc gets exactly one stage, the
+    report's stage counts sum to n_batch, and the chain's exact tier
+    reconciles with dedup_incremental's standalone report (same rules —
+    one definition)."""
+    from kafka_connect_storage_cloud_formats_spark.catalog import load_table
+    from kafka_connect_storage_cloud_formats_spark.operators.dedup import (
+        CURATION_STAGES,
+        INCREMENT_MOD,
+        _curation_disposition,
+        curation_drop_report,
+        dedup_incremental,
+    )
+
+    disp = _curation_disposition(spark, sf_dir)
+    n_batch = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % INCREMENT_MOD == INCREMENT_MOD - 1)
+        .count()
+    )
+    assert disp.count() == n_batch
+    assert {r["stage"] for r in disp.select("stage").distinct().collect()} <= set(
+        CURATION_STAGES
+    )
+    rep = {r["lang"]: r.asDict() for r in curation_drop_report(spark, sf_dir).collect()}
+    for r in rep.values():
+        assert r["n_batch"] == sum(r[f"n_{s}"] for s in CURATION_STAGES)
+    exact = {r["lang"]: r["n_dropped"] for r in dedup_incremental(spark, sf_dir).collect()}
+    for lang, n_dropped in exact.items():
+        assert rep[lang]["n_exact_corpus"] + rep[lang]["n_exact_within"] == n_dropped
+
+
+def test_corpus_signature_merge_inventory_and_rerun(spark, tmp_path):
+    """Accept-step end-to-end on a crafted split: the merged generation
+    holds the corpus split's signatures plus exactly the kept batch docs'
+    signatures, and RE-submitting the same drop against the merged
+    generation (corpus_sigs hook) drops everything — an accepted drop
+    contributes nothing the second time."""
+    from kafka_connect_storage_cloud_formats_spark.artifacts import published_df
+    from kafka_connect_storage_cloud_formats_spark.operators.dedup import (
+        corpus_signature_merge,
+        ensure_merged_corpus_sigs,
+        neardup_incremental,
+    )
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta", "en"),   # corpus
+        (1, "completely different corpus sentence here", "en"),  # corpus
+        (4, "alpha beta gamma delta epsilon zeta", "en"),   # exact_corpus → not merged
+        (9, "fresh unique batch content tokens", "en"),     # kept → merged
+        (14, "fresh unique batch content tokens", "en"),    # exact_within → not merged
+        (19, "nouvelle phrase unique en lot", "fr"),        # kept → merged
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    inv = {r["origin"]: r.asDict() for r in corpus_signature_merge(spark, sf).collect()}
+    assert inv["corpus"]["n_docs"] == 2 and inv["corpus"]["n_distinct_sigs"] == 2
+    assert inv["batch"]["n_docs"] == 2 and inv["batch"]["n_distinct_sigs"] == 2
+    assert inv["batch"]["min_doc_id"] == 9 and inv["batch"]["max_doc_id"] == 19
+    # re-submit the same drop against the merged generation: every batch
+    # doc now near-dups accepted corpus content → nothing kept
+    merged = published_df(spark, ensure_merged_corpus_sigs(spark, sf))
+    rerun = {
+        r["lang"]: (r["n_batch"], r["n_dropped_corpus"], r["n_kept"])
+        for r in neardup_incremental(spark, sf, corpus_sigs=merged).collect()
+    }
+    assert rerun == {"en": (3, 3, 0), "fr": (1, 1, 0)}
+
+
+def test_corpus_signature_merge_kept_docs_dropped_on_rerun(spark, sf_dir):
+    """Real-corpus guarantee of the accept step: every curation-KEPT batch
+    doc that carries a signature is classified dropped-vs-corpus when the
+    drop is re-evaluated against the merged generation (its own signature
+    is in the corpus side now — est_jaccard 1 with itself)."""
+    from kafka_connect_storage_cloud_formats_spark.artifacts import published_df
+    from kafka_connect_storage_cloud_formats_spark.operators.dedup import (
+        _band_rows,
+        _banded_drop_sets,
+        _curation_disposition,
+        _ensure_minhash_sigs,
+        ensure_merged_corpus_sigs,
+    )
+
+    path = ensure_merged_corpus_sigs(spark, sf_dir, force=True)
+    merged_bands = _band_rows(published_df(spark, path))
+    batch_bands = _band_rows(_ensure_minhash_sigs(spark, sf_dir, split="batch"))
+    vs_corpus, _ = _banded_drop_sets(batch_bands, merged_bands)
+    kept_with_sig = (
+        _curation_disposition(spark, sf_dir)
+        .filter(F.col("stage") == "kept")
+        .join(_ensure_minhash_sigs(spark, sf_dir, split="batch"), "doc_id", "left_semi")
+        .select("doc_id")
+    )
+    assert kept_with_sig.join(vs_corpus, "doc_id", "left_anti").count() == 0
