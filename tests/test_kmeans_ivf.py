@@ -333,3 +333,62 @@ def test_spread_init_degenerate_corpus_selects_distinct_seeds(spark, tmp_path):
 
     with pytest.raises(ValueError, match="< k"):
         _spread_seed_matrix(emb, 7)
+
+
+def test_upsert_segment_and_serving_view(spark, sf_dir):
+    """The incremental upsert (round 12): the per-drop segment holds
+    exactly the batch split assigned to the PUBLISHED corpus-split
+    quantizer (labels ⊆ trained cells, counts reconcile), and the serving
+    view (main index ∪ segment) holds every embedding exactly once."""
+    from kafka_connect_storage_cloud_formats_spark.artifacts import published_df
+    from kafka_connect_storage_cloud_formats_spark.operators.kmeans_ivf import (
+        UPSERT_MOD,
+        build_kmeans_ivf_upsert,
+        ivf_kmeans_index_upsert,
+        kmeans_ivf_serving_view,
+    )
+    from kafka_connect_storage_cloud_formats_spark.operators.similarity import _load
+
+    total = _load(spark, sf_dir).count()
+    n_batch = (
+        _load(spark, sf_dir)
+        .filter(F.col("vec_id") % UPSERT_MOD == UPSERT_MOD - 1)
+        .count()
+    )
+    inv = ivf_kmeans_index_upsert(spark, sf_dir).collect()
+    assert sum(r["n_new_vectors"] for r in inv) == n_batch
+    _, cent_long = train_kmeans_quantizer(spark, sf_dir, split="corpus")
+    trained_cells = {int(r["label"]) for r in cent_long.select("label").distinct().collect()}
+    assert {int(r["label"]) for r in inv} <= trained_cells
+    seg = published_df(spark, build_kmeans_ivf_upsert(spark, sf_dir))
+    assert seg.count() == n_batch
+    assert seg.filter(F.col("vec_id") % UPSERT_MOD != UPSERT_MOD - 1).count() == 0
+    view = kmeans_ivf_serving_view(spark, sf_dir)
+    assert view.count() == total
+    assert view.select("vec_id").distinct().count() == total
+
+
+def test_upsert_does_not_retrain_the_quantizer(spark, sf_dir):
+    """Assign-without-retrain is the POINT of the upsert: re-running the
+    registered row force-rebuilds the SEGMENT but must leave the published
+    quantizer artifacts untouched (their generation markers don't move)."""
+    from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_path
+    from kafka_connect_storage_cloud_formats_spark.fsio import _fs_for
+    from kafka_connect_storage_cloud_formats_spark.operators.kmeans_ivf import (
+        DIM,
+        KMEANS_ITERS,
+        KMEANS_K,
+        UPSERT_MOD,
+        ivf_kmeans_index_upsert,
+    )
+
+    ivf_kmeans_index_upsert(spark, sf_dir).collect()
+    params = f"k{KMEANS_K}i{KMEANS_ITERS}d{DIM}cosla-corp{UPSERT_MOD}"
+    gens = {}
+    for kind in ("kmeans_assign", "kmeans_cents"):
+        p = artifact_path(kind, sf_dir, "embeddings", params=params, spark=spark)
+        gens[kind] = (p, _fs_for(p, spark).generation(p))
+        assert gens[kind][1] is not None  # trained and published
+    ivf_kmeans_index_upsert(spark, sf_dir).collect()  # segment rebuilds
+    for kind, (p, gen) in gens.items():
+        assert _fs_for(p, spark).generation(p) == gen, f"{kind} was retrained"
