@@ -1306,7 +1306,13 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _simhash_fp_table(spark, sf_dir).orderBy("doc_id")
 
 
-def _simhash_sql_core() -> str:
+def _simhash_ctes(sfx: str = "") -> str:
+    """The fingerprint-replay CTE body (``tok``/``hv``/``voted``/``fp``,
+    each suffixed by ``sfx``), WITHOUT the leading ``WITH`` — so it can
+    compose with other CTE chains whose names collide (the curation
+    chain's minhash core also defines ``hv``; the fingerprint-merge
+    oracle composes both). ``sfx=""`` reproduces the historical body
+    byte-for-byte."""
     half_bits = SIMHASH_BITS // 2
 
     # hex → int without conv(): digit positions via instr over the hex alphabet
@@ -1327,19 +1333,22 @@ def _simhash_sql_core() -> str:
         )
         for h in ("hi", "lo")
     }
-    return f"""
-WITH tok AS (
+    return f"""tok{sfx} AS (
   SELECT doc_id, t, COUNT(*) AS c FROM (
     SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) q
   GROUP BY doc_id, t),
-hv AS (SELECT doc_id, c, CAST({hexval(1)} AS BIGINT) AS v_hi,
-               CAST({hexval(9)} AS BIGINT) AS v_lo FROM tok),
-voted AS (SELECT doc_id,
+hv{sfx} AS (SELECT doc_id, c, CAST({hexval(1)} AS BIGINT) AS v_hi,
+               CAST({hexval(9)} AS BIGINT) AS v_lo FROM tok{sfx}),
+voted{sfx} AS (SELECT doc_id,
        {votes}
-FROM hv GROUP BY doc_id),
-fp AS (SELECT doc_id, CAST({bits['hi']} AS BIGINT) AS simhash_hi,
-              CAST({bits['lo']} AS BIGINT) AS simhash_lo FROM voted)
+FROM hv{sfx} GROUP BY doc_id),
+fp{sfx} AS (SELECT doc_id, CAST({bits['hi']} AS BIGINT) AS simhash_hi,
+              CAST({bits['lo']} AS BIGINT) AS simhash_lo FROM voted{sfx})
 """
+
+
+def _simhash_sql_core() -> str:
+    return "\nWITH " + _simhash_ctes()
 
 
 SIMHASH_SQL = _simhash_sql_core() + "SELECT doc_id, simhash_hi, simhash_lo FROM fp ORDER BY doc_id"
@@ -1501,7 +1510,9 @@ ORDER BY d1, d2
 
 
 # -------------------------------------------- incremental near-dup (SimHash)
-def neardup_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def neardup_incremental_simhash(
+    spark: SparkSession, sf_dir: str, corpus_fps: DataFrame | None = None
+) -> DataFrame:
     """INCREMENTAL near-dup, SimHash tier — the fingerprint-family
     counterpart of :func:`neardup_incremental` (same modular batch/corpus
     split, same per-language report contract, same greedy-by-id
@@ -1521,17 +1532,23 @@ def neardup_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints come from the PUBLISHED artifact filtered to the corpus
     split (filter pushes into the scan); batch fingerprints are their
     own per-drop artifact (``_ensure_simhash_fps(split="batch")``)
-    consumed by all three join sides."""
+    consumed by all three join sides.
+
+    ``corpus_fps`` (round 12): an EXPLICIT corpus-side fingerprint table —
+    the recurring job passes the MERGED generation
+    (``published_df(spark, ensure_merged_corpus_fps(...))``), same
+    contract as ``neardup_incremental``'s ``corpus_sigs`` hook. Default
+    ``None`` keeps the registered shape (plan-identical — verified)."""
     docs = load_table(spark, sf_dir, "documents")
     is_batch = F.col("doc_id") % INCREMENT_MOD == INCREMENT_MOD - 1
     batch_keys = _simhash_candidate_keys(
         _ensure_simhash_fps(spark, sf_dir, split="batch")
     )
-    corpus_keys = _simhash_candidate_keys(
-        _ensure_simhash_fps(spark, sf_dir).filter(
+    if corpus_fps is None:
+        corpus_fps = _ensure_simhash_fps(spark, sf_dir).filter(
             F.col("doc_id") % INCREMENT_MOD != INCREMENT_MOD - 1
         )
-    )
+    corpus_keys = _simhash_candidate_keys(corpus_fps)
     same_key = F.expr(
         "a.key_id = b.key_id AND a.blk_val = b.blk_val AND a.sub_val = b.sub_val"
     )
@@ -1577,6 +1594,111 @@ within AS (
      + bit_count(xor(a.simhash_lo, b.simhash_lo)) <= {SIMHASH_MAX_HAMMING})"""
     + _INCR_REPORT_SQL
 )
+
+
+def merged_corpus_fps_path(spark: SparkSession, sf_dir: str) -> str:
+    """Artifact location of the MERGED corpus fingerprint generation —
+    the SimHash counterpart of :func:`merged_corpus_sigs_path`, same
+    params-keyed staleness contract."""
+    from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_path
+
+    family = hash_family()
+    return artifact_path(
+        "simhash_fp",
+        sf_dir,
+        "documents",
+        params=f"b{SIMHASH_BITS}l{SIMHASH_LANE_BITS}mrg{INCREMENT_MOD}"
+        + ("" if family == "md5" else f"x{family}"),
+        spark=spark,
+    )
+
+
+def ensure_merged_corpus_fps(
+    spark: SparkSession, sf_dir: str, force: bool = False
+) -> str:
+    """The accept step for the FINGERPRINT artifact family: one accept
+    decision per drop (the chained curation disposition — the same kept
+    set :func:`ensure_merged_corpus_sigs` uses, because a pipeline
+    accepts a document once and then updates EVERY published artifact
+    family), applied to the SimHash fingerprint table: corpus split of
+    the published whole-corpus artifact ∪ the batch fingerprint
+    artifact's kept-doc rows, published atomically as a new generation
+    for ``neardup_incremental_simhash``'s ``corpus_fps`` hook."""
+    from kafka_connect_storage_cloud_formats_spark.artifacts import ensure_artifact
+
+    path = merged_corpus_fps_path(spark, sf_dir)
+
+    def build(tmp: str) -> None:
+        kept = (
+            _curation_disposition(spark, sf_dir)
+            .filter(F.col("stage") == "kept")
+            .select("doc_id")
+        )
+        corpus = _ensure_simhash_fps(spark, sf_dir).filter(
+            F.col("doc_id") % INCREMENT_MOD != INCREMENT_MOD - 1
+        )
+        accepted = _ensure_simhash_fps(spark, sf_dir, split="batch").join(
+            kept, "doc_id", "left_semi"
+        )
+        corpus.unionByName(accepted).write.parquet(tmp)
+
+    ensure_artifact(path, build, spark=spark, force=force)
+    return path
+
+
+def corpus_fingerprint_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered measure-the-build row for the fingerprint-family accept
+    step (mirror of :func:`corpus_signature_merge` — same per-origin
+    inventory contract over the merged table's 3-long rows)."""
+    path = ensure_merged_corpus_fps(spark, sf_dir, force=True)
+    origin = F.when(
+        F.col("doc_id") % INCREMENT_MOD == INCREMENT_MOD - 1, F.lit("batch")
+    ).otherwise(F.lit("corpus"))
+    fp_concat = F.concat_ws("|", F.col("simhash_hi"), F.col("simhash_lo"))
+    return (
+        spark.read.parquet(path)
+        .select(origin.alias("origin"), "doc_id", fp_concat.alias("fp"))
+        .groupBy("origin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_distinct_fps"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("origin")
+    )
+
+
+def _corpus_fingerprint_merge_sql() -> str:
+    """Inventory oracle: the chained disposition (minhash core + exact
+    tier — the accept decision) composed with the fingerprint replay
+    (``_simhash_ctes(sfx="2")`` — suffixed so its ``hv`` cannot collide
+    with the minhash core's), then the same per-origin aggregate. Every
+    document has a fingerprint row (one vote per token occurrence, and
+    split(text) is never empty), so 'batch' rows are exactly the kept
+    set — unlike the signature merge, where a doc too short to shingle
+    has no row in either engine."""
+    return (
+        _curation_ctes()
+        + ",\n"
+        + _simhash_ctes(sfx="2").rstrip()
+        + f""",
+merged_fp AS (
+  SELECT f.doc_id, f.simhash_hi, f.simhash_lo FROM fp2 f
+  WHERE f.doc_id % {INCREMENT_MOD} <> {INCREMENT_MOD - 1}
+  UNION ALL
+  SELECT f.doc_id, f.simhash_hi, f.simhash_lo FROM fp2 f
+  JOIN disposition d ON d.doc_id = f.doc_id AND d.stage = 'kept')
+SELECT CASE WHEN doc_id % {INCREMENT_MOD} = {INCREMENT_MOD - 1}
+            THEN 'batch' ELSE 'corpus' END AS origin,
+       COUNT(*) AS n_docs,
+       CAST(COUNT(DISTINCT CAST(simhash_hi AS VARCHAR) || '|' || CAST(simhash_lo AS VARCHAR)) AS BIGINT) AS n_distinct_fps,
+       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+FROM merged_fp GROUP BY 1 ORDER BY origin"""
+    )
+
+
+CORPUS_FINGERPRINT_MERGE_SQL = _corpus_fingerprint_merge_sql()
 
 
 # ------------------------------------------------- near-dup cluster assignment
@@ -1910,6 +2032,10 @@ DEDUP_QUERIES = {
     "neardup_incremental_simhash": (
         neardup_incremental_simhash,
         NEARDUP_INCREMENTAL_SIMHASH_SQL,
+    ),
+    "corpus_fingerprint_merge": (
+        corpus_fingerprint_merge,
+        CORPUS_FINGERPRINT_MERGE_SQL,
     ),
     "simhash_fingerprints": (simhash_fingerprints, SIMHASH_SQL),
     "simhash_near_pairs": (simhash_near_pairs, SIMHASH_PAIRS_SQL),

@@ -651,6 +651,27 @@ def kmeans_ivf_serving_view(
     )
 
 
+def ivf_kmeans_topk_upserted(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Top-k probe against the SERVING VIEW (main corpus-split index ∪
+    per-drop upsert segment) — the query path a deployment actually runs
+    between re-indexings, certified end-to-end: same probe machinery
+    (:func:`~.similarity._ivf_probe`), centroids from the published
+    corpus-split quantizer, stored rows from the union. The oracle
+    replays corpus-split training + the batch assignment + the union +
+    the probe in one WITH-chain (``_kmeans_upserted_topk_sql``)."""
+    _, cent_long = train_kmeans_quantizer(
+        spark, sf_dir, k=k, iters=iters, split="corpus"
+    )
+    stored = _with_norm(kmeans_ivf_serving_view(spark, sf_dir, k=k, iters=iters))
+    return _ivf_probe(spark, sf_dir, cent_long, stored, nprobe=nprobe)
+
+
 # ------------------------------------------------------------ DuckDB oracles
 # The FULL TRAINING REPLAY as SQL. Legal because the trainer is
 # deterministic and every float chain is left-associated (module
@@ -738,7 +759,9 @@ u{it} AS (
     return ",\n".join(parts), iters + 1
 
 
-def _kmeans_probe_ctes(fi: int, nprobe: int = 1) -> str:
+def _kmeans_probe_ctes(
+    fi: int, nprobe: int = 1, labels_rel: str | None = None
+) -> str:
     """The serving probe over the replayed training (mirror of
     similarity.IVF_TOPK_SQL, with trained centroids ``u{fi}`` and trained
     corpus labels ``cl{fi}``). ``nprobe`` generalizes the assignment to
@@ -760,6 +783,11 @@ def _kmeans_probe_ctes(fi: int, nprobe: int = 1) -> str:
 
     if nprobe < 1:
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    # labels_rel (round 12): the relation supplying the stored corpus's
+    # cell labels — default the training replay's final assignment
+    # (byte-identical to the pre-parameter chain); the serving-view probe
+    # passes the cl{fi} ∪ upa union instead.
+    labels = labels_rel if labels_rel is not None else f"cl{fi}"
     return f"""kcents AS (
   SELECT label AS c_label, list(centroid ORDER BY dim) AS c_emb FROM u{fi} GROUP BY label),
 kcents2 AS (
@@ -773,7 +801,7 @@ kbase AS (
               ELSE error('zero-norm embedding: cosine similarity is undefined') END AS norm
   FROM (SELECT e.vec_id, e.embedding, cl.cluster AS klabel,
                sqrt({_sql_dot('e.embedding', 'e.embedding')}) AS n0
-        FROM embeddings e JOIN cl{fi} cl ON cl.vec_id = e.vec_id) b),
+        FROM embeddings e JOIN {labels} cl ON cl.vec_id = e.vec_id) b),
 kassign AS (
   SELECT q.vec_id AS q_id, c_label,
          {_sql_dot('q.embedding', 'c_emb')} / (q.norm * c_norm) AS ccos
@@ -848,23 +876,18 @@ FROM cl{fi} GROUP BY cluster ORDER BY label
 """
 
 
-def _kmeans_upsert_sql() -> str:
-    """Full assignment-replay oracle for the upsert row: re-train the
-    corpus-SPLIT quantizer (the same unrolled Lloyd's chain, over the
-    ``emb_corpus`` CTE), take its serving centroids ``u{fi}`` — exactly
-    the centroid artifact the engine's assign pass broadcasts — then
-    score every BATCH vector against each centroid with the trainer's own
-    left-associated scaled-dot chain (``_sql_scaled_dot`` mirrors the
-    NumPy kernel term-for-term; zero-norm centroids score -infinity) and
-    count per winning cell."""
+def _upsert_assign_ctes(fi: int) -> str:
+    """The batch-assignment replay (CTEs ``upc``/``upc2``/``ups``/``upa``
+    — ``upa(vec_id, label)`` is the drop's cell assignment), over a
+    corpus-split training chain's serving centroids ``u{fi}``. Shared by
+    the upsert-inventory oracle and the serving-view probe oracle (one
+    definition of the assignment replay). Scores every BATCH vector with
+    the trainer's own left-associated scaled-dot chain
+    (``_sql_scaled_dot`` mirrors the NumPy kernel term-for-term;
+    zero-norm centroids score -infinity; ties take the lowest label)."""
     from kafka_connect_storage_cloud_formats_spark.operators.similarity import _sql_dot
 
-    train, fi = _kmeans_training_ctes(src="emb_corpus")
-    return f"""
-WITH emb_corpus AS (
-  SELECT * FROM embeddings WHERE vec_id % {UPSERT_MOD} <> {UPSERT_MOD - 1}),
-{train},
-upc AS (
+    return f"""upc AS (
   SELECT label, list(centroid ORDER BY dim) AS c_emb FROM u{fi} GROUP BY label),
 upc2 AS (
   SELECT label, c_emb, sqrt({_sql_dot('c_emb', 'c_emb')}) AS cn FROM upc),
@@ -878,9 +901,47 @@ upa AS (
   SELECT vec_id, label FROM (
     SELECT vec_id, label,
            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, label) AS rn
-    FROM ups) r WHERE rn = 1)
+    FROM ups) r WHERE rn = 1)"""
+
+
+def _kmeans_upsert_sql() -> str:
+    """Full assignment-replay oracle for the upsert row: re-train the
+    corpus-SPLIT quantizer (the same unrolled Lloyd's chain, over the
+    ``emb_corpus`` CTE), take its serving centroids ``u{fi}`` — exactly
+    the centroid artifact the engine's assign pass broadcasts — then
+    replay the batch assignment and count per winning cell."""
+    train, fi = _kmeans_training_ctes(src="emb_corpus")
+    return f"""
+WITH emb_corpus AS (
+  SELECT * FROM embeddings WHERE vec_id % {UPSERT_MOD} <> {UPSERT_MOD - 1}),
+{train},
+{_upsert_assign_ctes(fi)}
 SELECT label, CAST(COUNT(*) AS BIGINT) AS n_new_vectors
 FROM upa GROUP BY label ORDER BY label
+"""
+
+
+def _kmeans_upserted_topk_sql(nprobe: int = 1) -> str:
+    """Serving-view probe oracle: corpus-split training replay, the batch
+    assignment replay, their UNION as the serving label table, then the
+    standard probe CTEs over it — certifying end-to-end that a probe
+    against (main index ∪ per-drop segment) serves exactly what the
+    replayed deployment would."""
+    from kafka_connect_storage_cloud_formats_spark.operators.similarity import TOP_K
+
+    train, fi = _kmeans_training_ctes(src="emb_corpus")
+    return f"""
+WITH emb_corpus AS (
+  SELECT * FROM embeddings WHERE vec_id % {UPSERT_MOD} <> {UPSERT_MOD - 1}),
+{train},
+{_upsert_assign_ctes(fi)},
+serving_labels AS (
+  SELECT vec_id, cluster FROM cl{fi}
+  UNION ALL
+  SELECT vec_id, label AS cluster FROM upa),
+{_kmeans_probe_ctes(fi, labels_rel="serving_labels", nprobe=nprobe)}
+SELECT q_id, neighbor_id, cosine, rank FROM kranked WHERE rank <= {TOP_K}
+ORDER BY q_id, rank
 """
 
 
@@ -889,6 +950,7 @@ KMEANS_RECALL_SQL = _kmeans_recall_sql()
 KMEANS_RECALL_NPROBE4_SQL = _kmeans_recall_sql(nprobe=SERVING_NPROBE)
 KMEANS_INDEX_BUILD_SQL = _kmeans_index_build_sql()
 KMEANS_UPSERT_SQL = _kmeans_upsert_sql()
+KMEANS_UPSERTED_TOPK_SQL = _kmeans_upserted_topk_sql()
 
 KMEANS_IVF_QUERIES = {
     "ivf_kmeans_topk": (ivf_kmeans_topk, KMEANS_TOPK_SQL),
@@ -901,4 +963,6 @@ KMEANS_IVF_QUERIES = {
     "ivf_kmeans_recall_nprobe4": (ivf_kmeans_recall_nprobe4, KMEANS_RECALL_NPROBE4_SQL),
     # the incremental drop's assign-without-retrain step (round 12):
     "ivf_kmeans_index_upsert": (ivf_kmeans_index_upsert, KMEANS_UPSERT_SQL),
+    # the query path between re-indexings: probe over main ∪ segment
+    "ivf_kmeans_topk_upserted": (ivf_kmeans_topk_upserted, KMEANS_UPSERTED_TOPK_SQL),
 }

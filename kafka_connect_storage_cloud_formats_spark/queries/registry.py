@@ -173,11 +173,14 @@ _SIDE_EFFECT_QUERIES = frozenset(
         # rebuild); its consumer path (ivf_kmeans_topk_pruned) is the
         # cached serving shape
         "ivf_kmeans_index_build",
-        # round 12: the two accept/upsert steps of the incremental
-        # pipeline — both rows exist to measure the per-drop build
-        # (merged signature generation; cell-partitioned index segment),
-        # so a memoized plan would skip exactly the measured work
+        # round 12: the accept/upsert steps of the incremental pipeline —
+        # these rows exist to measure the per-drop build (merged
+        # signature/fingerprint generations; cell-partitioned index
+        # segment), so a memoized plan would skip exactly the measured
+        # work. The serving-view probe (ivf_kmeans_topk_upserted) is the
+        # cached consumer path, like every other probe row.
         "corpus_signature_merge",
+        "corpus_fingerprint_merge",
         "ivf_kmeans_index_upsert",
     }
 )
@@ -260,98 +263,105 @@ _ALL = {
 # the window has served its purpose and the positional invariant is
 # expected to lapse until the next rotation (tests/test_registry.py keys
 # its window assertion off this constant).
-ROTATED_FOR_ROUND = 11
+ROTATED_FOR_ROUND = 12
 
-# WINDOW-CAPACITY NOTE (round 11): 104 registered queries no longer fit a
-# 2×50-window ≤1-round-stale invariant — the registry outgrew the 100
-# ceiling this round (the round's asks added 5 queries). The
-# guarantee becomes: at most ceil(N/50)-rounds staleness via rotation
-# (= N-100 queries per round slip to the round after next, declared
-# explicitly below), every new/changed query still debuts in-window, and
-# EVERY query is re-certified on HEAD each round by the full-registry
-# oracle run (tools/check_correctness.py --repeat — a standing round
-# gate). The 4 that slip are the simplest single-fact aggregate shapes
-# in the relational pack; their operator families stay in-window
-# (q1/q3/q5/q7/q8/q21/q22, orders_cube, events_pivot_hourly...).
-_SLIPPED_TO_R12 = [
+# WINDOW-CAPACITY NOTE (round 12, protocol from round 11): 109 registered
+# queries; the guarantee is ceil(N/50)=3-rounds max staleness via
+# rotation, every new/changed query debuts in-window, and EVERY query is
+# re-certified on HEAD each round by the full-registry oracle run
+# (tools/check_correctness.py --repeat — a standing round gate). The 9
+# that slip to r13 are the simplest single-fact relational aggregate
+# shapes (all r10-green, none changed this round); their operator family
+# stays richly in-window (q1/q3/q5/q9 plus the four returning r9 slips).
+_SLIPPED_TO_R13 = [
+    "q4_priority_with_late_ship",
+    "q11_important_parts",
+    "q12_priority_by_returnflag",
+    "q16_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q20_promotion_suppliers",
+    "distinct_parts_per_supplier",
+    "orders_price_moments",
+]
+
+_STALE_AFTER_R11 = [
+    # THE SLIP LIST LEADS (round-11 verdict ask #2): the four r9-vintage
+    # queries declared _SLIPPED_TO_R12 last round — 3 rounds stale at this
+    # debut, the ceil(N/50) bound's worst case; nothing older remains.
     "q6_forecast_revenue",
     "q13_order_count_distribution",
     "q15_top_supplier",
     "q14_promo_revenue_share",
+    # NEW this round (never driver-evidenced): the chained per-drop
+    # curation report (round-11 verdict ask #5), the accept step in BOTH
+    # artifact families (ask #3 — MinHash signatures + SimHash
+    # fingerprints), and the ANN index upsert with its serving-view probe
+    # (ask #4).
+    "curation_drop_report",
+    "corpus_signature_merge",
+    "corpus_fingerprint_merge",
+    "ivf_kmeans_index_upsert",
+    "ivf_kmeans_topk_upserted",
+    # the 41 of 50 r10-vintage queries that fit the window (the 9 in
+    # _SLIPPED_TO_R13 wait one more round)
+    "orc_ingest_roundtrip", "orc_partitioned_roundtrip", "avro_roundtrip",
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+    "top_orders_per_customer", "orders_rollup", "customers_without_orders",
+    "events_hourly_rollup",
+    "scalar_function_gallery", "q9_product_type_profit",
+    "scrub_numeric_tokens", "vocab_stats",
+    "doc_quality_deciles", "dedup_incremental", "dedup_ngram_jaccard",
+    "simhash_fingerprints", "ivf_kmeans_topk", "ivf_kmeans_topk_pruned",
+    "ivf_kmeans_index_build", "ivf_kmeans_recall_at_10", "media_catalog",
+    "video_frame_index", "audio_window_energy", "events_funnel",
+    "events_interval_join", "events_tumbling_15m", "events_sliding_1h",
+    "events_session_30m", "orders_column_profile", "events_value_quantiles",
+    "approx_profile", "events_latest_per_user", "replay_dedup",
+    "training_corpus_stats", "pack_training_sequences",
+    "packed_sequence_stats", "clicks_asof_purchase",
+    "bucketed_segment_revenue", "salted_cohort_activity",
 ]
-
-_STALE_AFTER_R10 = [
-    # NEW this round (never driver-evidenced — they lead the window):
-    # the incremental near-dup tiers (the new batch against the published
-    # MinHash signature / SimHash fingerprint artifacts — round-10 verdict
-    # ask #1 and its fingerprint-family completion), the trained tier's
-    # serving-grade recall point (ask #2), and the boundary-splitting
-    # packing pair (ask #5).
-    "neardup_incremental",
-    "neardup_incremental_simhash",
-    "ivf_kmeans_recall_nprobe4",
-    "pack_sequence_spans",
-    "packed_span_fill",
-    # the 45 of 49 r9-vintage queries that fit the window (oldest class;
-    # the 4 in _SLIPPED_TO_R12 wait one more round)
-    "parquet_roundtrip", "json_roundtrip", "schema_evolution_roundtrip",
-    "csv_roundtrip", "q21_sole_late_supplier", "q2_min_acctbal_supplier",
-    "q22_rich_inactive_customers", "orders_cube", "events_pivot_hourly",
-    "q7_nation_trade_volume",
-    "q19_disjunctive_revenue", "q10_returned_revenue",
-    "q8_nation_market_share",
-    "part_brand_type_setops", "array_function_gallery", "doc_top_terms",
-    "text_quality_stats", "lang_id_heuristic", "token_count_bpe",
-    "doc_fingerprint", "benchmark_contamination", "doc_bigram_novelty",
-    "dedup_exact", "dedup_canonical", "minhash_signatures",
-    "minhash_lsh_pairs", "simhash_near_pairs", "neardup_clusters",
-    "dedup_fuzzy_prefix", "knn_bruteforce", "ann_lsh_topk",
-    "ivf_centroids", "ivf_topk", "ivf_index_build", "ivf_topk_pruned",
-    "sq8_topk", "sq8_recall_at_10", "ivf_recall_at_10",
-    "dedup_embedding_cosine", "ann_recall_at_10", "image_decode_stats",
-    "media_feature_extract", "image_resize_thumbnail",
-    "corpus_split_stats", "stratified_sample",
-]
-_CHANGED_THIS_ROUND_R11: list = [
+_CHANGED_THIS_ROUND_R12: list = [
     # (none take window slots: every implementation change this round is
     # either a new query above or a verified result-neutral transit below)
 ]
 # Out-of-window transits, documented (all 50 slots are claimed above):
-# 1. The training-replay oracle's probe CTE (_kmeans_probe_ctes) gained
-#    zero-norm error() guards (round-10 ADVICE — engine/oracle contract
-#    symmetry) and the rn <= nprobe generalization; at the registered
-#    default nprobe=1, `rn <= 1` ≡ `rn = 1` and the guards are no-ops on
-#    every corpus without zero-norm rows (all shipped corpora — the same
-#    doctrine as round 10's engine-side zero-norm transit). Transits
-#    ivf_kmeans_topk / ivf_kmeans_topk_pruned / ivf_kmeans_recall_at_10
-#    (r10-evidenced); re-verified hash-green at sf0.001 + sf0.01
-#    (--repeat) this round, and the generalized path ITSELF is
-#    driver-certified through the in-window ivf_kmeans_recall_nprobe4.
-#    The same error() mirror was then extended to _sql_base and both
-#    label-tier centroid-norm sites (operators/similarity.py) — every
-#    affected similarity query sits IN this round's window, so those
-#    changed oracles earn fresh driver rows; unit-pinned on a synthetic
-#    zero-vector corpus for all three oracle shapes
-#    (tests/test_similarity.py::test_oracle_mirrors_zero_norm_refusal).
-# 2. _band_rows extraction (operators/dedup.py): the banding expressions
-#    moved verbatim from _pairs_from_sigs into a shared helper so the
-#    incremental tier cannot drift from the pair tier. Verified
+# 1. neardup_incremental and neardup_incremental_simhash (both
+#    r11-evidenced) were refactored for the curation chain / merged
+#    generations: the MinHash banded drop rule moved verbatim into the
+#    shared _banded_drop_sets helper, and both tiers gained the explicit
+#    corpus-side hook (corpus_sigs / corpus_fps -- the merged-generation
+#    consumer). Each registered default path was verified
 #    OPTIMIZED-PLAN-IDENTICAL (normalized expression ids) against the
-#    pre-refactor module and hash-green at sf0.001/0.01 — transits
-#    minhash_lsh_pairs (in-window anyway), neardup_clusters (in-window),
-#    training_corpus_stats, pack_training_sequences, packed_sequence_stats.
-# 3. The consumed-artifact recorder's cross-thread fan-out (artifacts.py,
-#    round-10 ADVICE): result-neutral by construction — recording is
-#    observational; re-verified by the full-registry --repeat run (both
-#    plan-cache paths) on final HEAD.
-# 4. train_kmeans_quantizer gained the measured-and-rejected init="spread"
-#    arm (own params token; SCALE.md round-11 A/B). The default path is
-#    byte-identical (same seeds, same token) — the kmeans family's
-#    artifacts are untouched.
-# 5. salted_join's one-time salt_cols=None warning (scale_utils.py):
-#    signal-only; the registered query names salt_cols and is silent.
+#    pre-refactor module and hash-green at sf0.001 + sf0.01 (--repeat,
+#    both plan-cache paths); the chain/merge surface itself debuts
+#    in-window (curation_drop_report, corpus_signature_merge,
+#    corpus_fingerprint_merge).
+# 2. _kmeans_training_ctes gained the src relation parameter and
+#    _kmeans_probe_ctes the labels_rel parameter for the upsert/serving
+#    oracles; at the defaults all five pre-existing oracle strings are
+#    BYTE-IDENTICAL (asserted against the pre-change module). The
+#    parameterized paths are driver-certified through the in-window
+#    ivf_kmeans_index_upsert + ivf_kmeans_topk_upserted. Transits
+#    ivf_kmeans_recall_nprobe4 (r11-evidenced; oracle string
+#    byte-identical, engine path untouched) -- the other kmeans rows sit
+#    IN this round's window.
+# 3. train_kmeans_quantizer / build_kmeans_ivf_index gained the
+#    split="corpus" arm (own params token -- a new artifact family): the
+#    default token, seeds and build are unchanged, so the published
+#    whole-corpus artifacts and every query over them are untouched.
+# 3b. _simhash_sql_core was refactored into "WITH " + _simhash_ctes(sfx)
+#    so the fingerprint replay can compose with the curation chain's
+#    CTEs (colliding `hv` names); SIMHASH_SQL / SIMHASH_PAIRS_SQL /
+#    NEARDUP_INCREMENTAL_SIMHASH_SQL asserted BYTE-IDENTICAL to the
+#    pre-refactor strings.
+# 4. write_bucketed's managed arm now self-heals orphaned warehouse
+#    locations (round-11 verdict "What's wrong #1"): the registered
+#    bucketed_segment_revenue never used the managed arm (external
+#    artifact path) and is in-window this round anyway.
 
-_PRIORITY = _STALE_AFTER_R10 + _CHANGED_THIS_ROUND_R11
+_PRIORITY = _STALE_AFTER_R11 + _CHANGED_THIS_ROUND_R12
 
 QUERIES: dict = {n: _ALL[n] for n in _PRIORITY if n in _ALL}
 QUERIES.update({n: v for n, v in _ALL.items() if n not in QUERIES})

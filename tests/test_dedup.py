@@ -949,3 +949,40 @@ def test_corpus_signature_merge_kept_docs_dropped_on_rerun(spark, sf_dir):
         .select("doc_id")
     )
     assert kept_with_sig.join(vs_corpus, "doc_id", "left_anti").count() == 0
+
+
+def test_corpus_fingerprint_merge_inventory_and_rerun(spark, tmp_path):
+    """Fingerprint-family accept step on the crafted split: same ONE
+    accept decision as the signature merge (the chained disposition), the
+    merged table holds corpus + kept-doc fingerprints, and re-submitting
+    the drop against the merged generation (corpus_fps hook) drops
+    everything — Hamming 0 against its own accepted fingerprint."""
+    from kafka_connect_storage_cloud_formats_spark.artifacts import published_df
+    from kafka_connect_storage_cloud_formats_spark.operators.dedup import (
+        corpus_fingerprint_merge,
+        ensure_merged_corpus_fps,
+        neardup_incremental_simhash,
+    )
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta", "en"),
+        (1, "completely different corpus sentence here", "en"),
+        (4, "alpha beta gamma delta epsilon zeta", "en"),   # exact_corpus → not merged
+        (9, "fresh unique batch content tokens", "en"),     # kept → merged
+        (14, "fresh unique batch content tokens", "en"),    # exact_within → not merged
+        (19, "nouvelle phrase unique en lot", "fr"),        # kept → merged
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    inv = {r["origin"]: r.asDict() for r in corpus_fingerprint_merge(spark, sf).collect()}
+    assert inv["corpus"]["n_docs"] == 2 and inv["corpus"]["n_distinct_fps"] == 2
+    assert inv["batch"]["n_docs"] == 2
+    assert inv["batch"]["min_doc_id"] == 9 and inv["batch"]["max_doc_id"] == 19
+    merged = published_df(spark, ensure_merged_corpus_fps(spark, sf))
+    rerun = {
+        r["lang"]: (r["n_batch"], r["n_dropped_corpus"], r["n_kept"])
+        for r in neardup_incremental_simhash(spark, sf, corpus_fps=merged).collect()
+    }
+    assert rerun == {"en": (3, 3, 0), "fr": (1, 1, 0)}

@@ -392,3 +392,21 @@ def test_upsert_does_not_retrain_the_quantizer(spark, sf_dir):
     ivf_kmeans_index_upsert(spark, sf_dir).collect()  # segment rebuilds
     for kind, (p, gen) in gens.items():
         assert _fs_for(p, spark).generation(p) == gen, f"{kind} was retrained"
+
+
+def test_upserted_probe_full_scan_equals_bruteforce(spark, sf_dir):
+    """The serving view covers the WHOLE corpus exactly once, so a probe
+    over it at nprobe = k (every cell probed) must be bit-equal to brute
+    force over all embeddings — the same full-scan invariant as the
+    trained and label quantizers, now across the main-index ∪ segment
+    union."""
+    from kafka_connect_storage_cloud_formats_spark.operators.kmeans_ivf import (
+        KMEANS_K,
+        ivf_kmeans_topk_upserted,
+    )
+
+    bf = sorted(map(tuple, knn_bruteforce(spark, sf_dir).collect()))
+    full = sorted(
+        map(tuple, ivf_kmeans_topk_upserted(spark, sf_dir, nprobe=KMEANS_K).collect())
+    )
+    assert full == bf

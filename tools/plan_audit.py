@@ -59,6 +59,9 @@ ALLOWED_NESTED = {
     "ivf_kmeans_topk_pruned",
     "ivf_kmeans_recall_at_10",
     "ivf_kmeans_recall_nprobe4",  # same probe + 1-row cross, nprobe=4
+    # round 12: the serving-view probe — the SAME shared _ivf_probe
+    # assignment stage (Q × k centroids, broadcast) over main ∪ segment
+    "ivf_kmeans_topk_upserted",
 }
 
 # Queries that fold a GLOBAL SCALAR into the plan via crossJoin(broadcast(
