@@ -91,7 +91,50 @@ ORDER BY keep_doc_id
 INCREMENT_MOD = 5
 
 
-def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ensure_content_hashes(
+    spark: SparkSession, sf_dir: str, split: str | None = None
+) -> DataFrame:
+    """Published CONTENT-HASH table — (doc_id, lang, content_hash =
+    unhex(sha2(text, 256))), ~50 B/doc, the exact-dedup counterpart of
+    the MinHash signature / SimHash fingerprint artifacts (round 12:
+    makes ``dedup_incremental``'s docstring contract literal — "at 100 TB
+    this hash set is exactly what a production pipeline maintains as a
+    persisted table alongside the corpus, so the recurring job's scan is
+    hashes, not text". Before this artifact the incremental exact tier
+    re-hashed the CORPUS TEXT on every drop — a full corpus scan per
+    recurring run, the one remaining corpus-scale recompute in the
+    family). Binary hashes roundtrip parquet exactly; built once per
+    corpus content via the standard atomic-publish protocol.
+
+    ``split="batch"`` builds the per-drop batch table (own params infix)
+    — one function so the path/params convention cannot fork, same rule
+    as the signature/fingerprint builders."""
+    from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_df, artifact_path
+
+    if split not in (None, "batch"):
+        raise ValueError(f"split must be None or 'batch', got {split!r}")
+    path = artifact_path(
+        "content_hashes",
+        sf_dir,
+        "documents",
+        params="sha256" + (f"incr{INCREMENT_MOD}b" if split == "batch" else ""),
+        spark=spark,
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    if split == "batch":
+        docs = docs.filter(F.col("doc_id") % INCREMENT_MOD == INCREMENT_MOD - 1)
+
+    def build(tmp: str) -> None:
+        docs.select(
+            "doc_id", "lang", F.unhex(F.sha2(F.col("text"), 256)).alias("content_hash")
+        ).write.parquet(tmp)
+
+    return artifact_df(path, build, spark)
+
+
+def dedup_incremental(
+    spark: SparkSession, sf_dir: str, corpus_hashes: DataFrame | None = None
+) -> DataFrame:
     """INCREMENTAL exact dedup — the recurring curation job shape at
     100 TB: a new crawl batch is deduplicated against the
     already-published corpus (drop content the corpus already has) and
@@ -113,18 +156,25 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     logic over its own hex strings (unhex is injective: identical
     groups/anti-join either way). Returns the per-language batch report
     — n_batch / n_kept / n_dropped — the numbers an incremental curation
-    run logs."""
-    docs = load_table(spark, sf_dir, "documents")
-    content_hash = F.unhex(F.sha2(F.col("text"), 256))
-    is_batch = F.col("doc_id") % INCREMENT_MOD == INCREMENT_MOD - 1
-    batch = docs.filter(is_batch).select(
-        "doc_id", "lang", content_hash.alias("content_hash")
+    run logs.
+
+    Round 12: both sides now read the PUBLISHED content-hash artifacts
+    (:func:`ensure_content_hashes` — corpus side filtered to the corpus
+    split, batch side its own per-drop table), so the recurring run
+    scans ~50 B/doc hash tables, never document text — the same
+    artifact posture as the near-dup tiers. ``corpus_hashes`` is the
+    explicit corpus-side hook (pass the MERGED generation,
+    ``published_df(spark, ensure_merged_corpus_hashes(...))``, so the
+    next drop is judged against the corpus as accepted so far); no
+    modular filter is applied to an explicit table."""
+    batch = ensure_content_hashes(spark, sf_dir, split="batch").select(
+        "doc_id", "lang", "content_hash"
     )
-    base_hashes = (
-        docs.filter(~is_batch)
-        .select(content_hash.alias("content_hash"))
-        .distinct()
-    )
+    if corpus_hashes is None:
+        corpus_hashes = ensure_content_hashes(spark, sf_dir).filter(
+            F.col("doc_id") % INCREMENT_MOD != INCREMENT_MOD - 1
+        )
+    base_hashes = corpus_hashes.select("content_hash").distinct()
     fresh = batch.join(base_hashes, "content_hash", "left_anti")
     w = Window.partitionBy("content_hash")
     kept = fresh.withColumn("min_id", F.min("doc_id").over(w)).filter(
@@ -873,7 +923,12 @@ CURATION_STAGES = (
 )
 
 
-def _curation_disposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _curation_disposition(
+    spark: SparkSession,
+    sf_dir: str,
+    corpus_hashes: DataFrame | None = None,
+    corpus_sigs: DataFrame | None = None,
+) -> DataFrame:
     """Per-document disposition of the incremental batch across the CHAINED
     curation tiers: (doc_id, lang, stage) with stage ∈ CURATION_STAGES,
     each batch doc in exactly one stage (precedence = chain order). ONE
@@ -893,20 +948,27 @@ def _curation_disposition(spark: SparkSession, sf_dir: str) -> DataFrame:
       ``neardup_incremental`` runs — shared drop rule by construction).
     - kept           — accepted into the corpus.
 
-    Scale shape: the exact tier shuffles 32 B binary hashes; the near-dup
-    tier re-consumes the SAME per-drop batch-signature artifact and
-    published corpus-signature artifact as ``neardup_incremental`` (zero
-    additional corpus-scale compute — the chaining itself is anti-joins
-    over batch-sized doc_id sets)."""
-    docs = load_table(spark, sf_dir, "documents")
-    is_batch = F.col("doc_id") % INCREMENT_MOD == INCREMENT_MOD - 1
-    content_hash = F.unhex(F.sha2(F.col("text"), 256))
-    batch = docs.filter(is_batch).select(
-        "doc_id", "lang", content_hash.alias("content_hash")
+    Scale shape (round 12): the exact tier consumes the SAME published
+    content-hash artifacts as ``dedup_incremental`` (~50 B/doc — the
+    recurring chain never scans document text) and shuffles 32 B binary
+    hashes; the near-dup tier re-consumes the SAME per-drop
+    batch-signature artifact and published corpus-signature artifact as
+    ``neardup_incremental`` (zero additional corpus-scale compute — the
+    chaining itself is anti-joins over batch-sized doc_id sets).
+
+    ``corpus_hashes`` / ``corpus_sigs``: explicit corpus-side tables for
+    the recurring job (pass the MERGED generations so the next drop is
+    judged against the corpus as accepted so far) — the same hook
+    contract as the standalone tiers; no modular filter is applied to an
+    explicit table."""
+    batch = ensure_content_hashes(spark, sf_dir, split="batch").select(
+        "doc_id", "lang", "content_hash"
     )
-    base_hashes = (
-        docs.filter(~is_batch).select(content_hash.alias("content_hash")).distinct()
-    )
+    if corpus_hashes is None:
+        corpus_hashes = ensure_content_hashes(spark, sf_dir).filter(
+            F.col("doc_id") % INCREMENT_MOD != INCREMENT_MOD - 1
+        )
+    base_hashes = corpus_hashes.select("content_hash").distinct()
     exact_corpus = batch.join(base_hashes, "content_hash", "left_semi").select("doc_id")
     exact_fresh = batch.join(base_hashes, "content_hash", "left_anti")
     w = Window.partitionBy("content_hash")
@@ -919,11 +981,11 @@ def _curation_disposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch_bands = _band_rows(_ensure_minhash_sigs(spark, sf_dir, split="batch")).join(
         survivors, "doc_id", "left_semi"
     )
-    corpus_bands = _band_rows(
-        _ensure_minhash_sigs(spark, sf_dir).filter(
+    if corpus_sigs is None:
+        corpus_sigs = _ensure_minhash_sigs(spark, sf_dir).filter(
             F.col("doc_id") % INCREMENT_MOD != INCREMENT_MOD - 1
         )
-    )
+    corpus_bands = _band_rows(corpus_sigs)
     nd_corpus, nd_within = _banded_drop_sets(batch_bands, corpus_bands)
     mark = lambda df, name: df.withColumn(name, F.lit(1))  # noqa: E731
     stage = (
@@ -943,15 +1005,26 @@ def _curation_disposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def curation_drop_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+def curation_drop_report(
+    spark: SparkSession,
+    sf_dir: str,
+    corpus_hashes: DataFrame | None = None,
+    corpus_sigs: DataFrame | None = None,
+) -> DataFrame:
     """THE per-drop curation report — per-language counts of every chained
     drop reason plus the accepted remainder: (lang, n_batch,
     n_exact_corpus, n_exact_within, n_neardup_corpus, n_neardup_within,
     n_kept). The stage categories partition the batch by construction, so
     the count columns sum to n_batch row-by-row. This composes the way
     ``training_corpus_stats`` composes dedup→gate→stats: the recurring
-    pipeline runs THIS query per drop and logs its rows."""
-    disp = _curation_disposition(spark, sf_dir)
+    pipeline runs THIS query per drop and logs its rows — with the
+    merged-generation hooks (``corpus_hashes`` / ``corpus_sigs``) on the
+    SECOND and later drops, so each drop is judged against the corpus as
+    accepted so far (pinned in tests: re-submitting an accepted drop
+    against both merged generations keeps nothing)."""
+    disp = _curation_disposition(
+        spark, sf_dir, corpus_hashes=corpus_hashes, corpus_sigs=corpus_sigs
+    )
     counts = [
         F.sum((F.col("stage") == s).cast("long")).alias(f"n_{s}")
         for s in CURATION_STAGES
@@ -1051,6 +1124,102 @@ FROM disposition GROUP BY lang ORDER BY lang"""
 
 
 CURATION_DROP_REPORT_SQL = _curation_report_sql()
+
+
+def merged_corpus_hashes_path(spark: SparkSession, sf_dir: str) -> str:
+    """Artifact location of the MERGED corpus content-hash generation —
+    the exact-dedup counterpart of :func:`merged_corpus_sigs_path`."""
+    from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_path
+
+    return artifact_path(
+        "content_hashes",
+        sf_dir,
+        "documents",
+        params=f"sha256mrg{INCREMENT_MOD}",
+        spark=spark,
+    )
+
+
+def ensure_merged_corpus_hashes(
+    spark: SparkSession, sf_dir: str, force: bool = False
+) -> str:
+    """The accept step for the CONTENT-HASH artifact family: the same one
+    accept decision per drop (the chained curation disposition — a
+    pipeline accepts a document once, then updates every published
+    artifact family), applied to the content-hash table: corpus split ∪
+    kept batch rows, published atomically as a new generation for
+    ``dedup_incremental``'s ``corpus_hashes`` hook. Every document has a
+    hash (unlike shingle-bounded signatures), so the merged 'batch' side
+    is exactly the kept set."""
+    from kafka_connect_storage_cloud_formats_spark.artifacts import ensure_artifact
+
+    path = merged_corpus_hashes_path(spark, sf_dir)
+
+    def build(tmp: str) -> None:
+        kept = (
+            _curation_disposition(spark, sf_dir)
+            .filter(F.col("stage") == "kept")
+            .select("doc_id")
+        )
+        corpus = ensure_content_hashes(spark, sf_dir).filter(
+            F.col("doc_id") % INCREMENT_MOD != INCREMENT_MOD - 1
+        )
+        accepted = ensure_content_hashes(spark, sf_dir, split="batch").join(
+            kept, "doc_id", "left_semi"
+        )
+        corpus.unionByName(accepted).write.parquet(tmp)
+
+    ensure_artifact(path, build, spark=spark, force=force)
+    return path
+
+
+def corpus_hash_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered measure-the-build row for the hash-family accept step
+    (mirror of :func:`corpus_signature_merge` — per-origin inventory over
+    the merged ~50 B/doc table, read back FROM the published files)."""
+    path = ensure_merged_corpus_hashes(spark, sf_dir, force=True)
+    origin = F.when(
+        F.col("doc_id") % INCREMENT_MOD == INCREMENT_MOD - 1, F.lit("batch")
+    ).otherwise(F.lit("corpus"))
+    return (
+        spark.read.parquet(path)
+        .select(origin.alias("origin"), "doc_id", F.hex(F.col("content_hash")).alias("h"))
+        .groupBy("origin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("h").alias("n_distinct_hashes"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("origin")
+    )
+
+
+def _corpus_hash_merge_sql() -> str:
+    """Inventory oracle: the chained disposition replayed from text (the
+    oracle never needs the artifact — unhex is injective, so distinct
+    counts agree), merged = corpus split ∪ kept batch, same per-origin
+    aggregate."""
+    return (
+        _curation_ctes()
+        + f""",
+merged_h AS (
+  SELECT doc_id, content_hash FROM (
+    SELECT doc_id, sha256(text) AS content_hash FROM documents
+    WHERE doc_id % {INCREMENT_MOD} <> {INCREMENT_MOD - 1}) c
+  UNION ALL
+  SELECT b.doc_id, b.content_hash FROM batchx b
+  JOIN disposition d ON d.doc_id = b.doc_id AND d.stage = 'kept')
+SELECT CASE WHEN doc_id % {INCREMENT_MOD} = {INCREMENT_MOD - 1}
+            THEN 'batch' ELSE 'corpus' END AS origin,
+       COUNT(*) AS n_docs,
+       CAST(COUNT(DISTINCT content_hash) AS BIGINT) AS n_distinct_hashes,
+       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+FROM merged_h GROUP BY 1 ORDER BY origin"""
+    )
+
+
+CORPUS_HASH_MERGE_SQL = _corpus_hash_merge_sql()
 
 
 def merged_corpus_sigs_path(spark: SparkSession, sf_dir: str) -> str:
@@ -2028,6 +2197,7 @@ DEDUP_QUERIES = {
     "minhash_lsh_pairs": (minhash_lsh_pairs, MINHASH_LSH_SQL),
     "neardup_incremental": (neardup_incremental, NEARDUP_INCREMENTAL_SQL),
     "curation_drop_report": (curation_drop_report, CURATION_DROP_REPORT_SQL),
+    "corpus_hash_merge": (corpus_hash_merge, CORPUS_HASH_MERGE_SQL),
     "corpus_signature_merge": (corpus_signature_merge, CORPUS_SIGNATURE_MERGE_SQL),
     "neardup_incremental_simhash": (
         neardup_incremental_simhash,

@@ -179,6 +179,7 @@ _SIDE_EFFECT_QUERIES = frozenset(
         # segment), so a memoized plan would skip exactly the measured
         # work. The serving-view probe (ivf_kmeans_topk_upserted) is the
         # cached consumer path, like every other probe row.
+        "corpus_hash_merge",
         "corpus_signature_merge",
         "corpus_fingerprint_merge",
         "ivf_kmeans_index_upsert",
@@ -265,13 +266,13 @@ _ALL = {
 # its window assertion off this constant).
 ROTATED_FOR_ROUND = 12
 
-# WINDOW-CAPACITY NOTE (round 12, protocol from round 11): 109 registered
+# WINDOW-CAPACITY NOTE (round 12, protocol from round 11): 110 registered
 # queries; the guarantee is ceil(N/50)=3-rounds max staleness via
 # rotation, every new/changed query debuts in-window, and EVERY query is
 # re-certified on HEAD each round by the full-registry oracle run
-# (tools/check_correctness.py --repeat — a standing round gate). The 9
-# that slip to r13 are the simplest single-fact relational aggregate
-# shapes (all r10-green, none changed this round); their operator family
+# (tools/check_correctness.py --repeat — a standing round gate). The 10
+# that slip to r13 are the simplest single-fact relational aggregate /
+# expression-gallery shapes (all r10-green, none changed this round); their operator family
 # stays richly in-window (q1/q3/q5/q9 plus the four returning r9 slips).
 _SLIPPED_TO_R13 = [
     "q4_priority_with_late_ship",
@@ -283,6 +284,7 @@ _SLIPPED_TO_R13 = [
     "q20_promotion_suppliers",
     "distinct_parts_per_supplier",
     "orders_price_moments",
+    "scalar_function_gallery",
 ]
 
 _STALE_AFTER_R11 = [
@@ -299,17 +301,17 @@ _STALE_AFTER_R11 = [
     # fingerprints), and the ANN index upsert with its serving-view probe
     # (ask #4).
     "curation_drop_report",
+    "corpus_hash_merge",
     "corpus_signature_merge",
     "corpus_fingerprint_merge",
     "ivf_kmeans_index_upsert",
     "ivf_kmeans_topk_upserted",
-    # the 41 of 50 r10-vintage queries that fit the window (the 9 in
+    # the 40 of 50 r10-vintage queries that fit the window (the 10 in
     # _SLIPPED_TO_R13 wait one more round)
     "orc_ingest_roundtrip", "orc_partitioned_roundtrip", "avro_roundtrip",
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
     "top_orders_per_customer", "orders_rollup", "customers_without_orders",
-    "events_hourly_rollup",
-    "scalar_function_gallery", "q9_product_type_profit",
+    "events_hourly_rollup", "q9_product_type_profit",
     "scrub_numeric_tokens", "vocab_stats",
     "doc_quality_deciles", "dedup_incremental", "dedup_ngram_jaccard",
     "simhash_fingerprints", "ivf_kmeans_topk", "ivf_kmeans_topk_pruned",

@@ -986,3 +986,53 @@ def test_corpus_fingerprint_merge_inventory_and_rerun(spark, tmp_path):
         for r in neardup_incremental_simhash(spark, sf, corpus_fps=merged).collect()
     }
     assert rerun == {"en": (3, 3, 0), "fr": (1, 1, 0)}
+
+
+def test_corpus_hash_merge_and_full_chain_rerun(spark, tmp_path):
+    """All three accept steps + the chained rerun on the crafted split:
+    the hash-family inventory reconciles (every kept doc has a hash, so
+    'batch' rows == the kept set), and re-running the FULL curation chain
+    against BOTH merged generations (corpus_hashes + corpus_sigs hooks)
+    keeps NOTHING — each previously-kept doc is an exact dup of accepted
+    corpus content, each previously-dropped doc reproduces its drop (the
+    exact tier's collapse + the near-dup tier against merged signatures)."""
+    from kafka_connect_storage_cloud_formats_spark.artifacts import published_df
+    from kafka_connect_storage_cloud_formats_spark.operators.dedup import (
+        corpus_hash_merge,
+        curation_drop_report,
+        ensure_merged_corpus_hashes,
+        ensure_merged_corpus_sigs,
+    )
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta", "en"),
+        (1, "completely different corpus sentence here", "en"),
+        (4, "alpha beta gamma delta epsilon zeta", "en"),        # exact_corpus
+        (9, "alpha beta gamma delta epsilon zeta extra", "en"),  # neardup_corpus
+        (14, "one two three four five six seven eight", "en"),   # kept
+        (19, "one two three four five six seven eight nine", "en"),  # neardup_within
+        (24, "fresh unique batch content tokens", "en"),         # kept
+        (29, "fresh unique batch content tokens", "en"),         # exact_within
+        (34, "nouvelle phrase unique en lot", "fr"),             # kept
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    inv = {r["origin"]: r.asDict() for r in corpus_hash_merge(spark, sf).collect()}
+    assert inv["corpus"]["n_docs"] == 2 and inv["corpus"]["n_distinct_hashes"] == 2
+    assert inv["batch"]["n_docs"] == 3  # the kept set: 14, 24, 34
+    assert inv["batch"]["min_doc_id"] == 14 and inv["batch"]["max_doc_id"] == 34
+    merged_h = published_df(spark, ensure_merged_corpus_hashes(spark, sf))
+    merged_s = published_df(spark, ensure_merged_corpus_sigs(spark, sf))
+    rerun = {
+        r["lang"]: r.asDict()
+        for r in curation_drop_report(
+            spark, sf, corpus_hashes=merged_h, corpus_sigs=merged_s
+        ).collect()
+    }
+    assert rerun["en"]["n_kept"] == 0 and rerun["fr"]["n_kept"] == 0
+    # previously-kept docs are exact dups of accepted content now
+    assert rerun["en"]["n_exact_corpus"] == 4  # 4, 14, 24, 29
+    assert rerun["en"]["n_neardup_corpus"] == 2  # 9 (vs corpus 0), 19 (vs accepted 14)
+    assert rerun["fr"]["n_exact_corpus"] == 1

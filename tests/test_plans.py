@@ -37,6 +37,9 @@ def test_allowed_nested_are_documented_exceptions(spark, sf_dir):
         "ivf_kmeans_recall_at_10",
         # round 11: the serving-grade recall row — same probe, nprobe=4
         "ivf_kmeans_recall_nprobe4",
+        # round 12: the serving-view probe — same bounded _ivf_probe
+        # assignment stage over main ∪ segment
+        "ivf_kmeans_topk_upserted",
     }
     assert ALLOWED_SCALAR_CROSS == {
         "q22_rich_inactive_customers",
