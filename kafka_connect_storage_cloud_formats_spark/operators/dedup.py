@@ -1126,6 +1126,45 @@ FROM disposition GROUP BY lang ORDER BY lang"""
 CURATION_DROP_REPORT_SQL = _curation_report_sql()
 
 
+def _accept_ptag() -> str:
+    """Params fragment naming EVERY constant of the ACCEPT DECISION (the
+    chained curation disposition) — the drop split, the exact tier
+    (sha256, invariant), and the near-dup tier's signature layout and
+    strong-match threshold. Shared by all three merged-generation paths
+    (same rule as ``neardup_labels_path``: the token names every
+    constant of the derivation, so retuning the chain can never serve a
+    stale accepted set)."""
+    return (
+        f"mrg{INCREMENT_MOD}k{MINHASH_K}b{LSH_BANDS}r{LSH_ROWS}n{SHINGLE_N}"
+        f"j{int(NEARDUP_INCR_MIN_EST * 100)}"
+    )
+
+
+def ensure_curation_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-drop ACCEPTED-set artifact — (doc_id) of the chained
+    disposition's kept docs, computed ONCE per drop and consumed by
+    every family's merge step. Without it each of the three merges
+    re-ran the full disposition at build time — including the
+    corpus-side banded join, the only corpus-artifact-scale stage in
+    the chain — so one accept decision cost three evaluations. The
+    token is the accept tag (every constant of the decision); the
+    merge rows now measure the MERGE (union + atomic publish), while
+    the decision itself is priced once here / by the report row."""
+    from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_df, artifact_path
+
+    path = artifact_path(
+        "curation_kept", sf_dir, "documents", params=_accept_ptag(), spark=spark
+    )
+    return artifact_df(
+        path,
+        lambda tmp: _curation_disposition(spark, sf_dir)
+        .filter(F.col("stage") == "kept")
+        .select("doc_id")
+        .write.parquet(tmp),
+        spark,
+    )
+
+
 def merged_corpus_hashes_path(spark: SparkSession, sf_dir: str) -> str:
     """Artifact location of the MERGED corpus content-hash generation —
     the exact-dedup counterpart of :func:`merged_corpus_sigs_path`."""
@@ -1135,7 +1174,7 @@ def merged_corpus_hashes_path(spark: SparkSession, sf_dir: str) -> str:
         "content_hashes",
         sf_dir,
         "documents",
-        params=f"sha256mrg{INCREMENT_MOD}",
+        params="sha256" + _accept_ptag(),
         spark=spark,
     )
 
@@ -1156,11 +1195,7 @@ def ensure_merged_corpus_hashes(
     path = merged_corpus_hashes_path(spark, sf_dir)
 
     def build(tmp: str) -> None:
-        kept = (
-            _curation_disposition(spark, sf_dir)
-            .filter(F.col("stage") == "kept")
-            .select("doc_id")
-        )
+        kept = ensure_curation_kept(spark, sf_dir)
         corpus = ensure_content_hashes(spark, sf_dir).filter(
             F.col("doc_id") % INCREMENT_MOD != INCREMENT_MOD - 1
         )
@@ -1231,10 +1266,7 @@ def merged_corpus_sigs_path(spark: SparkSession, sf_dir: str) -> str:
     from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_path
 
     family = hash_family()
-    ptag = (
-        f"k{MINHASH_K}n{SHINGLE_N}mrg{INCREMENT_MOD}"
-        + ("" if family == "md5" else f"x{family}")
-    )
+    ptag = _accept_ptag() + ("" if family == "md5" else f"x{family}")
     return artifact_path("minhash_sigs", sf_dir, "documents", params=ptag, spark=spark)
 
 
@@ -1264,11 +1296,7 @@ def ensure_merged_corpus_sigs(
     path = merged_corpus_sigs_path(spark, sf_dir)
 
     def build(tmp: str) -> None:
-        kept = (
-            _curation_disposition(spark, sf_dir)
-            .filter(F.col("stage") == "kept")
-            .select("doc_id")
-        )
+        kept = ensure_curation_kept(spark, sf_dir)
         corpus = _ensure_minhash_sigs(spark, sf_dir).filter(
             F.col("doc_id") % INCREMENT_MOD != INCREMENT_MOD - 1
         )
@@ -1776,7 +1804,7 @@ def merged_corpus_fps_path(spark: SparkSession, sf_dir: str) -> str:
         "simhash_fp",
         sf_dir,
         "documents",
-        params=f"b{SIMHASH_BITS}l{SIMHASH_LANE_BITS}mrg{INCREMENT_MOD}"
+        params=f"b{SIMHASH_BITS}l{SIMHASH_LANE_BITS}" + _accept_ptag()
         + ("" if family == "md5" else f"x{family}"),
         spark=spark,
     )
@@ -1798,11 +1826,7 @@ def ensure_merged_corpus_fps(
     path = merged_corpus_fps_path(spark, sf_dir)
 
     def build(tmp: str) -> None:
-        kept = (
-            _curation_disposition(spark, sf_dir)
-            .filter(F.col("stage") == "kept")
-            .select("doc_id")
-        )
+        kept = ensure_curation_kept(spark, sf_dir)
         corpus = _ensure_simhash_fps(spark, sf_dir).filter(
             F.col("doc_id") % INCREMENT_MOD != INCREMENT_MOD - 1
         )
