@@ -91,6 +91,30 @@ ORDER BY keep_doc_id
 INCREMENT_MOD = 5
 
 
+def _exact_drop_sets(
+    batch: DataFrame, base_hashes: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """THE incremental exact-dedup drop rule — (vs_corpus, within) doc_id
+    sets for a batch's (doc_id, content_hash) rows against a corpus hash
+    set — shared by :func:`dedup_incremental` and the chained curation
+    disposition (round-12 review: one definition, the same doctrine as
+    :func:`_banded_drop_sets` for the near-dup tier — the representative
+    rule must not exist in two copies that could drift).
+
+    ``vs_corpus``: batch docs whose hash the corpus already has.
+    ``within``: corpus-fresh batch docs that are NOT the smallest doc_id
+    of their hash group (the min-id representative survives)."""
+    vs_corpus = batch.join(base_hashes, "content_hash", "left_semi").select("doc_id")
+    fresh = batch.join(base_hashes, "content_hash", "left_anti")
+    w = Window.partitionBy("content_hash")
+    within = (
+        fresh.withColumn("min_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") != F.col("min_id"))
+        .select("doc_id")
+    )
+    return vs_corpus, within
+
+
 def ensure_content_hashes(
     spark: SparkSession, sf_dir: str, split: str | None = None
 ) -> DataFrame:
@@ -175,10 +199,9 @@ def dedup_incremental(
             F.col("doc_id") % INCREMENT_MOD != INCREMENT_MOD - 1
         )
     base_hashes = corpus_hashes.select("content_hash").distinct()
-    fresh = batch.join(base_hashes, "content_hash", "left_anti")
-    w = Window.partitionBy("content_hash")
-    kept = fresh.withColumn("min_id", F.min("doc_id").over(w)).filter(
-        F.col("doc_id") == F.col("min_id")
+    vs_corpus, within = _exact_drop_sets(batch, base_hashes)
+    kept = batch.join(vs_corpus, "doc_id", "left_anti").join(
+        within, "doc_id", "left_anti"
     )
     n_kept = F.coalesce(F.col("n_kept"), F.lit(0)).cast("long")
     return (
@@ -969,15 +992,12 @@ def _curation_disposition(
             F.col("doc_id") % INCREMENT_MOD != INCREMENT_MOD - 1
         )
     base_hashes = corpus_hashes.select("content_hash").distinct()
-    exact_corpus = batch.join(base_hashes, "content_hash", "left_semi").select("doc_id")
-    exact_fresh = batch.join(base_hashes, "content_hash", "left_anti")
-    w = Window.partitionBy("content_hash")
-    exact_within = (
-        exact_fresh.withColumn("min_id", F.min("doc_id").over(w))
-        .filter(F.col("doc_id") != F.col("min_id"))
+    exact_corpus, exact_within = _exact_drop_sets(batch, base_hashes)
+    survivors = (
+        batch.join(exact_corpus, "doc_id", "left_anti")
+        .join(exact_within, "doc_id", "left_anti")
         .select("doc_id")
     )
-    survivors = exact_fresh.join(exact_within, "doc_id", "left_anti").select("doc_id")
     batch_bands = _band_rows(_ensure_minhash_sigs(spark, sf_dir, split="batch")).join(
         survivors, "doc_id", "left_semi"
     )
@@ -1129,14 +1149,18 @@ CURATION_DROP_REPORT_SQL = _curation_report_sql()
 def _accept_ptag() -> str:
     """Params fragment naming EVERY constant of the ACCEPT DECISION (the
     chained curation disposition) — the drop split, the exact tier
-    (sha256, invariant), and the near-dup tier's signature layout and
-    strong-match threshold. Shared by all three merged-generation paths
-    (same rule as ``neardup_labels_path``: the token names every
-    constant of the derivation, so retuning the chain can never serve a
-    stale accepted set)."""
+    (sha256, invariant), the near-dup tier's signature layout and
+    strong-match threshold, AND the hash family (round-12 review: the
+    near-dup tier's signatures are family-dependent, so an xxhash64
+    session must never be served an md5-epoch accepted set — the same
+    ``x{family}`` rule as ``neardup_labels_path``). Shared by the kept
+    artifact and all three merged-generation paths, so retuning the
+    chain can never serve a stale accepted set."""
+    family = hash_family()
     return (
         f"mrg{INCREMENT_MOD}k{MINHASH_K}b{LSH_BANDS}r{LSH_ROWS}n{SHINGLE_N}"
         f"j{int(NEARDUP_INCR_MIN_EST * 100)}"
+        + ("" if family == "md5" else f"x{family}")
     )
 
 
@@ -1265,9 +1289,10 @@ def merged_corpus_sigs_path(spark: SparkSession, sf_dir: str) -> str:
     can never be served for each other (no stale serving by construction)."""
     from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_path
 
-    family = hash_family()
-    ptag = _accept_ptag() + ("" if family == "md5" else f"x{family}")
-    return artifact_path("minhash_sigs", sf_dir, "documents", params=ptag, spark=spark)
+    # the family rides inside the accept tag (one definition)
+    return artifact_path(
+        "minhash_sigs", sf_dir, "documents", params=_accept_ptag(), spark=spark
+    )
 
 
 def ensure_merged_corpus_sigs(
@@ -1799,13 +1824,12 @@ def merged_corpus_fps_path(spark: SparkSession, sf_dir: str) -> str:
     params-keyed staleness contract."""
     from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_path
 
-    family = hash_family()
+    # the family rides inside the accept tag (one definition)
     return artifact_path(
         "simhash_fp",
         sf_dir,
         "documents",
-        params=f"b{SIMHASH_BITS}l{SIMHASH_LANE_BITS}" + _accept_ptag()
-        + ("" if family == "md5" else f"x{family}"),
+        params=f"b{SIMHASH_BITS}l{SIMHASH_LANE_BITS}" + _accept_ptag(),
         spark=spark,
     )
 

@@ -292,6 +292,27 @@ def _spread_seed_matrix(corpus: DataFrame, k: int):
     return labels, np.stack(seeds)
 
 
+def kmeans_params_token(
+    k: int, iters: int, init: str = "lowid", split: str | None = None
+) -> str:
+    """THE quantizer-generation params token (round-12 review: this
+    format was hand-copied in the trainer, the index build, the upsert
+    build and a test — the exact hand-copied-token drift the round-8
+    neardup_labels_path episode recounts; one definition now).
+    "cosla" = spherical (cosine) metric + Left-Associated score
+    accumulation (round 10 — the matmul-trained "cos" artifacts an
+    earlier code version published can differ in the last ulp, so they
+    can never be served to this derivation; params-token staleness
+    contract, same as every artifact kind). A non-default init joins the
+    token (different seeds ⇒ different artifacts, never shared), as does
+    the corpus-split training arm."""
+    return (
+        f"k{k}i{iters}d{DIM}cosla"
+        + ("" if init == "lowid" else f"-{init}")
+        + ("" if split is None else f"-corp{UPSERT_MOD}")
+    )
+
+
 def train_kmeans_quantizer(
     spark: SparkSession,
     sf_dir: str,
@@ -326,17 +347,7 @@ def train_kmeans_quantizer(
         raise ValueError(f"init must be 'lowid' or 'spread', got {init!r}")
     if split not in (None, "corpus"):
         raise ValueError(f"split must be None or 'corpus', got {split!r}")
-    # "cosla" = spherical (cosine) metric + Left-Associated score
-    # accumulation (round 10 — the matmul-trained "cos" artifacts an
-    # earlier code version published can differ in the last ulp, so they
-    # can never be served to this derivation; params-token staleness
-    # contract, same as every artifact kind). A non-default init joins the
-    # token (different seeds ⇒ different artifacts, never shared).
-    params = (
-        f"k{k}i{iters}d{DIM}cosla"
-        + ("" if init == "lowid" else f"-{init}")
-        + ("" if split is None else f"-corp{UPSERT_MOD}")
-    )
+    params = kmeans_params_token(k, iters, init=init, split=split)
     assign_path = artifact_path("kmeans_assign", sf_dir, "embeddings", params=params, spark=spark)
     cent_path = artifact_path("kmeans_cents", sf_dir, "embeddings", params=params, spark=spark)
 
@@ -434,11 +445,12 @@ def build_kmeans_ivf_index(
     )
 
     assignment, _ = train_kmeans_quantizer(spark, sf_dir, k=k, iters=iters, split=split)
-    params = f"k{k}i{iters}d{DIM}cosla" + (
-        "" if split is None else f"-corp{UPSERT_MOD}"
-    )
     path = artifact_path(
-        "kmeans_ivf_index", sf_dir, "embeddings", params=params, spark=spark
+        "kmeans_ivf_index",
+        sf_dir,
+        "embeddings",
+        params=kmeans_params_token(k, iters, split=split),
+        spark=spark,
     )
     ensure_artifact(
         path,
@@ -590,7 +602,7 @@ def build_kmeans_ivf_upsert(
         "kmeans_ivf_upsert",
         sf_dir,
         "embeddings",
-        params=f"k{k}i{iters}d{DIM}cosla-corp{UPSERT_MOD}b",
+        params=kmeans_params_token(k, iters, split="corpus") + "b",
         spark=spark,
     )
 

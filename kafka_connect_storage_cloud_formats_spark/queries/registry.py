@@ -306,14 +306,15 @@ _STALE_AFTER_R11 = [
     "corpus_fingerprint_merge",
     "ivf_kmeans_index_upsert",
     "ivf_kmeans_topk_upserted",
-    # the 40 of 50 r10-vintage queries that fit the window (the 10 in
-    # _SLIPPED_TO_R13 wait one more round)
+    # the 39 unchanged + (in _CHANGED_THIS_ROUND_R12) 1 reworked of the 50
+    # r10-vintage queries fit the window (the 10 in _SLIPPED_TO_R13 wait
+    # one more round)
     "orc_ingest_roundtrip", "orc_partitioned_roundtrip", "avro_roundtrip",
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
     "top_orders_per_customer", "orders_rollup", "customers_without_orders",
     "events_hourly_rollup", "q9_product_type_profit",
     "scrub_numeric_tokens", "vocab_stats",
-    "doc_quality_deciles", "dedup_incremental", "dedup_ngram_jaccard",
+    "doc_quality_deciles", "dedup_ngram_jaccard",
     "simhash_fingerprints", "ivf_kmeans_topk", "ivf_kmeans_topk_pruned",
     "ivf_kmeans_index_build", "ivf_kmeans_recall_at_10", "media_catalog",
     "video_frame_index", "audio_window_energy", "events_funnel",
@@ -325,8 +326,15 @@ _STALE_AFTER_R11 = [
     "bucketed_segment_revenue", "salted_cohort_activity",
 ]
 _CHANGED_THIS_ROUND_R12: list = [
-    # (none take window slots: every implementation change this round is
-    # either a new query above or a verified result-neutral transit below)
+    # REWORKED this round (round-12 review: changed queries are DECLARED
+    # here even when they already held a window slot as stale — the
+    # change inventory is the audit trail): dedup_incremental's plan
+    # changed from inline sha2-over-text to published content-hash
+    # artifact scans on both sides, plus the corpus_hashes hook and the
+    # shared _exact_drop_sets rule (curation_drop_report, the chain's
+    # other consumer, is new above). Every other implementation change is
+    # a new query above or a verified result-neutral transit below.
+    "dedup_incremental",
 ]
 # Out-of-window transits, documented (all 50 slots are claimed above):
 # 1. neardup_incremental and neardup_incremental_simhash (both

@@ -375,15 +375,14 @@ def test_upsert_does_not_retrain_the_quantizer(spark, sf_dir):
     from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_path
     from kafka_connect_storage_cloud_formats_spark.fsio import _fs_for
     from kafka_connect_storage_cloud_formats_spark.operators.kmeans_ivf import (
-        DIM,
         KMEANS_ITERS,
         KMEANS_K,
-        UPSERT_MOD,
         ivf_kmeans_index_upsert,
+        kmeans_params_token,
     )
 
     ivf_kmeans_index_upsert(spark, sf_dir).collect()
-    params = f"k{KMEANS_K}i{KMEANS_ITERS}d{DIM}cosla-corp{UPSERT_MOD}"
+    params = kmeans_params_token(KMEANS_K, KMEANS_ITERS, split="corpus")
     gens = {}
     for kind in ("kmeans_assign", "kmeans_cents"):
         p = artifact_path(kind, sf_dir, "embeddings", params=params, spark=spark)
