@@ -663,6 +663,27 @@ def kmeans_ivf_serving_view(
     )
 
 
+def ivf_kmeans_recall_upserted(
+    spark: SparkSession, sf_dir: str, nprobe: int = SERVING_NPROBE
+) -> DataFrame:
+    """Recall@10 of the UPSERTED serving path at the serving-grade
+    operating point (nprobe=4) — THE number that answers "does
+    assign-without-retrain degrade serving quality?": the quantizer
+    never saw the drop (trained on the corpus split), the drop's vectors
+    live in an appended segment, and this row measures the recall a
+    deployment actually serves between re-trainings, directly comparable
+    to ``ivf_kmeans_recall_nprobe4``'s whole-corpus-trained number.
+    Ground truth is the exact brute-force artifact over ALL embeddings
+    (shared :func:`~.similarity._recall_vs_truth` evaluation)."""
+    from kafka_connect_storage_cloud_formats_spark.operators.similarity import (
+        _recall_vs_truth,
+    )
+
+    return _recall_vs_truth(
+        spark, sf_dir, ivf_kmeans_topk_upserted(spark, sf_dir, nprobe=nprobe)
+    )
+
+
 def ivf_kmeans_topk_upserted(
     spark: SparkSession,
     sf_dir: str,
@@ -933,6 +954,47 @@ FROM upa GROUP BY label ORDER BY label
 """
 
 
+def _kmeans_upserted_recall_sql(nprobe: int = SERVING_NPROBE) -> str:
+    """Recall replay for the upserted serving path: brute-force ground
+    truth over all embeddings, corpus-split training, batch assignment,
+    the serving-label union, the nprobe-widened probe, and the recall
+    cross — one WITH-chain."""
+    from kafka_connect_storage_cloud_formats_spark.operators.similarity import (
+        TOP_K,
+        _sql_base,
+        _sql_dot,
+    )
+
+    train, fi = _kmeans_training_ctes(src="emb_corpus")
+    return f"""
+WITH {_sql_base()},
+bf_scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+         {_sql_dot('q.embedding', 'c.embedding')} / (q.norm * c.norm) AS cosine
+  FROM q JOIN base c ON c.vec_id <> q.vec_id),
+bf AS (
+  SELECT q_id, neighbor_id FROM (
+    SELECT q_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM bf_scored) r WHERE rank <= {TOP_K}),
+emb_corpus AS (
+  SELECT * FROM embeddings WHERE vec_id % {UPSERT_MOD} <> {UPSERT_MOD - 1}),
+{train},
+{_upsert_assign_ctes(fi)},
+serving_labels AS (
+  SELECT vec_id, cluster FROM cl{fi}
+  UNION ALL
+  SELECT vec_id, label AS cluster FROM upa),
+{_kmeans_probe_ctes(fi, labels_rel="serving_labels", nprobe=nprobe)},
+kivf AS (SELECT q_id, neighbor_id FROM kranked WHERE rank <= {TOP_K}),
+h AS (SELECT COUNT(*) AS hits FROM bf JOIN kivf USING (q_id, neighbor_id)),
+tot AS (SELECT COUNT(DISTINCT q_id) AS n_queries, COUNT(*) AS possible FROM bf)
+SELECT n_queries, hits, possible,
+       CAST(hits AS DOUBLE) / CAST(possible AS DOUBLE) AS recall
+FROM tot, h
+"""
+
+
 def _kmeans_upserted_topk_sql(nprobe: int = 1) -> str:
     """Serving-view probe oracle: corpus-split training replay, the batch
     assignment replay, their UNION as the serving label table, then the
@@ -963,6 +1025,7 @@ KMEANS_RECALL_NPROBE4_SQL = _kmeans_recall_sql(nprobe=SERVING_NPROBE)
 KMEANS_INDEX_BUILD_SQL = _kmeans_index_build_sql()
 KMEANS_UPSERT_SQL = _kmeans_upsert_sql()
 KMEANS_UPSERTED_TOPK_SQL = _kmeans_upserted_topk_sql()
+KMEANS_UPSERTED_RECALL_SQL = _kmeans_upserted_recall_sql()
 
 KMEANS_IVF_QUERIES = {
     "ivf_kmeans_topk": (ivf_kmeans_topk, KMEANS_TOPK_SQL),
@@ -977,4 +1040,6 @@ KMEANS_IVF_QUERIES = {
     "ivf_kmeans_index_upsert": (ivf_kmeans_index_upsert, KMEANS_UPSERT_SQL),
     # the query path between re-indexings: probe over main ∪ segment
     "ivf_kmeans_topk_upserted": (ivf_kmeans_topk_upserted, KMEANS_UPSERTED_TOPK_SQL),
+    # serving-grade recall WITHOUT retraining — the upsert story's number
+    "ivf_kmeans_recall_upserted": (ivf_kmeans_recall_upserted, KMEANS_UPSERTED_RECALL_SQL),
 }

@@ -266,13 +266,13 @@ _ALL = {
 # its window assertion off this constant).
 ROTATED_FOR_ROUND = 12
 
-# WINDOW-CAPACITY NOTE (round 12, protocol from round 11): 110 registered
+# WINDOW-CAPACITY NOTE (round 12, protocol from round 11): 111 registered
 # queries; the guarantee is ceil(N/50)=3-rounds max staleness via
 # rotation, every new/changed query debuts in-window, and EVERY query is
 # re-certified on HEAD each round by the full-registry oracle run
-# (tools/check_correctness.py --repeat — a standing round gate). The 10
+# (tools/check_correctness.py --repeat — a standing round gate). The 11
 # that slip to r13 are the simplest single-fact relational aggregate /
-# expression-gallery shapes (all r10-green, none changed this round); their operator family
+# rollup / expression-gallery shapes (all r10-green, none changed this round); their operator family
 # stays richly in-window (q1/q3/q5/q9 plus the four returning r9 slips).
 _SLIPPED_TO_R13 = [
     "q4_priority_with_late_ship",
@@ -285,6 +285,7 @@ _SLIPPED_TO_R13 = [
     "distinct_parts_per_supplier",
     "orders_price_moments",
     "scalar_function_gallery",
+    "events_hourly_rollup",
 ]
 
 _STALE_AFTER_R11 = [
@@ -306,13 +307,14 @@ _STALE_AFTER_R11 = [
     "corpus_fingerprint_merge",
     "ivf_kmeans_index_upsert",
     "ivf_kmeans_topk_upserted",
-    # the 39 unchanged + (in _CHANGED_THIS_ROUND_R12) 1 reworked of the 50
+    "ivf_kmeans_recall_upserted",
+    # the 38 unchanged + (in _CHANGED_THIS_ROUND_R12) 1 reworked of the 50
     # r10-vintage queries fit the window (the 10 in _SLIPPED_TO_R13 wait
     # one more round)
     "orc_ingest_roundtrip", "orc_partitioned_roundtrip", "avro_roundtrip",
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
     "top_orders_per_customer", "orders_rollup", "customers_without_orders",
-    "events_hourly_rollup", "q9_product_type_profit",
+    "q9_product_type_profit",
     "scrub_numeric_tokens", "vocab_stats",
     "doc_quality_deciles", "dedup_ngram_jaccard",
     "simhash_fingerprints", "ivf_kmeans_topk", "ivf_kmeans_topk_pruned",

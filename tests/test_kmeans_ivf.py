@@ -409,3 +409,23 @@ def test_upserted_probe_full_scan_equals_bruteforce(spark, sf_dir):
         map(tuple, ivf_kmeans_topk_upserted(spark, sf_dir, nprobe=KMEANS_K).collect())
     )
     assert full == bf
+
+
+def test_upserted_serving_recall_close_to_retrained(spark, sf_dir):
+    """The question the upsert tier exists to answer: serving a drop from
+    an appended segment (quantizer never retrained) must not collapse
+    recall vs the whole-corpus-retrained quantizer at the same serving
+    nprobe. Measured: identical (0.61/0.56) at sf0.01/sf0.1; at this
+    tiny sf0.001 corpus (100 upserted vectors vs a 400-vector-trained
+    quantizer) the gap is 0.06 — pinned within 0.08."""
+    from kafka_connect_storage_cloud_formats_spark.operators.kmeans_ivf import (
+        SERVING_NPROBE,
+        ivf_kmeans_recall_at_10,
+        ivf_kmeans_recall_upserted,
+    )
+
+    up = ivf_kmeans_recall_upserted(spark, sf_dir).collect()[0]["recall"]
+    full = ivf_kmeans_recall_at_10(spark, sf_dir, nprobe=SERVING_NPROBE).collect()[0][
+        "recall"
+    ]
+    assert up >= full - 0.08, (up, full)

@@ -38,8 +38,10 @@ def test_allowed_nested_are_documented_exceptions(spark, sf_dir):
         # round 11: the serving-grade recall row — same probe, nprobe=4
         "ivf_kmeans_recall_nprobe4",
         # round 12: the serving-view probe — same bounded _ivf_probe
-        # assignment stage over main ∪ segment
+        # assignment stage over main ∪ segment — and its recall row
+        # (probe + the standard 1-row recall-ratio cross)
         "ivf_kmeans_topk_upserted",
+        "ivf_kmeans_recall_upserted",
     }
     assert ALLOWED_SCALAR_CROSS == {
         "q22_rich_inactive_customers",

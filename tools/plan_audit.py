@@ -60,8 +60,10 @@ ALLOWED_NESTED = {
     "ivf_kmeans_recall_at_10",
     "ivf_kmeans_recall_nprobe4",  # same probe + 1-row cross, nprobe=4
     # round 12: the serving-view probe — the SAME shared _ivf_probe
-    # assignment stage (Q × k centroids, broadcast) over main ∪ segment
+    # assignment stage (Q × k centroids, broadcast) over main ∪ segment —
+    # and its recall row (probe + the standard 1-row recall-ratio cross)
     "ivf_kmeans_topk_upserted",
+    "ivf_kmeans_recall_upserted",
 }
 
 # Queries that fold a GLOBAL SCALAR into the plan via crossJoin(broadcast(
