@@ -1036,3 +1036,60 @@ def test_corpus_hash_merge_and_full_chain_rerun(spark, tmp_path):
     assert rerun["en"]["n_exact_corpus"] == 4  # 4, 14, 24, 29
     assert rerun["en"]["n_neardup_corpus"] == 2  # 9 (vs corpus 0), 19 (vs accepted 14)
     assert rerun["fr"]["n_exact_corpus"] == 1
+
+
+def test_two_drop_lifecycle_via_merged_generations(spark, tmp_path):
+    """The full recurring lifecycle across TWO drops: evaluate drop 1,
+    merge its accepted docs into the corpus generations, then evaluate
+    drop 2 AGAINST THE MERGED generations (the hooks). A drop-2 doc that
+    duplicates a drop-1 KEPT doc must be dropped as corpus content (it
+    was accepted — it IS the corpus now), a drop-2 doc duplicating a
+    drop-1 REJECTED doc must survive the exact-vs-corpus tier (rejected
+    content never entered the corpus) and die only by its own chain
+    rules, and genuinely new content is kept."""
+    from kafka_connect_storage_cloud_formats_spark.artifacts import published_df
+    from kafka_connect_storage_cloud_formats_spark.operators.dedup import (
+        curation_drop_report,
+        ensure_merged_corpus_hashes,
+        ensure_merged_corpus_sigs,
+    )
+
+    corpus = [
+        (0, "alpha beta gamma delta epsilon zeta", "en"),
+        (1, "completely different corpus sentence here", "en"),
+    ]
+    # drop 1 (doc_id % 5 == 4 in corpus A)
+    drop1 = [
+        (4, "alpha beta gamma delta epsilon zeta", "en"),  # exact_corpus → rejected
+        (9, "fresh unique batch content tokens", "en"),    # kept → accepted
+    ]
+    sf_a = str(tmp_path / "a")
+    spark.createDataFrame(corpus + drop1, "doc_id long, text string, lang string").write.parquet(
+        f"{sf_a}/documents.parquet"
+    )
+    merged_h = published_df(spark, ensure_merged_corpus_hashes(spark, sf_a))
+    merged_s = published_df(spark, ensure_merged_corpus_sigs(spark, sf_a))
+    # drop 2 (corpus B: same corpus rows, NEW batch rows — the next crawl)
+    drop2 = [
+        (14, "fresh unique batch content tokens", "en"),   # dup of drop-1 ACCEPTED 9 → exact_corpus
+        (19, "alpha beta gamma delta epsilon zeta", "en"), # dup of drop-1 REJECTED 4 → still corpus dup (4's content = corpus doc 0)
+        (24, "entirely novel second drop content", "en"),  # kept
+        (29, "entirely novel second drop content", "en"),  # exact_within (dup of 24)
+    ]
+    sf_b = str(tmp_path / "b")
+    spark.createDataFrame(corpus + drop2, "doc_id long, text string, lang string").write.parquet(
+        f"{sf_b}/documents.parquet"
+    )
+    [rep] = curation_drop_report(
+        spark, sf_b, corpus_hashes=merged_h, corpus_sigs=merged_s
+    ).collect()
+    # 14 and 19 die vs the merged corpus (one via drop-1's accept, one via
+    # the original corpus); 29 collapses within; 24 survives
+    assert (
+        rep["n_batch"],
+        rep["n_exact_corpus"],
+        rep["n_exact_within"],
+        rep["n_neardup_corpus"],
+        rep["n_neardup_within"],
+        rep["n_kept"],
+    ) == (4, 2, 1, 0, 0, 1)
