@@ -663,6 +663,46 @@ def kmeans_ivf_serving_view(
     )
 
 
+def compact_kmeans_ivf_segments(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    force: bool = False,
+) -> str:
+    """Fold the per-drop segment(s) back into ONE cell-partitioned index
+    — the maintenance job between re-trainings: every row keeps the cell
+    it already has (corpus rows their training cells, upserted rows their
+    assign-pass cells; NO re-assignment and NO retraining), the serving
+    view's union just becomes a single partitioned table again, closing
+    the small-files/fragmentation accumulation of many drops. A probe
+    over the compacted index is bit-equal to a probe over the union by
+    construction (pinned in tests). Own params token (``...cmp``) — the
+    compacted generation and the plain main index are distinct artifact
+    families."""
+    from kafka_connect_storage_cloud_formats_spark.artifacts import (
+        artifact_path,
+        ensure_artifact,
+    )
+
+    path = artifact_path(
+        "kmeans_ivf_index",
+        sf_dir,
+        "embeddings",
+        params=kmeans_params_token(k, iters, split="corpus") + "cmp",
+        spark=spark,
+    )
+    ensure_artifact(
+        path,
+        lambda tmp: kmeans_ivf_serving_view(spark, sf_dir, k=k, iters=iters)
+        .write.partitionBy("label")
+        .parquet(tmp),
+        spark=spark,
+        force=force,
+    )
+    return path
+
+
 def ivf_kmeans_recall_upserted(
     spark: SparkSession, sf_dir: str, nprobe: int = SERVING_NPROBE
 ) -> DataFrame:

@@ -429,3 +429,36 @@ def test_upserted_serving_recall_close_to_retrained(spark, sf_dir):
         "recall"
     ]
     assert up >= full - 0.08, (up, full)
+
+
+def test_segment_compaction_preserves_cells_and_probe_results(spark, sf_dir):
+    """Compaction is a pure physical fold: the compacted index holds
+    exactly the serving view's rows with UNCHANGED cell labels (no
+    re-assignment), and a probe over it is bit-equal to the probe over
+    the main ∪ segment union."""
+    from kafka_connect_storage_cloud_formats_spark.artifacts import published_df
+    from kafka_connect_storage_cloud_formats_spark.operators.kmeans_ivf import (
+        compact_kmeans_ivf_segments,
+        ivf_kmeans_topk_upserted,
+        kmeans_ivf_serving_view,
+        train_kmeans_quantizer,
+    )
+    from kafka_connect_storage_cloud_formats_spark.operators.similarity import (
+        _ivf_probe,
+        _with_norm,
+    )
+
+    view = kmeans_ivf_serving_view(spark, sf_dir)
+    path = compact_kmeans_ivf_segments(spark, sf_dir, force=True)
+    compacted = published_df(spark, path).select(
+        "vec_id", "embedding", F.col("label").cast("long").alias("label")
+    )
+    a = sorted((int(r["vec_id"]), int(r["label"])) for r in view.select("vec_id", "label").collect())
+    b = sorted((int(r["vec_id"]), int(r["label"])) for r in compacted.select("vec_id", "label").collect())
+    assert a == b
+    _, cent_long = train_kmeans_quantizer(spark, sf_dir, split="corpus")
+    via_union = sorted(map(tuple, ivf_kmeans_topk_upserted(spark, sf_dir).collect()))
+    via_compacted = sorted(
+        map(tuple, _ivf_probe(spark, sf_dir, cent_long, _with_norm(compacted)).collect())
+    )
+    assert via_union == via_compacted
