@@ -908,17 +908,17 @@ ORDER BY q_id, rank
 """
 
 
-def _kmeans_recall_sql(nprobe: int = 1) -> str:
+def _bf_topk_ctes() -> str:
+    """The brute-force ground-truth CTE pair (``bf_scored``/``bf``) —
+    ONE definition shared by the retrained and upserted recall oracles
+    (round-12 second review: the block was byte-copied; a future change
+    to TOP_K/tie-break/zero-norm semantics must reach both)."""
     from kafka_connect_storage_cloud_formats_spark.operators.similarity import (
         TOP_K,
-        _sql_base,
         _sql_dot,
     )
 
-    train, fi = _kmeans_training_ctes()
-    return f"""
-WITH {_sql_base()},
-bf_scored AS (
+    return f"""bf_scored AS (
   SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
          {_sql_dot('q.embedding', 'c.embedding')} / (q.norm * c.norm) AS cosine
   FROM q JOIN base c ON c.vec_id <> q.vec_id),
@@ -926,16 +926,34 @@ bf AS (
   SELECT q_id, neighbor_id FROM (
     SELECT q_id, neighbor_id,
            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
-    FROM bf_scored) r WHERE rank <= {TOP_K}),
-{train},
-{_kmeans_probe_ctes(fi, nprobe=nprobe)},
-kivf AS (SELECT q_id, neighbor_id FROM kranked WHERE rank <= {TOP_K}),
+    FROM bf_scored) r WHERE rank <= {TOP_K})"""
+
+
+def _recall_cross_sql() -> str:
+    """The recall evaluation tail (``kivf``/``h``/``tot`` + final SELECT)
+    over a ``kranked`` probe and the ``bf`` ground truth — the other
+    shared half of the two recall oracles."""
+    from kafka_connect_storage_cloud_formats_spark.operators.similarity import TOP_K
+
+    return f"""kivf AS (SELECT q_id, neighbor_id FROM kranked WHERE rank <= {TOP_K}),
 h AS (SELECT COUNT(*) AS hits FROM bf JOIN kivf USING (q_id, neighbor_id)),
 tot AS (SELECT COUNT(DISTINCT q_id) AS n_queries, COUNT(*) AS possible FROM bf)
 SELECT n_queries, hits, possible,
        CAST(hits AS DOUBLE) / CAST(possible AS DOUBLE) AS recall
 FROM tot, h
 """
+
+
+def _kmeans_recall_sql(nprobe: int = 1) -> str:
+    from kafka_connect_storage_cloud_formats_spark.operators.similarity import _sql_base
+
+    train, fi = _kmeans_training_ctes()
+    return f"""
+WITH {_sql_base()},
+{_bf_topk_ctes()},
+{train},
+{_kmeans_probe_ctes(fi, nprobe=nprobe)},
+{_recall_cross_sql()}"""
 
 
 def _kmeans_index_build_sql() -> str:
@@ -994,65 +1012,52 @@ FROM upa GROUP BY label ORDER BY label
 """
 
 
-def _kmeans_upserted_recall_sql(nprobe: int = SERVING_NPROBE) -> str:
-    """Recall replay for the upserted serving path: brute-force ground
-    truth over all embeddings, corpus-split training, batch assignment,
-    the serving-label union, the nprobe-widened probe, and the recall
-    cross — one WITH-chain."""
-    from kafka_connect_storage_cloud_formats_spark.operators.similarity import (
-        TOP_K,
-        _sql_base,
-        _sql_dot,
-    )
-
+def _upserted_serving_ctes() -> tuple[str, int]:
+    """The upserted serving path's replay prologue — corpus-split
+    training (``emb_corpus`` + the training chain), the batch assignment
+    (``upa``), and the ``serving_labels`` union — ONE definition shared
+    by the serving-view topk and recall oracles (round-12 second review:
+    the prologue was byte-copied). Returns (ctes, fi)."""
     train, fi = _kmeans_training_ctes(src="emb_corpus")
-    return f"""
-WITH {_sql_base()},
-bf_scored AS (
-  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
-         {_sql_dot('q.embedding', 'c.embedding')} / (q.norm * c.norm) AS cosine
-  FROM q JOIN base c ON c.vec_id <> q.vec_id),
-bf AS (
-  SELECT q_id, neighbor_id FROM (
-    SELECT q_id, neighbor_id,
-           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
-    FROM bf_scored) r WHERE rank <= {TOP_K}),
-emb_corpus AS (
+    return (
+        f"""emb_corpus AS (
   SELECT * FROM embeddings WHERE vec_id % {UPSERT_MOD} <> {UPSERT_MOD - 1}),
 {train},
 {_upsert_assign_ctes(fi)},
 serving_labels AS (
   SELECT vec_id, cluster FROM cl{fi}
   UNION ALL
-  SELECT vec_id, label AS cluster FROM upa),
+  SELECT vec_id, label AS cluster FROM upa)""",
+        fi,
+    )
+
+
+def _kmeans_upserted_recall_sql(nprobe: int = SERVING_NPROBE) -> str:
+    """Recall replay for the upserted serving path: brute-force ground
+    truth over all embeddings, the shared serving prologue (corpus-split
+    training + batch assignment + label union), the nprobe-widened
+    probe, and the shared recall cross — one WITH-chain."""
+    from kafka_connect_storage_cloud_formats_spark.operators.similarity import _sql_base
+
+    serving, fi = _upserted_serving_ctes()
+    return f"""
+WITH {_sql_base()},
+{_bf_topk_ctes()},
+{serving},
 {_kmeans_probe_ctes(fi, labels_rel="serving_labels", nprobe=nprobe)},
-kivf AS (SELECT q_id, neighbor_id FROM kranked WHERE rank <= {TOP_K}),
-h AS (SELECT COUNT(*) AS hits FROM bf JOIN kivf USING (q_id, neighbor_id)),
-tot AS (SELECT COUNT(DISTINCT q_id) AS n_queries, COUNT(*) AS possible FROM bf)
-SELECT n_queries, hits, possible,
-       CAST(hits AS DOUBLE) / CAST(possible AS DOUBLE) AS recall
-FROM tot, h
-"""
+{_recall_cross_sql()}"""
 
 
 def _kmeans_upserted_topk_sql(nprobe: int = 1) -> str:
-    """Serving-view probe oracle: corpus-split training replay, the batch
-    assignment replay, their UNION as the serving label table, then the
-    standard probe CTEs over it — certifying end-to-end that a probe
-    against (main index ∪ per-drop segment) serves exactly what the
-    replayed deployment would."""
+    """Serving-view probe oracle: the shared serving prologue, then the
+    standard probe CTEs over the label union — certifying end-to-end
+    that a probe against (main index ∪ per-drop segment) serves exactly
+    what the replayed deployment would."""
     from kafka_connect_storage_cloud_formats_spark.operators.similarity import TOP_K
 
-    train, fi = _kmeans_training_ctes(src="emb_corpus")
+    serving, fi = _upserted_serving_ctes()
     return f"""
-WITH emb_corpus AS (
-  SELECT * FROM embeddings WHERE vec_id % {UPSERT_MOD} <> {UPSERT_MOD - 1}),
-{train},
-{_upsert_assign_ctes(fi)},
-serving_labels AS (
-  SELECT vec_id, cluster FROM cl{fi}
-  UNION ALL
-  SELECT vec_id, label AS cluster FROM upa),
+WITH {serving},
 {_kmeans_probe_ctes(fi, labels_rel="serving_labels", nprobe=nprobe)}
 SELECT q_id, neighbor_id, cosine, rank FROM kranked WHERE rank <= {TOP_K}
 ORDER BY q_id, rank

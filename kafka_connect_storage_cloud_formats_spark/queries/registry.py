@@ -309,7 +309,7 @@ _STALE_AFTER_R11 = [
     "ivf_kmeans_topk_upserted",
     "ivf_kmeans_recall_upserted",
     # the 38 unchanged + (in _CHANGED_THIS_ROUND_R12) 1 reworked of the 50
-    # r10-vintage queries fit the window (the 10 in _SLIPPED_TO_R13 wait
+    # r10-vintage queries fit the window (the 11 in _SLIPPED_TO_R13 wait
     # one more round)
     "orc_ingest_roundtrip", "orc_partitioned_roundtrip", "avro_roundtrip",
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
