@@ -1,0 +1,94 @@
+"""Streaming curation (streaming/curation.py): each micro-batch is a drop,
+classified against the job's accumulated accepted state by the SAME shared
+drop rules as the batch tiers, with deterministic-overwrite exactly-once."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_storage_cloud_formats_spark.streaming.curation import (
+    REPORT_COLUMNS,
+    StreamingCuration,
+    run_curation_stream,
+)
+
+DOC_SCHEMA = "doc_id long, text string, lang string"
+
+BATCH1 = [
+    (1, "alpha beta gamma delta epsilon zeta", "en"),        # kept
+    (2, "alpha beta gamma delta epsilon zeta", "en"),        # exact_within (dup of 1)
+    (3, "one two three four five six seven eight", "en"),    # kept
+    (4, "one two three four five six seven eight nine", "en"),  # neardup_within of 3
+    (5, "nouvelle phrase unique en lot", "fr"),              # kept
+]
+BATCH2 = [
+    (11, "alpha beta gamma delta epsilon zeta", "en"),       # dup of accepted 1 → exact_corpus
+    (12, "alpha beta gamma delta epsilon zeta extra", "en"), # near-dup of accepted 1 → neardup_corpus
+    (13, "entirely novel second drop content", "en"),        # kept
+    (14, "one two three four five six seven eight nine", "en"),  # near-dup of accepted 3 → neardup_corpus
+]
+
+
+def _drive(spark, tmp_path, subdir="run"):
+    src = str(tmp_path / subdir / "src")
+    state = str(tmp_path / subdir / "state")
+    ckpt = str(tmp_path / subdir / "ckpt")
+    os.makedirs(src)
+    # one file per micro-batch, processed in order (maxFilesPerTrigger=1)
+    spark.createDataFrame(BATCH1, DOC_SCHEMA).coalesce(1).write.parquet(f"{src}/f0")
+    spark.createDataFrame(BATCH2, DOC_SCHEMA).coalesce(1).write.parquet(f"{src}/f1")
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    return run_curation_stream(spark, stream, state, ckpt), state, ckpt, src
+
+
+def test_two_batch_stream_classifies_against_accumulated_state(spark, tmp_path):
+    cur, state, ckpt, src = _drive(spark, tmp_path)
+    rep = {
+        (r["batch_id"], r["lang"]): r.asDict()
+        for r in cur.report().collect()
+    }
+    assert set(r[:1] for r in rep) == {(0,), (1,)}
+    b1_en = rep[(0, "en")]
+    assert (
+        b1_en["n_batch"],
+        b1_en["n_exact_within"],
+        b1_en["n_neardup_within"],
+        b1_en["n_kept"],
+    ) == (4, 1, 1, 2)
+    assert rep[(0, "fr")]["n_kept"] == 1
+    b2 = rep[(1, "en")]
+    assert (
+        b2["n_batch"],
+        b2["n_exact_corpus"],
+        b2["n_neardup_corpus"],
+        b2["n_kept"],
+    ) == (4, 1, 2, 1)
+    # accepted state = batch-1 keeps {1, 3, 5} + batch-2 keep {13}
+    kept_ids = sorted(r["doc_id"] for r in cur.accepted_hashes().collect())
+    assert kept_ids == [1, 3, 5, 13]
+    assert sorted(r["doc_id"] for r in cur.accepted_sigs().collect()) == [1, 3, 5, 13]
+    # report columns are the declared contract
+    assert tuple(cur.report().columns) == REPORT_COLUMNS
+
+
+def test_rerun_over_same_checkpoint_is_a_noop(spark, tmp_path):
+    cur, state, ckpt, src = _drive(spark, tmp_path, subdir="rerun")
+    def snapshot():
+        return (
+            sorted(map(tuple, cur.report().collect())),
+            sorted(r["doc_id"] for r in cur.accepted_hashes().collect()),
+        )
+    before = snapshot()
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    run_curation_stream(spark, stream, state, ckpt)  # same checkpoint: no new batches
+    assert snapshot() == before
