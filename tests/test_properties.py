@@ -261,3 +261,95 @@ def test_fp_like_suffix_segment_would_misparse():
     name = "engine_kind_sf0.1-abc123_" + "a" * 12 + "_" + "b" * 12
     m = _ARTIFACT_RE.match(name)
     assert m and m.group(2) == "b" * 12  # the SUFFIX segment won, not the fp
+
+
+# ------------------------------------------------------- chained curation
+# Full-chain randomized pin (round 12): the exact → near-dup disposition
+# is re-implemented as a ~30-line plain-Python model (hashlib md5/sha256,
+# set algebra) and compared doc-for-doc against the Spark chain on random
+# tiny corpora — the kind of boundary soup (empty texts, shingle-less
+# docs, exact dups straddling the batch split, borderline est_jaccard)
+# that example-based fixtures under-sample.
+import hashlib as _hl
+
+
+def _py_minhash(text: str):
+    ws = text.split(" ")
+    sh = {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)} if len(ws) >= 3 else set()
+    if not sh:
+        return None
+    sig = []
+    for k in range(12):
+        g, c = k // 4, (k % 4) * 8
+        sig.append(min(_hl.md5(f"{g}:{s}".encode()).hexdigest()[c : c + 8] for s in sh))
+    return tuple(sig)
+
+
+def _py_curation(rows):
+    """rows: [(doc_id, text)] → {doc_id: stage} replaying the chain."""
+    batch = {i for i, _ in rows if i % 5 == 4}
+    texts = dict(rows)
+    h = {i: _hl.sha256(t.encode()).hexdigest() for i, t in rows}
+    corpus_h = {h[i] for i, _ in rows if i not in batch}
+    exact_corpus = {b for b in batch if h[b] in corpus_h}
+    fresh = batch - exact_corpus
+    by_hash = {}
+    for b in sorted(fresh):
+        by_hash.setdefault(h[b], []).append(b)
+    exact_within = {b for grp in by_hash.values() for b in grp[1:]}
+    survivors = fresh - exact_within
+    sig = {i: _py_minhash(t) for i, t in rows}
+
+    def strong(a, b):
+        sa, sb = sig[a], sig[b]
+        if sa is None or sb is None:
+            return False
+        shared_band = any(sa[3 * x : 3 * x + 3] == sb[3 * x : 3 * x + 3] for x in range(4))
+        est = sum(x == y for x, y in zip(sa, sb)) / 12
+        return shared_band and est >= 0.5
+
+    corpus_ids = [i for i, _ in rows if i not in batch]
+    nd_corpus = {
+        s for s in survivors if any(strong(s, c) for c in corpus_ids)
+    }
+    nd_fresh = sorted(survivors - nd_corpus)
+    nd_within = {
+        b for b in nd_fresh if any(strong(a, b) for a in nd_fresh if a < b)
+    }
+    out = {}
+    for b in batch:
+        out[b] = (
+            "exact_corpus" if b in exact_corpus
+            else "exact_within" if b in exact_within
+            else "neardup_corpus" if b in nd_corpus
+            else "neardup_within" if b in nd_within
+            else "kept"
+        )
+    return out
+
+
+_cur_word = st.sampled_from(["red", "blue", "green", "gold"])
+_cur_doc = st.lists(_cur_word, min_size=0, max_size=6).map(" ".join)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_cur_doc, min_size=6, max_size=18))
+def test_curation_chain_matches_python_model(spark, docs):
+    import tempfile
+
+    from kafka_connect_storage_cloud_formats_spark.operators.dedup import (
+        _curation_disposition,
+    )
+
+    rows = [(i, d) for i, d in enumerate(docs)]
+    if not any(i % 5 == 4 for i, _ in rows):
+        return  # no batch side — the chain is vacuous
+    sf = tempfile.mkdtemp(prefix="curprop_")
+    spark.createDataFrame(
+        [(i, d, "en") for i, d in rows], "doc_id long, text string, lang string"
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    got = {
+        r["doc_id"]: r["stage"]
+        for r in _curation_disposition(spark, sf).collect()
+    }
+    assert got == _py_curation(rows), (rows, got, _py_curation(rows))
