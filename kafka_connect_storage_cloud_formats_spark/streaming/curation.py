@@ -15,10 +15,13 @@ Exactly-once posture (the engine's standing doctrine): ``foreachBatch`` is
 at-least-once under retry, so every write is DETERMINISTIC-OVERWRITE keyed
 by ``batch_id`` — state partition ``accepted/b{batch_id:010d}`` and report
 partition ``report/b{batch_id:010d}`` are rewritten byte-identically on a
-replay (the classification is deterministic given the prior state, and a
-replayed batch re-reads exactly the prior-batch state because its own
-partition is overwritten, not appended). Re-running a finished stream over
-the same input + checkpoint is therefore a no-op (pinned in
+replay. Determinism requires that a replayed batch CLASSIFIES against
+exactly the state its first run saw, so the corpus view inside
+``process_batch`` reads only partitions with id < batch_id — never the
+batch's own previously-committed partition (caught by the retry test: a
+bare ``b*`` glob fed the batch its own accepted docs back as corpus on
+replay and flipped them to exact_corpus). Retries, out-of-order replays
+and full re-runs over the same checkpoint are all no-ops (pinned in
 tests/test_streaming_curation.py).
 
 At 100 TB this is the shape of a continuous ingestion pipeline: corpus
@@ -67,32 +70,52 @@ class StreamingCuration:
         self.state_dir = state_dir
 
     # ---- state access ----------------------------------------------------
-    def _accepted(self, kind: str, schema: str) -> DataFrame:
-        """Union of every committed batch partition of ``kind`` (hashes or
-        sigs); an empty typed frame before the first commit."""
+    def _state_parts(self, kind: str, before: int | None = None) -> list[str]:
+        """Committed partition paths of ``kind``, optionally restricted to
+        batch ids < ``before`` (the corpus view a replaying batch must
+        see). A failed LISTING raises — absence-as-empty is only safe when
+        the listing itself succeeded (the fsio glob contract)."""
+        from kafka_connect_storage_cloud_formats_spark.fsio import _fs_for
+
         root = os.path.join(self.state_dir, kind)
-        try:
-            return self.spark.read.schema(schema).parquet(os.path.join(root, "b*"))
-        except Exception:
+        fs = _fs_for(root, self.spark)
+        names = fs.glob_names_mtimes(os.path.join(root, "b*"))
+        if names is None:
+            raise RuntimeError(
+                f"curation state listing failed under {root}"
+            ) from fs.last_error
+        return sorted(
+            os.path.join(root, name)
+            for name, _ in names
+            if before is None or int(name[1:]) < before
+        )
+
+    def _accepted(
+        self, kind: str, schema: str, before: int | None = None
+    ) -> DataFrame:
+        """Union of committed batch partitions of ``kind``; an empty typed
+        frame when none are committed (or none precede ``before``)."""
+        parts = self._state_parts(kind, before)
+        if not parts:
             return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*parts)
 
-    def accepted_hashes(self) -> DataFrame:
-        return self._accepted("accepted_hashes", _HASH_SCHEMA)
+    def accepted_hashes(self, before: int | None = None) -> DataFrame:
+        return self._accepted("accepted_hashes", _HASH_SCHEMA, before)
 
-    def accepted_sigs(self) -> DataFrame:
-        return self._accepted("accepted_sigs", _SIG_SCHEMA)
+    def accepted_sigs(self, before: int | None = None) -> DataFrame:
+        return self._accepted("accepted_sigs", _SIG_SCHEMA, before)
 
     def report(self) -> DataFrame:
-        try:
-            return self.spark.read.parquet(
-                os.path.join(self.state_dir, "report", "b*")
-            )
-        except Exception:
-            return self.spark.createDataFrame(
-                [], "batch_id long, lang string, n_batch long, n_exact_corpus long, "
-                "n_exact_within long, n_neardup_corpus long, n_neardup_within long, "
-                "n_kept long",
-            )
+        parts = self._state_parts("report")
+        schema = (
+            "batch_id long, lang string, n_batch long, n_exact_corpus long, "
+            "n_exact_within long, n_neardup_corpus long, n_neardup_within long, "
+            "n_kept long"
+        )
+        if not parts:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*parts)
 
     # ---- the drop --------------------------------------------------------
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -105,7 +128,11 @@ class StreamingCuration:
             "doc_id", "lang", F.unhex(F.sha2(F.col("text"), 256)).alias("content_hash")
         )
         sigs = _minhash_sigs_from(batch_df)
-        base_hashes = self.accepted_hashes().select("content_hash").distinct()
+        # corpus view = strictly-earlier batches (replay determinism: a
+        # retried batch must never see its own prior commit as corpus)
+        base_hashes = (
+            self.accepted_hashes(before=batch_id).select("content_hash").distinct()
+        )
         exact_corpus, exact_within = _exact_drop_sets(hashes, base_hashes)
         survivors = (
             hashes.select("doc_id")
@@ -113,7 +140,7 @@ class StreamingCuration:
             .join(exact_within, "doc_id", "left_anti")
         )
         batch_bands = _band_rows(sigs).join(survivors, "doc_id", "left_semi")
-        corpus_bands = _band_rows(self.accepted_sigs())
+        corpus_bands = _band_rows(self.accepted_sigs(before=batch_id))
         nd_corpus, nd_within = _banded_drop_sets(batch_bands, corpus_bands)
         mark = lambda df, name: df.withColumn(name, F.lit(1))  # noqa: E731
         stage = (

@@ -92,3 +92,31 @@ def test_rerun_over_same_checkpoint_is_a_noop(spark, tmp_path):
     )
     run_curation_stream(spark, stream, state, ckpt)  # same checkpoint: no new batches
     assert snapshot() == before
+
+
+def test_foreachbatch_retry_is_idempotent(spark, tmp_path):
+    """The exactly-once mechanism itself: foreachBatch is at-least-once
+    under retry, so re-invoking process_batch with the SAME (batch_df,
+    batch_id) — a replay after a crash between the state write and the
+    checkpoint commit — must leave byte-identical state: the batch's own
+    partitions are overwritten deterministically and later batches are
+    untouched."""
+    state = str(tmp_path / "state")
+    cur = StreamingCuration(spark, state)
+    b1 = spark.createDataFrame(BATCH1, DOC_SCHEMA)
+    b2 = spark.createDataFrame(BATCH2, DOC_SCHEMA)
+    cur.process_batch(b1, 0)
+    cur.process_batch(b2, 1)
+
+    def snapshot():
+        return (
+            sorted(map(tuple, cur.report().collect())),
+            sorted(map(tuple, cur.accepted_hashes().collect())),
+            sorted(map(tuple, cur.accepted_sigs().collect())),
+        )
+
+    committed = snapshot()
+    cur.process_batch(b2, 1)  # the retry: replays against batch-0 state only
+    assert snapshot() == committed
+    cur.process_batch(b1, 0)  # an out-of-order replay of an older batch
+    assert snapshot() == committed
