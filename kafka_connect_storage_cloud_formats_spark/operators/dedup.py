@@ -1007,6 +1007,23 @@ def _curation_disposition(
         )
     corpus_bands = _band_rows(corpus_sigs)
     nd_corpus, nd_within = _banded_drop_sets(batch_bands, corpus_bands)
+    return _disposition_from_drop_sets(
+        batch.select("doc_id", "lang"), exact_corpus, exact_within, nd_corpus, nd_within
+    )
+
+
+def _disposition_from_drop_sets(
+    batch_ids: DataFrame,
+    exact_corpus: DataFrame,
+    exact_within: DataFrame,
+    nd_corpus: DataFrame,
+    nd_within: DataFrame,
+) -> DataFrame:
+    """(doc_id, lang, stage) assembly from the four drop-set doc_id frames
+    — THE stage-precedence rule, shared by the batch chain and the
+    streaming curation job (round-12 third review: the mark/CASE chain
+    was byte-copied into streaming/curation.py against the module's own
+    one-definition doctrine)."""
     mark = lambda df, name: df.withColumn(name, F.lit(1))  # noqa: E731
     stage = (
         F.when(F.col("ec").isNotNull(), "exact_corpus")
@@ -1016,7 +1033,7 @@ def _curation_disposition(
         .otherwise("kept")
     )
     return (
-        batch.select("doc_id", "lang")
+        batch_ids
         .join(mark(exact_corpus, "ec"), "doc_id", "left")
         .join(mark(exact_within, "ew"), "doc_id", "left")
         .join(mark(nd_corpus, "nc"), "doc_id", "left")

@@ -38,36 +38,59 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_connect_storage_cloud_formats_spark.functions.text_functions import (
+    hash_family,
+)
 from kafka_connect_storage_cloud_formats_spark.operators.dedup import (
+    CURATION_STAGES,
     MINHASH_K,
     _band_rows,
     _banded_drop_sets,
+    _disposition_from_drop_sets,
     _exact_drop_sets,
     _minhash_sigs_from,
 )
 
 _HASH_SCHEMA = "doc_id long, lang string, content_hash binary"
-_SIG_SCHEMA = "doc_id long, " + ", ".join(f"mh_{k:02d} string" for k in range(MINHASH_K))
-REPORT_COLUMNS = (
-    "batch_id",
-    "lang",
-    "n_batch",
-    "n_exact_corpus",
-    "n_exact_within",
-    "n_neardup_corpus",
-    "n_neardup_within",
-    "n_kept",
+
+
+def _sig_schema(family: str) -> str:
+    """The signature-row schema is FAMILY-DEPENDENT (md5 → hex-string
+    components, xxhash64 → 32-bit-half longs — the same reason
+    _ensure_minhash_sigs keys its artifact params on the family)."""
+    t = "string" if family == "md5" else "long"
+    return "doc_id long, " + ", ".join(f"mh_{k:02d} {t}" for k in range(MINHASH_K))
+
+
+# report contract: batch id + lang + total + one count per chain stage
+# (the stage names ARE operators.dedup.CURATION_STAGES — one definition)
+REPORT_COLUMNS = ("batch_id", "lang", "n_batch") + tuple(
+    f"n_{s}" for s in CURATION_STAGES
+)
+_REPORT_SCHEMA = "batch_id long, lang string, n_batch long, " + ", ".join(
+    f"n_{s} long" for s in CURATION_STAGES
 )
 
 
 class StreamingCuration:
     """The ``foreachBatch`` callback object. ``state_dir`` holds the
     accepted-state partitions and the report log; pass
-    ``process_batch`` to ``foreachBatch``."""
+    ``process_batch`` to ``foreachBatch``.
+
+    The state namespace is FAMILY-KEYED (``state_dir/<family>/...``):
+    the near-dup decisions and the signature row types are
+    hash-family-dependent, so a job resumed under a different
+    ``SPARK_GRAFT_HASH_FAMILY`` must see a fresh namespace, never a
+    blend of incompatible decisions (the same never-share rule as the
+    batch tiers' family-keyed artifact params). Long-running jobs fold
+    their many small per-batch partitions into one generation on the
+    re-index/merge schedule, exactly the batch tiers' merged-generation
+    posture; each per-batch commit is coalesced to one file per kind."""
 
     def __init__(self, spark: SparkSession, state_dir: str) -> None:
         self.spark = spark
-        self.state_dir = state_dir
+        self.family = hash_family()
+        self.state_dir = os.path.join(state_dir, self.family)
 
     # ---- state access ----------------------------------------------------
     def _state_parts(self, kind: str, before: int | None = None) -> list[str]:
@@ -84,10 +107,16 @@ class StreamingCuration:
             raise RuntimeError(
                 f"curation state listing failed under {root}"
             ) from fs.last_error
+        # committed ⇔ _SUCCESS present: Spark writes the marker LAST, and
+        # a replay's overwrite deletes it FIRST — so a partition caught
+        # mid-rewrite (crash or concurrent reader) counts as uncommitted
+        # instead of serving a half-written directory (round-12 third
+        # review; the checkpoint guarantees the replay that completes it).
         return sorted(
             os.path.join(root, name)
             for name, _ in names
-            if before is None or int(name[1:]) < before
+            if (before is None or int(name[1:]) < before)
+            and fs.exists(os.path.join(root, name, "_SUCCESS"))
         )
 
     def _accepted(
@@ -104,18 +133,13 @@ class StreamingCuration:
         return self._accepted("accepted_hashes", _HASH_SCHEMA, before)
 
     def accepted_sigs(self, before: int | None = None) -> DataFrame:
-        return self._accepted("accepted_sigs", _SIG_SCHEMA, before)
+        return self._accepted("accepted_sigs", _sig_schema(self.family), before)
 
     def report(self) -> DataFrame:
         parts = self._state_parts("report")
-        schema = (
-            "batch_id long, lang string, n_batch long, n_exact_corpus long, "
-            "n_exact_within long, n_neardup_corpus long, n_neardup_within long, "
-            "n_kept long"
-        )
         if not parts:
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*parts)
+            return self.spark.createDataFrame([], _REPORT_SCHEMA)
+        return self.spark.read.schema(_REPORT_SCHEMA).parquet(*parts)
 
     # ---- the drop --------------------------------------------------------
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -124,10 +148,12 @@ class StreamingCuration:
         accepted docs' hash + signature rows — all deterministic
         overwrites keyed by ``batch_id``."""
         batch_df = batch_df.localCheckpoint(eager=True)  # cut the stream lineage
+        # the sha2 and shingle+minhash chains are each evaluated ONCE per
+        # batch (they feed the classification AND the state commits)
         hashes = batch_df.select(
             "doc_id", "lang", F.unhex(F.sha2(F.col("text"), 256)).alias("content_hash")
-        )
-        sigs = _minhash_sigs_from(batch_df)
+        ).localCheckpoint(eager=True)
+        sigs = _minhash_sigs_from(batch_df).localCheckpoint(eager=True)
         # corpus view = strictly-earlier batches (replay determinism: a
         # retried batch must never see its own prior commit as corpus)
         base_hashes = (
@@ -142,32 +168,16 @@ class StreamingCuration:
         batch_bands = _band_rows(sigs).join(survivors, "doc_id", "left_semi")
         corpus_bands = _band_rows(self.accepted_sigs(before=batch_id))
         nd_corpus, nd_within = _banded_drop_sets(batch_bands, corpus_bands)
-        mark = lambda df, name: df.withColumn(name, F.lit(1))  # noqa: E731
-        stage = (
-            F.when(F.col("ec").isNotNull(), "exact_corpus")
-            .when(F.col("ew").isNotNull(), "exact_within")
-            .when(F.col("nc").isNotNull(), "neardup_corpus")
-            .when(F.col("nw").isNotNull(), "neardup_within")
-            .otherwise("kept")
-        )
-        disp = (
-            hashes.select("doc_id", "lang")
-            .join(mark(exact_corpus, "ec"), "doc_id", "left")
-            .join(mark(exact_within, "ew"), "doc_id", "left")
-            .join(mark(nd_corpus, "nc"), "doc_id", "left")
-            .join(mark(nd_within, "nw"), "doc_id", "left")
-            .select("doc_id", "lang", stage.alias("stage"))
-            .localCheckpoint(eager=True)  # one evaluation feeds report + both commits
-        )
+        disp = _disposition_from_drop_sets(
+            hashes.select("doc_id", "lang"),
+            exact_corpus,
+            exact_within,
+            nd_corpus,
+            nd_within,
+        ).localCheckpoint(eager=True)  # one evaluation feeds report + both commits
         counts = [
             F.sum((F.col("stage") == s).cast("long")).alias(f"n_{s}")
-            for s in (
-                "exact_corpus",
-                "exact_within",
-                "neardup_corpus",
-                "neardup_within",
-                "kept",
-            )
+            for s in CURATION_STAGES
         ]
         report = (
             disp.groupBy("lang")
@@ -176,15 +186,18 @@ class StreamingCuration:
         )
         kept = disp.filter(F.col("stage") == "kept").select("doc_id")
         part = f"b{batch_id:010d}"
-        report.write.mode("overwrite").parquet(
+        # one file per kind per batch: the outputs are batch-sized, and an
+        # uncoalesced write would leave shuffle-partition-many tiny files
+        # per micro-batch (round-12 third review)
+        report.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(self.state_dir, "report", part)
         )
-        hashes.join(kept, "doc_id", "left_semi").write.mode("overwrite").parquet(
-            os.path.join(self.state_dir, "accepted_hashes", part)
-        )
-        sigs.join(kept, "doc_id", "left_semi").write.mode("overwrite").parquet(
-            os.path.join(self.state_dir, "accepted_sigs", part)
-        )
+        hashes.join(kept, "doc_id", "left_semi").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(self.state_dir, "accepted_hashes", part))
+        sigs.join(kept, "doc_id", "left_semi").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(self.state_dir, "accepted_sigs", part))
 
 
 def run_curation_stream(

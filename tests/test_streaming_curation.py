@@ -120,3 +120,33 @@ def test_foreachbatch_retry_is_idempotent(spark, tmp_path):
     assert snapshot() == committed
     cur.process_batch(b1, 0)  # an out-of-order replay of an older batch
     assert snapshot() == committed
+
+
+def test_streaming_curation_under_xxhash64_family(spark, tmp_path, monkeypatch):
+    """The production hash family must stream, not crash (round-12 third
+    review: the sig-state schema hardcoded md5's string columns, so batch
+    2's state read threw under xxhash64): the state namespace is
+    family-keyed, the long-typed signature rows roundtrip, and the
+    family-BLIND decisions (exact tier; n_batch) match the md5 fixture —
+    near-dup counts are legitimately family-dependent on borderline pairs
+    and are not pinned here."""
+    monkeypatch.setenv("SPARK_GRAFT_HASH_FAMILY", "xxhash64")
+    state = str(tmp_path / "state")
+    cur = StreamingCuration(spark, state)
+    assert cur.state_dir.endswith("xxhash64")
+    cur.process_batch(spark.createDataFrame(BATCH1, DOC_SCHEMA), 0)
+    cur.process_batch(spark.createDataFrame(BATCH2, DOC_SCHEMA), 1)
+    rep = {(r["batch_id"], r["lang"]): r.asDict() for r in cur.report().collect()}
+    assert rep[(0, "en")]["n_batch"] == 4 and rep[(0, "en")]["n_exact_within"] == 1
+    assert rep[(1, "en")]["n_batch"] == 4
+    # doc 11 is an exact dup of doc 1 — but only if 1 was KEPT under this
+    # family; assert the family-blind invariant instead: stages partition
+    for r in rep.values():
+        assert r["n_batch"] == sum(
+            r[f"n_{s}"] for s in (
+                "exact_corpus", "exact_within", "neardup_corpus",
+                "neardup_within", "kept",
+            )
+        )
+    # and the long-typed signature state read back without schema errors
+    assert cur.accepted_sigs().count() > 0
