@@ -1093,3 +1093,41 @@ def test_two_drop_lifecycle_via_merged_generations(spark, tmp_path):
         rep["n_neardup_within"],
         rep["n_kept"],
     ) == (4, 2, 1, 0, 0, 1)
+
+
+def test_content_hash_artifact_built_once_and_matches_derivation(spark, sf_dir):
+    """The content-hash artifact (round 12) under the standard artifact
+    contract: publishes at the params-keyed path, does NOT rebuild on a
+    second consumer call, holds exactly the live sha2 derivation, and the
+    batch split holds exactly the batch-filtered rows."""
+    import os
+
+    from kafka_connect_storage_cloud_formats_spark.artifacts import artifact_path
+    from kafka_connect_storage_cloud_formats_spark.catalog import load_table
+    from kafka_connect_storage_cloud_formats_spark.operators.dedup import (
+        INCREMENT_MOD,
+        ensure_content_hashes,
+    )
+
+    path = artifact_path("content_hashes", sf_dir, "documents", params="sha256")
+    art = ensure_content_hashes(spark, sf_dir)
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    stamp = os.stat(os.path.join(path, "_SUCCESS")).st_mtime_ns
+    ensure_content_hashes(spark, sf_dir)  # second consumer: cache hit
+    assert os.stat(os.path.join(path, "_SUCCESS")).st_mtime_ns == stamp
+    docs = load_table(spark, sf_dir, "documents")
+    live = docs.select(
+        "doc_id", "lang", F.unhex(F.sha2(F.col("text"), 256)).alias("content_hash")
+    )
+    got = {(r["doc_id"], r["lang"], bytes(r["content_hash"])) for r in art.collect()}
+    want = {(r["doc_id"], r["lang"], bytes(r["content_hash"])) for r in live.collect()}
+    assert got == want
+    batch = ensure_content_hashes(spark, sf_dir, split="batch")
+    got_b = {r["doc_id"] for r in batch.collect()}
+    want_b = {
+        r["doc_id"]
+        for r in docs.filter(
+            F.col("doc_id") % INCREMENT_MOD == INCREMENT_MOD - 1
+        ).collect()
+    }
+    assert got_b == want_b
