@@ -259,3 +259,23 @@ def test_prepared_plan_cache_serves_aligned_session_clones():
     ev_fn = registry.QUERIES["events_latest_per_user"][0]
     with pytest.raises(Exception, match="UTC|timeZone|timezone"):
         ev_fn(bad, sf).collect()
+
+
+def test_readme_query_count_matches_registry():
+    """Docs-staleness guard (round 12: the registry count went 104 → 111
+    in one round and stale copies of the number were caught three times
+    in review): README's headline count must equal len(QUERIES)."""
+    import os
+    import re
+
+    from kafka_connect_storage_cloud_formats_spark.queries.registry import QUERIES
+
+    readme = open(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "README.md")
+    ).read()
+    m = re.search(r"(\d+) registered queries", readme)
+    assert m, "README must state the registered-query count"
+    assert int(m.group(1)) == len(QUERIES), (
+        f"README says {m.group(1)} registered queries but the registry has "
+        f"{len(QUERIES)} — update the README (and SURVEY §2.4 if stale)"
+    )
