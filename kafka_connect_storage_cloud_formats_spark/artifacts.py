@@ -402,6 +402,31 @@ def ensure_artifact(
         fs.touch(path)
         _remember_ensured(app, path, gen)
         return path
+    # Squatter self-heal (round-12 infra audit): a directory at ``path``
+    # WITHOUT ``_SUCCESS`` — an external recursive delete interrupted
+    # after removing the marker, or a foreign writer's abandoned output —
+    # previously wedged this path forever: every call re-ran the full
+    # build, the rename onto the existing dir failed (or nested the tmp
+    # INSIDE it, where the nested-copy cleanup deleted the fresh build),
+    # and the publish verification raised. By protocol no reader can
+    # consume a marker-less directory (every read path gates on
+    # ``_SUCCESS``), so removing the squatter is always safe; a failed
+    # removal fails loudly BEFORE the expensive build instead of after.
+    if gen is None and fs.exists(path):
+        # re-probe first: a concurrent builder may have PUBLISHED between
+        # our generation probe and this exists check — deleting then would
+        # destroy the winner; a now-present marker means we're done (the
+        # content is identical by construction).
+        gen = fs.generation(path)
+        if gen is not None and not force:
+            _remember_ensured(app, path, gen)
+            return path
+        if gen is None and not fs.delete(path, recursive=True):
+            raise RuntimeError(
+                f"artifact path {path} is occupied by an unpublished "
+                f"directory (no _SUCCESS) that could not be removed — "
+                f"publish would wedge"
+            ) from fs.last_error
     tmp = _tmp_path(path)
     renamed = False
     rename_attempted = False
@@ -476,14 +501,24 @@ def ensure_artifact(
 # different key — never a stale hit.
 _ENSURED: dict[tuple[str, str], tuple[float, str]] = {}
 ARTIFACT_TOUCH_INTERVAL_S = 60.0
+# ONE lock for the session-memo dicts (_ENSURED, _DF_CACHE): Spark drivers
+# legitimately run registry queries from multiple Python threads (the same
+# threat model the recorder frames got _ALL_FRAMES_LOCK for), and the
+# eviction comprehensions below iterate while a sibling thread may insert —
+# "dictionary changed size during iteration" / double-del KeyErrors on a
+# hot path otherwise (round-12 infra audit). Reads of individual keys
+# (.get) stay lock-free: a stale read is re-verified by the generation
+# probe, so only the iterate-and-mutate shapes need serializing.
+_MEMO_LOCK = _threading.Lock()
 
 
 def _remember_ensured(app: str | None, path: str, gen: str) -> None:
     if app is None:
         return
-    for k in [k for k in _ENSURED if k[0] != app]:
-        del _ENSURED[k]
-    _ENSURED[(app, path)] = (time.monotonic(), gen)
+    with _MEMO_LOCK:
+        for k in [k for k in _ENSURED if k[0] != app]:
+            del _ENSURED[k]
+        _ENSURED[(app, path)] = (time.monotonic(), gen)
 
 
 def invalidate_session_memo(path: str) -> None:
@@ -492,8 +527,9 @@ def invalidate_session_memo(path: str) -> None:
     (external cleanup, a foreign sweep) and need the next
     ``ensure_artifact``/``artifact_df`` to re-verify and rebuild NOW
     rather than at the next touch-throttle firing."""
-    for k in [k for k in _ENSURED if k[1] == path]:
-        del _ENSURED[k]
+    with _MEMO_LOCK:
+        for k in [k for k in _ENSURED if k[1] == path]:
+            del _ENSURED[k]
     _drop_df_cache(path)
 
 
@@ -519,8 +555,9 @@ def _drop_df_cache(path: str) -> None:
     generation-changed case (external delete + rebuild at the same
     content-keyed path): the artifact is live and identical row-wise, but
     the cached plan's file index lists the DEAD part files."""
-    for k in [k for k in _DF_CACHE if k[1] == path]:
-        del _DF_CACHE[k]
+    with _MEMO_LOCK:
+        for k in [k for k in _DF_CACHE if k[1] == path]:
+            del _DF_CACHE[k]
     for fn in _INVALIDATION_LISTENERS:
         fn(path)
 
@@ -539,9 +576,10 @@ def _cache_df(app: str, path: str, df: "DataFrame") -> "DataFrame":
     """Insert into the immutable-plan cache with the standard hygiene:
     entries keyed by OTHER applicationIds belong to stopped sessions and
     are evicted on insert (same rule as catalog._TABLE_CACHE)."""
-    for k in [k for k in _DF_CACHE if k[0] != app]:
-        del _DF_CACHE[k]
-    _DF_CACHE[(app, path)] = df
+    with _MEMO_LOCK:
+        for k in [k for k in _DF_CACHE if k[0] != app]:
+            del _DF_CACHE[k]
+        _DF_CACHE[(app, path)] = df
     return df
 
 
@@ -655,7 +693,7 @@ def _sweep_stale_siblings(path: str, fs: _HadoopFS | None = None) -> None:
     # the ROOT prefix is glob-escaped (same bug class as the parity
     # sink's finalize: a root containing [ ] { } etc. would otherwise
     # match nothing and stale generations would silently never retire)
-    from kafka_connect_storage_cloud_formats_spark.sinks.orc_sink import _glob_escape
+    from kafka_connect_storage_cloud_formats_spark.fsio import glob_escape as _glob_escape
 
     parent = os.path.dirname(path) or "."
     eparent = _glob_escape(parent)
@@ -701,6 +739,21 @@ def _sweep_stale_siblings(path: str, fs: _HadoopFS | None = None) -> None:
         if now - mtime < SWEEP_GRACE_SECONDS:
             continue
         target = parent + "/" + name
+        if mw:
+            # STALE-fingerprint tmp dir older than grace BY TOP-LEVEL
+            # MTIME — but a long-running builder over a stale corpus view
+            # nests all its committer activity under _temporary/, so the
+            # top-level mtime goes quiescent at build start (round-12
+            # infra audit): confirm against the RECURSIVE max mtime
+            # before deleting a possibly-live build out from under its
+            # writer. The recursive listing is paid only for
+            # grace-expired stale tmp dirs — a rare sweep-time case.
+            try:
+                files = fs.list_files_recursive(target)
+            except Exception:
+                continue  # vanished or unreadable: not ours to judge now
+            if files and now - max(mt for _, _, mt in files) / 1000.0 < SWEEP_GRACE_SECONDS:
+                continue
         if fs.delete(target, recursive=True):
             _SWEEP_DELETE_FAILURES.pop(target, None)
             continue

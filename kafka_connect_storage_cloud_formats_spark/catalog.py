@@ -115,13 +115,13 @@ def path_fingerprint(path: str, spark: SparkSession | None = None) -> str:
     collapses local spellings to one."""
     path = canon_path(path)
     if is_remote(path):
-        from kafka_connect_storage_cloud_formats_spark.fsio import _fs_for
+        from kafka_connect_storage_cloud_formats_spark.fsio import (
+            _fs_for,
+            listing_digest,
+        )
 
         entries = _fs_for(path, spark).list_files_recursive(path)
-        h = hashlib.md5()
-        for rel, length, mtime_ms in sorted(entries):
-            h.update(f"{rel}|{length}|{mtime_ms};".encode())
-        return h.hexdigest()[:12]
+        return listing_digest(entries)
     if os.path.isdir(path):
         # followlinks: a partition dir symlinked from shared storage is
         # part of what Spark READS, so it must be part of the fingerprint

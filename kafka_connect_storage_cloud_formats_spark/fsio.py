@@ -87,22 +87,34 @@ class _HadoopFS:
         catalog applies to a table LOCATION, so the two are comparable."""
         return self._fs.makeQualified(self._jPath(p)).toString()
 
-    def file_mtime(self, p: str) -> float | None:
-        """Modification time (seconds) of ``p``, or ``None`` when it does
-        not exist / cannot be statted (``last_error`` holds the cause)."""
-        try:
-            return self._fs.getFileStatus(self._jPath(p)).getModificationTime() / 1000.0
-        except Exception as e:
-            self.last_error = e
-            return None
-
     @staticmethod
     def _not_found(e: Exception) -> bool:
-        """True when a JVM exception is a FileNotFoundException (py4j
-        surfaces the Java class name in both the message and, for
-        Py4JJavaError, java_exception)."""
+        """True when a JVM exception IS a FileNotFoundException — checked
+        by exception CLASS along the Java cause chain, not by substring
+        over the stringified trace (round-12 infra audit: ``str(je)``
+        includes the full stack trace, so any wrapped fault whose TRACE
+        mentions FileNotFoundException — e.g. an HDFS RemoteException
+        whose message quotes one — would be misread as genuine absence
+        and trigger a spurious corpus-scale rebuild). Falls back to the
+        substring-over-message heuristic only when no Java exception
+        object is attached (non-py4j wrappers)."""
         je = getattr(e, "java_exception", None)
-        return "FileNotFoundException" in (str(je) if je is not None else str(e))
+        if je is not None:
+            try:
+                cause = je
+                for _ in range(8):  # bounded cause-chain walk
+                    if cause is None:
+                        break
+                    name = cause.getClass().getName()
+                    if name.endswith("FileNotFoundException"):
+                        return True
+                    cause = cause.getCause()
+                return False
+            except Exception:
+                # gateway hiccup mid-introspection: fall through to the
+                # message heuristic rather than misclassify as absent
+                return "FileNotFoundException" in (str(je.getMessage() or ""))
+        return "FileNotFoundException" in str(e)
 
     def _mtime_strict(self, p: str) -> float | None:
         """mtime of ``p``; ``None`` ONLY for genuine absence
@@ -144,8 +156,6 @@ class _HadoopFS:
         None; any other stat or listing fault on a still-published
         artifact raises loudly instead of masquerading as "unpublished"
         (which would trigger a spurious corpus-scale rebuild)."""
-        import hashlib
-
         mtime = self._mtime_strict(dir_path + "/_SUCCESS")
         if mtime is None:
             return None
@@ -158,12 +168,7 @@ class _HadoopFS:
             if self._mtime_strict(dir_path + "/_SUCCESS") is None:
                 return None
             raise
-        h = hashlib.md5()
-        for rel, length, mt in sorted(entries):
-            if any(seg[:1] in ("_", ".") for seg in rel.split("/")):
-                continue  # hidden to readers ⇒ hidden to the marker
-            h.update(f"{rel}|{length}|{mt};".encode())
-        return f"{mtime}|{h.hexdigest()[:12]}"
+        return f"{mtime}|{listing_digest(entries, skip_hidden=True)}"
 
     def touch(self, p: str) -> None:
         """Refresh mtime (liveness signal for the sweep grace window,
@@ -216,6 +221,38 @@ class _HadoopFS:
                 rel = full
             out.append((rel, int(st.getLen()), int(st.getModificationTime())))
         return out
+
+
+def listing_digest(entries, skip_hidden: bool = False) -> str:
+    """md5 digest of a sorted recursive listing (``rel|len|mtime;`` per
+    file) — THE content-fingerprint hashing convention, shared by
+    :meth:`_HadoopFS.generation` (``skip_hidden=True``: reader-visible
+    files only, per Hadoop hidden-file semantics) and
+    ``catalog.path_fingerprint``'s remote branch (round-12 infra audit:
+    the loop existed as two hand-rolled copies that could silently
+    diverge)."""
+    import hashlib
+
+    h = hashlib.md5()
+    for rel, length, mt in sorted(entries):
+        if skip_hidden and any(seg[:1] in ("_", ".") for seg in rel.split("/")):
+            continue  # hidden to readers ⇒ hidden to the marker
+        h.update(f"{rel}|{length}|{mt};".encode())
+    return h.hexdigest()[:12]
+
+
+def glob_escape(path: str) -> str:
+    """Backslash-escape Hadoop glob metacharacters so a literal path can be
+    embedded as the prefix of a glob pattern (GlobPattern honors ``\\``).
+    Lives here, next to :meth:`_HadoopFS.glob_names_mtimes`, since the
+    round-12 infra audit: the artifact sweep previously imported it from
+    the ORC sink — a layering inversion."""
+    out = []
+    for ch in path:
+        if ch in r"\*?[]{}":
+            out.append("\\")
+        out.append(ch)
+    return "".join(out)
 
 
 def _fs_for(path: str, spark: SparkSession | None) -> _HadoopFS:

@@ -363,6 +363,18 @@ _CHANGED_THIS_ROUND_R12: list = [
 #    split="corpus" arm (own params token -- a new artifact family): the
 #    default token, seeds and build are unchanged, so the published
 #    whole-corpus artifacts and every query over them are untouched.
+# 3a. Round-12 infra audit (artifacts.py / fsio.py / catalog.py — the
+#    layer BELOW every registered plan; result-neutral by construction,
+#    re-certified by the full-registry --repeat run on final HEAD):
+#    session-memo dicts serialize mutations under _MEMO_LOCK; the publish
+#    path self-heals a marker-less squatter directory (was a permanent
+#    fail loop); _not_found classifies absence by Java exception CLASS
+#    along the cause chain (a stringified-trace substring could misread
+#    wrapped transient faults as absence and trigger spurious rebuilds);
+#    the sweep confirms a grace-expired stale tmp dir against its
+#    RECURSIVE max mtime before deleting (a long build's top-level mtime
+#    goes quiescent); glob_escape and the listing digest moved to fsio
+#    (one definition; the sweep no longer imports from the ORC sink).
 # 3b. _simhash_sql_core was refactored into "WITH " + _simhash_ctes(sfx)
 #    so the fingerprint replay can compose with the curation chain's
 #    CTEs (colliding `hv` names); SIMHASH_SQL / SIMHASH_PAIRS_SQL /

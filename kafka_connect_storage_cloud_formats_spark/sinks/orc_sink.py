@@ -89,14 +89,12 @@ def write_orc_partitioned(
 
 
 def _glob_escape(path: str) -> str:
-    """Backslash-escape Hadoop glob metacharacters so a literal path can be
-    embedded as the prefix of a glob pattern (GlobPattern honors ``\\``)."""
-    out = []
-    for ch in path:
-        if ch in r"\*?[]{}":
-            out.append("\\")
-        out.append(ch)
-    return "".join(out)
+    """One definition in fsio since round 12 (the artifact sweep used to
+    import the sink's copy — inverted layering)."""
+    from kafka_connect_storage_cloud_formats_spark.fsio import glob_escape
+
+    return glob_escape(path)
+
 
 
 def write_orc_parity(

@@ -136,10 +136,13 @@ def test_losing_concurrent_builder_discards_quietly(tmp_path, spark):
     assert _litter(str(tmp_path)) == []
 
 
-def test_stale_blocking_directory_fails_loudly(tmp_path, spark):
-    """A directory squatting at the target WITHOUT a _SUCCESS marker (e.g.
-    a manually-created or legacy-layout dir) blocks the atomic rename; the
-    cache must raise rather than hand a reader the broken directory."""
+def test_stale_blocking_directory_is_removed_and_publish_succeeds(tmp_path, spark):
+    """A directory squatting at the target WITHOUT a _SUCCESS marker (a
+    manually-created dir, or an external recursive delete interrupted
+    after removing the marker) is invisible to every reader by protocol —
+    so the publish path REMOVES it and publishes cleanly (round 12;
+    previously this raised on every call, wedging the path forever and
+    re-running the full build each time)."""
     target = str(tmp_path / "artifact")
     os.makedirs(target)
     open(os.path.join(target, "junk"), "w").write("not an artifact")
@@ -149,9 +152,10 @@ def test_stale_blocking_directory_fails_loudly(tmp_path, spark):
         open(os.path.join(tmp_dir, "part-0"), "w").write("data")
         open(os.path.join(tmp_dir, "_SUCCESS"), "w").close()
 
-    with pytest.raises(RuntimeError, match="_SUCCESS"):
-        ensure_artifact(target, build, spark=spark)
-    # and its own tmp dir is still cleaned up
+    ensure_artifact(target, build, spark=spark)
+    assert os.path.exists(os.path.join(target, "_SUCCESS"))
+    assert not os.path.exists(os.path.join(target, "junk"))  # squatter gone
+    assert open(os.path.join(target, "part-0")).read() == "data"
     assert _litter(str(tmp_path)) == []
 
 
@@ -1143,3 +1147,37 @@ def test_artifact_kind_table_binding_enforced(tmp_path):
     artifact_path("bindtest", corpus, "events", params="p2")  # new params: fine
     with pytest.raises(ValueError, match="already bound"):
         artifact_path("bindtest", corpus, "events", params="p1")
+
+
+def test_ensure_artifact_self_heals_unpublished_squatter(tmp_path, spark):
+    """Round-12 infra audit: a directory squatting at the artifact path
+    WITHOUT _SUCCESS (an external recursive delete interrupted after
+    removing the marker) used to wedge the path forever — every call
+    re-ran the build, failed the rename onto the existing dir, and
+    raised. The publish path must remove the marker-less squatter (no
+    reader can see it by protocol) and publish cleanly."""
+    import os
+    import shutil
+
+    from kafka_connect_storage_cloud_formats_spark.artifacts import (
+        ensure_artifact,
+        invalidate_session_memo,
+    )
+
+    path = str(tmp_path / "engine_squat_test")
+    calls = []
+
+    def build(tmp):
+        calls.append(1)
+        spark.range(5).coalesce(1).write.parquet(tmp)
+
+    ensure_artifact(path, build, spark=spark)
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    # the interrupted external delete: marker gone, part files remain
+    os.remove(os.path.join(path, "_SUCCESS"))
+    invalidate_session_memo(path)  # caller observed the breakage
+    ensure_artifact(path, build, spark=spark)
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    assert spark.read.parquet(path).count() == 5
+    assert len(calls) == 2  # first publish + the healing rebuild
+    shutil.rmtree(path, ignore_errors=True)
