@@ -79,7 +79,17 @@ def canon_path(path: str) -> str:
             )
         local = unquote(parsed.path) or "/"
         return local
-    return path.rstrip("/") or path
+    # Remote URI: scheme (and hostname, absent userinfo) are
+    # case-insensitive per RFC 3986 / Hadoop, so spellings differing only
+    # there must collapse to ONE cache/artifact identity (round-12 infra
+    # audit: HDFS://NN/corpus vs hdfs://nn/corpus previously built
+    # duplicate corpus-scale artifact families). Userinfo is case-
+    # sensitive, so an authority carrying '@' keeps its case.
+    rest = path[len(parsed.scheme) + 3 :]
+    netloc, sep, tail = rest.partition("/")
+    if "@" not in netloc:
+        netloc = netloc.lower()
+    return (parsed.scheme.lower() + "://" + netloc + sep + tail).rstrip("/")
 
 
 def is_remote(path: str) -> bool:
@@ -145,7 +155,7 @@ def path_fingerprint(path: str, spark: SparkSession | None = None) -> str:
     return h.hexdigest()[:12]
 
 
-# (applicationId, abspath(sf_dir), table) -> (fingerprint, DataFrame).
+# (applicationId, realpath/canon sf_dir, table) -> (fingerprint, DataFrame, tz_sensitive).
 # Plan-build cost, not data: spark.read.parquet runs driver-side file
 # listing + footer schema inference (~0.05-0.1 s/table), so an uncached
 # 6-table TPC-H plan build pays ~0.4 s of pure driver time before any
@@ -157,6 +167,13 @@ def path_fingerprint(path: str, spark: SparkSession | None = None) -> str:
 # JVM. At 100 TB this is the same trick a metastore's table-location cache
 # plays — the scan itself is still planned fresh per query by Catalyst.
 _TABLE_CACHE: dict[tuple[str, str, str], tuple[str, DataFrame, bool]] = {}
+# Serialize the cache's iterate-and-mutate shapes (round-12 infra audit —
+# the same hazard artifacts._MEMO_LOCK closes: concurrent driver threads
+# racing the eviction comprehension against an insert). Keyed reads stay
+# lock-free; a stale read is re-validated by the fingerprint compare.
+import threading as _threading
+
+_TABLE_CACHE_LOCK = _threading.Lock()
 
 
 def _require_utc(spark: SparkSession) -> None:
@@ -201,9 +218,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # guarantees they can never be served again, but left in place they pin
     # DataFrame/py4j handles bound to dead JVMs for the process lifetime.
     app = key[0]
-    for k in [k for k in _TABLE_CACHE if k[0] != app]:
-        del _TABLE_CACHE[k]
-    _TABLE_CACHE[key] = (fp, df, tz_sensitive)
+    with _TABLE_CACHE_LOCK:
+        for k in [k for k in _TABLE_CACHE if k[0] != app]:
+            del _TABLE_CACHE[k]
+        _TABLE_CACHE[key] = (fp, df, tz_sensitive)
     return df
 
 

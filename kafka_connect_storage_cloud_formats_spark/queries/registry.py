@@ -128,6 +128,15 @@ _ALL.update(SCALE_UTILS_QUERIES)
 #   existed.
 # key → (corpus fingerprint, built plan, artifact paths the build consumed)
 _PLAN_CACHE: dict[tuple[str, str, str], tuple[str, DataFrame, frozenset]] = {}
+# Serialize the cache's iterate-and-mutate shapes (round-12 infra audit —
+# the same hazard artifacts._MEMO_LOCK and catalog._TABLE_CACHE_LOCK
+# close): the dead-app eviction comprehension races a sibling thread's
+# insert, and _on_artifact_invalidated may clear() from any thread mid-
+# iteration. Keyed reads stay lock-free (a stale hit re-validates by
+# fingerprint + artifact generation).
+import threading as _threading
+
+_PLAN_CACHE_LOCK = _threading.Lock()
 
 
 def _on_artifact_invalidated(_path: str) -> None:
@@ -137,7 +146,8 @@ def _on_artifact_invalidated(_path: str) -> None:
     whole cache clears — the event is an external delete+rebuild, rare
     enough that over-invalidation is the right trade; the next call per
     query is one rebuild)."""
-    _PLAN_CACHE.clear()
+    with _PLAN_CACHE_LOCK:
+        _PLAN_CACHE.clear()
 
 
 def _register_invalidation_hook() -> None:
@@ -203,6 +213,13 @@ def _prepared(name: str, fn):
         canon = canon_path(sf_dir)
         ident = canon if is_remote(canon) else os.path.realpath(canon)
         key = (spark.sparkContext.applicationId, name, ident)
+        # Freshness contract: the WHOLE-corpus stat fingerprint re-runs
+        # per call, so a corpus regenerated at the same path is never
+        # served a stale plan — the deliberate trade is per-call listing
+        # cost (trivial locally; on an object-store corpus a deployment
+        # that cannot afford a recursive LIST per query should front this
+        # with its own change signal — the cache never weakens freshness
+        # to save the probe; round-12 infra audit, documented trade).
         fp = path_fingerprint(sf_dir, spark)
         hit = _PLAN_CACHE.get(key)
         # newSession() clones share the applicationId and therefore this
@@ -242,9 +259,10 @@ def _prepared(name: str, fn):
         # cache): they can never be served again, but left in place they
         # pin py4j handles bound to stopped JVMs for the process lifetime
         app = key[0]
-        for k in [k for k in _PLAN_CACHE if k[0] != app]:
-            del _PLAN_CACHE[k]
-        _PLAN_CACHE[key] = (fp, df, frozenset(consumed))
+        with _PLAN_CACHE_LOCK:
+            for k in [k for k in _PLAN_CACHE if k[0] != app]:
+                del _PLAN_CACHE[k]
+            _PLAN_CACHE[key] = (fp, df, frozenset(consumed))
         return df
 
     return wrapped
@@ -387,6 +405,9 @@ _CHANGED_THIS_ROUND_R12: list = [
 
 _PRIORITY = _STALE_AFTER_R11 + _CHANGED_THIS_ROUND_R12
 
-QUERIES: dict = {n: _ALL[n] for n in _PRIORITY if n in _ALL}
+# direct indexing: a misspelled rotation name must fail AT IMPORT (the
+# `if n in _ALL` guard silently dropped the typo'd query from its window
+# slot while the length assert still passed — round-12 infra audit)
+QUERIES: dict = {n: _ALL[n] for n in _PRIORITY}
 QUERIES.update({n: v for n, v in _ALL.items() if n not in QUERIES})
 assert len(QUERIES) == len(_ALL)
