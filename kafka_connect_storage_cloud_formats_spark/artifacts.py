@@ -414,19 +414,53 @@ def ensure_artifact(
     # removal fails loudly BEFORE the expensive build instead of after.
     if gen is None and fs.exists(path):
         # re-probe first: a concurrent builder may have PUBLISHED between
-        # our generation probe and this exists check — deleting then would
+        # our generation probe and this exists check — removing then would
         # destroy the winner; a now-present marker means we're done (the
         # content is identical by construction).
         gen = fs.generation(path)
         if gen is not None and not force:
             _remember_ensured(app, path, gen)
             return path
-        if gen is None and not fs.delete(path, recursive=True):
-            raise RuntimeError(
-                f"artifact path {path} is occupied by an unpublished "
-                f"directory (no _SUCCESS) that could not be removed — "
-                f"publish would wedge"
-            ) from fs.last_error
+        if gen is None:
+            # Round-12 ADVICE: an in-place recursive delete holds the
+            # probe→removal window open for the delete's full duration —
+            # a concurrent rename-publish landing inside it was destroyed,
+            # and a reader that had opened the fresh artifact failed
+            # mid-scan. Rename the squatter ASIDE to an underscore-
+            # prefixed sibling tmp name instead: the move is one atomic
+            # metadata op (window shrinks from O(tree) to one RPC), and
+            # the slow recursive delete then runs on a name readers never
+            # resolve (and which the stale-tmp sweep retires if this
+            # process dies first). If a publish DID land inside the
+            # remaining one-RPC window, the moved dir carries _SUCCESS —
+            # detectable, so the winner is renamed straight back and
+            # consumed instead of destroyed.
+            trash = _tmp_path(path)
+            if fs.rename(path, trash):
+                if fs.generation(trash) is not None:
+                    # we moved a freshly-published winner: put it back
+                    # (path is free — we just vacated it) and consume it
+                    if not fs.rename(trash, path):
+                        raise RuntimeError(
+                            f"artifact publish race at {path}: a concurrent "
+                            f"publish was moved aside during squatter "
+                            f"removal and could not be restored from {trash}"
+                        ) from fs.last_error
+                    gen = fs.generation(path)
+                    if gen is not None and not force:
+                        _remember_ensured(app, path, gen)
+                        return path
+                else:
+                    # marker-less junk at a hidden tmp name: best-effort
+                    # delete — a failure leaves it to the stale-tmp sweep,
+                    # and the publish path below is already unblocked
+                    fs.delete(trash, recursive=True)
+            elif fs.exists(path) and fs.generation(path) is None:
+                raise RuntimeError(
+                    f"artifact path {path} is occupied by an unpublished "
+                    f"directory (no _SUCCESS) that could not be moved "
+                    f"aside — publish would wedge"
+                ) from fs.last_error
     tmp = _tmp_path(path)
     renamed = False
     rename_attempted = False

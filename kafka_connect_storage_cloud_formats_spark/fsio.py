@@ -95,9 +95,23 @@ class _HadoopFS:
         includes the full stack trace, so any wrapped fault whose TRACE
         mentions FileNotFoundException — e.g. an HDFS RemoteException
         whose message quotes one — would be misread as genuine absence
-        and trigger a spurious corpus-scale rebuild). Falls back to the
-        substring-over-message heuristic only when no Java exception
-        object is attached (non-py4j wrappers)."""
+        and trigger a spurious corpus-scale rebuild). Two widenings
+        (round-12 ADVICE — a too-STRICT classifier makes genuine absence
+        raise loudly out of ``_mtime_strict`` instead of returning None):
+
+        - each cause's class is checked up its SUPERCLASS chain, so an
+          FNFE *subclass* whose own name doesn't end in
+          ``FileNotFoundException`` still classifies as absence
+          (assignability to ``java.io.FileNotFoundException``, walked
+          instead of reflected — no target Class handle needed);
+        - a cause whose class name ends in ``RemoteException`` (the HDFS
+          RPC wrapper: original class only in ``getClassName()``/message,
+          cause typically null) is checked by ``getClassName()`` and by a
+          MESSAGE-level substring — message, never the stringified trace,
+          which was the round-12 hazard.
+
+        Falls back to the substring-over-message heuristic only when no
+        Java exception object is attached (non-py4j wrappers)."""
         je = getattr(e, "java_exception", None)
         if je is not None:
             try:
@@ -105,15 +119,37 @@ class _HadoopFS:
                 for _ in range(8):  # bounded cause-chain walk
                     if cause is None:
                         break
-                    name = cause.getClass().getName()
-                    if name.endswith("FileNotFoundException"):
-                        return True
+                    cls = cause.getClass()
+                    name = cls.getName()
+                    for _ in range(8):  # bounded superclass walk
+                        if cls is None:
+                            break
+                        if cls.getName().endswith("FileNotFoundException"):
+                            return True
+                        cls = cls.getSuperclass()
+                    if name.endswith("RemoteException"):
+                        try:
+                            wrapped = str(cause.getClassName() or "")
+                        except Exception:
+                            wrapped = ""  # not Hadoop's RemoteException shape
+                        if "FileNotFoundException" in wrapped:
+                            return True
+                        if "FileNotFoundException" in str(cause.getMessage() or ""):
+                            return True
                     cause = cause.getCause()
                 return False
             except Exception:
                 # gateway hiccup mid-introspection: fall through to the
-                # message heuristic rather than misclassify as absent
-                return "FileNotFoundException" in (str(je.getMessage() or ""))
+                # message heuristic rather than misclassify as absent.
+                # getMessage() is ITSELF a py4j round-trip — if the
+                # gateway is what hiccuped, a second failure here must
+                # fail toward "not absence" (False, the loud-raise
+                # direction), not raise a new error out of an absence
+                # probe (round-12 ADVICE).
+                try:
+                    return "FileNotFoundException" in (str(je.getMessage() or ""))
+                except Exception:
+                    return False
         return "FileNotFoundException" in str(e)
 
     def _mtime_strict(self, p: str) -> float | None:

@@ -46,29 +46,20 @@ def write_bucketed(
     LOCATION_ALREADY_EXISTS — ``mode("overwrite")`` cannot help because
     overwrite consults the (empty) catalog, not the filesystem. That is
     exactly the interrupted-run-then-retry scenario the engine's
-    exactly-once doctrine exists for, so the managed arm self-heals: drop
-    any same-name catalog entry (under a SHARED Hive metastore this also
-    removes another driver's managed data — same-name managed-table
-    writers already race by definition), then remove a location that
-    still exists WITHOUT a catalog entry (an orphan by construction: the
-    warehouse dir is catalog-managed space, and post-DROP nothing owns
-    it). Production pipelines should prefer the external-``path`` arm,
-    whose artifact-protocol wrapper (:func:`_ensure_bucketed_table`)
+    exactly-once doctrine exists for, so the managed arm self-heals —
+    but ONLY on the retry path of the failure the heal fixes (round-12
+    ADVICE: the previous unconditional DROP-plus-location-delete ran on
+    every call, silently destroying another driver's same-name managed
+    table under a shared Hive metastore even when no orphan existed):
+    ``saveAsTable`` is attempted FIRST, and only a
+    LOCATION_ALREADY_EXISTS failure triggers the drop of any same-name
+    catalog entry plus removal of the then-orphaned location (orphan by
+    construction at that point: the warehouse dir is catalog-managed
+    space, and post-DROP nothing owns it) before one retry. Production
+    pipelines should prefer the external-``path`` arm, whose
+    artifact-protocol wrapper (:func:`_ensure_bucketed_table`)
     adjudicates cross-driver races atomically."""
     spark = df.sparkSession
-    if path is None:
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
-        db, _, tbl = table.rpartition(".")
-        db = db or spark.catalog.currentDatabase()
-        loc = spark.catalog.getDatabase(db).locationUri.rstrip("/") + "/" + tbl.lower()
-        from kafka_connect_storage_cloud_formats_spark.fsio import _fs_for
-
-        fs = _fs_for(loc, spark)
-        if fs.exists(loc) and not fs.delete(loc):
-            raise RuntimeError(
-                f"write_bucketed: orphaned managed location {loc} exists with no "
-                f"catalog entry and could not be removed"
-            ) from fs.last_error
     w = (
         df.write.mode("overwrite")
         .format(fmt)
@@ -76,7 +67,29 @@ def write_bucketed(
         .sortBy(*bucket_cols)
     )
     if path is not None:
-        w = w.option("path", path)
+        w.option("path", path).saveAsTable(table)
+        return
+    try:
+        w.saveAsTable(table)
+        return
+    except Exception as e:
+        # Spark 4 surfaces the error condition name in the message; any
+        # other failure propagates untouched — the heal below is scoped
+        # to exactly the orphaned-location condition it fixes.
+        if "LOCATION_ALREADY_EXISTS" not in str(e):
+            raise
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    db, _, tbl = table.rpartition(".")
+    db = db or spark.catalog.currentDatabase()
+    loc = spark.catalog.getDatabase(db).locationUri.rstrip("/") + "/" + tbl.lower()
+    from kafka_connect_storage_cloud_formats_spark.fsio import _fs_for
+
+    fs = _fs_for(loc, spark)
+    if fs.exists(loc) and not fs.delete(loc):
+        raise RuntimeError(
+            f"write_bucketed: orphaned managed location {loc} exists with no "
+            f"catalog entry and could not be removed"
+        ) from fs.last_error
     w.saveAsTable(table)
 
 

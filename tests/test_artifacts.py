@@ -1181,3 +1181,156 @@ def test_ensure_artifact_self_heals_unpublished_squatter(tmp_path, spark):
     assert spark.read.parquet(path).count() == 5
     assert len(calls) == 2  # first publish + the healing rebuild
     shutil.rmtree(path, ignore_errors=True)
+
+
+def test_squatter_heal_restores_concurrent_publish_landing_mid_window(
+    tmp_path, spark, monkeypatch
+):
+    """Round-12 ADVICE: between the squatter re-probe returning None and
+    the removal, a concurrent builder can rename-publish at the path; the
+    old in-place recursive delete destroyed that fresh artifact. The heal
+    now renames the squatter ASIDE and checks the moved dir for _SUCCESS
+    — a caught winner is renamed straight back and CONSUMED (no rebuild,
+    nothing deleted). Simulated by injecting the concurrent publish
+    inside the heal's rename call."""
+    import os
+    import shutil
+
+    from kafka_connect_storage_cloud_formats_spark import fsio
+    from kafka_connect_storage_cloud_formats_spark.artifacts import (
+        ensure_artifact,
+        invalidate_session_memo,
+    )
+
+    path = str(tmp_path / "engine_squat_race")
+
+    def build(tmp):
+        spark.range(7).coalesce(1).write.parquet(tmp)
+
+    ensure_artifact(path, build, spark=spark)
+    # keep a copy of the published artifact, then break the marker
+    winner = str(tmp_path / "winner_copy")
+    shutil.copytree(path, winner)
+    os.remove(os.path.join(path, "_SUCCESS"))
+    invalidate_session_memo(path)
+
+    real_rename = fsio._HadoopFS.rename
+    fired = []
+
+    def racing_rename(self, src, dst):
+        # first rename of THIS path (the heal's move-aside): the
+        # concurrent builder "publishes" right before it runs
+        if not fired and src == path:
+            fired.append(1)
+            shutil.rmtree(path)
+            shutil.copytree(winner, path)
+        return real_rename(self, src, dst)
+
+    monkeypatch.setattr(fsio._HadoopFS, "rename", racing_rename)
+    calls = []
+
+    def must_not_build(tmp):
+        calls.append(1)
+        spark.range(7).coalesce(1).write.parquet(tmp)
+
+    out = ensure_artifact(path, must_not_build, spark=spark)
+    assert out == path
+    assert fired and not calls  # winner consumed, no rebuild
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    assert spark.read.parquet(path).count() == 7
+    shutil.rmtree(path, ignore_errors=True)
+
+
+# ---- fsio._not_found classification (round-12 ADVICE) ----------------------
+
+
+class _JClass:
+    def __init__(self, name, sup=None):
+        self._name, self._sup = name, sup
+
+    def getName(self):
+        return self._name
+
+    def getSuperclass(self):
+        return self._sup
+
+
+class _JExc:
+    """Fake py4j Java-exception object (duck-typed gateway surface)."""
+
+    def __init__(self, cls, cause=None, message=None, class_name=None, broken=False):
+        self._cls, self._cause, self._msg = cls, cause, message
+        self._class_name, self._broken = class_name, broken
+
+    def getClass(self):
+        if self._broken:
+            raise RuntimeError("py4j gateway hiccup")
+        return self._cls
+
+    def getCause(self):
+        return self._cause
+
+    def getMessage(self):
+        if self._msg is BrokenPipeError:
+            raise BrokenPipeError("gateway died")
+        return self._msg
+
+    def getClassName(self):
+        if self._class_name is None:
+            raise AttributeError("no getClassName on this exception class")
+        return self._class_name
+
+
+class _PyWrapper(Exception):
+    def __init__(self, je):
+        super().__init__("py4j wrapper")
+        self.java_exception = je
+
+
+def _nf(je):
+    from kafka_connect_storage_cloud_formats_spark.fsio import _HadoopFS
+
+    return _HadoopFS._not_found(_PyWrapper(je))
+
+
+def test_not_found_matches_fnfe_subclass_via_superclass_walk():
+    """An FNFE SUBCLASS whose own name doesn't say FileNotFoundException
+    (assignability, round-12 ADVICE) classifies as absence."""
+    fnfe = _JClass("java.io.FileNotFoundException", _JClass("java.io.IOException"))
+    sub = _JClass("org.example.MissingBlobError", fnfe)
+    assert _nf(_JExc(sub)) is True
+
+
+def test_not_found_matches_remote_exception_by_classname_and_message():
+    """HDFS RemoteException carries the original class only in
+    getClassName()/message (cause typically null)."""
+    rex = _JClass(
+        "org.apache.hadoop.ipc.RemoteException", _JClass("java.io.IOException")
+    )
+    assert _nf(_JExc(rex, class_name="java.io.FileNotFoundException")) is True
+    # message-level (never trace-level) fallback for RemoteException-like
+    # wrappers without the Hadoop getClassName accessor
+    assert (
+        _nf(_JExc(rex, message="java.io.FileNotFoundException: /x is gone")) is True
+    )
+    assert _nf(_JExc(rex, message="lease expired on /y")) is False
+
+
+def test_not_found_generic_fault_is_not_absence():
+    ioe = _JClass("java.io.IOException", _JClass("java.lang.Exception"))
+    assert _nf(_JExc(ioe, message="disk exploded")) is False
+    # wrapped cause IS an FNFE → absence
+    fnfe = _JClass("java.io.FileNotFoundException", _JClass("java.io.IOException"))
+    assert _nf(_JExc(ioe, cause=_JExc(fnfe), message="wrapped")) is True
+
+
+def test_not_found_double_gateway_failure_fails_toward_not_absence():
+    """Round-12 ADVICE: the getMessage() fallback is itself a py4j
+    round-trip; a second gateway failure must return False (the
+    loud-raise direction), never raise a new error out of an absence
+    probe."""
+    broken = _JExc(None, message=BrokenPipeError, broken=True)
+    assert _nf(broken) is False
+    # single hiccup with a live message channel still classifies
+    hiccup = _JExc(None, message="java.io.FileNotFoundException: /z", broken=True)
+    assert _nf(hiccup) is True

@@ -508,3 +508,32 @@ def test_write_bucketed_managed_arm_self_heals_orphan_location(spark, sf_dir):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         shutil.rmtree(loc, ignore_errors=True)
+
+
+def test_write_bucketed_managed_arm_heals_only_on_location_failure(spark, monkeypatch):
+    """Round-12 ADVICE: the managed-arm heal (DROP TABLE + warehouse
+    location delete) used to run unconditionally on every call — under a
+    shared Hive metastore it could destroy another driver's same-name
+    managed table when no orphan existed. saveAsTable is attempted FIRST;
+    a clean write must issue no DROP at all."""
+    table = "no_heal_bucketed"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    drops = []
+    real_sql = spark.sql
+
+    def spy_sql(q, *a, **kw):
+        if "DROP TABLE" in str(q):
+            drops.append(str(q))
+        return real_sql(q, *a, **kw)
+
+    monkeypatch.setattr(spark, "sql", spy_sql)
+    try:
+        df = spark.range(10).selectExpr("id AS k", "id * 2 AS v")
+        write_bucketed(df, table, ("k",), n_buckets=2)
+        assert spark.table(table).count() == 10
+        write_bucketed(df.limit(4), table, ("k",), n_buckets=2)  # overwrite path
+        assert spark.table(table).count() == 4
+        assert drops == []  # the heal never fired on the clean path
+    finally:
+        monkeypatch.setattr(spark, "sql", real_sql)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
