@@ -42,6 +42,8 @@ def test_allowed_nested_are_documented_exceptions(spark, sf_dir):
         # (probe + the standard 1-row recall-ratio cross)
         "ivf_kmeans_topk_upserted",
         "ivf_kmeans_recall_upserted",
+        # round 13: same probe over main ∪ two enumerated segments
+        "ivf_kmeans_topk_upserted2",
     }
     assert ALLOWED_SCALAR_CROSS == {
         "q22_rich_inactive_customers",

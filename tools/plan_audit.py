@@ -64,6 +64,8 @@ ALLOWED_NESTED = {
     # and its recall row (probe + the standard 1-row recall-ratio cross)
     "ivf_kmeans_topk_upserted",
     "ivf_kmeans_recall_upserted",
+    # round 13: same probe over main ∪ two enumerated segments
+    "ivf_kmeans_topk_upserted2",
 }
 
 # Queries that fold a GLOBAL SCALAR into the plan via crossJoin(broadcast(
