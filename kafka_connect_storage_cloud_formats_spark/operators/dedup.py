@@ -1073,14 +1073,45 @@ def curation_drop_report(
     )
 
 
-def _curation_ctes() -> str:
-    """The chained-disposition CTE chain (oracle side), ending in
-    ``disposition(doc_id, lang, stage)`` — shared verbatim by the report
-    oracle and the merge oracle (same one-definition rule as the engine's
-    :func:`_curation_disposition`). Replays the exact tier over sha256 hex
-    (unhex is injective — identical groups either way), then the banded
-    near-dup rule over the exact survivors, exactly as
-    ``_neardup_incremental_sql`` replays the standalone tier."""
+def curation_second_drop_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SECOND-drop report, driver-certified (round-12 verdict ask #4):
+    the same chained per-drop report, but classified against the MERGED
+    corpus generations — the published content-hash and signature tables
+    as they stand AFTER drop 1's accept step (the ``corpus_hashes`` /
+    ``corpus_sigs`` hooks fed by ``ensure_merged_corpus_hashes`` /
+    ``ensure_merged_corpus_sigs``). With the driver's single batch split
+    this is the RESUBMISSION lifecycle — the accepted drop submitted
+    again — and the invariant it certifies end-to-end is the chain's
+    strongest claim: each drop is judged against the corpus as accepted
+    so far, so previously-KEPT docs now die as ``exact_corpus`` (they
+    ARE the corpus) and nothing is kept (n_kept = 0 pinned in tests at
+    the tested SFs; the oracle replays drop 1 → merge → drop 2 in one
+    WITH-chain either way). Scale shape: both corpus sides are published
+    ~50–100 B/doc artifact scans, the batch side re-consumes the same
+    per-drop artifacts as the first report — zero corpus-text compute."""
+    from kafka_connect_storage_cloud_formats_spark.artifacts import published_df
+
+    merged_h = published_df(spark, ensure_merged_corpus_hashes(spark, sf_dir))
+    merged_s = published_df(spark, ensure_merged_corpus_sigs(spark, sf_dir))
+    return curation_drop_report(
+        spark, sf_dir, corpus_hashes=merged_h, corpus_sigs=merged_s
+    )
+
+
+def _curation_pass_ctes(
+    sfx: str, baseh_rel: str, cband_where: str, with_bands: bool = False
+) -> str:
+    """ONE classification pass of the chained curation rule (exact tier →
+    banded near-dup tier → disposition), every CTE name suffixed with
+    ``sfx`` so two passes compose in one WITH-chain (the second-drop
+    replay). Parameterized by the corpus-side hash relation and the
+    corpus-side band predicate — exactly the two corpus hooks the
+    engine's :func:`_curation_disposition` exposes (``corpus_hashes`` /
+    ``corpus_sigs``), so engine and oracle stay structurally one rule.
+    At the first-pass defaults the emitted text is byte-identical to the
+    pre-round-13 inline chain (asserted in tests against the registered
+    oracle strings). ``with_bands`` emits the pass-independent ``bands``
+    projection (first pass only — it is shared by both passes)."""
     band_exprs = ", ".join(
         "md5("
         + " || '|' || ".join(f"mh_{b * LSH_ROWS + r:02d}" for r in range(LSH_ROWS))
@@ -1094,6 +1125,57 @@ def _curation_ctes() -> str:
     )
     all_mh = ", ".join(f"mh_{k:02d}" for k in range(MINHASH_K))
     est = f"CAST(({matches}) AS DOUBLE) / {MINHASH_K}"
+    bands = f"bands AS (SELECT doc_id, {all_mh}, {band_exprs} FROM sig),\n" if with_bands else ""
+    return f"""exact_corpus{sfx} AS (
+  SELECT doc_id FROM batchx b WHERE EXISTS (
+    SELECT 1 FROM {baseh_rel} h WHERE h.content_hash = b.content_hash)),
+exact_fresh{sfx} AS (
+  SELECT * FROM batchx
+  WHERE doc_id NOT IN (SELECT doc_id FROM exact_corpus{sfx})),
+exact_within{sfx} AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+    FROM exact_fresh{sfx}) f WHERE rn > 1),
+survivors{sfx} AS (
+  SELECT doc_id FROM exact_fresh{sfx}
+  WHERE doc_id NOT IN (SELECT doc_id FROM exact_within{sfx})),
+{bands}bband{sfx} AS (SELECT * FROM bands
+          WHERE doc_id IN (SELECT doc_id FROM survivors{sfx})),
+cband{sfx} AS (SELECT * FROM bands
+          WHERE {cband_where}),
+nd_corpus{sfx} AS (
+  SELECT DISTINCT a.doc_id FROM bband{sfx} a JOIN cband{sfx} b ON ({same_band})
+  WHERE {est} >= {NEARDUP_INCR_MIN_EST}),
+nd_fresh{sfx} AS (SELECT * FROM bband{sfx}
+             WHERE doc_id NOT IN (SELECT doc_id FROM nd_corpus{sfx})),
+nd_within{sfx} AS (
+  SELECT DISTINCT b.doc_id FROM nd_fresh{sfx} a JOIN nd_fresh{sfx} b
+  ON a.doc_id < b.doc_id AND ({same_band})
+  WHERE {est} >= {NEARDUP_INCR_MIN_EST}),
+disposition{sfx} AS (
+  SELECT b.doc_id, b.lang,
+         CASE WHEN ec.doc_id IS NOT NULL THEN 'exact_corpus'
+              WHEN ew.doc_id IS NOT NULL THEN 'exact_within'
+              WHEN nc.doc_id IS NOT NULL THEN 'neardup_corpus'
+              WHEN nw.doc_id IS NOT NULL THEN 'neardup_within'
+              ELSE 'kept' END AS stage
+  FROM batchx b
+  LEFT JOIN exact_corpus{sfx} ec ON ec.doc_id = b.doc_id
+  LEFT JOIN exact_within{sfx} ew ON ew.doc_id = b.doc_id
+  LEFT JOIN nd_corpus{sfx} nc ON nc.doc_id = b.doc_id
+  LEFT JOIN nd_within{sfx} nw ON nw.doc_id = b.doc_id)"""
+
+
+def _curation_ctes() -> str:
+    """The chained-disposition CTE chain (oracle side), ending in
+    ``disposition(doc_id, lang, stage)`` — shared verbatim by the report
+    oracle, the merge oracles and the second-drop replay (same
+    one-definition rule as the engine's :func:`_curation_disposition`).
+    Replays the exact tier over sha256 hex (unhex is injective —
+    identical groups either way), then the banded near-dup rule over the
+    exact survivors, exactly as ``_neardup_incremental_sql`` replays the
+    standalone tier."""
     return (
         _minhash_sql_core()
         + f""",
@@ -1103,64 +1185,81 @@ batchx AS (
 baseh AS (
   SELECT DISTINCT sha256(text) AS content_hash
   FROM documents WHERE doc_id % {INCREMENT_MOD} <> {INCREMENT_MOD - 1}),
-exact_corpus AS (
-  SELECT doc_id FROM batchx b WHERE EXISTS (
-    SELECT 1 FROM baseh h WHERE h.content_hash = b.content_hash)),
-exact_fresh AS (
-  SELECT * FROM batchx
-  WHERE doc_id NOT IN (SELECT doc_id FROM exact_corpus)),
-exact_within AS (
-  SELECT doc_id FROM (
-    SELECT doc_id,
-           ROW_NUMBER() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
-    FROM exact_fresh) f WHERE rn > 1),
-survivors AS (
-  SELECT doc_id FROM exact_fresh
-  WHERE doc_id NOT IN (SELECT doc_id FROM exact_within)),
-bands AS (SELECT doc_id, {all_mh}, {band_exprs} FROM sig),
-bband AS (SELECT * FROM bands
-          WHERE doc_id IN (SELECT doc_id FROM survivors)),
-cband AS (SELECT * FROM bands
-          WHERE doc_id % {INCREMENT_MOD} <> {INCREMENT_MOD - 1}),
-nd_corpus AS (
-  SELECT DISTINCT a.doc_id FROM bband a JOIN cband b ON ({same_band})
-  WHERE {est} >= {NEARDUP_INCR_MIN_EST}),
-nd_fresh AS (SELECT * FROM bband
-             WHERE doc_id NOT IN (SELECT doc_id FROM nd_corpus)),
-nd_within AS (
-  SELECT DISTINCT b.doc_id FROM nd_fresh a JOIN nd_fresh b
-  ON a.doc_id < b.doc_id AND ({same_band})
-  WHERE {est} >= {NEARDUP_INCR_MIN_EST}),
-disposition AS (
-  SELECT b.doc_id, b.lang,
-         CASE WHEN ec.doc_id IS NOT NULL THEN 'exact_corpus'
-              WHEN ew.doc_id IS NOT NULL THEN 'exact_within'
-              WHEN nc.doc_id IS NOT NULL THEN 'neardup_corpus'
-              WHEN nw.doc_id IS NOT NULL THEN 'neardup_within'
-              ELSE 'kept' END AS stage
-  FROM batchx b
-  LEFT JOIN exact_corpus ec ON ec.doc_id = b.doc_id
-  LEFT JOIN exact_within ew ON ew.doc_id = b.doc_id
-  LEFT JOIN nd_corpus nc ON nc.doc_id = b.doc_id
-  LEFT JOIN nd_within nw ON nw.doc_id = b.doc_id)"""
+"""
+        + _curation_pass_ctes(
+            "",
+            "baseh",
+            f"doc_id % {INCREMENT_MOD} <> {INCREMENT_MOD - 1}",
+            with_bands=True,
+        )
     )
 
 
-def _curation_report_sql() -> str:
+def _merged_hash_cte() -> str:
+    """The MERGED content-hash generation as a CTE (corpus split ∪ kept
+    batch rows — the accept step's output), ONE definition shared by the
+    hash-merge inventory oracle and the second-drop replay (the same
+    one-definition rule as the engine's
+    :func:`ensure_merged_corpus_hashes`)."""
+    return f"""merged_h AS (
+  SELECT doc_id, content_hash FROM (
+    SELECT doc_id, sha256(text) AS content_hash FROM documents
+    WHERE doc_id % {INCREMENT_MOD} <> {INCREMENT_MOD - 1}) c
+  UNION ALL
+  SELECT b.doc_id, b.content_hash FROM batchx b
+  JOIN disposition d ON d.doc_id = b.doc_id AND d.stage = 'kept')"""
+
+
+def _report_select(rel: str) -> str:
+    """The per-language stage-count projection over a disposition
+    relation — shared by the first-drop and second-drop report oracles."""
     stage_counts = ",\n       ".join(
         f"CAST(SUM(CASE WHEN stage = '{s}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{s}"
         for s in CURATION_STAGES
     )
-    return (
-        _curation_ctes()
-        + f"""
+    return f"""
 SELECT lang, COUNT(*) AS n_batch,
        {stage_counts}
-FROM disposition GROUP BY lang ORDER BY lang"""
-    )
+FROM {rel} GROUP BY lang ORDER BY lang"""
+
+
+def _curation_report_sql() -> str:
+    return _curation_ctes() + _report_select("disposition")
 
 
 CURATION_DROP_REPORT_SQL = _curation_report_sql()
+
+
+def _curation_second_report_sql() -> str:
+    """The RESUBMISSION replay in one WITH-chain (round-12 verdict ask:
+    drop 1 → accept/merge → drop 2 classification): pass 1 is the
+    standard chained disposition; the accept step forms the merged
+    hash generation (``merged_h`` — the shared merge CTE) and the merged
+    signature membership (corpus split ∪ kept docs); pass 2 re-classifies
+    the SAME batch against those merged generations — the engine side of
+    :func:`curation_second_drop_report`. This certifies the chain's
+    strongest claim as a hash-gated fact: each drop is judged against
+    the corpus AS ACCEPTED SO FAR, so a resubmitted accepted drop keeps
+    nothing (its kept docs ARE corpus content now — pinned in tests)."""
+    return (
+        _curation_ctes()
+        + ",\n"
+        + _merged_hash_cte()
+        + """,
+baseh2 AS (
+  SELECT DISTINCT content_hash FROM merged_h),
+"""
+        + _curation_pass_ctes(
+            "2",
+            "baseh2",
+            f"""doc_id % {INCREMENT_MOD} <> {INCREMENT_MOD - 1}
+             OR doc_id IN (SELECT doc_id FROM disposition WHERE stage = 'kept')""",
+        )
+        + _report_select("disposition2")
+    )
+
+
+CURATION_SECOND_DROP_REPORT_SQL = _curation_second_report_sql()
 
 
 def _accept_ptag() -> str:
@@ -1278,14 +1377,9 @@ def _corpus_hash_merge_sql() -> str:
     aggregate."""
     return (
         _curation_ctes()
-        + f""",
-merged_h AS (
-  SELECT doc_id, content_hash FROM (
-    SELECT doc_id, sha256(text) AS content_hash FROM documents
-    WHERE doc_id % {INCREMENT_MOD} <> {INCREMENT_MOD - 1}) c
-  UNION ALL
-  SELECT b.doc_id, b.content_hash FROM batchx b
-  JOIN disposition d ON d.doc_id = b.doc_id AND d.stage = 'kept')
+        + ",\n"
+        + _merged_hash_cte()
+        + f"""
 SELECT CASE WHEN doc_id % {INCREMENT_MOD} = {INCREMENT_MOD - 1}
             THEN 'batch' ELSE 'corpus' END AS origin,
        COUNT(*) AS n_docs,
@@ -2262,6 +2356,13 @@ DEDUP_QUERIES = {
     "minhash_lsh_pairs": (minhash_lsh_pairs, MINHASH_LSH_SQL),
     "neardup_incremental": (neardup_incremental, NEARDUP_INCREMENTAL_SQL),
     "curation_drop_report": (curation_drop_report, CURATION_DROP_REPORT_SQL),
+    # the second drop of the recurring lifecycle: same chain, classified
+    # against the MERGED generations (drop 1's accept step) — certifies
+    # "judged against the corpus as accepted so far" as a hash-gated fact
+    "curation_second_drop_report": (
+        curation_second_drop_report,
+        CURATION_SECOND_DROP_REPORT_SQL,
+    ),
     "corpus_hash_merge": (corpus_hash_merge, CORPUS_HASH_MERGE_SQL),
     "corpus_signature_merge": (corpus_signature_merge, CORPUS_SIGNATURE_MERGE_SQL),
     "neardup_incremental_simhash": (

@@ -282,17 +282,41 @@ _ALL = {
 # the window has served its purpose and the positional invariant is
 # expected to lapse until the next rotation (tests/test_registry.py keys
 # its window assertion off this constant).
-ROTATED_FOR_ROUND = 12
+ROTATED_FOR_ROUND = 13
 
-# WINDOW-CAPACITY NOTE (round 12, protocol from round 11): 111 registered
+# WINDOW-CAPACITY NOTE (round 13, protocol from round 11): 113 registered
 # queries; the guarantee is ceil(N/50)=3-rounds max staleness via
 # rotation, every new/changed query debuts in-window, and EVERY query is
 # re-certified on HEAD each round by the full-registry oracle run
-# (tools/check_correctness.py --repeat — a standing round gate). The 11
-# that slip to r13 are the simplest single-fact relational aggregate /
-# rollup / expression-gallery shapes (all r10-green, none changed this round); their operator family
-# stays richly in-window (q1/q3/q5/q9 plus the four returning r9 slips).
-_SLIPPED_TO_R13 = [
+# (tools/check_correctness.py --repeat -- a standing round gate). The 13
+# that slip to r14 (the exact N-100 cap) are stable r11-green shapes none
+# of which changed this round: simple relational aggregates / galleries /
+# pivot-cube forms (their family stays richly in-window via the 11
+# returning r13 slips plus q8/q21/q22), two whole-corpus text aggregates
+# (lang_id/token_count/doc_fingerprint/novelty stay in-window), the two
+# simplest exact-dedup shapes (the whole curation/merge chain is
+# in-window), and one profiling split row (stratified_sample stays).
+_SLIPPED_TO_R14 = [
+    "q2_min_acctbal_supplier",
+    "q7_nation_trade_volume",
+    "q10_returned_revenue",
+    "q19_disjunctive_revenue",
+    "orders_cube",
+    "events_pivot_hourly",
+    "part_brand_type_setops",
+    "array_function_gallery",
+    "doc_top_terms",
+    "text_quality_stats",
+    "dedup_exact",
+    "dedup_canonical",
+    "corpus_split_stats",
+]
+
+_STALE_AFTER_R12 = [
+    # THE SLIP LIST LEADS (standing protocol -- round-12 verdict ask #1):
+    # the 11 r10-vintage queries declared _SLIPPED_TO_R13 last round --
+    # 3 rounds stale at this debut, the ceil(N/50) bound's edge; nothing
+    # older remains.
     "q4_priority_with_late_ship",
     "q11_important_parts",
     "q12_priority_by_returnflag",
@@ -304,106 +328,70 @@ _SLIPPED_TO_R13 = [
     "orders_price_moments",
     "scalar_function_gallery",
     "events_hourly_rollup",
+    # NEW this round (never driver-evidenced): the second-drop curation
+    # report (round-12 verdict ask #4 -- the chain classified against the
+    # MERGED generations) and the multi-segment serving probe (ask #3 --
+    # main + seg(0of2) + seg(1of2), oracle shared with the single-drop
+    # row BY DESIGN: the drops partition the batch and assign
+    # row-independently against the same published quantizer).
+    "curation_second_drop_report",
+    "ivf_kmeans_topk_upserted2",
+    # the 37 remaining r11-evidenced queries fit the window (the 13 in
+    # _SLIPPED_TO_R14 wait one more round)
+    "parquet_roundtrip", "json_roundtrip", "schema_evolution_roundtrip",
+    "csv_roundtrip",
+    "q8_nation_market_share", "q21_sole_late_supplier",
+    "q22_rich_inactive_customers",
+    "lang_id_heuristic", "token_count_bpe", "doc_fingerprint",
+    "benchmark_contamination", "doc_bigram_novelty",
+    "minhash_signatures", "minhash_lsh_pairs", "neardup_incremental",
+    "neardup_incremental_simhash", "simhash_near_pairs", "neardup_clusters",
+    "dedup_fuzzy_prefix",
+    "knn_bruteforce", "ann_lsh_topk", "ivf_centroids", "ivf_topk",
+    "ivf_index_build", "ivf_topk_pruned", "sq8_topk", "sq8_recall_at_10",
+    "ivf_recall_at_10", "dedup_embedding_cosine", "ann_recall_at_10",
+    "ivf_kmeans_recall_nprobe4",
+    "image_decode_stats", "media_feature_extract", "image_resize_thumbnail",
+    "stratified_sample",
+    "pack_sequence_spans", "packed_span_fill",
 ]
-
-_STALE_AFTER_R11 = [
-    # THE SLIP LIST LEADS (round-11 verdict ask #2): the four r9-vintage
-    # queries declared _SLIPPED_TO_R12 last round — 3 rounds stale at this
-    # debut, the ceil(N/50) bound's worst case; nothing older remains.
-    "q6_forecast_revenue",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q14_promo_revenue_share",
-    # NEW this round (never driver-evidenced): the chained per-drop
-    # curation report (round-11 verdict ask #5), the accept step in BOTH
-    # artifact families (ask #3 — MinHash signatures + SimHash
-    # fingerprints), and the ANN index upsert with its serving-view probe
-    # (ask #4).
-    "curation_drop_report",
-    "corpus_hash_merge",
-    "corpus_signature_merge",
-    "corpus_fingerprint_merge",
-    "ivf_kmeans_index_upsert",
-    "ivf_kmeans_topk_upserted",
-    "ivf_kmeans_recall_upserted",
-    # the 38 unchanged + (in _CHANGED_THIS_ROUND_R12) 1 reworked of the 50
-    # r10-vintage queries fit the window (the 11 in _SLIPPED_TO_R13 wait
-    # one more round)
-    "orc_ingest_roundtrip", "orc_partitioned_roundtrip", "avro_roundtrip",
-    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-    "top_orders_per_customer", "orders_rollup", "customers_without_orders",
-    "q9_product_type_profit",
-    "scrub_numeric_tokens", "vocab_stats",
-    "doc_quality_deciles", "dedup_ngram_jaccard",
-    "simhash_fingerprints", "ivf_kmeans_topk", "ivf_kmeans_topk_pruned",
-    "ivf_kmeans_index_build", "ivf_kmeans_recall_at_10", "media_catalog",
-    "video_frame_index", "audio_window_energy", "events_funnel",
-    "events_interval_join", "events_tumbling_15m", "events_sliding_1h",
-    "events_session_30m", "orders_column_profile", "events_value_quantiles",
-    "approx_profile", "events_latest_per_user", "replay_dedup",
-    "training_corpus_stats", "pack_training_sequences",
-    "packed_sequence_stats", "clicks_asof_purchase",
-    "bucketed_segment_revenue", "salted_cohort_activity",
-]
-_CHANGED_THIS_ROUND_R12: list = [
-    # REWORKED this round (round-12 review: changed queries are DECLARED
-    # here even when they already held a window slot as stale — the
-    # change inventory is the audit trail): dedup_incremental's plan
-    # changed from inline sha2-over-text to published content-hash
-    # artifact scans on both sides, plus the corpus_hashes hook and the
-    # shared _exact_drop_sets rule (curation_drop_report, the chain's
-    # other consumer, is new above). Every other implementation change is
-    # a new query above or a verified result-neutral transit below.
-    "dedup_incremental",
+_CHANGED_THIS_ROUND_R13: list = [
+    # No registered query's RESULT-DEFINING path changed this round: the
+    # engine-side generalizations and the oracle-side refactor below were
+    # each verified result-neutral (optimized-plan-identical or oracle-
+    # string byte-identical) -- the audit trail is in the transit notes.
 ]
 # Out-of-window transits, documented (all 50 slots are claimed above):
-# 1. neardup_incremental and neardup_incremental_simhash (both
-#    r11-evidenced) were refactored for the curation chain / merged
-#    generations: the MinHash banded drop rule moved verbatim into the
-#    shared _banded_drop_sets helper, and both tiers gained the explicit
-#    corpus-side hook (corpus_sigs / corpus_fps -- the merged-generation
-#    consumer). Each registered default path was verified
-#    OPTIMIZED-PLAN-IDENTICAL (normalized expression ids) against the
-#    pre-refactor module and hash-green at sf0.001 + sf0.01 (--repeat,
-#    both plan-cache paths); the chain/merge surface itself debuts
-#    in-window (curation_drop_report, corpus_signature_merge,
-#    corpus_fingerprint_merge).
-# 2. _kmeans_training_ctes gained the src relation parameter and
-#    _kmeans_probe_ctes the labels_rel parameter for the upsert/serving
-#    oracles; at the defaults all five pre-existing oracle strings are
-#    BYTE-IDENTICAL (asserted against the pre-change module). The
-#    parameterized paths are driver-certified through the in-window
-#    ivf_kmeans_index_upsert + ivf_kmeans_topk_upserted. Transits
-#    ivf_kmeans_recall_nprobe4 (r11-evidenced; oracle string
-#    byte-identical, engine path untouched) -- the other kmeans rows sit
-#    IN this round's window.
-# 3. train_kmeans_quantizer / build_kmeans_ivf_index gained the
-#    split="corpus" arm (own params token -- a new artifact family): the
-#    default token, seeds and build are unchanged, so the published
-#    whole-corpus artifacts and every query over them are untouched.
-# 3a. Round-12 infra audit (artifacts.py / fsio.py / catalog.py — the
-#    layer BELOW every registered plan; result-neutral by construction,
-#    re-certified by the full-registry --repeat run on final HEAD):
-#    session-memo dicts serialize mutations under _MEMO_LOCK; the publish
-#    path self-heals a marker-less squatter directory (was a permanent
-#    fail loop); _not_found classifies absence by Java exception CLASS
-#    along the cause chain (a stringified-trace substring could misread
-#    wrapped transient faults as absence and trigger spurious rebuilds);
-#    the sweep confirms a grace-expired stale tmp dir against its
-#    RECURSIVE max mtime before deleting (a long build's top-level mtime
-#    goes quiescent); glob_escape and the listing digest moved to fsio
-#    (one definition; the sweep no longer imports from the ORC sink).
-# 3b. _simhash_sql_core was refactored into "WITH " + _simhash_ctes(sfx)
-#    so the fingerprint replay can compose with the curation chain's
-#    CTEs (colliding `hv` names); SIMHASH_SQL / SIMHASH_PAIRS_SQL /
-#    NEARDUP_INCREMENTAL_SIMHASH_SQL asserted BYTE-IDENTICAL to the
-#    pre-refactor strings.
-# 4. write_bucketed's managed arm now self-heals orphaned warehouse
-#    locations (round-11 verdict "What's wrong #1"): the registered
-#    bucketed_segment_revenue never used the managed arm (external
-#    artifact path) and is in-window this round anyway.
+# 1. kmeans_ivf_serving_view / build_kmeans_ivf_upsert /
+#    compact_kmeans_ivf_segments gained the enumerated per-drop segment
+#    parameters (drop=(i,n) / n_drops -- round-12 verdict "What's missing
+#    #2"); at the defaults the artifact tokens and builds are unchanged,
+#    and the r12-evidenced consumers ivf_kmeans_topk_upserted +
+#    ivf_kmeans_recall_upserted were verified OPTIMIZED-PLAN-IDENTICAL
+#    (normalized expression + lambda-variable ids) against the pre-change
+#    module. The parameterized path debuts in-window
+#    (ivf_kmeans_topk_upserted2).
+# 2. The curation oracle chain was parameterized for the second-drop
+#    replay (_curation_pass_ctes(sfx, baseh_rel, cband_where) +
+#    _merged_hash_cte + _report_select): CURATION_DROP_REPORT_SQL,
+#    CORPUS_HASH_MERGE_SQL, CORPUS_SIGNATURE_MERGE_SQL and
+#    CORPUS_FINGERPRINT_MERGE_SQL asserted BYTE-IDENTICAL to the
+#    pre-refactor module (all four r12-evidenced); the parameterized
+#    second pass debuts in-window (curation_second_drop_report).
+# 3. Round-13 infra closures (fsio.py / artifacts.py /
+#    operators/scale_utils.py -- the layer BELOW every registered plan;
+#    result-neutral, re-certified by the full-registry --repeat run on
+#    final HEAD): _not_found widens absence classification (superclass
+#    walk + RemoteException className/message) and guards its getMessage
+#    fallback; the squatter heal renames aside and restores a caught
+#    concurrent publish instead of recursive-deleting in place;
+#    write_bucketed's managed-arm heal is scoped to the
+#    LOCATION_ALREADY_EXISTS retry path (the registered
+#    bucketed_segment_revenue uses the external arm and is r12-green).
+# 4. streaming/curation.py gained fold_state plus strict partition-name
+#    parsing -- library surface (not registered), pinned by its own suite.
 
-_PRIORITY = _STALE_AFTER_R11 + _CHANGED_THIS_ROUND_R12
+_PRIORITY = _STALE_AFTER_R12 + _CHANGED_THIS_ROUND_R13
 
 # direct indexing: a misspelled rotation name must fail AT IMPORT (the
 # `if n in _ALL` guard silently dropped the typo'd query from its window

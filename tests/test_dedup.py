@@ -1131,3 +1131,53 @@ def test_content_hash_artifact_built_once_and_matches_derivation(spark, sf_dir):
         ).collect()
     }
     assert got_b == want_b
+
+
+def test_registered_second_drop_report_keeps_nothing(spark, tmp_path):
+    """The registered curation_second_drop_report row (round 13): the
+    chained report against the MERGED generations — with one batch split
+    this is the resubmission lifecycle, and every previously-kept doc
+    must now die as exact_corpus (it IS the corpus), every stage column
+    still partitioning the batch. Pinned on the same fixture as the
+    hook-level resubmission test so the two shapes can never drift."""
+    from kafka_connect_storage_cloud_formats_spark.operators.dedup import (
+        curation_drop_report,
+        curation_second_drop_report,
+    )
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta", "en"),
+        (1, "completely different corpus sentence here", "en"),
+        (4, "alpha beta gamma delta epsilon zeta", "en"),        # exact_corpus
+        (9, "alpha beta gamma delta epsilon zeta extra", "en"),  # neardup_corpus
+        (14, "one two three four five six seven eight", "en"),   # kept
+        (19, "one two three four five six seven eight nine", "en"),  # neardup_within
+        (24, "fresh unique batch content tokens", "en"),         # kept
+        (29, "fresh unique batch content tokens", "en"),         # exact_within
+        (34, "nouvelle phrase unique en lot", "fr"),             # kept
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    second = {r["lang"]: r.asDict() for r in curation_second_drop_report(spark, sf).collect()}
+    assert second["en"]["n_kept"] == 0 and second["fr"]["n_kept"] == 0
+    # drop-1 keeps (14, 24, 34) are corpus content now → exact_corpus,
+    # along with 4 (original corpus dup) and 29 (dup of accepted 24)
+    assert second["en"]["n_exact_corpus"] == 4  # 4, 14, 24, 29
+    assert second["fr"]["n_exact_corpus"] == 1  # 34
+    assert second["en"]["n_neardup_corpus"] == 2  # 9 (vs corpus 0), 19 (vs accepted 14)
+    # stages still partition the batch row-by-row
+    first = {r["lang"]: r.asDict() for r in curation_drop_report(spark, sf).collect()}
+    for rep in (first, second):
+        for r in rep.values():
+            assert r["n_batch"] == sum(
+                r[f"n_{s}"]
+                for s in (
+                    "exact_corpus", "exact_within", "neardup_corpus",
+                    "neardup_within", "kept",
+                )
+            )
+    # and the batch totals agree between the two drops (same batch)
+    for lang in first:
+        assert first[lang]["n_batch"] == second[lang]["n_batch"]
