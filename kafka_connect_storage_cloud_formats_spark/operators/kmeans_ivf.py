@@ -677,7 +677,15 @@ def kmeans_ivf_serving_view(
     Because the drops partition the batch and each assigns against the
     same published quantizer, the N-segment view holds exactly the
     single-segment view's (vec_id, label) rows — pinned probe-bit-equal
-    in tests."""
+    in tests.
+
+    The drop count is EXPLICIT deployment state, deliberately not
+    discovered by listing published segment artifacts: the ingest
+    pipeline that creates drops owns the counter, and a listing-based
+    view would double-count the moment two enumeration schemes coexist
+    over one corpus (the whole-batch ``…b`` segment and an enumerated
+    ``…b{i}of{n}`` family cover the same vectors — exactly the state a
+    re-partitioned drop schedule transitions through)."""
     from kafka_connect_storage_cloud_formats_spark.artifacts import published_df
 
     main = build_kmeans_ivf_index(spark, sf_dir, k=k, iters=iters, split="corpus")

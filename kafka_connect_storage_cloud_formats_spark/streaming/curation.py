@@ -99,10 +99,23 @@ class StreamingCuration:
     tiers' merged-generation posture; each per-batch commit is coalesced
     to one file per kind."""
 
-    def __init__(self, spark: SparkSession, state_dir: str) -> None:
+    def __init__(
+        self, spark: SparkSession, state_dir: str, fold_every: int | None = None
+    ) -> None:
         self.spark = spark
         self.family = hash_family()
         self.state_dir = os.path.join(state_dir, self.family)
+        # ``fold_every=N`` runs :meth:`fold_state` at the top of every
+        # N-th batch — the re-index/merge schedule wired into the job
+        # itself, so a continuous deployment never accumulates unbounded
+        # per-batch partitions without anyone remembering to call the
+        # maintenance job. Retry-safe: a fold's CONTENT is a pure
+        # function of its id (state ≤ id), so the fold a replayed batch
+        # triggers — even one covering a later id than the first
+        # attempt's, because the batch's own partitions are now
+        # committed — serves every ``before`` view identically (pinned
+        # in tests).
+        self.fold_every = fold_every
 
     # ---- state access ----------------------------------------------------
     def _list_parts(self, kind: str) -> list[tuple[str, int, str]]:
@@ -273,6 +286,8 @@ class StreamingCuration:
         the accepted state, commit the per-language report and the
         accepted docs' hash + signature rows — all deterministic
         overwrites keyed by ``batch_id``."""
+        if self.fold_every and batch_id > 0 and batch_id % self.fold_every == 0:
+            self.fold_state()  # the scheduled maintenance fold (see __init__)
         batch_df = batch_df.localCheckpoint(eager=True)  # cut the stream lineage
         # the sha2 and shingle+minhash chains are each evaluated ONCE per
         # batch (they feed the classification AND the state commits)
@@ -331,13 +346,15 @@ def run_curation_stream(
     docs_stream: DataFrame,
     state_dir: str,
     checkpoint_dir: str,
+    fold_every: int | None = None,
 ) -> StreamingCuration:
     """Run the curation job over all currently-available input (trigger
     availableNow — the batch-interval form of a continuous job) and
     return the state handle. Safe to re-run: the checkpoint skips
     committed batches, and replayed batches rewrite their partitions
-    byte-identically."""
-    cur = StreamingCuration(spark, state_dir)
+    byte-identically. ``fold_every=N`` wires the state fold into the
+    job's own schedule (every N-th batch)."""
+    cur = StreamingCuration(spark, state_dir, fold_every=fold_every)
     q = (
         docs_stream.writeStream.foreachBatch(cur.process_batch)
         .option("checkpointLocation", checkpoint_dir)

@@ -263,3 +263,44 @@ def test_foreign_entries_under_state_dir_are_ignored(spark, tmp_path):
     assert sorted(r["doc_id"] for r in cur.accepted_hashes().collect()) == [1, 3, 5]
     cur.process_batch(spark.createDataFrame(BATCH2, DOC_SCHEMA), 1)  # still runs
     assert sorted(r["doc_id"] for r in cur.accepted_hashes().collect()) == [1, 3, 5, 13]
+
+
+def test_scheduled_fold_every_matches_unfolded_twin(spark, tmp_path):
+    """fold_every wires the fold into the job's own schedule: a job
+    folding every 2 batches must classify and accumulate identically to
+    the never-folding twin, and its state layout must show the fold ran."""
+    import os
+
+    folding = StreamingCuration(spark, str(tmp_path / "a"), fold_every=2)
+    plain = StreamingCuration(spark, str(tmp_path / "b"))
+    for cur in (folding, plain):
+        for i, b in enumerate((BATCH1, BATCH2, BATCH3)):
+            cur.process_batch(spark.createDataFrame(b, DOC_SCHEMA), i)
+    assert _snapshot(folding) == _snapshot(plain)
+    # batch 2 triggered the fold (covers batches < newest committed at
+    # that moment, i.e. batch 0), so a fold generation exists
+    parts = folding._list_parts("accepted_hashes")
+    assert ("f", 0) in [(p, i) for p, i, _ in parts]
+
+
+def test_scheduled_fold_is_retry_safe(spark, tmp_path):
+    """A replayed NEWEST batch re-triggers its scheduled fold against
+    state that now includes its own committed partitions — the fold it
+    produces covers a later id than the first attempt's, but fold
+    content is a pure function of its id, so every read and the
+    rewritten batch outputs stay identical. The second replay here is
+    the out-of-order case Structured Streaming never produces (only the
+    newest batch can be checkpoint-uncommitted): a replay of an
+    already-FOLDED batch sees a pre-fold corpus view it cannot
+    reconstruct and rewrites its covered partition differently — and the
+    fold SHIELDS every reader from that rewrite (covered partitions are
+    reader-ignored; the next fold's reclaim deletes them), so state
+    stays exact even under a forced out-of-order replay."""
+    cur = StreamingCuration(spark, str(tmp_path / "state"), fold_every=1)
+    for i, b in enumerate((BATCH1, BATCH2, BATCH3)):
+        cur.process_batch(spark.createDataFrame(b, DOC_SCHEMA), i)
+    committed = _snapshot(cur)
+    cur.process_batch(spark.createDataFrame(BATCH3, DOC_SCHEMA), 2)  # retry
+    assert _snapshot(cur) == committed
+    cur.process_batch(spark.createDataFrame(BATCH2, DOC_SCHEMA), 1)  # older replay
+    assert _snapshot(cur) == committed
