@@ -46,12 +46,15 @@ def tokens(text: Column | str) -> Column:
     return F.split(c, " ")
 
 
-def word_shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as an array<string>; a document with
-    fewer than ``n`` tokens yields the empty array, a NULL document yields
-    NULL (``size(NULL)`` is -1/NULL, which would silently take the
-    empty-array branch — SQL oracles render NULL for NULL input, so the
-    NULL case must propagate, not collapse to []; round-4 ADVICE).
+def word_ngrams(text: Column | str, n: int = 3) -> Column:
+    """OCCURRENCE-level word n-grams as an array<string> — one gram per
+    start position, duplicates preserved (the repeated-substring MASS
+    signal needs occurrences; :func:`word_shingles` is the distinct view
+    of this same chain). A document with fewer than ``n`` tokens yields
+    the empty array, a NULL document yields NULL (``size(NULL)`` is
+    -1/NULL, which would silently take the empty-array branch — SQL
+    oracles render NULL for NULL input, so the NULL case must propagate,
+    not collapse to []; round-4 ADVICE).
 
     ``transform(sequence(...))`` + ``slice`` keeps the whole computation in
     one codegen stage — no explode/re-group round trip. The short-doc case
@@ -68,11 +71,19 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
         F.sequence(F.lit(1), F.size(w) - (n - 1)),
         lambda i: F.array_join(F.slice(w, i, n), " "),
     )
-    return F.array_distinct(
+    return (
         F.when(c.isNull(), F.lit(None).cast("array<string>"))
         .when(F.size(w) >= n, shingled)
         .otherwise(F.array().cast("array<string>"))
     )
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array<string> — the
+    ``array_distinct`` view of :func:`word_ngrams` (same expression tree
+    underneath, so the round-13 split is plan-identical for every
+    existing consumer); NULL/short-doc semantics documented there."""
+    return F.array_distinct(word_ngrams(text, n))
 
 
 def md5_perm(col: Column, perm: int) -> Column:

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from kafka_connect_storage_cloud_formats_spark.catalog import load_table, spread
 from kafka_connect_storage_cloud_formats_spark.functions.text_functions import (
     hash_family,
+    word_ngrams,
     word_shingles,
 )
 from kafka_connect_storage_cloud_formats_spark.operators.shingles import (
@@ -421,6 +422,110 @@ JOIN sizes s1 ON d1 = s1.doc_id
 JOIN sizes s2 ON d2 = s2.doc_id
 WHERE CAST(shared AS DOUBLE) / (s1.n_sh + s2.n_sh - shared) >= {JACCARD_THRESHOLD}
 ORDER BY d1, d2
+"""
+
+
+# ----------------------------------------------- repeated-substring mass
+# Round 13: the EXACT-SUBSTRING duplication signal of Lee et al. 2022
+# ("Deduplicating Training Data Makes Language Models Better", §3 ExactSubstr
+# — public paper, PAPERS.md): a k-token run appearing in two or more
+# documents is duplicated training text even when the documents as wholes
+# are not near-duplicates (boilerplate headers, licence blocks, quoted
+# passages). The document-level tiers above cannot see it; this operator
+# measures it corpus-wide. K is the run length a deployment would tune
+# (Lee et al. use 50 BPE tokens at web scale; 8 words fits the driver
+# corpus' 30–200-word documents).
+REPEAT_NGRAM_K = 8
+
+
+def dedup_repeated_ngrams(
+    spark: SparkSession, sf_dir: str, k: int = REPEAT_NGRAM_K
+) -> DataFrame:
+    """Per-language repeated-k-gram mass report: (lang, n_grams,
+    n_dup_grams, n_dup_keys, n_docs_with_dup, dup_mass) where a gram is
+    one OCCURRENCE of a k-token run (one per start position —
+    :func:`~.functions.text_functions.word_ngrams`, the occurrence-level
+    sibling of the shingle chain's ``word_shingles``) and a gram is
+    "duplicated" when its text occurs in ≥ 2 distinct documents.
+    ``dup_mass`` = duplicated occurrences / all occurrences — the
+    fraction of k-token training positions a substring-level dedup pass
+    would rewrite, the corpus-health number the document-level tiers
+    structurally cannot produce.
+
+    Spark-first shape: the gram array is built map-only inside one
+    codegen stage (``transform(sequence)·slice`` — no window, no per-doc
+    shuffle), each occurrence is carried as a 32-hex md5 key (the gram
+    text never shuffles; md5 here is a grouping key the DuckDB oracle
+    reproduces, not a persisted-artifact family, so the
+    ``SPARK_GRAFT_HASH_FAMILY`` convention doesn't apply), and both
+    aggregates are map-side-combinable groupBys — no per-key posting
+    list is ever held (the hot-gram hazard the capped-shingle artifact
+    documents). Single-consumer derivation, so it runs from text by
+    design (artifact doctrine: only multi-consumer corpus-scale streams
+    are persisted)."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        spread(docs)
+        .select(
+            "doc_id", "lang", F.explode(word_ngrams("text", k)).alias("gram")
+        )
+        .select("doc_id", "lang", F.md5("gram").alias("g"))
+    )
+    dup_keys = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    dup_occ = grams.join(dup_keys, "g", "left_semi")
+    total = grams.groupBy("lang").agg(F.count(F.lit(1)).alias("n_grams"))
+    dupl = dup_occ.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_dup_grams"),
+        F.countDistinct("g").alias("n_dup_keys"),
+        F.countDistinct("doc_id").alias("n_docs_with_dup"),
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        total.join(dupl, "lang", "left")
+        .select(
+            "lang",
+            "n_grams",
+            F.coalesce("n_dup_grams", zero).alias("n_dup_grams"),
+            F.coalesce("n_dup_keys", zero).alias("n_dup_keys"),
+            F.coalesce("n_docs_with_dup", zero).alias("n_docs_with_dup"),
+            (
+                F.coalesce("n_dup_grams", zero).cast("double")
+                / F.col("n_grams").cast("double")
+            ).alias("dup_mass"),
+        )
+        .orderBy("lang")
+    )
+
+
+REPEATED_NGRAMS_SQL = f"""
+WITH docs AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id, lang,
+         md5(array_to_string(list_slice(w, i, i + {REPEAT_NGRAM_K - 1}), ' ')) AS g
+  FROM docs,
+       unnest(range(1, greatest(len(w) - {REPEAT_NGRAM_K - 1}, 0) + 1)) AS t(i)),
+dup_keys AS (
+  SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+dup_occ AS (SELECT * FROM grams WHERE g IN (SELECT g FROM dup_keys)),
+total AS (SELECT lang, COUNT(*) AS n_grams FROM grams GROUP BY lang),
+dupl AS (
+  SELECT lang, COUNT(*) AS n_dup_grams,
+         CAST(COUNT(DISTINCT g) AS BIGINT) AS n_dup_keys,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_with_dup
+  FROM dup_occ GROUP BY lang)
+SELECT t.lang, t.n_grams,
+       COALESCE(d.n_dup_grams, 0) AS n_dup_grams,
+       COALESCE(d.n_dup_keys, 0) AS n_dup_keys,
+       COALESCE(d.n_docs_with_dup, 0) AS n_docs_with_dup,
+       CAST(COALESCE(d.n_dup_grams, 0) AS DOUBLE)
+         / CAST(t.n_grams AS DOUBLE) AS dup_mass
+FROM total t LEFT JOIN dupl d ON t.lang = d.lang
+ORDER BY t.lang
 """
 
 
@@ -2352,6 +2457,9 @@ DEDUP_QUERIES = {
     "dedup_incremental": (dedup_incremental, DEDUP_INCREMENTAL_SQL),
     "dedup_canonical": (dedup_canonical, DEDUP_CANONICAL_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
+    # round 13: exact-substring duplication mass (Lee et al. 2022's
+    # ExactSubstr signal) — k-token runs appearing in >= 2 documents
+    "dedup_repeated_ngrams": (dedup_repeated_ngrams, REPEATED_NGRAMS_SQL),
     "minhash_signatures": (minhash_signatures, MINHASH_SIGNATURES_SQL),
     "minhash_lsh_pairs": (minhash_lsh_pairs, MINHASH_LSH_SQL),
     "neardup_incremental": (neardup_incremental, NEARDUP_INCREMENTAL_SQL),

@@ -285,16 +285,18 @@ _ALL = {
 ROTATED_FOR_ROUND = 13
 
 # WINDOW-CAPACITY NOTE (round 13, protocol from round 11): 113 registered
-# queries; the guarantee is ceil(N/50)=3-rounds max staleness via
+# queries (114 after the late dedup_repeated_ngrams addition); the
+# guarantee is ceil(N/50)=3-rounds max staleness via
 # rotation, every new/changed query debuts in-window, and EVERY query is
 # re-certified on HEAD each round by the full-registry oracle run
-# (tools/check_correctness.py --repeat -- a standing round gate). The 13
+# (tools/check_correctness.py --repeat -- a standing round gate). The 14
 # that slip to r14 (the exact N-100 cap) are stable r11-green shapes none
 # of which changed this round: simple relational aggregates / galleries /
 # pivot-cube forms (their family stays richly in-window via the 11
-# returning r13 slips plus q8/q21/q22), two whole-corpus text aggregates
-# (lang_id/token_count/doc_fingerprint/novelty stay in-window), the two
-# simplest exact-dedup shapes (the whole curation/merge chain is
+# returning r13 slips plus q8/q21/q22), three whole-corpus text
+# aggregates (token_count/doc_fingerprint/contamination/novelty stay
+# in-window), the two simplest exact-dedup shapes (the whole
+# curation/merge chain plus the new repeated-ngram report are
 # in-window), and one profiling split row (stratified_sample stays).
 _SLIPPED_TO_R14 = [
     "q2_min_acctbal_supplier",
@@ -310,6 +312,7 @@ _SLIPPED_TO_R14 = [
     "dedup_exact",
     "dedup_canonical",
     "corpus_split_stats",
+    "lang_id_heuristic",
 ]
 
 _STALE_AFTER_R12 = [
@@ -336,13 +339,18 @@ _STALE_AFTER_R12 = [
     # row-independently against the same published quantizer).
     "curation_second_drop_report",
     "ivf_kmeans_topk_upserted2",
-    # the 37 remaining r11-evidenced queries fit the window (the 13 in
+    # ... and the exact-substring duplication-mass report (Lee et al.
+    # 2022's ExactSubstr signal re-expressed Spark-first -- the
+    # document-level tiers structurally cannot see k-token runs repeated
+    # across otherwise-distinct documents)
+    "dedup_repeated_ngrams",
+    # the 36 remaining r11-evidenced queries fit the window (the 14 in
     # _SLIPPED_TO_R14 wait one more round)
     "parquet_roundtrip", "json_roundtrip", "schema_evolution_roundtrip",
     "csv_roundtrip",
     "q8_nation_market_share", "q21_sole_late_supplier",
     "q22_rich_inactive_customers",
-    "lang_id_heuristic", "token_count_bpe", "doc_fingerprint",
+    "token_count_bpe", "doc_fingerprint",
     "benchmark_contamination", "doc_bigram_novelty",
     "minhash_signatures", "minhash_lsh_pairs", "neardup_incremental",
     "neardup_incremental_simhash", "simhash_near_pairs", "neardup_clusters",

@@ -1181,3 +1181,52 @@ def test_registered_second_drop_report_keeps_nothing(spark, tmp_path):
     # and the batch totals agree between the two drops (same batch)
     for lang in first:
         assert first[lang]["n_batch"] == second[lang]["n_batch"]
+
+
+def test_repeated_ngrams_hand_computed(spark, tmp_path):
+    """dedup_repeated_ngrams (round 13 — the ExactSubstr mass signal) on a
+    hand-computed corpus: doc 30 duplicates doc 10 exactly (all 3 of its
+    8-grams duplicated), doc 20 shares exactly ONE 8-gram prefix with
+    them, the short doc contributes no grams (and its language therefore
+    no row). Occurrences, keys, docs and mass all pinned by hand."""
+    from kafka_connect_storage_cloud_formats_spark.operators.dedup import (
+        dedup_repeated_ngrams,
+    )
+
+    rows = [
+        (10, "a b c d e f g h i j", "en"),   # grams: a..h, b..i, c..j
+        (20, "a b c d e f g h x y", "en"),   # shares only a..h
+        (30, "a b c d e f g h i j", "en"),   # exact dup of 10
+        (40, "short text", "fr"),            # < 8 tokens: no grams
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    out = dedup_repeated_ngrams(spark, sf).collect()
+    assert [r["lang"] for r in out] == ["en"]  # fr has no 8-grams
+    r = out[0]
+    # 3 grams per 10-token doc x 3 docs = 9 occurrences; duplicated keys:
+    # a..h (docs 10,20,30), b..i and c..j (docs 10,30) = 3 keys; their
+    # occurrences: 3 (doc 10) + 1 (doc 20) + 3 (doc 30) = 7
+    assert (r["n_grams"], r["n_dup_grams"], r["n_dup_keys"], r["n_docs_with_dup"]) == (
+        9, 7, 3, 3,
+    )
+    assert abs(r["dup_mass"] - 7 / 9) < 1e-15
+
+
+def test_word_ngrams_preserves_occurrences(spark):
+    """word_ngrams is the OCCURRENCE-level sibling of word_shingles:
+    repeated grams keep one entry per start position, while the shingle
+    view dedups them — on the same expression chain."""
+    from kafka_connect_storage_cloud_formats_spark.functions.text_functions import (
+        word_ngrams,
+        word_shingles,
+    )
+
+    df = spark.createDataFrame([("a b a b a",)], "text string")
+    [row] = df.select(
+        word_ngrams("text", 2).alias("occ"), word_shingles("text", 2).alias("dst")
+    ).collect()
+    assert row["occ"] == ["a b", "b a", "a b", "b a"]
+    assert row["dst"] == ["a b", "b a"]
