@@ -363,3 +363,64 @@ def test_curation_chain_matches_python_model(spark, monkeypatch, docs):
         for r in _curation_disposition(spark, sf).collect()
     }
     assert got == _py_curation(rows), (rows, got, _py_curation(rows))
+
+
+# ------------------------------------------------- repeated-ngram mass (r13)
+# dedup_repeated_ngrams' whole aggregate pipeline (occurrence-level grams →
+# md5 keys → duplicated-key semi-join → per-language counts) checked against
+# a plain-Python brute force over adversarial corpora: exact duplicate docs,
+# single-gram overlaps, sub-k docs, repeated tokens, multiple languages.
+def _py_repeated_ngrams(rows, k):
+    from collections import defaultdict
+
+    grams = []  # (doc_id, lang, gram) per START POSITION
+    for doc_id, text, lang in rows:
+        w = text.split(" ")
+        for i in range(max(len(w) - k + 1, 0)):
+            grams.append((doc_id, lang, " ".join(w[i : i + k])))
+    docs_per = defaultdict(set)
+    for d, _, g in grams:
+        docs_per[g].add(d)
+    dup = {g for g, s in docs_per.items() if len(s) >= 2}
+    out = {}
+    for lang in sorted({l for _, l, _ in grams}):
+        mine = [(d, g) for d, l, g in grams if l == lang]
+        dmine = [(d, g) for d, g in mine if g in dup]
+        out[lang] = (
+            len(mine),
+            len(dmine),
+            len({g for _, g in dmine}),
+            len({d for d, _ in dmine}),
+        )
+    return out
+
+
+_rtok = st.sampled_from(["x", "y", "zz", "x"])  # tiny vocab → heavy overlap
+_rdoc = st.lists(_rtok, min_size=0, max_size=8).map(lambda ws: " ".join(ws))
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.tuples(_rdoc, st.sampled_from(["en", "fr"])), min_size=1, max_size=10),
+    st.integers(min_value=1, max_value=3),
+)
+def test_repeated_ngrams_match_python_reference(spark, tmp_path_factory, docs, k):
+    from kafka_connect_storage_cloud_formats_spark.operators.dedup import (
+        dedup_repeated_ngrams,
+    )
+
+    rows = [(i, t, l) for i, (t, l) in enumerate(docs)]
+    sf = str(tmp_path_factory.mktemp("rng"))
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    got = {
+        r["lang"]: (
+            r["n_grams"],
+            r["n_dup_grams"],
+            r["n_dup_keys"],
+            r["n_docs_with_dup"],
+        )
+        for r in dedup_repeated_ngrams(spark, sf, k=k).collect()
+    }
+    assert got == _py_repeated_ngrams(rows, k), (rows, k)
