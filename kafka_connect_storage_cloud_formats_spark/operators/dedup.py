@@ -502,6 +502,149 @@ def dedup_repeated_ngrams(
     )
 
 
+def _covered_positions(docs: DataFrame, k: int) -> DataFrame:
+    """(doc_id, pos) of every token position covered by a duplicated
+    k-gram occurrence (0-based) — the span set the scrub removes. ONE
+    definition shared by the registered stats row and the text
+    rewriter. Linear shape: k covered rows exploded per duplicated
+    occurrence, distinct'd on the (doc_id, pos) pair."""
+    grams = (
+        spread(docs)
+        .select(
+            "doc_id", F.posexplode(word_ngrams("text", k)).alias("i", "gram")
+        )
+        .select("doc_id", "i", F.md5("gram").alias("g"))
+    )
+    dup_keys = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    return (
+        grams.join(dup_keys, "g", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("i"), F.col("i") + F.lit(k - 1))).alias("pos"),
+        )
+        .distinct()
+    )
+
+
+def scrub_repeated_ngrams_text(docs: DataFrame, k: int = REPEAT_NGRAM_K) -> DataFrame:
+    """(doc_id, text) with every token covered by a cross-document
+    duplicated k-gram REMOVED — the rewrite step of substring-level
+    dedup (Lee et al. 2022 §ExactSubstr rewrite their matches too). This
+    variant removes EVERY duplicated occurrence (the boilerplate-scrub
+    posture: a run appearing in ≥2 docs is boilerplate everywhere it
+    appears); a keep-one-copy policy needs a global per-span tie-break
+    that is ill-defined under overlapping spans and is left to the
+    deployment. Token order is rebuilt deterministically
+    (sort-by-position aggregate, never collect order)."""
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
+    )
+    kept = toks.join(_covered_positions(docs, k), ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("text")
+    )
+    # fully-scrubbed docs keep an empty-string row (a pipeline decides
+    # whether to drop empties — same posture as the quality gate)
+    return (
+        docs.select("doc_id")
+        .join(rebuilt, "doc_id", "left")
+        .select("doc_id", F.coalesce("text", F.lit("")).alias("text"))
+    )
+
+
+def scrub_repeated_ngrams(
+    spark: SparkSession, sf_dir: str, k: int = REPEAT_NGRAM_K
+) -> DataFrame:
+    """Per-language effect report of the substring-level scrub — the
+    operation counterpart of :func:`dedup_repeated_ngrams` (that row
+    MEASURES duplicated mass; this one prices REMOVING it): (lang,
+    n_docs, n_tokens, n_tokens_kept, n_docs_touched, n_docs_emptied,
+    kept_ratio) where kept tokens are those outside every duplicated
+    k-gram span (:func:`_covered_positions` — one definition with the
+    text rewriter, so the registered numbers always describe exactly
+    what :func:`scrub_repeated_ngrams_text` would emit).
+
+    Scale shape: the same map-only gram build and combinable aggregates
+    as the mass report, plus one k-fan-out explode of duplicated
+    occurrences and an anti-join on the compact (doc_id, pos) key —
+    linear end-to-end, no windows, no posting lists."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
+    )
+    kept = toks.join(_covered_positions(docs, k), ["doc_id", "pos"], "left_anti")
+    per_tot = toks.groupBy("doc_id", "lang").agg(F.count(F.lit(1)).alias("n_tok"))
+    per_kept = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_kept"))
+    zero = F.lit(0).cast("long")
+    per_doc = per_tot.join(per_kept, "doc_id", "left").select(
+        "doc_id", "lang", "n_tok", F.coalesce("n_kept", zero).alias("n_kept")
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("n_kept").alias("n_tokens_kept"),
+            F.sum((F.col("n_kept") < F.col("n_tok")).cast("long")).alias(
+                "n_docs_touched"
+            ),
+            F.sum((F.col("n_kept") == 0).cast("long")).alias("n_docs_emptied"),
+            (
+                F.sum("n_kept").cast("double") / F.sum("n_tok").cast("double")
+            ).alias("kept_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+SCRUB_REPEATED_NGRAMS_SQL = f"""
+WITH docs AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+toks AS (
+  SELECT doc_id, lang, i - 1 AS pos
+  FROM docs, unnest(range(1, len(w) + 1)) AS t(i)),
+grams AS (
+  SELECT doc_id, i - 1 AS i0,
+         md5(array_to_string(list_slice(w, i, i + {REPEAT_NGRAM_K - 1}), ' ')) AS g
+  FROM docs,
+       unnest(range(1, greatest(len(w) - {REPEAT_NGRAM_K - 1}, 0) + 1)) AS t(i)),
+dup_keys AS (
+  SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+covered AS (
+  SELECT DISTINCT doc_id, i0 + d AS pos
+  FROM grams, unnest(range(0, {REPEAT_NGRAM_K})) AS u(d)
+  WHERE g IN (SELECT g FROM dup_keys)),
+kept AS (
+  SELECT t.doc_id FROM toks t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM covered c WHERE c.doc_id = t.doc_id AND c.pos = t.pos)),
+per_tot AS (SELECT doc_id, lang, COUNT(*) AS n_tok FROM toks GROUP BY 1, 2),
+per_kept AS (SELECT doc_id, COUNT(*) AS n_kept FROM kept GROUP BY 1),
+per_doc AS (
+  SELECT p.doc_id, p.lang, p.n_tok, COALESCE(q.n_kept, 0) AS n_kept
+  FROM per_tot p LEFT JOIN per_kept q ON p.doc_id = q.doc_id)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_kept) AS BIGINT) AS n_tokens_kept,
+       CAST(SUM(CASE WHEN n_kept < n_tok THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_touched,
+       CAST(SUM(CASE WHEN n_kept = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_emptied,
+       CAST(SUM(n_kept) AS DOUBLE) / CAST(SUM(n_tok) AS DOUBLE) AS kept_ratio
+FROM per_doc GROUP BY lang ORDER BY lang
+"""
+
+
 REPEATED_NGRAMS_SQL = f"""
 WITH docs AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
 grams AS (
@@ -2460,6 +2603,9 @@ DEDUP_QUERIES = {
     # round 13: exact-substring duplication mass (Lee et al. 2022's
     # ExactSubstr signal) — k-token runs appearing in >= 2 documents
     "dedup_repeated_ngrams": (dedup_repeated_ngrams, REPEATED_NGRAMS_SQL),
+    # ... and the scrub that REMOVES those spans, priced per language
+    # (one _covered_positions definition with the text rewriter)
+    "scrub_repeated_ngrams": (scrub_repeated_ngrams, SCRUB_REPEATED_NGRAMS_SQL),
     "minhash_signatures": (minhash_signatures, MINHASH_SIGNATURES_SQL),
     "minhash_lsh_pairs": (minhash_lsh_pairs, MINHASH_LSH_SQL),
     "neardup_incremental": (neardup_incremental, NEARDUP_INCREMENTAL_SQL),

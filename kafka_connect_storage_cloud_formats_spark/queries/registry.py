@@ -285,17 +285,17 @@ _ALL = {
 ROTATED_FOR_ROUND = 13
 
 # WINDOW-CAPACITY NOTE (round 13, protocol from round 11): 113 registered
-# queries (114 after the late dedup_repeated_ngrams addition); the
+# queries (115 after the late repeated-ngram mass + scrub additions); the
 # guarantee is ceil(N/50)=3-rounds max staleness via
 # rotation, every new/changed query debuts in-window, and EVERY query is
 # re-certified on HEAD each round by the full-registry oracle run
-# (tools/check_correctness.py --repeat -- a standing round gate). The 14
+# (tools/check_correctness.py --repeat -- a standing round gate). The 15
 # that slip to r14 (the exact N-100 cap) are stable r11-green shapes none
 # of which changed this round: simple relational aggregates / galleries /
 # pivot-cube forms (their family stays richly in-window via the 11
-# returning r13 slips plus q8/q21/q22), three whole-corpus text
-# aggregates (token_count/doc_fingerprint/contamination/novelty stay
-# in-window), the two simplest exact-dedup shapes (the whole
+# returning r13 slips plus q8/q21/q22), four whole-corpus text
+# aggregates (doc_fingerprint/contamination/novelty stay in-window),
+# the two simplest exact-dedup shapes (the whole
 # curation/merge chain plus the new repeated-ngram report are
 # in-window), and one profiling split row (stratified_sample stays).
 _SLIPPED_TO_R14 = [
@@ -313,6 +313,7 @@ _SLIPPED_TO_R14 = [
     "dedup_canonical",
     "corpus_split_stats",
     "lang_id_heuristic",
+    "token_count_bpe",
 ]
 
 _STALE_AFTER_R12 = [
@@ -344,13 +345,17 @@ _STALE_AFTER_R12 = [
     # document-level tiers structurally cannot see k-token runs repeated
     # across otherwise-distinct documents)
     "dedup_repeated_ngrams",
-    # the 36 remaining r11-evidenced queries fit the window (the 14 in
+    # ... and the scrub that REMOVES those duplicated spans, priced per
+    # language with one covered-positions definition shared with the
+    # library text rewriter
+    "scrub_repeated_ngrams",
+    # the 35 remaining r11-evidenced queries fit the window (the 15 in
     # _SLIPPED_TO_R14 wait one more round)
     "parquet_roundtrip", "json_roundtrip", "schema_evolution_roundtrip",
     "csv_roundtrip",
     "q8_nation_market_share", "q21_sole_late_supplier",
     "q22_rich_inactive_customers",
-    "token_count_bpe", "doc_fingerprint",
+    "doc_fingerprint",
     "benchmark_contamination", "doc_bigram_novelty",
     "minhash_signatures", "minhash_lsh_pairs", "neardup_incremental",
     "neardup_incremental_simhash", "simhash_near_pairs", "neardup_clusters",

@@ -1230,3 +1230,47 @@ def test_word_ngrams_preserves_occurrences(spark):
     ).collect()
     assert row["occ"] == ["a b", "b a", "a b", "b a"]
     assert row["dst"] == ["a b", "b a"]
+
+
+def test_scrub_repeated_ngrams_hand_computed(spark, tmp_path):
+    """scrub_repeated_ngrams + scrub_repeated_ngrams_text (round 13 — the
+    rewrite step of substring-level dedup) on the same hand-computed
+    corpus as the mass report: the stats row and the text rewriter must
+    describe the same scrub (one _covered_positions definition), spans
+    are removed from EVERY duplicated occurrence, the exact-duplicate
+    pair empties entirely, and untouched docs come back byte-identical."""
+    from kafka_connect_storage_cloud_formats_spark.catalog import load_table
+    from kafka_connect_storage_cloud_formats_spark.operators.dedup import (
+        scrub_repeated_ngrams,
+        scrub_repeated_ngrams_text,
+    )
+
+    rows = [
+        (10, "a b c d e f g h i j", "en"),   # grams a..h, b..i, c..j all dup'd (doc 30)
+        (20, "a b c d e f g h x y", "en"),   # only a..h dup'd → x y survive
+        (30, "a b c d e f g h i j", "en"),   # exact dup of 10 → emptied
+        (40, "short text", "fr"),            # < 8 tokens → untouched
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    stats = {r["lang"]: r.asDict() for r in scrub_repeated_ngrams(spark, sf).collect()}
+    # en: docs 10/30 fully covered (10 tokens each), doc 20 keeps x y
+    assert stats["en"]["n_docs"] == 3
+    assert stats["en"]["n_tokens"] == 30
+    assert stats["en"]["n_tokens_kept"] == 2
+    assert stats["en"]["n_docs_touched"] == 3
+    assert stats["en"]["n_docs_emptied"] == 2
+    assert abs(stats["en"]["kept_ratio"] - 2 / 30) < 1e-15
+    # fr: no 8-grams → untouched
+    assert stats["fr"]["n_docs"] == 1 and stats["fr"]["n_docs_touched"] == 0
+    assert stats["fr"]["n_tokens"] == stats["fr"]["n_tokens_kept"] == 2
+    # the rewriter emits exactly what the stats row priced
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in scrub_repeated_ngrams_text(
+            load_table(spark, sf, "documents")
+        ).collect()
+    }
+    assert texts == {10: "", 30: "", 20: "x y", 40: "short text"}
