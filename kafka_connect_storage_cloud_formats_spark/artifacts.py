@@ -441,15 +441,30 @@ def ensure_artifact(
                     # we moved a freshly-published winner: put it back
                     # (path is free — we just vacated it) and consume it
                     if not fs.rename(trash, path):
-                        raise RuntimeError(
-                            f"artifact publish race at {path}: a concurrent "
-                            f"publish was moved aside during squatter "
-                            f"removal and could not be restored from {trash}"
-                        ) from fs.last_error
-                    gen = fs.generation(path)
-                    if gen is not None and not force:
-                        _remember_ensured(app, path, gen)
-                        return path
+                        # The restore can lose a FURTHER race (round-13
+                        # ADVICE): yet another builder may have published
+                        # at ``path`` during the one-RPC window while we
+                        # held the first winner at the tmp name. A
+                        # published artifact at the path is a success
+                        # whoever wrote it (content-keyed ⇒ identical):
+                        # consume it and leave the stranded copy at the
+                        # tmp name to the stale-tmp sweep. Raise only
+                        # when the path is genuinely not serving.
+                        gen = fs.generation(path)
+                        if gen is None:
+                            raise RuntimeError(
+                                f"artifact publish race at {path}: a concurrent "
+                                f"publish was moved aside during squatter "
+                                f"removal and could not be restored from {trash}"
+                            ) from fs.last_error
+                        if not force:
+                            _remember_ensured(app, path, gen)
+                            return path
+                    else:
+                        gen = fs.generation(path)
+                        if gen is not None and not force:
+                            _remember_ensured(app, path, gen)
+                            return path
                 else:
                     # marker-less junk at a hidden tmp name: best-effort
                     # delete — a failure leaves it to the stale-tmp sweep,

@@ -132,9 +132,18 @@ class _HadoopFS:
                             wrapped = str(cause.getClassName() or "")
                         except Exception:
                             wrapped = ""  # not Hadoop's RemoteException shape
-                        if "FileNotFoundException" in wrapped:
+                        if wrapped.endswith("FileNotFoundException"):
                             return True
-                        if "FileNotFoundException" in str(cause.getMessage() or ""):
+                        # Message fallback ANCHORED to Hadoop's
+                        # RemoteException rendering '<class>: <msg>'
+                        # (round-13 ADVICE): a bare substring test
+                        # classified as absence any RPC failure whose
+                        # message merely QUOTED 'FileNotFoundException'
+                        # in a non-absence context (a lease/retry error
+                        # referencing a prior FNFE) — and the caller's
+                        # reaction to absence is a corpus-scale rebuild.
+                        head = str(cause.getMessage() or "").split(":", 1)[0]
+                        if head.strip().endswith("FileNotFoundException"):
                             return True
                     cause = cause.getCause()
                 return False

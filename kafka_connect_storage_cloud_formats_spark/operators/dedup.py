@@ -555,11 +555,20 @@ def scrub_repeated_ngrams_text(docs: DataFrame, k: int = REPEAT_NGRAM_K) -> Data
         ).alias("text")
     )
     # fully-scrubbed docs keep an empty-string row (a pipeline decides
-    # whether to drop empties — same posture as the quality gate)
+    # whether to drop empties — same posture as the quality gate), but a
+    # NULL-text document stays NULL (round-13 ADVICE, the module's
+    # standing NULL-propagation doctrine: collapsing NULL to '' would
+    # make an unscrubbed-but-absent document indistinguishable from a
+    # fully-scrubbed one)
     return (
-        docs.select("doc_id")
+        docs.select("doc_id", F.col("text").isNull().alias("__was_null"))
         .join(rebuilt, "doc_id", "left")
-        .select("doc_id", F.coalesce("text", F.lit("")).alias("text"))
+        .select(
+            "doc_id",
+            F.when(F.col("__was_null"), F.lit(None).cast("string"))
+            .otherwise(F.coalesce("text", F.lit("")))
+            .alias("text"),
+        )
     )
 
 

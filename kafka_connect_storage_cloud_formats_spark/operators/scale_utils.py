@@ -25,6 +25,40 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _is_location_exists_error(e: Exception, loc: str) -> bool:
+    """Is ``e`` the managed-table orphaned-location failure (the ONE
+    condition :func:`write_bucketed`'s heal fixes)? Three probes,
+    most-structured first (round-13 ADVICE: the bare
+    'LOCATION_ALREADY_EXISTS' message substring is a Spark 4
+    error-condition NAME — on Spark 3.x, or if the condition is renamed,
+    it never matches and the original wedge returns):
+
+    1. the exception's own error condition/class accessor
+       (``getCondition`` — pyspark 4, or the older ``getErrorClass``);
+    2. the condition name in the message (Spark 4 rendering);
+    3. the table's OWN managed location quoted in a message that says a
+       location already exists (Spark 3.x rendering: "Can not create the
+       managed table(...). The associated location('<loc>') already
+       exists."). Requiring BOTH the path and the phrase keeps unrelated
+       faults that merely mention the path (permissions, quota)
+       propagating — the heal DROPs a same-name catalog entry, so a
+       mis-trigger is destructive."""
+    cond = ""
+    for probe in ("getCondition", "getErrorClass"):
+        try:
+            cond = str(getattr(e, probe)() or "")
+            break
+        except Exception:
+            continue
+    msg = str(e)
+    loc_tail = loc.split("://", 1)[-1].lstrip("/")
+    return (
+        cond == "LOCATION_ALREADY_EXISTS"
+        or "LOCATION_ALREADY_EXISTS" in msg
+        or (loc_tail in msg and "already exists" in msg.lower())
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
@@ -69,19 +103,16 @@ def write_bucketed(
     if path is not None:
         w.option("path", path).saveAsTable(table)
         return
+    db, _, tbl = table.rpartition(".")
+    db = db or spark.catalog.currentDatabase()
+    loc = spark.catalog.getDatabase(db).locationUri.rstrip("/") + "/" + tbl.lower()
     try:
         w.saveAsTable(table)
         return
     except Exception as e:
-        # Spark 4 surfaces the error condition name in the message; any
-        # other failure propagates untouched — the heal below is scoped
-        # to exactly the orphaned-location condition it fixes.
-        if "LOCATION_ALREADY_EXISTS" not in str(e):
+        if not _is_location_exists_error(e, loc):
             raise
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    db, _, tbl = table.rpartition(".")
-    db = db or spark.catalog.currentDatabase()
-    loc = spark.catalog.getDatabase(db).locationUri.rstrip("/") + "/" + tbl.lower()
     from kafka_connect_storage_cloud_formats_spark.fsio import _fs_for
 
     fs = _fs_for(loc, spark)

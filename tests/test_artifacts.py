@@ -1241,6 +1241,70 @@ def test_squatter_heal_restores_concurrent_publish_landing_mid_window(
     shutil.rmtree(path, ignore_errors=True)
 
 
+def test_squatter_heal_consumes_publish_when_restore_rename_fails(
+    tmp_path, spark, monkeypatch
+):
+    """Round-13 ADVICE: the move-aside heal caught a concurrent publish
+    and tries to rename the winner BACK — but that restore can itself
+    lose a further race (yet another builder publishes at the path during
+    the one-RPC window). ensure_artifact previously raised even though a
+    valid published artifact occupied the path; it must re-probe and
+    CONSUME it (the stranded winner copy at the tmp name is the stale-tmp
+    sweep's to retire)."""
+    import os
+    import shutil
+
+    from kafka_connect_storage_cloud_formats_spark import fsio
+    from kafka_connect_storage_cloud_formats_spark.artifacts import (
+        ensure_artifact,
+        invalidate_session_memo,
+    )
+
+    path = str(tmp_path / "engine_restore_race")
+
+    def build(tmp):
+        spark.range(9).coalesce(1).write.parquet(tmp)
+
+    ensure_artifact(path, build, spark=spark)
+    winner = str(tmp_path / "winner_copy_r13")
+    shutil.copytree(path, winner)
+    os.remove(os.path.join(path, "_SUCCESS"))  # the squatter
+    invalidate_session_memo(path)
+
+    real_rename = fsio._HadoopFS.rename
+    state = {"n": 0}
+
+    def racing_rename(self, src, dst):
+        if state["n"] == 0 and src == path:
+            # builder 2 publishes just before the move-aside runs, so the
+            # moved dir carries _SUCCESS (the caught-winner branch)
+            state["n"] = 1
+            shutil.rmtree(path)
+            shutil.copytree(winner, path)
+            return real_rename(self, src, dst)
+        if state["n"] == 1 and dst == path:
+            # builder 3 publishes inside the restore's one-RPC window;
+            # the restore rename fails (dst occupied)
+            state["n"] = 2
+            shutil.copytree(winner, path)
+            return False
+        return real_rename(self, src, dst)
+
+    monkeypatch.setattr(fsio._HadoopFS, "rename", racing_rename)
+    calls = []
+
+    def must_not_build(tmp):
+        calls.append(1)
+        spark.range(9).coalesce(1).write.parquet(tmp)
+
+    out = ensure_artifact(path, must_not_build, spark=spark)
+    assert out == path
+    assert state["n"] == 2 and not calls  # both races fired, no rebuild
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    assert spark.read.parquet(path).count() == 9
+    shutil.rmtree(path, ignore_errors=True)
+
+
 # ---- fsio._not_found classification (round-12 ADVICE) ----------------------
 
 
@@ -1314,6 +1378,33 @@ def test_not_found_matches_remote_exception_by_classname_and_message():
         _nf(_JExc(rex, message="java.io.FileNotFoundException: /x is gone")) is True
     )
     assert _nf(_JExc(rex, message="lease expired on /y")) is False
+
+
+def test_not_found_remote_exception_message_match_is_anchored():
+    """Round-13 ADVICE: an RPC failure whose message merely QUOTES
+    'FileNotFoundException' in a non-absence context (a lease/retry error
+    referencing a prior FNFE) must not classify as absence — the caller's
+    reaction to absence is a corpus-scale rebuild. Hadoop RemoteException
+    renders '<wrapped class>: <msg>', so the message fallback anchors on
+    the head class name."""
+    rex = _JClass(
+        "org.apache.hadoop.ipc.RemoteException", _JClass("java.io.IOException")
+    )
+    assert (
+        _nf(
+            _JExc(
+                rex,
+                message=(
+                    "org.apache.hadoop.hdfs.server.namenode."
+                    "LeaseExpiredException: recovery retry after "
+                    "java.io.FileNotFoundException on /x"
+                ),
+            )
+        )
+        is False
+    )
+    # the anchored Hadoop form still classifies
+    assert _nf(_JExc(rex, message="java.io.FileNotFoundException: /x")) is True
 
 
 def test_not_found_generic_fault_is_not_absence():

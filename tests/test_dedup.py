@@ -1274,3 +1274,23 @@ def test_scrub_repeated_ngrams_hand_computed(spark, tmp_path):
         ).collect()
     }
     assert texts == {10: "", 30: "", 20: "x y", 40: "short text"}
+
+
+def test_scrub_text_null_propagates(spark):
+    """Round-13 ADVICE: a NULL-text document must come back NULL from the
+    rewriter, not '' — collapsing NULL to empty makes an absent document
+    indistinguishable from a fully-scrubbed one (the module's standing
+    NULL-propagation doctrine, same as word_ngrams)."""
+    from kafka_connect_storage_cloud_formats_spark.operators.dedup import (
+        scrub_repeated_ngrams_text,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "a b c"), (3, "a b c")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in scrub_repeated_ngrams_text(docs, k=2).collect()
+    }
+    assert out[1] is None          # NULL in → NULL out
+    assert out[2] == out[3] == ""  # fully-scrubbed duplicates → empty, NOT NULL

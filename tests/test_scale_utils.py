@@ -510,6 +510,53 @@ def test_write_bucketed_managed_arm_self_heals_orphan_location(spark, sf_dir):
         shutil.rmtree(loc, ignore_errors=True)
 
 
+def test_location_exists_predicate_covers_all_renderings():
+    """Round-13 ADVICE: the heal trigger matched only the literal Spark 4
+    condition name in the message; on Spark 3.x (different rendering) the
+    heal never fired. The predicate must honor the structured accessor,
+    the Spark 4 message, and the Spark 3.x location-quoting message —
+    while an unrelated fault that merely MENTIONS the path propagates
+    (the heal DROPs a same-name catalog entry: a mis-trigger is
+    destructive)."""
+    from kafka_connect_storage_cloud_formats_spark.operators.scale_utils import (
+        _is_location_exists_error,
+    )
+
+    loc = "file:/wh/spark-warehouse/tbl"
+
+    class CondErr(Exception):
+        def __init__(self, cond):
+            super().__init__("opaque message")
+            self._c = cond
+
+        def getCondition(self):
+            return self._c
+
+    # 1. structured condition accessor (pyspark 4), message opaque
+    assert _is_location_exists_error(CondErr("LOCATION_ALREADY_EXISTS"), loc)
+    assert not _is_location_exists_error(CondErr("TABLE_OR_VIEW_ALREADY_EXISTS"), loc)
+    # 2. Spark 4 message rendering
+    assert _is_location_exists_error(
+        Exception("[LOCATION_ALREADY_EXISTS] Cannot create table"), loc
+    )
+    # 3. Spark 3.x rendering: the table's own location + 'already exists'
+    assert _is_location_exists_error(
+        Exception(
+            "Can not create the managed table('`tbl`'). The associated "
+            "location('file:/wh/spark-warehouse/tbl') already exists."
+        ),
+        loc,
+    )
+    # unrelated faults propagate: path alone, phrase alone, neither
+    assert not _is_location_exists_error(
+        Exception("Permission denied: file:/wh/spark-warehouse/tbl"), loc
+    )
+    assert not _is_location_exists_error(
+        Exception("Table `tbl` already exists in the catalog"), loc
+    )
+    assert not _is_location_exists_error(Exception("disk exploded"), loc)
+
+
 def test_write_bucketed_managed_arm_heals_only_on_location_failure(spark, monkeypatch):
     """Round-12 ADVICE: the managed-arm heal (DROP TABLE + warehouse
     location delete) used to run unconditionally on every call — under a
