@@ -551,6 +551,50 @@ def test_pack_sequence_spans_exact_fill(spark, sf_dir):
         pack_sequence_spans(spark, sf_dir, capacity=0)
 
 
+def test_prefix_sum_layout_bit_equal_to_global_window(spark, sf_dir):
+    """Round-13 verdict "What's wrong #1": the packing layout's running
+    token sum is now a two-pass distributed prefix sum (_with_token_end);
+    it must be BIT-EQUAL to the single global window it replaced (the
+    DuckDB oracles still replay that one window). Pinned on the driver
+    corpus, on a sparse/clustered-id synthetic (degenerate quantile
+    boundaries), and on the empty frame."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kafka_connect_storage_cloud_formats_spark.operators.training_pipeline import (
+        _kept_docs,
+        _with_token_end,
+    )
+
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    docs = _kept_docs(spark, sf_dir).select("doc_id", n_tokens.alias("n_tokens"))
+    got = {r["doc_id"]: r["token_end"] for r in _with_token_end(docs).collect()}
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["doc_id"]: r["token_end"]
+        for r in docs.withColumn("token_end", F.sum("n_tokens").over(w)).collect()
+    }
+    assert got == want and len(got) > 0
+    # and the new plan has no single-partition window exchange
+    plan = (
+        _with_token_end(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" in plan and "Exchange SinglePartition" not in plan
+
+    # sparse, clustered ids: most quantile boundaries collapse
+    rows = [(i, i % 5 + 1) for i in (1, 2, 3, 7, 1_000_000, 1_000_001, 10**12)]
+    sdf = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got2 = {r["doc_id"]: r["token_end"] for r in _with_token_end(sdf).collect()}
+    acc, want2 = 0, {}
+    for i, t in sorted(rows):
+        acc += t
+        want2[i] = acc
+    assert got2 == want2
+
+    empty = spark.createDataFrame([], "doc_id long, n_tokens long")
+    assert _with_token_end(empty).collect() == []
+
+
 def test_envelope_validation_and_tie_determinism(spark):
     """Round-9 review fixes: mod without a key raises (it IS key % N);
     pre-existing envelope columns raise instead of being clobbered; and a

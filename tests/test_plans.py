@@ -62,6 +62,39 @@ def test_allowed_nested_are_documented_exceptions(spark, sf_dir):
     }
 
 
+def test_unpartitioned_window_detector_classifies_renderings():
+    """Round-14: the plan audit gates unpartitioned WindowExec (no
+    whitelist — the one shape that serializes the whole input through a
+    single task, round-13 verdict "What's wrong #1"). The detector must
+    flag order-only and bare windows while passing partition-only (e.g.
+    min-per-group) and fully-specified ones."""
+    from tools.plan_audit import unpartitioned_windows
+
+    order_only = (
+        "+- Window [sum(n#2L) windowspecdefinition(doc_id#1L ASC NULLS "
+        "FIRST, specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+        "currentrow$())) AS s#4L], [doc_id#1L ASC NULLS FIRST]"
+    )
+    partition_only = (
+        "+- Window [min(doc_id#70L) windowspecdefinition(content_hash#72, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+        "unboundedfollowing$())) AS min_id#64L], [content_hash#72]"
+    )
+    partitioned_ordered = (
+        "+- Window [sum(n#2L) windowspecdefinition(b#3L, doc_id#1L ASC "
+        "NULLS FIRST, specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+        "currentrow$())) AS s#6L], [b#3L], [doc_id#1L ASC NULLS FIRST]"
+    )
+    bare = "+- Window [count(1) windowspecdefinition(...) AS c#9L]"
+    assert unpartitioned_windows(order_only) == 1
+    assert unpartitioned_windows(bare) == 1
+    assert unpartitioned_windows(partition_only) == 0
+    assert unpartitioned_windows(partitioned_ordered) == 0
+    assert unpartitioned_windows("\n".join([order_only, partition_only, bare])) == 2
+    # non-Window operators never match (WindowGroupLimit, scans, ...)
+    assert unpartitioned_windows("+- WindowGroupLimit [x#1L ASC]") == 0
+
+
 def test_q21_plan_is_lazy_and_transparent(spark, sf_dir):
     """Regression gate for KNOWN_ISSUES r4 #1: building q21's plan must not
     embed a pre-executed RDD (the old eager localCheckpoint ran the most

@@ -104,6 +104,46 @@ ALLOWED_CHECKPOINT = {
 }
 
 
+def unpartitioned_windows(plan: str) -> int:
+    """Count Window operators with NO partition spec — the
+    move-everything-to-one-partition shape ("No Partition Defined for
+    Window operation"): the whole input serializes through a single task,
+    the one plan class that cannot survive a 100× scale-up (round-13
+    verdict "What's wrong #1"). NO whitelist — a global layout that needs
+    a running total has the two-pass prefix-sum alternative
+    (operators/training_pipeline._with_token_end).
+
+    Detection: a ``Window`` plan line renders its argument lists as
+    top-level bracket groups — ``[exprs], [partition], [order]`` when
+    fully specified; a missing partition OR order spec drops its group.
+    A partition-only window (``[exprs], [partition]`` — e.g. min-per-group
+    via ``partitionBy(key)`` with an unbounded frame) is fine: it
+    parallelizes by the key. The violating shapes are order-only
+    (``[exprs], [order]`` — the second group carries sort directions)
+    and bare ``[exprs]`` (whole input as ONE frame)."""
+    n = 0
+    for line in plan.splitlines():
+        body = line.lstrip(" +-:*()0123456789")
+        if not body.startswith("Window ["):
+            continue
+        depth, groups = 0, []
+        for ch in body:
+            if ch == "[":
+                if depth == 0:
+                    groups.append("")
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+            if depth > 0 and groups:
+                groups[-1] += ch
+        is_order_spec = len(groups) >= 2 and (
+            " ASC" in groups[-1] or " DESC" in groups[-1]
+        )
+        if len(groups) == 1 or (len(groups) == 2 and is_order_spec):
+            n += 1
+    return n
+
+
 def audit(name: str, df) -> tuple[list[str], dict]:
     plan = df._jdf.queryExecution().executedPlan().toString()
     stats = {
@@ -124,6 +164,11 @@ def audit(name: str, df) -> tuple[list[str], dict]:
     # No whitelist: a row-at-a-time Python UDF is a scale bug anywhere.
     if "BatchEvalPython" in plan:
         problems.append("BatchEvalPython(row-at-a-time UDF)")
+    # No whitelist: a window with no partition spec serializes its whole
+    # input through one task (round-13 verdict "What's wrong #1").
+    n_upw = unpartitioned_windows(plan)
+    if n_upw:
+        problems.append(f"UnpartitionedWindow(x{n_upw} single-task global window)")
     if "ExistingRDD" in plan and name not in ALLOWED_CHECKPOINT:
         problems.append("ExistingRDD(undocumented eager checkpoint)")
     # Supplementary FINAL-plan stats: the pre-execution string above is the
