@@ -1276,6 +1276,95 @@ def test_scrub_repeated_ngrams_hand_computed(spark, tmp_path):
     assert texts == {10: "", 30: "", 20: "x y", 40: "short text"}
 
 
+def test_repeated_ngram_spans_and_keep_first_hand_computed(spark, tmp_path):
+    """Round 14 (Lee et al. 2022 parity asks): maximal duplicated-run
+    spans via gaps-and-islands over _covered_positions, and the
+    keep-one-copy scrub policy with the (min doc_id, min pos) canonical
+    tie-break — on the same hand-computed corpus as the round-13 scrub
+    test."""
+    from kafka_connect_storage_cloud_formats_spark.catalog import load_table
+    from kafka_connect_storage_cloud_formats_spark.operators.dedup import (
+        repeated_ngram_spans,
+        scrub_repeated_ngrams_text,
+    )
+
+    rows = [
+        (10, "a b c d e f g h i j", "en"),   # all 3 grams dup'd with doc 30
+        (20, "a b c d e f g h x y", "en"),   # only gram a..h dup'd
+        (30, "a b c d e f g h i j", "en"),   # exact dup of 10
+        (40, "short text", "fr"),            # < 8 tokens → no grams
+    ]
+    sf = str(tmp_path / "sf_spans")
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    spans = {r["lang"]: r.asDict() for r in repeated_ngram_spans(spark, sf).collect()}
+    # en: docs 10/30 one 10-token span each, doc 20 one 8-token span
+    assert set(spans) == {"en"}  # fr has no spans → no row
+    s = spans["en"]
+    assert (
+        s["n_spans"],
+        s["n_docs_with_span"],
+        s["span_tokens"],
+        s["max_span_len"],
+    ) == (3, 3, 28, 10)
+    assert abs(s["avg_span_len"] - 28 / 3) < 1e-12
+    # keep-one-copy: every dup gram's canonical occurrence is in doc 10,
+    # so doc 10 survives whole, doc 30 empties, doc 20 keeps its tail
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in scrub_repeated_ngrams_text(
+            load_table(spark, sf, "documents"), keep_first=True
+        ).collect()
+    }
+    assert texts == {
+        10: "a b c d e f g h i j",
+        20: "x y",
+        30: "",
+        40: "short text",
+    }
+
+
+def test_repeated_ngram_families_agree(spark, tmp_path, sf_dir):
+    """Round-13 verdict "What's wrong #3": the repeated-ngram chain's gram
+    grouping key now honors SPARK_GRAFT_HASH_FAMILY like the minhash/split
+    call sites (md5 hex default; a 128-bit xxhash64 struct pair in
+    production). The key is pure EQUALITY, so the families' DECISIONS —
+    duplicated-occurrence sets, covered-position sets, and the registered
+    mass report's rows — must be identical (the oracle gate stays md5)."""
+    from kafka_connect_storage_cloud_formats_spark.catalog import load_table
+    from kafka_connect_storage_cloud_formats_spark.operators.dedup import (
+        _covered_positions,
+        dedup_repeated_ngrams,
+    )
+
+    rows = [
+        (10, "a b c d e f g h i j", "en"),
+        (20, "a b c d e f g h x y", "en"),
+        (30, "a b c d e f g h i j", "en"),
+        (40, "short text", "fr"),
+    ]
+    sf = str(tmp_path / "sf_fam")
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    docs = load_table(spark, sf, "documents")
+    covered = {
+        fam: {
+            (r["doc_id"], r["pos"])
+            for r in _covered_positions(docs, 8, family=fam).collect()
+        }
+        for fam in ("md5", "xxhash64")
+    }
+    assert covered["md5"] == covered["xxhash64"] and covered["md5"]
+    # and on the real driver corpus, the registered report's rows agree
+    reports = {
+        fam: sorted(map(tuple, dedup_repeated_ngrams(spark, sf_dir, family=fam).collect()))
+        for fam in ("md5", "xxhash64")
+    }
+    assert reports["md5"] == reports["xxhash64"] and reports["md5"]
+
+
 def test_scrub_text_null_propagates(spark):
     """Round-13 ADVICE: a NULL-text document must come back NULL from the
     rewriter, not '' — collapsing NULL to empty makes an absent document

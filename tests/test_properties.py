@@ -424,3 +424,56 @@ def test_repeated_ngrams_match_python_reference(spark, tmp_path_factory, docs, k
         for r in dedup_repeated_ngrams(spark, sf, k=k).collect()
     }
     assert got == _py_repeated_ngrams(rows, k), (rows, k)
+
+
+# ------------------------------------------- keep-one-copy scrub (round 14)
+# scrub_repeated_ngrams_text(keep_first=True) — Lee et al. 2022's
+# keep-one-copy policy: each duplicated gram's canonical (min doc_id, min
+# position) occurrence is exempt; a position survives unless some OTHER
+# non-canonical duplicated occurrence covers it. Checked against a plain
+# Python brute force of exactly that rule.
+def _py_keep_first_scrub(rows, k):
+    from collections import defaultdict
+
+    occ = []  # (doc_id, start, gram)
+    for doc_id, text in rows:
+        w = text.split(" ")
+        for i in range(max(len(w) - k + 1, 0)):
+            occ.append((doc_id, i, " ".join(w[i : i + k])))
+    docs_per = defaultdict(set)
+    for d, _, g in occ:
+        docs_per[g].add(d)
+    dup = {g for g, s in docs_per.items() if len(s) >= 2}
+    canon = {}
+    for d, i, g in sorted(occ):  # first sight in (doc_id, pos) order = min
+        if g in dup and g not in canon:
+            canon[g] = (d, i)
+    covered = defaultdict(set)
+    for d, i, g in occ:
+        if g in dup and canon[g] != (d, i):
+            covered[d].update(range(i, i + k))
+    return {
+        doc_id: " ".join(
+            t for j, t in enumerate(text.split(" ")) if j not in covered[doc_id]
+        )
+        for doc_id, text in rows
+    }
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(_rdoc, min_size=1, max_size=8),
+    st.integers(min_value=1, max_value=3),
+)
+def test_keep_first_scrub_matches_python_reference(spark, docs, k):
+    from kafka_connect_storage_cloud_formats_spark.operators.dedup import (
+        scrub_repeated_ngrams_text,
+    )
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["text"]
+        for r in scrub_repeated_ngrams_text(sdf, k=k, keep_first=True).collect()
+    }
+    assert got == _py_keep_first_scrub(rows, k), (rows, k)
