@@ -232,6 +232,34 @@ class StreamingCuration:
         (kmeans_ivf.kmeans_ivf_serving_view)."""
         return self._accepted("ann_segments", _ANN_SCHEMA, before)
 
+    def ann_serving_view(self) -> DataFrame:
+        """THE serving view of an ann-enabled job: the main corpus-split
+        index ∪ this job's accepted streaming segments, one (vec_id,
+        embedding, label) row per vector — the same union
+        ``kmeans_ivf_serving_view`` builds for batch drops, so the
+        standard probe (`similarity._ivf_probe` with the published
+        corpus-split centroids) runs unchanged. Metadata-only: a union
+        over the published index files and the job's state partitions
+        (pinned bit-equal to the hand-built union in tests)."""
+        if self.ann_sf_dir is None:
+            raise ValueError(
+                "ann_serving_view requires StreamingCuration(ann_sf_dir=...)"
+            )
+        from kafka_connect_storage_cloud_formats_spark.artifacts import published_df
+        from kafka_connect_storage_cloud_formats_spark.operators.kmeans_ivf import (
+            build_kmeans_ivf_index,
+        )
+
+        main = published_df(
+            self.spark,
+            build_kmeans_ivf_index(self.spark, self.ann_sf_dir, split="corpus"),
+        ).select("vec_id", "embedding", F.col("label").cast("long").alias("label"))
+        return main.unionByName(
+            self.ann_segments().select(
+                F.col("doc_id").alias("vec_id"), "embedding", "label"
+            )
+        )
+
     # ---- state compaction --------------------------------------------------
     def _kinds(self) -> tuple[tuple[str, str], ...]:
         # ann_segments folds unconditionally: a job resumed WITHOUT the

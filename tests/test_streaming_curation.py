@@ -387,11 +387,9 @@ def test_streaming_ann_segments_twin_of_batch_drops(spark, tmp_path, sf_dir):
     main = published_df(
         spark, build_kmeans_ivf_index(spark, sf_dir, split="corpus")
     ).select("vec_id", "embedding", F.col("label").cast("long").alias("label"))
-    stream_view = main.unionByName(
-        cur.ann_segments().select(
-            F.col("doc_id").alias("vec_id"), "embedding", "label"
-        )
-    )
+    # the library serving view IS the union (and must equal the hand-built
+    # batch-side one row-for-row before any probe runs)
+    stream_view = cur.ann_serving_view()
     batch_view = main
     for drop in batch_sides:
         batch_view = batch_view.unionByName(drop.select("vec_id", "embedding", "label"))
