@@ -691,10 +691,37 @@ def scrub_repeated_ngrams(
     occurrences and an anti-join on the compact (doc_id, pos) key —
     linear end-to-end, no windows, no posting lists."""
     docs = load_table(spark, sf_dir, "documents")
+    return _scrub_report(docs, k)
+
+
+def scrub_repeated_ngrams_keepfirst(
+    spark: SparkSession, sf_dir: str, k: int = REPEAT_NGRAM_K
+) -> DataFrame:
+    """The same pricing report under Lee et al. 2022's KEEP-ONE-COPY
+    policy (round 14): each duplicated gram's canonical (min doc_id,
+    min position) occurrence is exempt from scrubbing, so exactly one
+    copy of every duplicated run survives somewhere in the corpus —
+    registered alongside the remove-all row so the driver's hash gate
+    certifies BOTH deployment postures (and their delta: this row's
+    n_tokens_kept ≥ the remove-all row's by exactly the canonical
+    occurrences' uncovered mass). Same linear shape plus one combinable
+    min-aggregate on the gram key (:func:`_covered_positions`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _scrub_report(docs, k, keep_first=True)
+
+
+def _scrub_report(docs: DataFrame, k: int, keep_first: bool = False) -> DataFrame:
+    """ONE definition of the per-language scrub pricing aggregate, shared
+    by the remove-all and keep-one-copy registered rows (a drift between
+    them would silently make the two postures incomparable)."""
     toks = docs.select(
         "doc_id", "lang", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
     )
-    kept = toks.join(_covered_positions(docs, k), ["doc_id", "pos"], "left_anti")
+    kept = toks.join(
+        _covered_positions(docs, k, keep_first=keep_first),
+        ["doc_id", "pos"],
+        "left_anti",
+    )
     per_tot = toks.groupBy("doc_id", "lang").agg(F.count(F.lit(1)).alias("n_tok"))
     per_kept = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_kept"))
     zero = F.lit(0).cast("long")
@@ -719,7 +746,13 @@ def scrub_repeated_ngrams(
     )
 
 
-SCRUB_REPEATED_NGRAMS_SQL = f"""
+def _scrub_report_sql(covered_cte: str) -> str:
+    """ONE oracle template for both scrub pricing rows, parameterized by
+    the covered-position CTE (the Spark twin of the one-definition rule
+    _scrub_report enforces). The remove-all instantiation is asserted
+    BYTE-IDENTICAL to the round-13 string in tests (the r13-evidenced
+    row's oracle must not drift under the refactor)."""
+    return f"""
 WITH docs AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
 toks AS (
   SELECT doc_id, lang, i - 1 AS pos
@@ -731,10 +764,7 @@ grams AS (
        unnest(range(1, greatest(len(w) - {REPEAT_NGRAM_K - 1}, 0) + 1)) AS t(i)),
 dup_keys AS (
   SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
-covered AS (
-  SELECT DISTINCT doc_id, i0 + d AS pos
-  FROM grams, unnest(range(0, {REPEAT_NGRAM_K})) AS u(d)
-  WHERE g IN (SELECT g FROM dup_keys)),
+{covered_cte},
 kept AS (
   SELECT t.doc_id FROM toks t
   WHERE NOT EXISTS (
@@ -754,6 +784,30 @@ SELECT lang, COUNT(*) AS n_docs,
        CAST(SUM(n_kept) AS DOUBLE) / CAST(SUM(n_tok) AS DOUBLE) AS kept_ratio
 FROM per_doc GROUP BY lang ORDER BY lang
 """
+
+
+_COVERED_ALL_CTE = f"""covered AS (
+  SELECT DISTINCT doc_id, i0 + d AS pos
+  FROM grams, unnest(range(0, {REPEAT_NGRAM_K})) AS u(d)
+  WHERE g IN (SELECT g FROM dup_keys))"""
+
+# keep-one-copy: the canonical occurrence — ROW_NUMBER 1 in (doc_id, pos)
+# order per duplicated gram, DuckDB's exact lexicographic twin of the
+# Spark side's min(struct(doc_id, i)) — is exempt; every OTHER duplicated
+# occurrence still covers its k positions.
+_COVERED_KEEPFIRST_CTE = f"""canon AS (
+  SELECT g, doc_id AS cd, i0 AS ci FROM (
+    SELECT g, doc_id, i0,
+           ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, i0) AS rn
+    FROM grams WHERE g IN (SELECT g FROM dup_keys)) q
+  WHERE rn = 1),
+covered AS (
+  SELECT DISTINCT doc_id, i0 + d AS pos
+  FROM grams JOIN canon USING (g), unnest(range(0, {REPEAT_NGRAM_K})) AS u(d)
+  WHERE NOT (doc_id = cd AND i0 = ci))"""
+
+SCRUB_REPEATED_NGRAMS_SQL = _scrub_report_sql(_COVERED_ALL_CTE)
+SCRUB_KEEPFIRST_SQL = _scrub_report_sql(_COVERED_KEEPFIRST_CTE)
 
 
 REPEATED_NGRAMS_SQL = f"""
@@ -2752,6 +2806,12 @@ DEDUP_QUERIES = {
     # round 14: maximal duplicated-run lengths (Lee et al.'s span stats —
     # how LONG the duplicated runs are, which fixed-k mass cannot say)
     "repeated_ngram_spans": (repeated_ngram_spans, REPEATED_NGRAM_SPANS_SQL),
+    # ... and the keep-one-copy pricing (Lee et al.'s own rewrite policy;
+    # the remove-all row above is the boilerplate-scrub posture)
+    "scrub_repeated_ngrams_keepfirst": (
+        scrub_repeated_ngrams_keepfirst,
+        SCRUB_KEEPFIRST_SQL,
+    ),
     "minhash_signatures": (minhash_signatures, MINHASH_SIGNATURES_SQL),
     "minhash_lsh_pairs": (minhash_lsh_pairs, MINHASH_LSH_SQL),
     "neardup_incremental": (neardup_incremental, NEARDUP_INCREMENTAL_SQL),

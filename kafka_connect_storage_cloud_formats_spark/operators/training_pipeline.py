@@ -98,7 +98,9 @@ def write_training_corpus(spark: SparkSession, sf_dir: str, out_dir: str) -> Dat
 SEQ_CAPACITY = 2048  # tokens per packed training sequence (default)
 
 
-def _with_token_end(docs: DataFrame) -> DataFrame:
+def _with_token_end(
+    docs: DataFrame, bounds_source: DataFrame | None = None
+) -> DataFrame:
     """Add ``token_end`` = running sum of ``n_tokens`` in global ``doc_id``
     order — the deterministic concat layout both packing variants cut into
     sequences — WITHOUT a global single-partition window (round-13 verdict
@@ -125,13 +127,22 @@ def _with_token_end(docs: DataFrame) -> DataFrame:
     the single-window formula in tests; the DuckDB oracles still replay
     the ONE global window). The quantile/subtotal jobs run at plan-BUILD
     time, same posture as the artifact ensure_* builds; the prepared-plan
-    cache makes them once-per-(session, corpus)."""
+    cache makes them once-per-(session, corpus).
+
+    ``bounds_source``: optional cheaper frame to derive the quantile
+    boundaries from (any frame with a ``doc_id`` column whose
+    distribution resembles ``docs``' — e.g. the RAW documents table,
+    a pushed-down single-column scan, instead of re-executing the kept
+    pipeline's artifact join just to sample ids). Correctness is
+    boundary-independent (above); only bucket balance shifts with the
+    source's fidelity."""
     spark = docs.sparkSession
     n_buckets = max(1, int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
     probs = [i / n_buckets for i in range(1, n_buckets)]
     # relativeError bounds bucket skew at ~25% of a bucket — balance is a
     # performance knob, never a correctness one (see bit-equal note above)
-    qs = docs.stat.approxQuantile("doc_id", probs, 0.25 / n_buckets) if probs else []
+    sample = docs if bounds_source is None else bounds_source
+    qs = sample.stat.approxQuantile("doc_id", probs, 0.25 / n_buckets) if probs else []
     bounds = sorted({int(q) for q in qs})
     bucket = F.lit(0)
     for b in bounds:
@@ -194,7 +205,10 @@ def pack_training_sequences(
     kept = _kept_docs(spark, sf_dir)
     n_tokens = F.size(F.split("text", " ")).cast("long")
     docs = _with_token_end(
-        kept.select("doc_id", "lang", n_tokens.alias("n_tokens"))
+        kept.select("doc_id", "lang", n_tokens.alias("n_tokens")),
+        # boundaries sampled from the RAW id column (one pushed-down
+        # single-column scan) instead of re-executing the kept pipeline
+        bounds_source=load_table(spark, sf_dir, "documents").select("doc_id"),
     )
     return (
         docs.select(
@@ -261,7 +275,8 @@ def pack_sequence_spans(
     kept = _kept_docs(spark, sf_dir)
     n_tokens = F.size(F.split("text", " ")).cast("long")
     docs = _with_token_end(
-        kept.select("doc_id", n_tokens.alias("n_tokens"))
+        kept.select("doc_id", n_tokens.alias("n_tokens")),
+        bounds_source=load_table(spark, sf_dir, "documents").select("doc_id"),
     ).select(
         "doc_id",
         "n_tokens",

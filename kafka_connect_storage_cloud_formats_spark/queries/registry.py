@@ -284,19 +284,21 @@ _ALL = {
 # its window assertion off this constant).
 ROTATED_FOR_ROUND = 14
 
-# WINDOW-CAPACITY NOTE (round 14): 116 registered queries (the round-14
-# maximal-span report joins). The guarantee is ceil(N/50)=3-rounds max
-# staleness via rotation, every new/changed query debuts in-window (with
-# the standing verified-refactor exception below), and EVERY query is
-# re-certified on HEAD each round by the full-registry oracle run
-# (tools/check_correctness.py --repeat — a standing round gate). The 16
+# WINDOW-CAPACITY NOTE (round 14): 117 registered queries (the round-14
+# maximal-span report and keep-one-copy pricing rows join). The
+# guarantee is ceil(N/50)=3-rounds max staleness via rotation, every
+# new/changed query debuts in-window (with the standing
+# verified-refactor exception below), and EVERY query is re-certified
+# on HEAD each round by the full-registry oracle run
+# (tools/check_correctness.py --repeat — a standing round gate). The 17
 # that slip to r15 (the exact N-100 cap) are stable r12-green shapes
 # whose families stay richly in-window: the three heavy format
 # roundtrips (parquet/json/csv/schema_evolution are r13-green), eleven
 # plain relational aggregates/rollups (the relational family returns
 # via the 15 r11 slips leading this window), doc_quality_deciles
-# (profiling siblings orders_column_profile/approx_profile in-window)
-# and media_catalog (video/audio rows in-window).
+# (profiling siblings orders_column_profile/approx_profile in-window),
+# media_catalog (video/audio rows in-window) and salted_cohort_activity
+# (scale-lever sibling bucketed_segment_revenue in-window).
 _SLIPPED_TO_R15 = [
     "orc_ingest_roundtrip",
     "orc_partitioned_roundtrip",
@@ -314,6 +316,7 @@ _SLIPPED_TO_R15 = [
     "customers_without_orders",
     "doc_quality_deciles",
     "media_catalog",
+    "salted_cohort_activity",
 ]
 
 _STALE_AFTER_R13 = [
@@ -338,8 +341,10 @@ _STALE_AFTER_R13 = [
     # NEW this round (never driver-evidenced): the maximal duplicated-run
     # span report (round-13 verdict "What's missing #2" — Lee et al.
     # 2022's run-length statistics over the same _covered_positions set
-    # as the scrub pair).
+    # as the scrub pair) and the keep-one-copy scrub pricing row (Lee et
+    # al.'s own rewrite policy, canonical-occurrence exemption).
     "repeated_ngram_spans",
+    "scrub_repeated_ngrams_keepfirst",
 ]
 _CHANGED_THIS_ROUND_R14 = [
     # The packing family's running token total moved from ONE global
@@ -389,7 +394,7 @@ _CHANGED_THIS_ROUND_R14 = [
 #    restore-race consumption, write_bucketed condition probes) sit
 #    below every registered plan and are result-neutral; re-certified by
 #    the full-registry --repeat run on final HEAD.
-# the 32 remaining r12-evidenced queries fill the window (the 16 in
+# the 31 remaining r12-evidenced queries fill the window (the 17 in
 # _SLIPPED_TO_R15 wait one more round):
 _R12_VINTAGE_FILL = [
     "dedup_incremental", "dedup_ngram_jaccard", "curation_drop_report",
@@ -405,7 +410,7 @@ _R12_VINTAGE_FILL = [
     "events_latest_per_user", "replay_dedup",
     "scrub_numeric_tokens", "vocab_stats",
     "training_corpus_stats", "clicks_asof_purchase",
-    "bucketed_segment_revenue", "salted_cohort_activity",
+    "bucketed_segment_revenue",
 ]
 
 _PRIORITY = _STALE_AFTER_R13 + _CHANGED_THIS_ROUND_R14 + _R12_VINTAGE_FILL

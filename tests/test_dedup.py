@@ -1325,6 +1325,49 @@ def test_repeated_ngram_spans_and_keep_first_hand_computed(spark, tmp_path):
     }
 
 
+def test_scrub_keepfirst_report_hand_computed_and_oracle_pinned(spark, tmp_path):
+    """Round 14: the keep-one-copy pricing row. On the hand corpus the
+    canonical occurrences all live in doc 10, so it survives whole while
+    the remove-all posture empties it — the delta the two registered
+    rows exist to expose. Also pins the remove-all oracle string
+    BYTE-IDENTICAL to its round-13 bytes (the _scrub_report_sql template
+    refactor must never drift the r13-evidenced row's oracle)."""
+    import hashlib
+
+    from kafka_connect_storage_cloud_formats_spark.operators.dedup import (
+        SCRUB_REPEATED_NGRAMS_SQL,
+        scrub_repeated_ngrams,
+        scrub_repeated_ngrams_keepfirst,
+    )
+
+    assert (
+        hashlib.sha256(SCRUB_REPEATED_NGRAMS_SQL.encode()).hexdigest()
+        == "6814d839b79ec923d260efc6c342dd8f90af030ee6e20a7862107ecc542538e1"
+    )
+    rows = [
+        (10, "a b c d e f g h i j", "en"),
+        (20, "a b c d e f g h x y", "en"),
+        (30, "a b c d e f g h i j", "en"),
+        (40, "short text", "fr"),
+    ]
+    sf = str(tmp_path / "sf_kf")
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    kf = {r["lang"]: r.asDict() for r in scrub_repeated_ngrams_keepfirst(spark, sf).collect()}
+    # doc 10 canonical everywhere → keeps 10; doc 20 keeps x y; doc 30 empties
+    assert (
+        kf["en"]["n_tokens"],
+        kf["en"]["n_tokens_kept"],
+        kf["en"]["n_docs_touched"],
+        kf["en"]["n_docs_emptied"],
+    ) == (30, 12, 2, 1)
+    assert kf["fr"]["n_tokens_kept"] == kf["fr"]["n_tokens"] == 2
+    # and strictly more mass survives than under remove-all
+    ra = {r["lang"]: r.asDict() for r in scrub_repeated_ngrams(spark, sf).collect()}
+    assert kf["en"]["n_tokens_kept"] > ra["en"]["n_tokens_kept"] == 2
+
+
 def test_repeated_ngram_families_agree(spark, tmp_path, sf_dir):
     """Round-13 verdict "What's wrong #3": the repeated-ngram chain's gram
     grouping key now honors SPARK_GRAFT_HASH_FAMILY like the minhash/split
