@@ -175,7 +175,12 @@ def test_fold_state_preserves_content_and_refold_is_noop(spark, tmp_path):
         cur.process_batch(spark.createDataFrame(b, DOC_SCHEMA), i)
     before = _snapshot(cur)
     folded = cur.fold_state()
-    assert folded == {"accepted_hashes": 1, "accepted_sigs": 1, "report": 1}
+    assert folded == {
+        "accepted_hashes": 1,
+        "accepted_sigs": 1,
+        "report": 1,
+        "ann_segments": None,  # kind folds unconditionally; empty here
+    }
     assert _snapshot(cur) == before
     assert cur.fold_state() == folded  # re-fold: nothing new → no-op
     assert _snapshot(cur) == before
