@@ -811,6 +811,86 @@ def ivf_kmeans_topk_upserted2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_kmeans_topk_upserted(spark, sf_dir, n_drops=2)
 
 
+# The synthetic corpus has no true vector dups (max pairwise cosine ≈ 0.51,
+# similarity.COSINE_DUP_THRESHOLD's note); 0.35 keeps realistic candidate
+# volume inside the trained cells. Production SemDeDup runs ~0.95+.
+SEMANTIC_DUP_THRESHOLD = 0.35
+
+
+def dedup_semantic(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    threshold: float = SEMANTIC_DUP_THRESHOLD,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    corpus with the TRAINED spherical k-means quantizer, then compare
+    pairs only WITHIN each cluster — a vector is dropped iff some
+    lower-id cluster-mate sits at cosine ≥ ``threshold``; the row reports
+    its exemplar (highest cosine, then lowest id). One row per dropped
+    vector: (vec_id, cluster, exemplar_id, cosine).
+
+    This is the third member of the embedding-dedup family and the one
+    with an explicit capacity dial: ``dedup_embedding_cosine`` gets
+    near-linear candidates from LSH bands (recall bounded by band
+    collision probability), ``neardup_*`` covers the text modality; here
+    candidates are the N²/k within-cell pairs of the SAME trained cells
+    the IVF tier serves from — no second geometric structure to build,
+    and exact cosines within a cell (no hash recall loss inside the
+    cell). At 100 TB the published SemDeDup posture applies: k scales
+    with N (they run k ≈ 10⁵ on LAION) so cells stay bounded and the
+    pair join — an equi-join on the cell id — stays near-linear; the
+    quantizer artifact is the once-per-corpus build the IVF tier already
+    pays for (shared content-keyed artifact, zero extra training).
+
+    Plan shape: candidate pairs self-equi-join on the LIGHT (cluster,
+    vec_id) assignment rows (ids only — embeddings join in afterwards by
+    id, the ``dedup_embedding_cosine`` discipline so the wide vectors
+    never ride the pair explosion), exact cosine via the Arrow dot on
+    candidates only, then a d2-PARTITIONED row_number picks the exemplar.
+    Oracle: full training replay (``_kmeans_training_ctes``) + the same
+    pair/rank chain — the hash gate certifies training, cell geometry,
+    and the drop decisions end-to-end."""
+    from kafka_connect_storage_cloud_formats_spark.operators.similarity import _dot
+
+    assignment, _ = train_kmeans_quantizer(spark, sf_dir, k=k, iters=iters)
+    cells = assignment.select("vec_id", "cluster")
+    cand = (
+        cells.select("cluster", F.col("vec_id").alias("d1"))
+        .join(cells.select("cluster", F.col("vec_id").alias("d2")), "cluster")
+        .filter(F.col("d1") < F.col("d2"))
+    )
+    base = _with_norm(_load(spark, sf_dir))
+    v1 = base.select(
+        F.col("vec_id").alias("d1"), F.col("embedding").alias("e1"), F.col("norm").alias("n1")
+    )
+    v2 = base.select(
+        F.col("vec_id").alias("d2"), F.col("embedding").alias("e2"), F.col("norm").alias("n2")
+    )
+    cosine = _dot("e1", "e2") / (F.col("n1") * F.col("n2"))
+    dups = (
+        cand.join(v1, "d1")
+        .join(v2, "d2")
+        .select("cluster", "d1", "d2", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= F.lit(threshold))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("d2").orderBy(F.col("cosine").desc(), F.col("d1"))
+    return (
+        dups.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("d2").alias("vec_id"),
+            "cluster",
+            F.col("d1").alias("exemplar_id"),
+            "cosine",
+        )
+        .orderBy("vec_id")
+    )
+
+
 # ------------------------------------------------------------ DuckDB oracles
 # The FULL TRAINING REPLAY as SQL. Legal because the trainer is
 # deterministic and every float chain is left-associated (module
@@ -1033,6 +1113,37 @@ FROM cl{fi} GROUP BY cluster ORDER BY label
 """
 
 
+def _dedup_semantic_sql(threshold: float = SEMANTIC_DUP_THRESHOLD) -> str:
+    """Training replay + within-cell pair scan + exemplar rank — the
+    whole SemDeDup decision chain as one DuckDB statement."""
+    from kafka_connect_storage_cloud_formats_spark.operators.similarity import (
+        _sql_base,
+        _sql_dot,
+    )
+
+    train, fi = _kmeans_training_ctes()
+    return f"""
+WITH {train},
+{_sql_base()},
+cand AS (
+  SELECT a.cluster, a.vec_id AS d1, b.vec_id AS d2
+  FROM cl{fi} a JOIN cl{fi} b ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+scored AS (
+  SELECT cand.cluster, cand.d1, cand.d2,
+         {_sql_dot('v1.embedding', 'v2.embedding')} / (v1.norm * v2.norm) AS cosine
+  FROM cand
+  JOIN base v1 ON v1.vec_id = cand.d1
+  JOIN base v2 ON v2.vec_id = cand.d2),
+ranked AS (
+  SELECT d2, cluster, d1, cosine,
+         ROW_NUMBER() OVER (PARTITION BY d2 ORDER BY cosine DESC, d1) AS rn
+  FROM scored WHERE cosine >= {threshold})
+SELECT d2 AS vec_id, cluster, d1 AS exemplar_id, cosine
+FROM ranked WHERE rn = 1
+ORDER BY vec_id
+"""
+
+
 def _upsert_assign_ctes(fi: int) -> str:
     """The batch-assignment replay (CTEs ``upc``/``upc2``/``ups``/``upa``
     — ``upa(vec_id, label)`` is the drop's cell assignment), over a
@@ -1137,6 +1248,7 @@ KMEANS_INDEX_BUILD_SQL = _kmeans_index_build_sql()
 KMEANS_UPSERT_SQL = _kmeans_upsert_sql()
 KMEANS_UPSERTED_TOPK_SQL = _kmeans_upserted_topk_sql()
 KMEANS_UPSERTED_RECALL_SQL = _kmeans_upserted_recall_sql()
+DEDUP_SEMANTIC_SQL = _dedup_semantic_sql()
 
 KMEANS_IVF_QUERIES = {
     "ivf_kmeans_topk": (ivf_kmeans_topk, KMEANS_TOPK_SQL),
@@ -1158,4 +1270,6 @@ KMEANS_IVF_QUERIES = {
     "ivf_kmeans_topk_upserted2": (ivf_kmeans_topk_upserted2, KMEANS_UPSERTED_TOPK_SQL),
     # serving-grade recall WITHOUT retraining — the upsert story's number
     "ivf_kmeans_recall_upserted": (ivf_kmeans_recall_upserted, KMEANS_UPSERTED_RECALL_SQL),
+    # SemDeDup: the trained cells double as the dedup candidate structure
+    "dedup_semantic": (dedup_semantic, DEDUP_SEMANTIC_SQL),
 }

@@ -503,6 +503,82 @@ ORDER BY doc_id
 """
 
 
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    §A1.1 repetition filters): per doc, the share of bigram occurrences
+    claimed by the single most frequent bigram (``top_bigram_frac``) and
+    the share sitting in any bigram that repeats within the doc
+    (``dup_bigram_frac``). A doc whose text loops boilerplate lights up
+    both; the Gopher rules drop docs past fixed thresholds — this row
+    publishes the raw signals so the threshold stays a deployment dial
+    (same posture as ``doc_quality_deciles``). Fractions are emitted as
+    exact integer pairs' quotients (BIGINT/BIGINT → DOUBLE, both engines'
+    native semantics) so the hash gate is bit-stable.
+
+    Scale shape: REUSES the content-keyed bigram occurrence artifact
+    (``ngram_occ`` n=2 — already built for ``doc_bigram_novelty``; one
+    corpus tokenize pass amortized across both rows), then two map-side-
+    combinable aggregates over progressively coarser keys ((doc_id, ng) →
+    doc_id) and one equi-join to attach ``lang``. Unlike the novelty row
+    there is no corpus-frequency join: every aggregate is doc-local, so
+    the heavy (doc_id, ng) shuffle key can be dictionary-compressed by
+    doc_id co-location and the whole plan is two exchanges. Docs shorter
+    than one bigram emit no occurrence rows and are absent here, exactly
+    as in the novelty row (the shared builder's sequence guard)."""
+    bg = ensure_ngram_occurrence_rows(spark, sf_dir, BIGRAM_N)
+    per_gram = bg.groupBy("doc_id", "ng").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = per_gram.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigram_occ"),
+        F.count(F.lit(1)).alias("n_distinct_bigrams"),
+        F.max("c").alias("top_bigram_count"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0))).alias(
+            "dup_bigram_occ"
+        ),
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        per_doc.join(docs, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "n_bigram_occ",
+            "n_distinct_bigrams",
+            "top_bigram_count",
+            (
+                F.col("top_bigram_count") / F.col("n_bigram_occ").cast("double")
+            ).alias("top_bigram_frac"),
+            "dup_bigram_occ",
+            (
+                F.col("dup_bigram_occ") / F.col("n_bigram_occ").cast("double")
+            ).alias("dup_bigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOC_REPETITION_SQL = f"""
+WITH docs AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+bg AS (
+  SELECT doc_id, array_to_string(list_slice(w, i, i + {BIGRAM_N - 1}), ' ') AS ng
+  FROM docs, unnest(range(1, greatest(len(w) - {BIGRAM_N - 1}, 0) + 1)) AS t(i)),
+per_gram AS (SELECT doc_id, ng, COUNT(*) AS c FROM bg GROUP BY doc_id, ng),
+per_doc AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_bigram_occ,
+         COUNT(*) AS n_distinct_bigrams,
+         CAST(MAX(c) AS BIGINT) AS top_bigram_count,
+         CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_bigram_occ
+  FROM per_gram GROUP BY doc_id)
+SELECT p.doc_id, d.lang, p.n_bigram_occ, p.n_distinct_bigrams,
+       p.top_bigram_count,
+       p.top_bigram_count / CAST(p.n_bigram_occ AS DOUBLE) AS top_bigram_frac,
+       p.dup_bigram_occ,
+       p.dup_bigram_occ / CAST(p.n_bigram_occ AS DOUBLE) AS dup_bigram_frac
+FROM per_doc p JOIN docs d ON d.doc_id = p.doc_id
+ORDER BY p.doc_id
+"""
+
+
 TEXT_QUERIES = {
     "array_function_gallery": (array_function_gallery, ARRAY_GALLERY_SQL),
     "scrub_numeric_tokens": (scrub_numeric_tokens, SCRUB_SQL),
@@ -515,4 +591,5 @@ TEXT_QUERIES = {
     "doc_quality_deciles": (doc_quality_deciles, DOC_QUALITY_DECILES_SQL),
     "benchmark_contamination": (benchmark_contamination, BENCHMARK_CONTAMINATION_SQL),
     "doc_bigram_novelty": (doc_bigram_novelty, DOC_BIGRAM_NOVELTY_SQL),
+    "doc_repetition_stats": (doc_repetition_stats, DOC_REPETITION_SQL),
 }

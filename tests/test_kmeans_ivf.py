@@ -111,6 +111,55 @@ def test_kmeans_full_probe_equals_bruteforce(spark, sf_dir):
     assert full == bf
 
 
+def test_dedup_semantic_matches_within_cluster_bruteforce(spark, sf_dir):
+    """SemDeDup semantics pinned against an independent NumPy brute force
+    over the engine's own trained cells: a vector is dropped iff some
+    lower-id cluster-mate has cosine >= threshold; exemplar = (max
+    cosine, then min id). The oracle gate bit-checks the same chain via
+    SQL; this pins the SEMANTICS against a non-SQL reference and the
+    containment facts the hash can't articulate."""
+    from kafka_connect_storage_cloud_formats_spark.operators.kmeans_ivf import (
+        SEMANTIC_DUP_THRESHOLD,
+        dedup_semantic,
+    )
+
+    got = {
+        r["vec_id"]: r.asDict() for r in dedup_semantic(spark, sf_dir).collect()
+    }
+    assignment, _ = train_kmeans_quantizer(spark, sf_dir)
+    cl = {r["vec_id"]: r["cluster"] for r in assignment.collect()}
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    norm = {v: float(np.sqrt(np.dot(e, e))) for v, e in emb.items()}
+    by_cell: dict = {}
+    for v, c in cl.items():
+        by_cell.setdefault(c, []).append(v)
+    expected = {}
+    for c, members in by_cell.items():
+        for d2 in members:
+            best = None
+            for d1 in members:
+                if d1 >= d2:
+                    continue
+                cos = float(np.dot(emb[d1], emb[d2])) / (norm[d1] * norm[d2])
+                if cos >= SEMANTIC_DUP_THRESHOLD and (
+                    best is None or (cos, -d1) > (best[1], -best[0])
+                ):
+                    best = (d1, cos)
+            if best is not None:
+                expected[d2] = (c, best[0], best[1])
+    assert set(got) == set(expected)
+    for v, row in got.items():
+        c, ex, cos = expected[v]
+        assert row["cluster"] == c and row["exemplar_id"] == ex
+        assert abs(row["cosine"] - cos) < 1e-9
+        assert row["exemplar_id"] < v and row["cosine"] >= SEMANTIC_DUP_THRESHOLD
+
+
 def test_kmeans_quantizer_beats_label_quantizer_at_nprobe1(spark):
     """The point of training: on the real sf0.01 corpus, recall@10 at
     nprobe=1 with k-means cells must beat the semantic-label bucketing

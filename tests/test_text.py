@@ -50,6 +50,61 @@ def test_bigram_novelty_survives_single_token_docs(spark, short_doc_sf_dir):
     assert rows[3]["n_rare"] == 2
 
 
+@pytest.fixture(scope="module")
+def repetitive_sf_dir(tmp_path_factory):
+    """Docs with KNOWN bigram repetition structure for the Gopher-style
+    repetition signals (hand-computable, unlike the word-soup corpus)."""
+    d = tmp_path_factory.mktemp("repetitive_docs")
+    texts = {
+        1: "a b a b a b",  # bigrams: (a b)x3, (b a)x2 — all duplicated
+        2: "x y z",  # 2 bigrams, both unique within the doc
+        3: "single",  # <2 tokens: no bigram rows, absent from the result
+        4: "p q p q r",  # (p q)x2, (q p)x1, (q r)x1
+    }
+    pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "text": list(texts.values()),
+            "lang": ["en", "es", "en", "de"],
+            "source": ["web"] * 4,
+            "n_chars": [len(t) for t in texts.values()],
+        }
+    ).to_parquet(os.path.join(d, "documents.parquet"))
+    return str(d)
+
+
+def test_doc_repetition_stats_hand_computed(spark, repetitive_sf_dir):
+    from kafka_connect_storage_cloud_formats_spark.operators.text import doc_repetition_stats
+
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in doc_repetition_stats(spark, repetitive_sf_dir).collect()
+    }
+    assert 3 not in rows  # sub-bigram doc emits nothing (oracle's empty range)
+    assert rows[1] == {
+        "doc_id": 1,
+        "lang": "en",
+        "n_bigram_occ": 5,
+        "n_distinct_bigrams": 2,
+        "top_bigram_count": 3,
+        "top_bigram_frac": 0.6,
+        "dup_bigram_occ": 5,
+        "dup_bigram_frac": 1.0,
+    }
+    assert rows[2]["dup_bigram_occ"] == 0 and rows[2]["dup_bigram_frac"] == 0.0
+    assert rows[2]["top_bigram_frac"] == 0.5
+    assert rows[4] == {
+        "doc_id": 4,
+        "lang": "de",
+        "n_bigram_occ": 4,
+        "n_distinct_bigrams": 3,
+        "top_bigram_count": 2,
+        "top_bigram_frac": 0.5,
+        "dup_bigram_occ": 2,
+        "dup_bigram_frac": 0.5,
+    }
+
+
 def test_word_shingles_short_documents_yield_empty(spark):
     """Documents with fewer than n tokens produce the EMPTY shingle array —
     the old clamped sequence bound produced a descending [1, 0] index and
