@@ -447,6 +447,79 @@ ORDER BY n_shared_shingles DESC, doc_id
 """
 
 
+def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DECONTAMINATION step the contamination report prices: drop
+    every corpus doc sharing ≥1 word 5-gram with the held-out benchmark
+    slice (the GPT-3 appendix-C posture — any n-gram overlap removes the
+    doc) and report the per-language cost: corpus docs, contaminated,
+    kept, and kept token mass. Completes the report→scrub pair the dedup
+    family already has (``curation_drop_report`` prices what
+    ``dedup_*`` would remove; this prices ``benchmark_contamination``'s
+    hits).
+
+    Scale shape: the contaminated-doc set is a LEFT SEMI join of the
+    corpus shingle stream against the (small) benchmark shingle side on
+    the shingle key — same join as the report row, but semi (ids only,
+    no per-pair counts) — then a distinct doc set and a LEFT ANTI-shaped
+    flag join back to documents at doc granularity. Shingles come from
+    the shared content-keyed n=5 artifact (one derivation amortized with
+    the report row); the corpus text is scanned exactly once, for the
+    kept-token sum."""
+    sh = ensure_shingle_rows(spark, sf_dir, CONTAMINATION_SHINGLE_N)
+    bench = sh.filter(F.col("source") == BENCHMARK_SOURCE).select("s")
+    contaminated = (
+        sh.filter(F.col("source") != BENCHMARK_SOURCE)
+        .select("doc_id", "s")
+        .join(bench, "s", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_cont", F.lit(1))
+    )
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("source") != BENCHMARK_SOURCE)
+        .select("doc_id", "lang", F.size(tokens("text")).alias("n_toks"))
+    )
+    return (
+        docs.join(contaminated, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_corpus_docs"),
+            F.sum(F.when(F.col("is_cont") == 1, 1).otherwise(0)).alias(
+                "n_contaminated"
+            ),
+            F.sum(F.when(F.col("is_cont").isNull(), 1).otherwise(0)).alias("n_kept"),
+            F.sum(
+                F.when(F.col("is_cont").isNull(), F.col("n_toks")).otherwise(F.lit(0))
+            ).alias("kept_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+BENCHMARK_DECONTAMINATE_SQL = f"""
+WITH docs AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, source, s FROM (
+  SELECT doc_id, source,
+         array_to_string(list_slice(w, i, i + {CONTAMINATION_SHINGLE_N - 1}), ' ') AS s
+  FROM docs, unnest(range(1, greatest(len(w) - {CONTAMINATION_SHINGLE_N - 1}, 0) + 1)) AS t(i)) q),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM sh
+  WHERE source <> '{BENCHMARK_SOURCE}'
+    AND s IN (SELECT s FROM sh WHERE source = '{BENCHMARK_SOURCE}')),
+corpus AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_toks
+  FROM documents WHERE source <> '{BENCHMARK_SOURCE}')
+SELECT lang,
+       COUNT(*) AS n_corpus_docs,
+       CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       CAST(SUM(CASE WHEN c.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN c.doc_id IS NULL THEN n_toks ELSE 0 END) AS BIGINT) AS kept_tokens
+FROM corpus LEFT JOIN contaminated c USING (doc_id)
+GROUP BY lang ORDER BY lang
+"""
+
+
 BIGRAM_N = 2
 
 
@@ -590,6 +663,7 @@ TEXT_QUERIES = {
     "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
     "doc_quality_deciles": (doc_quality_deciles, DOC_QUALITY_DECILES_SQL),
     "benchmark_contamination": (benchmark_contamination, BENCHMARK_CONTAMINATION_SQL),
+    "benchmark_decontaminate": (benchmark_decontaminate, BENCHMARK_DECONTAMINATE_SQL),
     "doc_bigram_novelty": (doc_bigram_novelty, DOC_BIGRAM_NOVELTY_SQL),
     "doc_repetition_stats": (doc_repetition_stats, DOC_REPETITION_SQL),
 }

@@ -284,14 +284,14 @@ _ALL = {
 # its window assertion off this constant).
 ROTATED_FOR_ROUND = 14
 
-# WINDOW-CAPACITY NOTE (round 14): 119 registered queries (the round-14
-# maximal-span report, keep-one-copy pricing, Gopher-repetition and
-# SemDeDup rows join). The
+# WINDOW-CAPACITY NOTE (round 14): 120 registered queries (the round-14
+# maximal-span report, keep-one-copy pricing, Gopher-repetition,
+# SemDeDup and benchmark-decontaminate rows join). The
 # guarantee is ceil(N/50)=3-rounds max staleness via rotation, every
 # new/changed query debuts in-window (with the standing
 # verified-refactor exception below), and EVERY query is re-certified
 # on HEAD each round by the full-registry oracle run
-# (tools/check_correctness.py --repeat — a standing round gate). The 19
+# (tools/check_correctness.py --repeat — a standing round gate). The 20
 # that slip to r15 (the exact N-100 cap) are stable r12/r13-green shapes
 # whose families stay richly in-window: the three heavy format
 # roundtrips (parquet/json/csv/schema_evolution are r13-green), eleven
@@ -301,12 +301,13 @@ ROTATED_FOR_ROUND = 14
 # media_catalog (video/audio rows in-window) and salted_cohort_activity
 # (scale-lever sibling bucketed_segment_revenue in-window).
 _SLIPPED_TO_R15 = [
-    # displaced by the two round-14 debuts (doc_repetition_stats,
-    # dedup_semantic) — both r12-green with family siblings staying
-    # richly in-window (corpus_hash/signature_merge; events_tumbling/
-    # session/funnel/interval):
+    # displaced by the three round-14 session-2 debuts
+    # (doc_repetition_stats, dedup_semantic, benchmark_decontaminate) —
+    # all r12-green with family siblings staying richly in-window
+    # (corpus_hash/signature_merge; events_session/funnel/interval):
     "corpus_fingerprint_merge",
     "events_sliding_1h",
+    "events_tumbling_15m",
     "orc_ingest_roundtrip",
     "orc_partitioned_roundtrip",
     "avro_roundtrip",
@@ -356,9 +357,13 @@ _STALE_AFTER_R13 = [
     # within-doc repetition signals (Rae et al. 2021 — reuses the n=2
     # occurrence artifact, doc-local aggregates only) and SemDeDup
     # (Abbas et al. 2023 — within-trained-cell cosine dedup over the
-    # SAME k-means quantizer artifact the IVF tier serves from).
+    # SAME k-means quantizer artifact the IVF tier serves from), and the
+    # decontamination step benchmark_contamination prices (GPT-3
+    # appendix-C posture: any shared 5-gram drops the doc; per-language
+    # kept-mass report — the report->scrub pair, completed).
     "doc_repetition_stats",
     "dedup_semantic",
+    "benchmark_decontaminate",
 ]
 _CHANGED_THIS_ROUND_R14 = [
     # The packing family's running token total moved from ONE global
@@ -369,7 +374,7 @@ _CHANGED_THIS_ROUND_R14 = [
     # so the slots also serve the staleness rotation); the span-level
     # pair — r13-evidenced, IDENTICAL _with_token_end lineage plus pure
     # span arithmetic — rides the transit notes below (window
-    # arithmetic: the slip cap is exactly N-100 = 19 at 119 registered;
+    # arithmetic: the slip cap is exactly N-100 = 20 at 120 registered;
     # every other new/changed row sits in-window).
     "pack_training_sequences",
     "packed_sequence_stats",
@@ -408,7 +413,7 @@ _CHANGED_THIS_ROUND_R14 = [
 #    restore-race consumption, write_bucketed condition probes) sit
 #    below every registered plan and are result-neutral; re-certified by
 #    the full-registry --repeat run on final HEAD.
-# the 29 remaining r12-evidenced queries fill the window (the 19 in
+# the 28 remaining r12-evidenced queries fill the window (the 20 in
 # _SLIPPED_TO_R15 wait one more round):
 _R12_VINTAGE_FILL = [
     "dedup_incremental", "dedup_ngram_jaccard", "curation_drop_report",
@@ -418,7 +423,7 @@ _R12_VINTAGE_FILL = [
     "ivf_kmeans_recall_at_10", "ivf_kmeans_index_upsert",
     "ivf_kmeans_topk_upserted", "ivf_kmeans_recall_upserted",
     "video_frame_index", "audio_window_energy",
-    "events_funnel", "events_interval_join", "events_tumbling_15m",
+    "events_funnel", "events_interval_join",
     "events_session_30m",
     "orders_column_profile", "events_value_quantiles", "approx_profile",
     "events_latest_per_user", "replay_dedup",

@@ -105,6 +105,54 @@ def test_doc_repetition_stats_hand_computed(spark, repetitive_sf_dir):
     }
 
 
+@pytest.fixture(scope="module")
+def contamination_sf_dir(tmp_path_factory):
+    """Corpus + benchmark (source=src0) slice with hand-known 5-gram
+    overlap for the decontamination pricing row."""
+    d = tmp_path_factory.mktemp("contamination_docs")
+    rows = [
+        # (doc_id, text, lang, source)
+        (1, "a b c d e f", "en", "src0"),  # benchmark: grams abcde, bcdef
+        (10, "a b c d e x y", "en", "src1"),  # shares "a b c d e" → dropped
+        (11, "z z z z z z", "en", "src1"),  # own grams only → kept (6 tokens)
+        (12, "q r s t", "es", "src2"),  # sub-shingle length → kept (4 tokens)
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": [r[2] for r in rows],
+            "source": [r[3] for r in rows],
+            "n_chars": [len(r[1]) for r in rows],
+        }
+    ).to_parquet(os.path.join(d, "documents.parquet"))
+    return str(d)
+
+
+def test_benchmark_decontaminate_hand_computed(spark, contamination_sf_dir):
+    from kafka_connect_storage_cloud_formats_spark.operators.text import benchmark_decontaminate
+
+    rows = {
+        r["lang"]: r.asDict()
+        for r in benchmark_decontaminate(spark, contamination_sf_dir).collect()
+    }
+    # benchmark doc itself (src0) is excluded from the corpus side entirely
+    assert rows["en"] == {
+        "lang": "en",
+        "n_corpus_docs": 2,
+        "n_contaminated": 1,
+        "n_kept": 1,
+        "kept_tokens": 6,
+    }
+    assert rows["es"] == {
+        "lang": "es",
+        "n_corpus_docs": 1,
+        "n_contaminated": 0,
+        "n_kept": 1,
+        "kept_tokens": 4,
+    }
+
+
 def test_word_shingles_short_documents_yield_empty(spark):
     """Documents with fewer than n tokens produce the EMPTY shingle array —
     the old clamped sequence bound produced a descending [1, 0] index and
