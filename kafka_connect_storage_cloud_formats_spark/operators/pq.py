@@ -1,0 +1,478 @@
+"""Product quantization (PQ) ANN tier: deterministic per-subspace k-means.
+
+Completes the engine's compression ladder for similarity serving at
+100 TB (reference north star: "similarity search … designed for 100 TB
+scale"): float32 scan (knn_bruteforce) → int8 scalar quantization at 4×
+(sq8_topk) → PQ at 32× (this module): the corpus embedding column is
+encoded as PQ_M=8 sub-codes of PQ_KSUB=16 centroids each — 8 codes
+≈ 8 B/vector vs 256 B float32 — and queries pre-rank by asymmetric
+distance computation (ADC: exact query × reconstructed corpus vector)
+before the usual bounded exact re-rank. This is the standard FAISS
+IVFPQ compression stage (Jégou et al. 2011, "Product quantization for
+nearest neighbor search"), expressed Spark-first.
+
+Training is the module's point of discipline, exactly like the coarse
+k-means trainer it mirrors (operators/kmeans_ivf.py): per subspace an
+EUCLIDEAN Lloyd's loop (PQ quantizes for reconstruction, so the metric
+is squared distance on raw subvectors — unlike the coarse quantizer,
+which is spherical because it ROUTES by cosine) with
+
+- init = the PQ_KSUB smallest vec_ids' subvectors (no RNG);
+- assignment by a left-associated per-dimension squared-difference
+  chain (``0.0 + (x1-c1)² + …``), ties to the lowest code — the same
+  oracle-dot discipline as functions/vectors.py, so every assignment
+  replays term-for-term in SQL;
+- update = decimal-exact per-dimension means of the RAW members
+  (the FLOOR(x·1e15) fixed-point trick of kmeans_ivf._update_centroids,
+  minus its spherical normalization), associative ⇒ bit-identical on
+  any partitioning;
+- empty cells keep their previous centroid.
+
+All PQ_M subspaces train in the SAME corpus pass per iteration (one
+mapInPandas assign emitting the full code array, one combined decimal
+update) — the corpus is scanned iters+1 times total, not M·(iters+1).
+The trained pair is the usual content-keyed artifact pair ("pq_codes":
+(vec_id, codes) — the 8-byte encoded corpus a 100 TB deployment
+actually scans; "pq_cents": (sub, label, dim, centroid)), and the
+registered rows carry FULL training-replay DuckDB oracles: seeds →
+iters × (assign → decimal update with empty-cell carry) per subspace →
+final codes → final codebooks → ADC → exact re-rank, one WITH-chain —
+the driver hash-gate certifies init, every iteration of all 8
+subspaces, both artifacts, the ADC scores and the served top-k.
+
+Scale shape of the probe (mirror of sq8_topk): ONE scan of the 8-byte
+code artifact through mapInPandas with the query matrix and the tiny
+(M·KSUB·DS) codebooks as captured constants, per-batch top-C, global
+window top-C, exact re-rank on C·Q rows only. At 100 TB the pre-rank
+reads 1/32 the bytes of the float path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kafka_connect_storage_cloud_formats_spark.operators.similarity import (
+    DIM,
+    QUERY_MOD,
+    RERANK_CANDIDATES,
+    TOP_K,
+    _collect_query_matrix,
+    _dot,
+    _load,
+    _recall_vs_truth,
+    _sql_base,
+    _sql_dot,
+    _with_norm,
+)
+
+PQ_M = 8  # subspaces
+PQ_DS = DIM // PQ_M  # dims per subspace
+PQ_KSUB = 16  # centroids per subspace → 4-bit codes
+PQ_ITERS = 3
+
+
+def pq_params_token(m: int = PQ_M, ksub: int = PQ_KSUB, iters: int = PQ_ITERS) -> str:
+    """THE PQ-generation params token (one definition, same doctrine as
+    kmeans_params_token). "l2la" = euclidean metric + Left-Associated
+    distance accumulation."""
+    return f"m{m}k{ksub}i{iters}d{DIM}l2la"
+
+
+def _assign_pq(corpus: DataFrame, CB: list) -> DataFrame:
+    """One vectorized pass: (vec_id, embedding) → (vec_id, codes[PQ_M]).
+
+    ``CB`` is the per-subspace [(labels int64[k_s], M float64[k_s, DS])]
+    codebook list (labels sorted ascending). argmin over the
+    left-associated squared-distance chain per (row, centroid) cell —
+    ``acc += (E[:,d]−C[:,d])²`` in dim order from a zero start — ties
+    take the first (lowest) label, term-for-term the SQL replay's
+    ``ORDER BY d2 ASC, label``."""
+    import numpy as np
+    import pandas as pd
+
+    from kafka_connect_storage_cloud_formats_spark.functions.vectors import _stack64
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = _stack64(pdf["embedding"])
+            codes = np.empty((E.shape[0], PQ_M), dtype=np.int64)
+            for s, (labels, M) in enumerate(CB):
+                Es = E[:, s * PQ_DS : (s + 1) * PQ_DS]
+                d2 = np.zeros((Es.shape[0], M.shape[0]), dtype=np.float64)
+                for d in range(PQ_DS):  # left-associated per (row, centroid)
+                    diff = Es[:, d : d + 1] - M[None, :, d]
+                    d2 += diff * diff
+                codes[:, s] = labels[np.argmin(d2, axis=1)]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "codes": list(codes),
+                }
+            )
+
+    return corpus.select("vec_id", "embedding").mapInPandas(
+        assign, "vec_id long, codes array<long>"
+    )
+
+
+def _codes_long(codes_df: DataFrame) -> DataFrame:
+    """(vec_id, codes) → (vec_id, sub, code) long view."""
+    return codes_df.select("vec_id", F.posexplode("codes").alias("sub", "code"))
+
+
+def _update_pq_centroids(corpus: DataFrame, assignment_long: DataFrame) -> DataFrame:
+    """Decimal-exact per-dimension means of the RAW subvector members per
+    (sub, code) cell — kmeans_ivf._update_centroids minus the spherical
+    normalization (PQ optimizes reconstruction, so members enter raw).
+    Associative decimal sums ⇒ bit-identical on any partitioning."""
+    pos = (
+        corpus.select("vec_id", F.posexplode("embedding").alias("gdim", "val"))
+        .withColumn("sub", F.floor(F.col("gdim") / F.lit(PQ_DS)).cast("int"))
+        .withColumn("dim", (F.col("gdim") % PQ_DS).cast("int"))
+        .join(assignment_long, ["vec_id", "sub"])
+    )
+    quant = F.floor(F.col("val").cast("double") * F.lit(1e15)).cast("decimal(38,0)")
+    return pos.groupBy("sub", F.col("code").alias("label"), "dim").agg(
+        (
+            F.sum(quant).cast("double") / F.lit(1e15) / F.count(F.lit(1)).cast("double")
+        ).alias("centroid")
+    )
+
+
+def _collect_pq_matrices(cent_long: DataFrame) -> list:
+    """k-bounded collect of the (sub, label, dim, centroid) long table
+    into the per-subspace [(labels, matrix)] codebook list (labels sorted
+    ascending — the assignment tie-break key). Size ≤ M·KSUB·DS doubles:
+    metadata-scale at any corpus size, same contract as the coarse
+    trainer's inter-iteration round-trip."""
+    import numpy as np
+
+    rows = cent_long.collect()
+    by_sub: dict = {}
+    for r in rows:
+        by_sub.setdefault(r["sub"], {}).setdefault(r["label"], {})[r["dim"]] = r[
+            "centroid"
+        ]
+    CB = []
+    for s in range(PQ_M):
+        cells = by_sub.get(s, {})
+        labels = np.array(sorted(cells), dtype=np.int64)
+        M = np.array(
+            [[cells[lb][d] for d in range(PQ_DS)] for lb in labels], dtype=np.float64
+        )
+        CB.append((labels, M))
+    return CB
+
+
+def train_pq(spark: SparkSession, sf_dir: str):
+    """Train the PQ codebooks; returns (codes DF (vec_id, codes), centroid
+    long DF (sub, label, dim, centroid)) — both content-keyed artifacts
+    (one training run per corpus content and parameter set). Exactly the
+    kmeans_ivf.train_kmeans_quantizer lifecycle: codes = final assignment
+    against the carried iter-PQ_ITERS codebooks; the PUBLISHED codebooks
+    are the decimal means of that final assignment (no carry — absent
+    cells hold no member, so no code references them)."""
+    import numpy as np
+
+    from kafka_connect_storage_cloud_formats_spark.artifacts import (
+        artifact_df,
+        artifact_path,
+    )
+
+    params = pq_params_token()
+    codes_path = artifact_path("pq_codes", sf_dir, "embeddings", params=params, spark=spark)
+    cents_path = artifact_path("pq_cents", sf_dir, "embeddings", params=params, spark=spark)
+
+    def build_codes(tmp: str) -> None:
+        corpus = _load(spark, sf_dir).select("vec_id", "embedding")
+        seed_rows = corpus.orderBy("vec_id").limit(PQ_KSUB).collect()
+        if len(seed_rows) < PQ_KSUB:
+            raise ValueError(f"corpus has {len(seed_rows)} vectors < ksub={PQ_KSUB}")
+        seed = np.stack(
+            [np.asarray(r["embedding"], dtype=np.float64) for r in seed_rows]
+        )
+        CB = [
+            (
+                np.arange(PQ_KSUB, dtype=np.int64),
+                seed[:, s * PQ_DS : (s + 1) * PQ_DS].copy(),
+            )
+            for s in range(PQ_M)
+        ]
+        for _ in range(PQ_ITERS):
+            assignment = _codes_long(_assign_pq(corpus, CB))
+            new_CB = _collect_pq_matrices(_update_pq_centroids(corpus, assignment))
+            merged = []
+            for s in range(PQ_M):
+                labels, M = CB[s]
+                new_labels, new_M = new_CB[s]
+                keep = np.isin(labels, new_labels, invert=True)
+                if keep.any():  # empty cells keep their previous centroid
+                    new_labels = np.concatenate([new_labels, labels[keep]])
+                    new_M = np.concatenate([new_M, M[keep]])
+                    order = np.argsort(new_labels)
+                    new_labels, new_M = new_labels[order], new_M[order]
+                merged.append((new_labels, new_M))
+            CB = merged
+        _assign_pq(corpus, CB).write.parquet(tmp)
+
+    codes = artifact_df(codes_path, build_codes, spark)
+
+    def build_cents(tmp: str) -> None:
+        _update_pq_centroids(
+            _load(spark, sf_dir).select("vec_id", "embedding"),
+            _codes_long(artifact_df(codes_path, build_codes, spark)),
+        ).write.parquet(tmp)
+
+    cents = artifact_df(cents_path, build_cents, spark)
+    return codes, cents
+
+
+def pq_topk(spark: SparkSession, sf_dir: str, query_ids=None) -> DataFrame:
+    """Top-10 by PQ/ADC pre-ranking + exact re-rank (mirror of sq8_topk,
+    one compression rung further down).
+
+    Plan shape: ONE scan of the 8-byte code artifact through mapInPandas
+    (query matrix + codebooks are captured constants, Q ≤ MAX_QUERIES by
+    ``_collect_query_matrix``'s LIMIT-capped collect); each Arrow batch
+    gathers the reconstructed corpus block from the codebooks and
+    accumulates the ADC scores per dimension left-associated — the same
+    chain as the oracle's ``_sql_dot(q, reconstruction)`` — then emits
+    its per-batch top-RERANK_CANDIDATES per query; a global window keeps
+    the overall top-C; only C·Q rows join back to the float vectors for
+    the exact cosine re-rank."""
+    import numpy as np
+    import pandas as pd
+
+    base = _load(spark, sf_dir).select("vec_id", "embedding")
+    q_ids, Qm = _collect_query_matrix(base, query_ids)
+    codes, cents = train_pq(spark, sf_dir)
+    CB = _collect_pq_matrices(cents)
+    # dense gather tables: T[s][label] = centroid row (labels are a
+    # subset of range(PQ_KSUB); unreferenced slots stay NaN and are
+    # unreachable — no code references an empty cell by construction)
+    T = []
+    for labels, M in CB:
+        dense = np.full((PQ_KSUB, PQ_DS), np.nan, dtype=np.float64)
+        dense[labels] = M
+        T.append(dense)
+
+    def score_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            R = np.empty((C.shape[0], DIM), dtype=np.float64)
+            for s in range(PQ_M):
+                R[:, s * PQ_DS : (s + 1) * PQ_DS] = T[s][C[:, s]]
+            adc = np.zeros((len(q_ids), C.shape[0]), dtype=np.float64)
+            for d in range(DIM):  # left-associated per (query, vector)
+                adc += Qm[:, d : d + 1] * R[None, :, d]
+            out_q, out_n, out_c = [], [], []
+            for qi in range(len(q_ids)):
+                mask = ids != q_ids[qi]
+                nb_ids, nb_adc = ids[mask], adc[qi][mask]
+                order = np.lexsort((nb_ids, -nb_adc))[:RERANK_CANDIDATES]
+                out_q.append(np.full(len(order), q_ids[qi], dtype=np.int64))
+                out_n.append(nb_ids[order])
+                out_c.append(nb_adc[order])
+            yield pd.DataFrame(
+                {
+                    "q_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "approx_cos": np.concatenate(out_c),
+                }
+            )
+
+    scored = codes.mapInPandas(
+        score_batches, "q_id long, neighbor_id long, approx_cos double"
+    )
+    wc = Window.partitionBy("q_id").orderBy(F.desc("approx_cos"), F.asc("neighbor_id"))
+    cand = (
+        scored.withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= RERANK_CANDIDATES)
+        .select("q_id", "neighbor_id")
+    )
+    full = _with_norm(_load(spark, sf_dir))
+    qv = full.filter(F.col("vec_id").isin([int(i) for i in q_ids])).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    cv = full.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        F.col("norm").alias("n_norm"),
+    )
+    cosine = _dot("q_emb", "n_emb") / (F.col("q_norm") * F.col("n_norm"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.join(F.broadcast(qv), "q_id")
+        .join(cv, "neighbor_id")
+        .select("q_id", "neighbor_id", cosine.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("q_id", "rank")
+    )
+
+
+def pq_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality evaluation of the PQ tier: recall@10 of pq_topk vs the
+    exact brute-force baseline (the standard shared evaluation —
+    measure, don't guess; the 32× compression is priced by this row)."""
+    return _recall_vs_truth(spark, sf_dir, pq_topk(spark, sf_dir))
+
+
+# ------------------------------------------------------------ DuckDB oracles
+# The FULL per-subspace TRAINING REPLAY as SQL (legal for the same reason
+# as kmeans_ivf's oracle: deterministic init, left-associated distance
+# chains, decimal-exact updates, fixed iteration count). PQ_M subspaces ×
+# (PQ_ITERS+1) assignment rounds over PQ_DS-dim chains — comparable total
+# work to the coarse trainer's replay at oracle scale.
+
+
+def _sql_sqdist(e: str, c: str, offset: int) -> str:
+    """`Σ_d (e[offset+d] − c[d])²` left-associated from 0.0 — term-for-term
+    the NumPy kernel in :func:`_assign_pq`."""
+    terms = " + ".join(
+        f"(CAST({e}[{offset + i}] AS DOUBLE) - {c}[{i}]) * (CAST({e}[{offset + i}] AS DOUBLE) - {c}[{i}])"
+        for i in range(1, PQ_DS + 1)
+    )
+    return f"(0.0 + {terms})"
+
+
+def _pq_training_ctes() -> tuple[str, int]:
+    """CTE chain replaying the full PQ training; returns (sql, fi) where
+    ``p{s}cl{fi}`` is subspace s's final code assignment and ``p{s}ua``
+    its published codebook lists."""
+    parts = [
+        f"""pseeds AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS label, embedding
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {PQ_KSUB}) s)"""
+    ]
+    for s in range(PQ_M):
+        o = s * PQ_DS
+        parts.append(
+            f"""p{s}c0 AS (
+  SELECT label, i - 1 AS dim, CAST(embedding[{o} + i] AS DOUBLE) AS centroid
+  FROM pseeds, UNNEST(range(1, {PQ_DS + 1})) AS t(i))"""
+        )
+        for it in range(1, PQ_ITERS + 2):  # PQ_ITERS rounds + 1 final assign
+            prev = it - 1
+            parts.append(
+                f"""p{s}ca{it} AS (
+  SELECT label, list(centroid ORDER BY dim) AS c_emb FROM p{s}c{prev} GROUP BY label),
+p{s}s{it} AS (
+  SELECT e.vec_id, a.label, {_sql_sqdist('e.embedding', 'a.c_emb', o)} AS d2
+  FROM embeddings e, p{s}ca{it} a),
+p{s}cl{it} AS (
+  SELECT vec_id, label AS code FROM (
+    SELECT vec_id, label,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, label) AS rn
+    FROM p{s}s{it}) r WHERE rn = 1),
+p{s}u{it} AS (
+  SELECT cl.code AS label, t.i - 1 AS dim,
+         CAST(SUM(CAST(FLOOR(CAST(e.embedding[{o} + t.i] AS DOUBLE) * 1e15) AS DECIMAL(38,0))) AS DOUBLE)
+           / 1e15 / CAST(COUNT(*) AS DOUBLE) AS centroid
+  FROM embeddings e
+  JOIN p{s}cl{it} cl ON cl.vec_id = e.vec_id,
+  UNNEST(range(1, {PQ_DS + 1})) AS t(i)
+  GROUP BY cl.code, t.i)"""
+            )
+            if it <= PQ_ITERS:  # training round: empty-cell carry
+                parts.append(
+                    f"""p{s}c{it} AS (
+  SELECT p.label, p.dim, COALESCE(u.centroid, p.centroid) AS centroid
+  FROM p{s}c{prev} p LEFT JOIN p{s}u{it} u ON u.label = p.label AND u.dim = p.dim)"""
+                )
+        # published codebook lists = carry-free means of the final codes
+        parts.append(
+            f"""p{s}ua AS (
+  SELECT label, list(centroid ORDER BY dim) AS c_emb
+  FROM p{s}u{PQ_ITERS + 1} GROUP BY label)"""
+        )
+    return ",\n".join(parts), PQ_ITERS + 1
+
+
+def _pq_probe_ctes(fi: int) -> str:
+    """Reconstruction + ADC + candidate + exact-re-rank chain over the
+    replayed training (the shared tail shape of the SQ8 oracle)."""
+    recon_joins = "\n  ".join(
+        f"JOIN p{s}cl{fi} c{s} ON c{s}.vec_id = c0.vec_id\n  JOIN p{s}ua a{s} ON a{s}.label = c{s}.code"
+        if s > 0
+        else f"JOIN p0ua a0 ON a0.label = c0.code"
+        for s in range(PQ_M)
+    )
+    concat = " || ".join(f"a{s}.c_emb" for s in range(PQ_M))
+    return f"""recon AS (
+  SELECT c0.vec_id, {concat} AS remb
+  FROM p0cl{fi} c0
+  {recon_joins}),
+papprox AS (
+  SELECT q.vec_id AS q_id, r.vec_id AS neighbor_id,
+         {_sql_dot('q.embedding', 'r.remb')} AS approx_cos
+  FROM q JOIN recon r ON r.vec_id <> q.vec_id),
+pcand AS (
+  SELECT q_id, neighbor_id FROM (
+    SELECT q_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY approx_cos DESC, neighbor_id) AS crank
+    FROM papprox) r WHERE crank <= {RERANK_CANDIDATES}),
+prescored AS (
+  SELECT pcand.q_id, pcand.neighbor_id,
+         {_sql_dot('qv.embedding', 'cv.embedding')} / (qv.norm * cv.norm) AS cosine
+  FROM pcand
+  JOIN base qv ON qv.vec_id = pcand.q_id
+  JOIN base cv ON cv.vec_id = pcand.neighbor_id),
+pranked AS (
+  SELECT q_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM prescored)"""
+
+
+def _pq_topk_sql() -> str:
+    train, fi = _pq_training_ctes()
+    return f"""
+WITH {_sql_base()},
+{train},
+{_pq_probe_ctes(fi)}
+SELECT q_id, neighbor_id, cosine, rank FROM pranked WHERE rank <= {TOP_K}
+ORDER BY q_id, rank
+"""
+
+
+def _pq_recall_sql() -> str:
+    train, fi = _pq_training_ctes()
+    return f"""
+WITH {_sql_base()},
+bf_scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+         {_sql_dot('q.embedding', 'c.embedding')} / (q.norm * c.norm) AS cosine
+  FROM q JOIN base c ON c.vec_id <> q.vec_id),
+bf AS (
+  SELECT q_id, neighbor_id FROM (
+    SELECT q_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM bf_scored) r WHERE rank <= {TOP_K}),
+{train},
+{_pq_probe_ctes(fi)},
+pq AS (SELECT q_id, neighbor_id FROM pranked WHERE rank <= {TOP_K}),
+h AS (SELECT COUNT(*) AS hits FROM bf JOIN pq USING (q_id, neighbor_id)),
+tot AS (SELECT COUNT(DISTINCT q_id) AS n_queries, COUNT(*) AS possible FROM bf)
+SELECT n_queries, hits, possible,
+       CAST(hits AS DOUBLE) / CAST(possible AS DOUBLE) AS recall
+FROM tot, h
+"""
+
+
+PQ_TOPK_SQL = _pq_topk_sql()
+PQ_RECALL_SQL = _pq_recall_sql()
+
+PQ_QUERIES = {
+    "pq_topk": (pq_topk, PQ_TOPK_SQL),
+    "pq_recall_at_10": (pq_recall_at_10, PQ_RECALL_SQL),
+}

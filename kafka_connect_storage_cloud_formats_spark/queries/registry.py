@@ -40,6 +40,7 @@ from kafka_connect_storage_cloud_formats_spark.operators.compaction import COMPA
 from kafka_connect_storage_cloud_formats_spark.operators.dedup import DEDUP_QUERIES
 from kafka_connect_storage_cloud_formats_spark.operators.multimodal import MULTIMODAL_QUERIES
 from kafka_connect_storage_cloud_formats_spark.operators.kmeans_ivf import KMEANS_IVF_QUERIES
+from kafka_connect_storage_cloud_formats_spark.operators.pq import PQ_QUERIES
 from kafka_connect_storage_cloud_formats_spark.operators.profiling import PROFILING_QUERIES
 from kafka_connect_storage_cloud_formats_spark.operators.similarity import SIMILARITY_QUERIES
 from kafka_connect_storage_cloud_formats_spark.operators.training_pipeline import TRAINING_PIPELINE_QUERIES
@@ -69,6 +70,7 @@ _ALL.update(SIMILARITY_QUERIES)
 # 0.15 at nprobe=1); the ivf_kmeans_* family is the serving default a 100 TB
 # deployment should run (~2× recall at identical probe cost, SCALE.md).
 _ALL.update(KMEANS_IVF_QUERIES)
+_ALL.update(PQ_QUERIES)
 _ALL.update(MULTIMODAL_QUERIES)
 _ALL.update(STREAMING_WINDOW_QUERIES)
 _ALL.update(PROFILING_QUERIES)
@@ -284,14 +286,14 @@ _ALL = {
 # its window assertion off this constant).
 ROTATED_FOR_ROUND = 14
 
-# WINDOW-CAPACITY NOTE (round 14): 120 registered queries (the round-14
+# WINDOW-CAPACITY NOTE (round 14): 122 registered queries (the round-14
 # maximal-span report, keep-one-copy pricing, Gopher-repetition,
-# SemDeDup and benchmark-decontaminate rows join). The
+# SemDeDup, benchmark-decontaminate and PQ-tier rows join). The
 # guarantee is ceil(N/50)=3-rounds max staleness via rotation, every
 # new/changed query debuts in-window (with the standing
 # verified-refactor exception below), and EVERY query is re-certified
 # on HEAD each round by the full-registry oracle run
-# (tools/check_correctness.py --repeat — a standing round gate). The 20
+# (tools/check_correctness.py --repeat — a standing round gate). The 22
 # that slip to r15 (the exact N-100 cap) are stable r12/r13-green shapes
 # whose families stay richly in-window: the three heavy format
 # roundtrips (parquet/json/csv/schema_evolution are r13-green), eleven
@@ -301,13 +303,17 @@ ROTATED_FOR_ROUND = 14
 # media_catalog (video/audio rows in-window) and salted_cohort_activity
 # (scale-lever sibling bucketed_segment_revenue in-window).
 _SLIPPED_TO_R15 = [
-    # displaced by the three round-14 session-2 debuts
-    # (doc_repetition_stats, dedup_semantic, benchmark_decontaminate) —
-    # all r12-green with family siblings staying richly in-window
-    # (corpus_hash/signature_merge; events_session/funnel/interval):
+    # displaced by the five round-14 session-2 debuts
+    # (doc_repetition_stats, dedup_semantic, benchmark_decontaminate,
+    # pq_topk, pq_recall_at_10) — all r12-green with family siblings
+    # staying richly in-window (corpus_hash/signature_merge;
+    # events_session/funnel; orders_column_profile/events_value_quantiles;
+    # events_latest_per_user):
     "corpus_fingerprint_merge",
     "events_sliding_1h",
     "events_tumbling_15m",
+    "approx_profile",
+    "replay_dedup",
     "orc_ingest_roundtrip",
     "orc_partitioned_roundtrip",
     "avro_roundtrip",
@@ -360,10 +366,15 @@ _STALE_AFTER_R13 = [
     # SAME k-means quantizer artifact the IVF tier serves from), and the
     # decontamination step benchmark_contamination prices (GPT-3
     # appendix-C posture: any shared 5-gram drops the doc; per-language
-    # kept-mass report — the report->scrub pair, completed).
+    # kept-mass report — the report->scrub pair, completed), and the PQ
+    # compression tier (Jegou et al. 2011 — 8x4-bit product codes, 32x
+    # vs float32; full per-subspace training-replay oracles, ADC
+    # pre-rank + exact re-rank, recall row pricing the compression).
     "doc_repetition_stats",
     "dedup_semantic",
     "benchmark_decontaminate",
+    "pq_topk",
+    "pq_recall_at_10",
 ]
 _CHANGED_THIS_ROUND_R14 = [
     # The packing family's running token total moved from ONE global
@@ -374,7 +385,7 @@ _CHANGED_THIS_ROUND_R14 = [
     # so the slots also serve the staleness rotation); the span-level
     # pair — r13-evidenced, IDENTICAL _with_token_end lineage plus pure
     # span arithmetic — rides the transit notes below (window
-    # arithmetic: the slip cap is exactly N-100 = 20 at 120 registered;
+    # arithmetic: the slip cap is exactly N-100 = 22 at 122 registered;
     # every other new/changed row sits in-window).
     "pack_training_sequences",
     "packed_sequence_stats",
@@ -413,7 +424,7 @@ _CHANGED_THIS_ROUND_R14 = [
 #    restore-race consumption, write_bucketed condition probes) sit
 #    below every registered plan and are result-neutral; re-certified by
 #    the full-registry --repeat run on final HEAD.
-# the 28 remaining r12-evidenced queries fill the window (the 20 in
+# the 26 remaining r12-evidenced queries fill the window (the 22 in
 # _SLIPPED_TO_R15 wait one more round):
 _R12_VINTAGE_FILL = [
     "dedup_incremental", "dedup_ngram_jaccard", "curation_drop_report",
@@ -425,8 +436,8 @@ _R12_VINTAGE_FILL = [
     "video_frame_index", "audio_window_energy",
     "events_funnel", "events_interval_join",
     "events_session_30m",
-    "orders_column_profile", "events_value_quantiles", "approx_profile",
-    "events_latest_per_user", "replay_dedup",
+    "orders_column_profile", "events_value_quantiles",
+    "events_latest_per_user",
     "scrub_numeric_tokens", "vocab_stats",
     "training_corpus_stats", "clicks_asof_purchase",
     "bucketed_segment_revenue",

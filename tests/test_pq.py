@@ -1,0 +1,134 @@
+"""Structural pins for the PQ tier (oracle parity is the driver gate —
+the registered rows replay the full 8-subspace training in SQL; these
+pin what a hash equality can't express: partitioning invariance, code
+validity, ADC semantics vs an independent NumPy reconstruction, and the
+measured compression/recall trade)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_storage_cloud_formats_spark.operators.pq import (
+    PQ_DS,
+    PQ_KSUB,
+    PQ_M,
+    _assign_pq,
+    _collect_pq_matrices,
+    _update_pq_centroids,
+    _codes_long,
+    pq_recall_at_10,
+    pq_topk,
+    train_pq,
+)
+from kafka_connect_storage_cloud_formats_spark.operators.similarity import (
+    DIM,
+    RERANK_CANDIDATES,
+    TOP_K,
+)
+
+
+def _seed_codebooks(emb):
+    seed_rows = emb.orderBy("vec_id").limit(PQ_KSUB).collect()
+    seed = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in seed_rows])
+    return [
+        (np.arange(PQ_KSUB, dtype=np.int64), seed[:, s * PQ_DS : (s + 1) * PQ_DS].copy())
+        for s in range(PQ_M)
+    ]
+
+
+def test_pq_assign_and_update_partition_invariant(spark, sf_dir):
+    """One assign+update round must be bit-identical over a repartitioned
+    corpus: the assignment is a fixed vectorized expression per row and
+    the update is an associative decimal sum."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    CB = _seed_codebooks(emb)
+    base_codes = {
+        (r["vec_id"], tuple(r["codes"])) for r in _assign_pq(emb, CB).collect()
+    }
+    shuf_codes = {
+        (r["vec_id"], tuple(r["codes"]))
+        for r in _assign_pq(emb.repartition(7), CB).collect()
+    }
+    assert base_codes == shuf_codes
+    u1 = {
+        (r["sub"], r["label"], r["dim"]): r["centroid"]
+        for r in _update_pq_centroids(emb, _codes_long(_assign_pq(emb, CB))).collect()
+    }
+    u2 = {
+        (r["sub"], r["label"], r["dim"]): r["centroid"]
+        for r in _update_pq_centroids(
+            emb.repartition(5), _codes_long(_assign_pq(emb.repartition(5), CB))
+        ).collect()
+    }
+    assert u1 == u2
+
+
+def test_pq_codes_artifact_shape_and_range(spark, sf_dir):
+    """Every corpus vector carries exactly PQ_M codes, each referencing a
+    PUBLISHED codebook cell of its subspace (codes can never point at an
+    empty cell: the published codebooks are means of the final
+    assignment, so every assigned cell has members)."""
+    codes, cents = train_pq(spark, sf_dir)
+    n_corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    rows = codes.collect()
+    assert len(rows) == n_corpus
+    CB = _collect_pq_matrices(cents)
+    valid = [set(labels.tolist()) for labels, _ in CB]
+    for r in rows:
+        assert len(r["codes"]) == PQ_M
+        for s, c in enumerate(r["codes"]):
+            assert c in valid[s], (r["vec_id"], s, c)
+
+
+def test_pq_adc_candidates_match_numpy_reconstruction(spark, sf_dir):
+    """The served top-k must equal an independent NumPy replay of the
+    whole probe: gather reconstructions from the published codebooks,
+    ADC-score, take top-RERANK candidates, exact-cosine re-rank, top-k.
+    (Float-order differences are irrelevant at the set level here; the
+    bit-level contract is the driver's oracle hash.)"""
+    codes_df, cents = train_pq(spark, sf_dir)
+    CB = _collect_pq_matrices(cents)
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    codes = {r["vec_id"]: list(r["codes"]) for r in codes_df.collect()}
+    ids = np.array(sorted(emb), dtype=np.int64)
+    R = np.empty((len(ids), DIM))
+    dense = []
+    for labels, M in CB:
+        d = np.full((PQ_KSUB, PQ_DS), np.nan)
+        d[labels] = M
+        dense.append(d)
+    for i, v in enumerate(ids):
+        for s in range(PQ_M):
+            R[i, s * PQ_DS : (s + 1) * PQ_DS] = dense[s][codes[v][s]]
+    got = {}
+    for r in pq_topk(spark, sf_dir).collect():
+        got.setdefault(r["q_id"], []).append(r["neighbor_id"])
+    q_ids = [v for v in ids if v % 50 == 0]
+    assert set(got) == set(q_ids)
+    for q in q_ids:
+        adc = R @ emb[q]
+        mask = ids != q
+        order = np.lexsort((ids[mask], -adc[mask]))[:RERANK_CANDIDATES]
+        cand = ids[mask][order]
+        qn = np.sqrt(emb[q] @ emb[q])
+        cos = {
+            c: float(emb[c] @ emb[q]) / (np.sqrt(emb[c] @ emb[c]) * qn) for c in cand
+        }
+        expect = sorted(cand, key=lambda c: (-cos[c], c))[:TOP_K]
+        assert got[q] == expect, q
+
+
+def test_pq_recall_row_sane_and_deterministic(spark, sf_dir):
+    r1 = pq_recall_at_10(spark, sf_dir).collect()[0]
+    r2 = pq_recall_at_10(spark, sf_dir).collect()[0]
+    assert r1 == r2
+    assert 0.0 < r1["recall"] <= 1.0
+    assert r1["hits"] <= r1["possible"]
+    assert r1["possible"] == r1["n_queries"] * TOP_K
