@@ -291,6 +291,16 @@ def pq_topk(spark: SparkSession, sf_dir: str, query_ids=None) -> DataFrame:
     scored = codes.mapInPandas(
         score_batches, "q_id long, neighbor_id long, approx_cos double"
     )
+    return _candidates_then_exact_rerank(spark, sf_dir, scored, q_ids)
+
+
+def _candidates_then_exact_rerank(
+    spark: SparkSession, sf_dir: str, scored: DataFrame, q_ids
+) -> DataFrame:
+    """The shared serving tail of every ADC pre-ranker (pq_topk full-scan,
+    ivfpq_topk cell-pruned): global top-RERANK_CANDIDATES per query over
+    the approx scores, then the exact cosine re-rank on C·Q rows only —
+    one definition, the sq8_topk shape."""
     wc = Window.partitionBy("q_id").orderBy(F.desc("approx_cos"), F.asc("neighbor_id"))
     cand = (
         scored.withColumn("crank", F.row_number().over(wc))
@@ -325,6 +335,114 @@ def pq_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact brute-force baseline (the standard shared evaluation —
     measure, don't guess; the 32× compression is priced by this row)."""
     return _recall_vs_truth(spark, sf_dir, pq_topk(spark, sf_dir))
+
+
+def ivfpq_topk(spark: SparkSession, sf_dir: str, nprobe: int | None = None) -> DataFrame:
+    """The composed FAISS IVFPQ serving shape: route each query to its
+    top-``nprobe`` TRAINED k-means cells (the coarse quantizer the IVF
+    tier already publishes — shared artifact, zero extra training), then
+    ADC-score ONLY the cells' members via the per-query lookup table
+    (LUT: M·KSUB sub-dots per query, the classic PQ serving trick —
+    scoring a candidate is M table lookups, not a 64-dim dot), then the
+    shared exact re-rank. This is the operating point a 100 TB
+    deployment actually runs: candidates ≈ nprobe·N/k per query instead
+    of N (full-scan pq_topk is the compression baseline; this row adds
+    the cell pruning), and the scan side carries 8-byte codes plus a
+    cell id.
+
+    Determinism/replay: routing scores are the left-associated
+    dot(q, centroid)/(|q|·|c|) chain with ties to the lowest cell
+    (exactly the coarse oracle's ``kassign``); the LUT entries are
+    left-associated 8-term sub-dots and the ADC sum accumulates the M
+    sub-dots left-associated — mirrored in SQL as nested ``(0.0 + (0.0 +
+    …) + …)`` chains, so the whole composed path (BOTH trainings +
+    routing + LUT ADC + re-rank) replays in one oracle WITH-chain."""
+    import numpy as np
+    import pandas as pd
+
+    from kafka_connect_storage_cloud_formats_spark.functions.vectors import _seq_dot
+    from kafka_connect_storage_cloud_formats_spark.operators.kmeans_ivf import (
+        SERVING_NPROBE,
+        _collect_centroid_matrix,
+        train_kmeans_quantizer,
+    )
+
+    if nprobe is None:
+        nprobe = SERVING_NPROBE
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    base = _load(spark, sf_dir).select("vec_id", "embedding")
+    q_ids, Qm = _collect_query_matrix(base, None)
+    assignment, cent_long = train_kmeans_quantizer(spark, sf_dir)
+    labels, M = _collect_centroid_matrix(cent_long)
+    qn = np.sqrt(_seq_dot(Qm, Qm))
+    cn = np.sqrt(_seq_dot(M, M))
+    if not (qn > 0.0).all() or not (cn > 0.0).all():
+        raise ValueError("zero-norm query or centroid: cosine routing is undefined")
+    scores = np.zeros((len(q_ids), M.shape[0]), dtype=np.float64)
+    for d in range(DIM):  # left-associated, the kassign chain
+        scores += Qm[:, d : d + 1] * M[None, :, d]
+    scores /= qn[:, None] * cn[None, :]
+    route_q, route_l = [], []
+    for qi in range(len(q_ids)):
+        order = np.lexsort((labels, -scores[qi]))[:nprobe]
+        route_q.extend(int(q_ids[qi]) for _ in order)
+        route_l.extend(int(labels[c]) for c in order)
+    # Arrow-backed local relation (a plain-list createDataFrame plans as
+    # an ExistingRDD scan, which the plan audit rightly rejects): the
+    # routing table is Q·nprobe rows — metadata-scale by the query-matrix
+    # contract — and broadcasts into the member join.
+    route = spark.createDataFrame(
+        pd.DataFrame({"q_id": np.array(route_q, dtype=np.int64),
+                      "label": np.array(route_l, dtype=np.int64)})
+    )
+
+    codes_df, cents = train_pq(spark, sf_dir)
+    CB = _collect_pq_matrices(cents)
+    # per-query LUT: lut[qi, s, code] = left-associated 8-term sub-dot
+    LUT = np.full((len(q_ids), PQ_M, PQ_KSUB), np.nan, dtype=np.float64)
+    for s, (slabels, SM) in enumerate(CB):
+        Qs = Qm[:, s * PQ_DS : (s + 1) * PQ_DS]
+        sub = np.zeros((len(q_ids), SM.shape[0]), dtype=np.float64)
+        for d in range(PQ_DS):
+            sub += Qs[:, d : d + 1] * SM[None, :, d]
+        LUT[:, s, slabels] = sub
+    qpos = {int(q): i for i, q in enumerate(q_ids)}
+
+    members = assignment.select(
+        "vec_id", F.col("cluster").alias("label")
+    ).join(codes_df, "vec_id")
+    pairs = route.join(members, "label").filter(F.col("vec_id") != F.col("q_id"))
+
+    def adc_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qidx = np.array([qpos[q] for q in pdf["q_id"]], dtype=np.int64)
+            C = np.stack([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
+            adc = np.zeros(len(pdf), dtype=np.float64)
+            for s in range(PQ_M):  # left-associated over subspaces
+                adc += LUT[qidx, s, C[:, s]]
+            yield pd.DataFrame(
+                {
+                    "q_id": pdf["q_id"].to_numpy(dtype=np.int64),
+                    "neighbor_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "approx_cos": adc,
+                }
+            )
+
+    scored = pairs.select("q_id", "vec_id", "codes").mapInPandas(
+        adc_batches, "q_id long, neighbor_id long, approx_cos double"
+    )
+    return _candidates_then_exact_rerank(spark, sf_dir, scored, q_ids)
+
+
+def ivfpq_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality evaluation of the composed IVFPQ path: recall@10 at the
+    serving nprobe vs the exact baseline — prices cell pruning ON TOP of
+    the 32× compression (compare against pq_recall_at_10 for the pruning
+    cost and ivf_kmeans_recall_nprobe4 for the compression cost)."""
+    return _recall_vs_truth(spark, sf_dir, ivfpq_topk(spark, sf_dir))
 
 
 # ------------------------------------------------------------ DuckDB oracles
@@ -469,10 +587,132 @@ FROM tot, h
 """
 
 
+def _ivfpq_probe_ctes(kfi: int, pfi: int, nprobe: int) -> str:
+    """Coarse routing + cell-pruned LUT-ADC + exact re-rank over BOTH
+    replayed trainings. The ADC is the nested left-associated chain
+    ``(0.0 + (0.0 + 8 terms) + … )`` — term-for-term the engine's
+    per-subspace LUT accumulation."""
+    sub_chains = []
+    for s in range(PQ_M):
+        o = s * PQ_DS
+        terms = " + ".join(
+            f"CAST(q.embedding[{o + i}] AS DOUBLE) * a{s}.c_emb[{i}]"
+            for i in range(1, PQ_DS + 1)
+        )
+        sub_chains.append(f"(0.0 + {terms})")
+    adc = "(0.0 + " + " + ".join(sub_chains) + ")"
+    code_joins = "\n  ".join(
+        f"JOIN p{s}cl{pfi} c{s} ON c{s}.vec_id = ic.vec_id\n  JOIN p{s}ua a{s} ON a{s}.label = c{s}.code"
+        for s in range(PQ_M)
+    )
+    return f"""ikcents AS (
+  SELECT label AS c_label, list(centroid ORDER BY dim) AS c_emb FROM u{kfi} GROUP BY label),
+ikcents2 AS (
+  SELECT c_label, c_emb,
+         CASE WHEN cn0 > 0 THEN cn0
+              ELSE error('zero-norm centroid: cosine similarity is undefined') END AS c_norm
+  FROM (SELECT c_label, c_emb, sqrt({_sql_dot('c_emb', 'c_emb')}) AS cn0 FROM ikcents) k),
+ikassign AS (
+  SELECT q.vec_id AS q_id, c_label,
+         {_sql_dot('q.embedding', 'c_emb')} / (q.norm * c_norm) AS ccos
+  FROM q, ikcents2),
+ikassigned AS (
+  SELECT q_id, c_label FROM (
+    SELECT q_id, c_label,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ccos DESC, c_label) AS rn
+    FROM ikassign) r WHERE rn <= {nprobe}),
+ivfcand AS (
+  SELECT a.q_id, c.vec_id FROM ikassigned a
+  JOIN cl{kfi} c ON c.cluster = a.c_label AND c.vec_id <> a.q_id),
+ipadc AS (
+  SELECT ic.q_id, ic.vec_id AS neighbor_id, {adc} AS approx_cos
+  FROM ivfcand ic
+  JOIN base q ON q.vec_id = ic.q_id
+  {code_joins}),
+ipcand AS (
+  SELECT q_id, neighbor_id FROM (
+    SELECT q_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY approx_cos DESC, neighbor_id) AS crank
+    FROM ipadc) r WHERE crank <= {RERANK_CANDIDATES}),
+iprescored AS (
+  SELECT ipcand.q_id, ipcand.neighbor_id,
+         {_sql_dot('qv.embedding', 'cv.embedding')} / (qv.norm * cv.norm) AS cosine
+  FROM ipcand
+  JOIN base qv ON qv.vec_id = ipcand.q_id
+  JOIN base cv ON cv.vec_id = ipcand.neighbor_id),
+ipranked AS (
+  SELECT q_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM iprescored)"""
+
+
+def _ivfpq_topk_sql(nprobe: int) -> str:
+    from kafka_connect_storage_cloud_formats_spark.operators.kmeans_ivf import (
+        _kmeans_training_ctes,
+    )
+
+    ktrain, kfi = _kmeans_training_ctes()
+    ptrain, pfi = _pq_training_ctes()
+    return f"""
+WITH {_sql_base()},
+{ktrain},
+{ptrain},
+{_ivfpq_probe_ctes(kfi, pfi, nprobe)}
+SELECT q_id, neighbor_id, cosine, rank FROM ipranked WHERE rank <= {TOP_K}
+ORDER BY q_id, rank
+"""
+
+
+def _ivfpq_recall_sql(nprobe: int) -> str:
+    from kafka_connect_storage_cloud_formats_spark.operators.kmeans_ivf import (
+        _kmeans_training_ctes,
+    )
+
+    ktrain, kfi = _kmeans_training_ctes()
+    ptrain, pfi = _pq_training_ctes()
+    return f"""
+WITH {_sql_base()},
+bf_scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+         {_sql_dot('q.embedding', 'c.embedding')} / (q.norm * c.norm) AS cosine
+  FROM q JOIN base c ON c.vec_id <> q.vec_id),
+bf AS (
+  SELECT q_id, neighbor_id FROM (
+    SELECT q_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM bf_scored) r WHERE rank <= {TOP_K}),
+{ktrain},
+{ptrain},
+{_ivfpq_probe_ctes(kfi, pfi, nprobe)},
+ipq AS (SELECT q_id, neighbor_id FROM ipranked WHERE rank <= {TOP_K}),
+h AS (SELECT COUNT(*) AS hits FROM bf JOIN ipq USING (q_id, neighbor_id)),
+tot AS (SELECT COUNT(DISTINCT q_id) AS n_queries, COUNT(*) AS possible FROM bf)
+SELECT n_queries, hits, possible,
+       CAST(hits AS DOUBLE) / CAST(possible AS DOUBLE) AS recall
+FROM tot, h
+"""
+
+
 PQ_TOPK_SQL = _pq_topk_sql()
 PQ_RECALL_SQL = _pq_recall_sql()
+
+
+def _serving_nprobe() -> int:
+    from kafka_connect_storage_cloud_formats_spark.operators.kmeans_ivf import (
+        SERVING_NPROBE,
+    )
+
+    return SERVING_NPROBE
+
+
+IVFPQ_TOPK_SQL = _ivfpq_topk_sql(_serving_nprobe())
+IVFPQ_RECALL_SQL = _ivfpq_recall_sql(_serving_nprobe())
 
 PQ_QUERIES = {
     "pq_topk": (pq_topk, PQ_TOPK_SQL),
     "pq_recall_at_10": (pq_recall_at_10, PQ_RECALL_SQL),
+    # the composed IVF×PQ serving shape at the serving nprobe
+    "ivfpq_topk": (ivfpq_topk, IVFPQ_TOPK_SQL),
+    "ivfpq_recall_at_10": (ivfpq_recall_at_10, IVFPQ_RECALL_SQL),
 }

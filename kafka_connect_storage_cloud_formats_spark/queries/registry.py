@@ -286,14 +286,14 @@ _ALL = {
 # its window assertion off this constant).
 ROTATED_FOR_ROUND = 14
 
-# WINDOW-CAPACITY NOTE (round 14): 122 registered queries (the round-14
+# WINDOW-CAPACITY NOTE (round 14): 124 registered queries (the round-14
 # maximal-span report, keep-one-copy pricing, Gopher-repetition,
-# SemDeDup, benchmark-decontaminate and PQ-tier rows join). The
+# SemDeDup, benchmark-decontaminate, PQ-tier and IVFPQ rows join). The
 # guarantee is ceil(N/50)=3-rounds max staleness via rotation, every
 # new/changed query debuts in-window (with the standing
 # verified-refactor exception below), and EVERY query is re-certified
 # on HEAD each round by the full-registry oracle run
-# (tools/check_correctness.py --repeat — a standing round gate). The 22
+# (tools/check_correctness.py --repeat — a standing round gate). The 24
 # that slip to r15 (the exact N-100 cap) are stable r12/r13-green shapes
 # whose families stay richly in-window: the three heavy format
 # roundtrips (parquet/json/csv/schema_evolution are r13-green), eleven
@@ -303,17 +303,21 @@ ROTATED_FOR_ROUND = 14
 # media_catalog (video/audio rows in-window) and salted_cohort_activity
 # (scale-lever sibling bucketed_segment_revenue in-window).
 _SLIPPED_TO_R15 = [
-    # displaced by the five round-14 session-2 debuts
+    # displaced by the seven round-14 session-2 debuts
     # (doc_repetition_stats, dedup_semantic, benchmark_decontaminate,
-    # pq_topk, pq_recall_at_10) — all r12-green with family siblings
-    # staying richly in-window (corpus_hash/signature_merge;
-    # events_session/funnel; orders_column_profile/events_value_quantiles;
-    # events_latest_per_user):
+    # pq_topk, pq_recall_at_10, ivfpq_topk, ivfpq_recall_at_10) — all
+    # r12-green with family siblings staying richly in-window
+    # (corpus_hash/signature_merge; events_session/funnel;
+    # orders_column_profile/events_value_quantiles;
+    # events_latest_per_user; audio row for the media family; the
+    # ivf_kmeans serving family for the upsert probe):
     "corpus_fingerprint_merge",
     "events_sliding_1h",
     "events_tumbling_15m",
     "approx_profile",
     "replay_dedup",
+    "video_frame_index",
+    "ivf_kmeans_topk_upserted",
     "orc_ingest_roundtrip",
     "orc_partitioned_roundtrip",
     "avro_roundtrip",
@@ -366,15 +370,21 @@ _STALE_AFTER_R13 = [
     # SAME k-means quantizer artifact the IVF tier serves from), and the
     # decontamination step benchmark_contamination prices (GPT-3
     # appendix-C posture: any shared 5-gram drops the doc; per-language
-    # kept-mass report — the report->scrub pair, completed), and the PQ
+    # kept-mass report — the report->scrub pair, completed), the PQ
     # compression tier (Jegou et al. 2011 — 8x4-bit product codes, 32x
     # vs float32; full per-subspace training-replay oracles, ADC
-    # pre-rank + exact re-rank, recall row pricing the compression).
+    # pre-rank + exact re-rank, recall row pricing the compression),
+    # and the composed IVFPQ serving shape (coarse-cell routing + LUT
+    # ADC over cell members only — BOTH trainings replayed in one
+    # oracle WITH-chain, recall row pricing pruning on top of
+    # compression).
     "doc_repetition_stats",
     "dedup_semantic",
     "benchmark_decontaminate",
     "pq_topk",
     "pq_recall_at_10",
+    "ivfpq_topk",
+    "ivfpq_recall_at_10",
 ]
 _CHANGED_THIS_ROUND_R14 = [
     # The packing family's running token total moved from ONE global
@@ -385,7 +395,7 @@ _CHANGED_THIS_ROUND_R14 = [
     # so the slots also serve the staleness rotation); the span-level
     # pair — r13-evidenced, IDENTICAL _with_token_end lineage plus pure
     # span arithmetic — rides the transit notes below (window
-    # arithmetic: the slip cap is exactly N-100 = 22 at 122 registered;
+    # arithmetic: the slip cap is exactly N-100 = 24 at 124 registered;
     # every other new/changed row sits in-window).
     "pack_training_sequences",
     "packed_sequence_stats",
@@ -424,7 +434,7 @@ _CHANGED_THIS_ROUND_R14 = [
 #    restore-race consumption, write_bucketed condition probes) sit
 #    below every registered plan and are result-neutral; re-certified by
 #    the full-registry --repeat run on final HEAD.
-# the 26 remaining r12-evidenced queries fill the window (the 22 in
+# the 24 remaining r12-evidenced queries fill the window (the 24 in
 # _SLIPPED_TO_R15 wait one more round):
 _R12_VINTAGE_FILL = [
     "dedup_incremental", "dedup_ngram_jaccard", "curation_drop_report",
@@ -432,8 +442,8 @@ _R12_VINTAGE_FILL = [
     "simhash_fingerprints",
     "ivf_kmeans_topk", "ivf_kmeans_topk_pruned", "ivf_kmeans_index_build",
     "ivf_kmeans_recall_at_10", "ivf_kmeans_index_upsert",
-    "ivf_kmeans_topk_upserted", "ivf_kmeans_recall_upserted",
-    "video_frame_index", "audio_window_energy",
+    "ivf_kmeans_recall_upserted",
+    "audio_window_energy",
     "events_funnel", "events_interval_join",
     "events_session_30m",
     "orders_column_profile", "events_value_quantiles",

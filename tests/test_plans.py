@@ -44,8 +44,9 @@ def test_allowed_nested_are_documented_exceptions(spark, sf_dir):
         "ivf_kmeans_recall_upserted",
         # round 13: same probe over main ∪ two enumerated segments
         "ivf_kmeans_topk_upserted2",
-        # round 14: the PQ tier's recall row (1-row recall-ratio cross)
+        # round 14: the PQ tiers' recall rows (1-row recall-ratio cross)
         "pq_recall_at_10",
+        "ivfpq_recall_at_10",
     }
     assert ALLOWED_SCALAR_CROSS == {
         "q22_rich_inactive_customers",

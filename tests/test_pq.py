@@ -125,6 +125,62 @@ def test_pq_adc_candidates_match_numpy_reconstruction(spark, sf_dir):
         assert got[q] == expect, q
 
 
+def test_ivfpq_full_probe_equals_full_scan_pq(spark, sf_dir):
+    """At nprobe = k the cell routing prunes nothing, so the composed
+    IVFPQ path must serve exactly the full-scan PQ tier's rows — the
+    same full-width invariant every coarse-quantizer tier pins."""
+    from kafka_connect_storage_cloud_formats_spark.operators.kmeans_ivf import KMEANS_K
+    from kafka_connect_storage_cloud_formats_spark.operators.pq import ivfpq_topk
+
+    full = sorted(map(tuple, ivfpq_topk(spark, sf_dir, nprobe=KMEANS_K).collect()))
+    pq = sorted(map(tuple, pq_topk(spark, sf_dir).collect()))
+    assert full == pq
+
+
+def test_ivfpq_candidates_come_only_from_routed_cells(spark, sf_dir):
+    """Every served neighbor must live in one of its query's top-nprobe
+    trained cells (the pruning contract), and the recall row must be
+    sane. (No ordering vs the full-scan PQ row is asserted: pruning
+    usually costs recall but can also evict high-ADC distractors from
+    the bounded candidate set, so neither direction is a theorem.)"""
+    import numpy as np
+
+    from kafka_connect_storage_cloud_formats_spark.functions.vectors import _seq_dot
+    from kafka_connect_storage_cloud_formats_spark.operators.kmeans_ivf import (
+        SERVING_NPROBE,
+        _collect_centroid_matrix,
+        train_kmeans_quantizer,
+    )
+    from kafka_connect_storage_cloud_formats_spark.operators.pq import (
+        ivfpq_recall_at_10,
+        ivfpq_topk,
+    )
+
+    assignment, cent_long = train_kmeans_quantizer(spark, sf_dir)
+    cells = {r["vec_id"]: r["cluster"] for r in assignment.collect()}
+    labels, M = _collect_centroid_matrix(cent_long)
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    cn = np.sqrt(_seq_dot(M, M))
+    routed = {}
+    for q in sorted(v for v in emb if v % 50 == 0):
+        s = np.zeros(M.shape[0])
+        for d in range(M.shape[1]):
+            s += emb[q][d] * M[:, d]
+        s /= np.sqrt(emb[q] @ emb[q]) * cn
+        order = np.lexsort((labels, -s))[:SERVING_NPROBE]
+        routed[q] = set(labels[order].tolist())
+    for r in ivfpq_topk(spark, sf_dir).collect():
+        assert cells[r["neighbor_id"]] in routed[r["q_id"]], r
+    rec = ivfpq_recall_at_10(spark, sf_dir).collect()[0]
+    assert 0.0 < rec["recall"] <= 1.0
+    assert rec["possible"] == rec["n_queries"] * TOP_K
+
+
 def test_pq_recall_row_sane_and_deterministic(spark, sf_dir):
     r1 = pq_recall_at_10(spark, sf_dir).collect()[0]
     r2 = pq_recall_at_10(spark, sf_dir).collect()[0]

@@ -66,9 +66,10 @@ ALLOWED_NESTED = {
     "ivf_kmeans_recall_upserted",
     # round 13: same probe over main ∪ two enumerated segments
     "ivf_kmeans_topk_upserted2",
-    # round 14: the PQ tier's recall row — the standard 1-row
-    # recall-ratio cross (pq_topk itself is equi-join only, like sq8)
+    # round 14: the PQ tiers' recall rows — the standard 1-row
+    # recall-ratio cross (pq_topk/ivfpq_topk are equi-join only, like sq8)
     "pq_recall_at_10",
+    "ivfpq_recall_at_10",
 }
 
 # Queries that fold a GLOBAL SCALAR into the plan via crossJoin(broadcast(
