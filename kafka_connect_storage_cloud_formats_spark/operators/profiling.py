@@ -393,7 +393,98 @@ FROM k GROUP BY lang ORDER BY lang
 """
 
 
+DRIFT_BUCKET_W = 10  # token-length bucket width
+DRIFT_N_BUCKETS = 10  # buckets 0..9; the last is open-ended (90+ tokens)
+
+
+def drop_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributional-drift gate for the incremental-drop lifecycle: the
+    accept step (corpus_*_merge) currently checks a drop for DUPLICATION
+    only; a real curation pipeline also refuses a drop whose CONTENT
+    DISTRIBUTION has shifted (a crawler stuck on one site, a broken
+    extractor truncating documents). This row compares the standard
+    modular drop split (doc_id % INCREMENT_MOD == MOD-1, the same
+    convention every incremental tier uses) against the corpus side on
+    the token-length histogram: fixed-width buckets (10 tokens wide, the
+    last open-ended), per-bucket counts and within-split proportions,
+    and the absolute proportion gap — Σ gap/2 over the rows is the total
+    variation distance, left to the consumer so the row stays
+    transcendental-free (a PSI's ln() is libm-dependent across engines;
+    |p−q| is exact IEEE on both, so the hash gate stays bit-stable).
+
+    Scale shape: one map-only pass deriving (bucket, is_drop) from the
+    documents scan, ONE combinable groupBy on the ≤DRIFT_N_BUCKETS
+    bucket key with conditional partial sums for both splits, and the
+    two split totals folded in via the canonical 1-row
+    crossJoin(broadcast) scalar pattern (ALLOWED_SCALAR_CROSS — the
+    q11/q22/doc_quality_deciles shape: bounded by construction). No
+    join carries corpus-scale rows; the result is ≤10 rows at any SF."""
+    from kafka_connect_storage_cloud_formats_spark.operators.dedup import INCREMENT_MOD
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_toks = F.size(F.split("text", " "))
+    bucket = F.least(
+        F.floor(n_toks / F.lit(DRIFT_BUCKET_W)), F.lit(DRIFT_N_BUCKETS - 1)
+    ).cast("long")
+    is_drop = (F.col("doc_id") % INCREMENT_MOD) == INCREMENT_MOD - 1
+    tagged = docs.select(bucket.alias("bucket"), is_drop.alias("is_drop"))
+    per_bucket = tagged.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_drop"), 1).otherwise(0)).alias("n_drop"),
+        F.sum(F.when(~F.col("is_drop"), 1).otherwise(0)).alias("n_corpus"),
+    )
+    totals = tagged.agg(
+        F.sum(F.when(F.col("is_drop"), 1).otherwise(0)).alias("t_drop"),
+        F.sum(F.when(~F.col("is_drop"), 1).otherwise(0)).alias("t_corpus"),
+    )
+    p_drop = F.col("n_drop").cast("double") / F.col("t_drop").cast("double")
+    p_corpus = F.col("n_corpus").cast("double") / F.col("t_corpus").cast("double")
+    return (
+        per_bucket.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            "n_corpus",
+            "n_drop",
+            p_corpus.alias("p_corpus"),
+            p_drop.alias("p_drop"),
+            F.abs(p_corpus - p_drop).alias("abs_gap"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _drop_drift_sql() -> str:
+    from kafka_connect_storage_cloud_formats_spark.operators.dedup import INCREMENT_MOD
+
+    return f"""
+WITH tagged AS (
+  SELECT LEAST(CAST(FLOOR(len(string_split(text, ' ')) / {DRIFT_BUCKET_W}) AS BIGINT),
+               {DRIFT_N_BUCKETS - 1}) AS bucket,
+         doc_id % {INCREMENT_MOD} = {INCREMENT_MOD - 1} AS is_drop
+  FROM documents),
+per_bucket AS (
+  SELECT bucket,
+         CAST(SUM(CASE WHEN is_drop THEN 1 ELSE 0 END) AS BIGINT) AS n_drop,
+         CAST(SUM(CASE WHEN NOT is_drop THEN 1 ELSE 0 END) AS BIGINT) AS n_corpus
+  FROM tagged GROUP BY bucket),
+totals AS (
+  SELECT CAST(SUM(CASE WHEN is_drop THEN 1 ELSE 0 END) AS BIGINT) AS t_drop,
+         CAST(SUM(CASE WHEN NOT is_drop THEN 1 ELSE 0 END) AS BIGINT) AS t_corpus
+  FROM tagged)
+SELECT bucket, n_corpus, n_drop,
+       CAST(n_corpus AS DOUBLE) / CAST(t_corpus AS DOUBLE) AS p_corpus,
+       CAST(n_drop AS DOUBLE) / CAST(t_drop AS DOUBLE) AS p_drop,
+       ABS(CAST(n_corpus AS DOUBLE) / CAST(t_corpus AS DOUBLE)
+           - CAST(n_drop AS DOUBLE) / CAST(t_drop AS DOUBLE)) AS abs_gap
+FROM per_bucket, totals
+ORDER BY bucket
+"""
+
+
+DROP_DRIFT_SQL = _drop_drift_sql()
+
+
 PROFILING_QUERIES = {
+    "drop_drift_report": (drop_drift_report, DROP_DRIFT_SQL),
     "corpus_split_stats": (corpus_split_stats, CORPUS_SPLIT_SQL),
     "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
     "orders_column_profile": (orders_column_profile, ORDERS_PROFILE_SQL),

@@ -52,6 +52,8 @@ def test_allowed_nested_are_documented_exceptions(spark, sf_dir):
         "q22_rich_inactive_customers",
         "q11_important_parts",
         "doc_quality_deciles",
+        # round 14: the drift gate's two split totals (1 row)
+        "drop_drift_report",
     }
     from tools.plan_audit import ALLOWED_CHECKPOINT
 

@@ -194,3 +194,42 @@ def test_approx_profile_verdicts_total_on_degenerate_groups(spark):
     for g, r in out.items():
         for col in ("approx_users_ok", "approx_p50_ok", "approx_p99_ok"):
             assert r[col] is True, (g, col, r[col])
+
+
+def test_drop_drift_report_hand_computed(spark, tmp_path):
+    """Drift gate on a corpus with a KNOWN split distribution: drop docs
+    (doc_id % 5 == 4) sit in one length bucket, corpus docs in two —
+    counts, within-split proportions, and |gap| all hand-checkable."""
+    import os
+
+    import pandas as pd
+
+    from kafka_connect_storage_cloud_formats_spark.operators.profiling import drop_drift_report
+
+    texts = {
+        # corpus side (doc_id % 5 != 4): two 5-token docs, one 15-token
+        1: "a b c d e",
+        2: "f g h i j",
+        3: " ".join(["w"] * 15),
+        # drop side (doc_id % 5 == 4): one 5-token, one 15-token
+        4: "k l m n o",
+        9: " ".join(["z"] * 15),
+    }
+    pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "text": list(texts.values()),
+            "lang": ["en"] * 5,
+            "source": ["web"] * 5,
+            "n_chars": [len(t) for t in texts.values()],
+        }
+    ).to_parquet(os.path.join(tmp_path, "documents.parquet"))
+    rows = {r["bucket"]: r.asDict() for r in drop_drift_report(spark, str(tmp_path)).collect()}
+    assert set(rows) == {0, 1}
+    b0, b1 = rows[0], rows[1]
+    assert (b0["n_corpus"], b0["n_drop"]) == (2, 1)
+    assert (b1["n_corpus"], b1["n_drop"]) == (1, 1)
+    assert b0["p_corpus"] == 2 / 3 and b0["p_drop"] == 0.5
+    assert b1["p_corpus"] == 1 / 3 and b1["p_drop"] == 0.5
+    assert abs(b0["abs_gap"] - (2 / 3 - 0.5)) < 1e-15
+    assert abs(b1["abs_gap"] - (0.5 - 1 / 3)) < 1e-15

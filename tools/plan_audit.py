@@ -80,6 +80,7 @@ ALLOWED_SCALAR_CROSS = {
     "q22_rich_inactive_customers",  # avg(c_acctbal) threshold
     "q11_important_parts",  # avg(part_value) threshold
     "doc_quality_deciles",  # 9 percentile_disc boundaries, 1 row
+    "drop_drift_report",  # the two split totals, 1 row (round 14)
 }
 
 # Queries whose plan legitimately embeds a pre-materialized block
