@@ -383,7 +383,89 @@ ORDER BY media_id, window_no
 """
 
 
+SCENE_CUT_THRESHOLD = 4096  # |Σbytes(frame) − Σbytes(prev)| flagging a cut
+
+
+def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over the fake-decoded frame stream: per video,
+    adjacent FRAME_STRIDE-byte frames are compared by exact integer
+    byte-sum signature; a cut is flagged where the absolute delta crosses
+    SCENE_CUT_THRESHOLD — the frame-sampling stage a video curation
+    pipeline runs to pick representative frames (shot-boundary detection,
+    the standard pre-step before per-shot captioning/embedding).
+
+    Scale shape: the WHOLE detector runs inside ONE ``mapInPandas`` pass
+    over the asset table — decode, frame split, signatures and adjacent
+    deltas are all video-local, so there is no shuffle at all before the
+    presentation sort, exactly how a production shot detector rides the
+    decode pass. Integer signatures keep the row hash-exact on any
+    engine (and the oracle replays the byte math via ``unicode()`` like
+    every multimodal row)."""
+    vids = (
+        media_assets(spark, sf_dir)
+        .filter(F.col("kind") == "video")
+        .select("media_id", "payload")
+    )
+
+    def cuts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_m, out_f, out_p, out_s, out_d = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                a = fake_decode(payload).astype(np.int64)
+                if not len(a):
+                    continue
+                n_frames = (len(a) - 1) // FRAME_STRIDE + 1
+                sums = [
+                    int(a[i * FRAME_STRIDE : (i + 1) * FRAME_STRIDE].sum())
+                    for i in range(n_frames)
+                ]
+                for i in range(1, n_frames):
+                    delta = abs(sums[i] - sums[i - 1])
+                    if delta >= SCENE_CUT_THRESHOLD:
+                        out_m.append(int(mid))
+                        out_f.append(i)
+                        out_p.append(sums[i - 1])
+                        out_s.append(sums[i])
+                        out_d.append(delta)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out_m, dtype="int64"),
+                    "frame_no": pd.Series(out_f, dtype="int64"),
+                    "prev_sum": pd.Series(out_p, dtype="int64"),
+                    "frame_sum": pd.Series(out_s, dtype="int64"),
+                    "delta": pd.Series(out_d, dtype="int64"),
+                }
+            )
+
+    return vids.mapInPandas(
+        cuts,
+        "media_id bigint, frame_no bigint, prev_sum bigint, frame_sum bigint, delta bigint",
+    ).orderBy("media_id", "frame_no")
+
+
+VIDEO_SCENE_CUTS_SQL = f"""
+WITH vids AS (
+  SELECT doc_id AS media_id, text, length(text) AS n
+  FROM documents WHERE doc_id % 3 = 2 AND length(text) > 0),
+frames AS (
+  SELECT media_id, i AS frame_no,
+         CAST(coalesce(list_sum([unicode(c) for c in
+              string_split(substr(text, CAST(i * {FRAME_STRIDE} + 1 AS INT), {FRAME_STRIDE}), '')]), 0) AS BIGINT) AS fsum
+  FROM vids, UNNEST(range(0, (n - 1) // {FRAME_STRIDE} + 1)) AS t(i)),
+lagged AS (
+  SELECT media_id, frame_no, fsum,
+         LAG(fsum) OVER (PARTITION BY media_id ORDER BY frame_no) AS prev
+  FROM frames)
+SELECT media_id, frame_no, prev AS prev_sum, fsum AS frame_sum,
+       ABS(fsum - prev) AS delta
+FROM lagged
+WHERE prev IS NOT NULL AND ABS(fsum - prev) >= {SCENE_CUT_THRESHOLD}
+ORDER BY media_id, frame_no
+"""
+
+
 MULTIMODAL_QUERIES = {
+    "video_scene_cuts": (video_scene_cuts, VIDEO_SCENE_CUTS_SQL),
     "media_catalog": (media_catalog, MEDIA_CATALOG_SQL),
     "image_decode_stats": (image_decode_stats, IMAGE_DECODE_STATS_SQL),
     "video_frame_index": (video_frame_index, VIDEO_FRAME_INDEX_SQL),

@@ -181,3 +181,38 @@ def test_empty_payload_oracle_parity(spark, tmp_path):
     empty_row = [r for r in got if r[0] == 0][0]
     assert empty_row[1] == 0 and empty_row[2] == 0  # n_px=0, sum_px=0
     assert empty_row[3] is None and empty_row[4] is None  # min/max NULL
+
+
+def test_video_scene_cuts_matches_python(spark, sf_dir):
+    """Scene-cut rows pinned against an independent Python replay over the
+    real corpus: same frame split, same integer signatures, same
+    threshold — and every emitted row's arithmetic is internally
+    consistent (delta = |frame_sum − prev_sum| ≥ threshold)."""
+    from kafka_connect_storage_cloud_formats_spark.operators.multimodal import (
+        SCENE_CUT_THRESHOLD,
+        video_scene_cuts,
+    )
+
+    expected = {}
+    for r in (
+        media_assets(spark, sf_dir).filter(F.col("kind") == "video").collect()
+    ):
+        a = fake_decode(r["payload"])
+        if not len(a):
+            continue
+        n_frames = (len(a) - 1) // FRAME_STRIDE + 1
+        sums = [
+            int(a[i * FRAME_STRIDE : (i + 1) * FRAME_STRIDE].astype(np.int64).sum())
+            for i in range(n_frames)
+        ]
+        for i in range(1, n_frames):
+            d = abs(sums[i] - sums[i - 1])
+            if d >= SCENE_CUT_THRESHOLD:
+                expected[(r["media_id"], i)] = (sums[i - 1], sums[i], d)
+    got = {
+        (r["media_id"], r["frame_no"]): (r["prev_sum"], r["frame_sum"], r["delta"])
+        for r in video_scene_cuts(spark, sf_dir).collect()
+    }
+    assert got == expected and len(got) > 0
+    for (_, fno), (p, s, d) in got.items():
+        assert fno >= 1 and d == abs(s - p) and d >= SCENE_CUT_THRESHOLD
