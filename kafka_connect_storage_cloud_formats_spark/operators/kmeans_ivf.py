@@ -811,6 +811,98 @@ def ivf_kmeans_topk_upserted2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_kmeans_topk_upserted(spark, sf_dir, n_drops=2)
 
 
+def ivf_kmeans_cell_stats(
+    spark: SparkSession, sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> DataFrame:
+    """Trained-quantizer HEALTH report: per cell, occupancy and the mean
+    member→centroid cosine — the spherical k-means objective decomposed
+    per cell, the diagnostic an IVF deployment watches between
+    re-trainings (FAISS's imbalance factor is one aggregate of the
+    n_vectors column; a cell whose cohesion decays as drops upsert into
+    it is the re-index trigger). Complements ``ivf_kmeans_index_build``
+    (counts only) with the geometry side; the training objective's
+    MONOTONICITY is already pinned in tests — this row makes the
+    resulting quality a DRIVER-CERTIFIED number instead of a test-only
+    fact.
+
+    Scale shape: members join the k-row centroid table broadcast, one
+    Arrow cosine pass, then ONE combinable groupBy on the cell id with
+    the decimal fixed-point mean (``FLOOR(cos·1e15)`` sums — associative
+    ⇒ partition-invariant, the `_update_centroids` trick applied to the
+    report side). k result rows at any SF."""
+    assignment, cent_long = train_kmeans_quantizer(spark, sf_dir, k=k, iters=iters)
+    cents = (
+        cent_long.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "centroid"))).alias("cd"))
+        .select("label", F.transform("cd", lambda s: s["centroid"]).alias("c_emb"))
+    )
+    from kafka_connect_storage_cloud_formats_spark.functions.vectors import dot
+
+    c_norm0 = F.sqrt(dot(F.col("c_emb"), F.col("c_emb")))
+    cents = cents.withColumn(
+        "c_norm",
+        F.when(c_norm0 > 0.0, c_norm0).otherwise(
+            F.raise_error(
+                F.lit("zero-norm centroid: cosine similarity is undefined")
+            )
+        ),
+    )
+    from kafka_connect_storage_cloud_formats_spark.operators.similarity import _dot
+
+    members = _with_norm(_load(spark, sf_dir).select("vec_id", "embedding")).join(
+        assignment.select("vec_id", F.col("cluster").alias("label")), "vec_id"
+    )
+    cos = _dot("embedding", "c_emb") / (F.col("norm") * F.col("c_norm"))
+    quant = F.floor(cos * F.lit(1e15)).cast("decimal(38,0)")
+    return (
+        members.join(F.broadcast(cents), "label")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            (
+                F.sum(quant).cast("double")
+                / F.lit(1e15)
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_cosine"),
+        )
+        .orderBy("label")
+    )
+
+
+def _kmeans_cell_stats_sql() -> str:
+    """Training replay + per-member cosine to the published centroid +
+    decimal-exact per-cell mean."""
+    from kafka_connect_storage_cloud_formats_spark.operators.similarity import _sql_dot
+
+    train, fi = _kmeans_training_ctes()
+    return f"""
+WITH {train},
+ksa AS (
+  SELECT label, list(centroid ORDER BY dim) AS c_emb FROM u{fi} GROUP BY label),
+ksn AS (
+  SELECT label, c_emb,
+         CASE WHEN n0 > 0 THEN n0
+              ELSE error('zero-norm centroid: cosine similarity is undefined') END AS c_norm
+  FROM (SELECT label, c_emb, sqrt({_sql_dot('c_emb', 'c_emb')}) AS n0 FROM ksa) t),
+ksv AS (
+  SELECT vec_id, embedding,
+         CASE WHEN n0 > 0 THEN n0
+              ELSE error('zero-norm embedding: cosine similarity is undefined') END AS norm
+  FROM (SELECT vec_id, embedding, sqrt({_sql_dot('embedding', 'embedding')}) AS n0
+        FROM embeddings) b),
+ksc AS (
+  SELECT cl.cluster AS label,
+         {_sql_dot('e.embedding', 'c.c_emb')} / (e.norm * c.c_norm) AS cosv
+  FROM ksv e
+  JOIN cl{fi} cl ON cl.vec_id = e.vec_id
+  JOIN ksn c ON c.label = cl.cluster)
+SELECT label, COUNT(*) AS n_vectors,
+       CAST(SUM(CAST(FLOOR(cosv * 1e15) AS DECIMAL(38,0))) AS DOUBLE)
+         / 1e15 / CAST(COUNT(*) AS DOUBLE) AS mean_cosine
+FROM ksc GROUP BY label ORDER BY label
+"""
+
+
 # The synthetic corpus has no true vector dups (max pairwise cosine ≈ 0.51,
 # similarity.COSINE_DUP_THRESHOLD's note); 0.35 keeps realistic candidate
 # volume inside the trained cells. Production SemDeDup runs ~0.95+.
@@ -1249,6 +1341,7 @@ KMEANS_UPSERT_SQL = _kmeans_upsert_sql()
 KMEANS_UPSERTED_TOPK_SQL = _kmeans_upserted_topk_sql()
 KMEANS_UPSERTED_RECALL_SQL = _kmeans_upserted_recall_sql()
 DEDUP_SEMANTIC_SQL = _dedup_semantic_sql()
+KMEANS_CELL_STATS_SQL = _kmeans_cell_stats_sql()
 
 KMEANS_IVF_QUERIES = {
     "ivf_kmeans_topk": (ivf_kmeans_topk, KMEANS_TOPK_SQL),
@@ -1272,4 +1365,6 @@ KMEANS_IVF_QUERIES = {
     "ivf_kmeans_recall_upserted": (ivf_kmeans_recall_upserted, KMEANS_UPSERTED_RECALL_SQL),
     # SemDeDup: the trained cells double as the dedup candidate structure
     "dedup_semantic": (dedup_semantic, DEDUP_SEMANTIC_SQL),
+    # the quantizer health report: per-cell occupancy + cohesion
+    "ivf_kmeans_cell_stats": (ivf_kmeans_cell_stats, KMEANS_CELL_STATS_SQL),
 }

@@ -286,15 +286,15 @@ _ALL = {
 # its window assertion off this constant).
 ROTATED_FOR_ROUND = 14
 
-# WINDOW-CAPACITY NOTE (round 14): 126 registered queries (the round-14
+# WINDOW-CAPACITY NOTE (round 14): 127 registered queries (the round-14
 # maximal-span report, keep-one-copy pricing, Gopher-repetition,
-# SemDeDup, benchmark-decontaminate, PQ/IVFPQ, drop-drift and
-# scene-cut rows join). The
+# SemDeDup, benchmark-decontaminate, PQ/IVFPQ, drop-drift, scene-cut
+# and quantizer-health rows join). The
 # guarantee is ceil(N/50)=3-rounds max staleness via rotation, every
 # new/changed query debuts in-window (with the standing
 # verified-refactor exception below), and EVERY query is re-certified
 # on HEAD each round by the full-registry oracle run
-# (tools/check_correctness.py --repeat — a standing round gate). The 26
+# (tools/check_correctness.py --repeat — a standing round gate). The 27
 # that slip to r15 (the exact N-100 cap) are stable r12/r13-green shapes
 # whose families stay richly in-window: the three heavy format
 # roundtrips (parquet/json/csv/schema_evolution are r13-green), eleven
@@ -304,10 +304,10 @@ ROTATED_FOR_ROUND = 14
 # media_catalog (video/audio rows in-window) and salted_cohort_activity
 # (scale-lever sibling bucketed_segment_revenue in-window).
 _SLIPPED_TO_R15 = [
-    # displaced by the nine round-14 session-2 debuts
+    # displaced by the ten round-14 session-2 debuts
     # (doc_repetition_stats, dedup_semantic, benchmark_decontaminate,
     # pq_topk, pq_recall_at_10, ivfpq_topk, ivfpq_recall_at_10,
-    # drop_drift_report, video_scene_cuts) — all
+    # drop_drift_report, video_scene_cuts, ivf_kmeans_cell_stats) — all
     # r12-green with family siblings staying richly in-window
     # (corpus_hash/signature_merge; events_session/funnel;
     # orders_column_profile/events_value_quantiles;
@@ -322,6 +322,7 @@ _SLIPPED_TO_R15 = [
     "ivf_kmeans_topk_upserted",
     "events_funnel",
     "events_interval_join",
+    "audio_window_energy",
     "orc_ingest_roundtrip",
     "orc_partitioned_roundtrip",
     "avro_roundtrip",
@@ -396,8 +397,12 @@ _STALE_AFTER_R13 = [
     "pq_recall_at_10",
     "ivfpq_topk",
     "ivfpq_recall_at_10",
+    # ... and the quantizer health report: per-cell occupancy + mean
+    # member-to-centroid cosine (the spherical objective per cell — the
+    # re-index trigger an IVF deployment watches), decimal-exact mean.
     "drop_drift_report",
     "video_scene_cuts",
+    "ivf_kmeans_cell_stats",
 ]
 _CHANGED_THIS_ROUND_R14 = [
     # The packing family's running token total moved from ONE global
@@ -408,7 +413,7 @@ _CHANGED_THIS_ROUND_R14 = [
     # so the slots also serve the staleness rotation); the span-level
     # pair — r13-evidenced, IDENTICAL _with_token_end lineage plus pure
     # span arithmetic — rides the transit notes below (window
-    # arithmetic: the slip cap is exactly N-100 = 26 at 126 registered;
+    # arithmetic: the slip cap is exactly N-100 = 27 at 127 registered;
     # every other new/changed row sits in-window).
     "pack_training_sequences",
     "packed_sequence_stats",
@@ -447,7 +452,7 @@ _CHANGED_THIS_ROUND_R14 = [
 #    restore-race consumption, write_bucketed condition probes) sit
 #    below every registered plan and are result-neutral; re-certified by
 #    the full-registry --repeat run on final HEAD.
-# the 22 remaining r12-evidenced queries fill the window (the 26 in
+# the 21 remaining r12-evidenced queries fill the window (the 27 in
 # _SLIPPED_TO_R15 wait one more round):
 _R12_VINTAGE_FILL = [
     "dedup_incremental", "dedup_ngram_jaccard", "curation_drop_report",
@@ -456,7 +461,6 @@ _R12_VINTAGE_FILL = [
     "ivf_kmeans_topk", "ivf_kmeans_topk_pruned", "ivf_kmeans_index_build",
     "ivf_kmeans_recall_at_10", "ivf_kmeans_index_upsert",
     "ivf_kmeans_recall_upserted",
-    "audio_window_energy",
     "events_session_30m",
     "orders_column_profile", "events_value_quantiles",
     "events_latest_per_user",

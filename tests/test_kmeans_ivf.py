@@ -111,6 +111,44 @@ def test_kmeans_full_probe_equals_bruteforce(spark, sf_dir):
     assert full == bf
 
 
+def test_cell_stats_match_numpy_and_cover_corpus(spark, sf_dir):
+    """The health report pinned against a NumPy replay over the engine's
+    own artifacts: occupancy must exactly partition the corpus, and each
+    cell's decimal-exact mean cosine must agree with a float recompute
+    (tolerance 1e-9 — the fixed-point mean differs from a float mean by
+    < 1 ulp · n / 1e15)."""
+    from kafka_connect_storage_cloud_formats_spark.operators.kmeans_ivf import (
+        _collect_centroid_matrix,
+        ivf_kmeans_cell_stats,
+    )
+
+    rows = {r["label"]: r for r in ivf_kmeans_cell_stats(spark, sf_dir).collect()}
+    assignment, cent_long = train_kmeans_quantizer(spark, sf_dir)
+    labels, M = _collect_centroid_matrix(cent_long)
+    cent = {int(l): M[i] for i, l in enumerate(labels)}
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    cells: dict = {}
+    for r in assignment.collect():
+        cells.setdefault(r["cluster"], []).append(r["vec_id"])
+    assert sum(v["n_vectors"] for v in rows.values()) == len(emb)
+    assert set(rows) == set(cells)
+    for lb, members in cells.items():
+        assert rows[lb]["n_vectors"] == len(members)
+        c = cent[lb]
+        cn = float(np.sqrt(c @ c))
+        cos = [
+            float(emb[v] @ c) / (float(np.sqrt(emb[v] @ emb[v])) * cn)
+            for v in members
+        ]
+        assert abs(rows[lb]["mean_cosine"] - sum(cos) / len(cos)) < 1e-9
+        assert -1.0 - 1e-9 <= rows[lb]["mean_cosine"] <= 1.0 + 1e-9
+
+
 def test_dedup_semantic_matches_within_cluster_bruteforce(spark, sf_dir):
     """SemDeDup semantics pinned against an independent NumPy brute force
     over the engine's own trained cells: a vector is dropped iff some
