@@ -436,8 +436,22 @@ def drop_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("is_drop"), 1).otherwise(0)).alias("t_drop"),
         F.sum(F.when(~F.col("is_drop"), 1).otherwise(0)).alias("t_corpus"),
     )
-    p_drop = F.col("n_drop").cast("double") / F.col("t_drop").cast("double")
-    p_corpus = F.col("n_corpus").cast("double") / F.col("t_corpus").cast("double")
+    # Zero-split guard (round-14 ADVICE): on a degenerate corpus where one
+    # split is EMPTY, Spark's double division yields NULL while DuckDB
+    # yields Inf/NaN — the hash gate would silently diverge instead of
+    # failing loudly. Mirror the zero-norm discipline: refuse with the
+    # same message on both engines (unreachable on the shipped corpora —
+    # both splits are always populated).
+    t_drop_g = F.when(F.col("t_drop") > 0, F.col("t_drop").cast("double")).otherwise(
+        F.raise_error(F.lit("empty drop split: drift proportions are undefined"))
+    )
+    t_corpus_g = F.when(
+        F.col("t_corpus") > 0, F.col("t_corpus").cast("double")
+    ).otherwise(
+        F.raise_error(F.lit("empty corpus split: drift proportions are undefined"))
+    )
+    p_drop = F.col("n_drop").cast("double") / t_drop_g
+    p_corpus = F.col("n_corpus").cast("double") / t_corpus_g
     return (
         per_bucket.crossJoin(F.broadcast(totals))
         .select(
@@ -469,13 +483,19 @@ per_bucket AS (
 totals AS (
   SELECT CAST(SUM(CASE WHEN is_drop THEN 1 ELSE 0 END) AS BIGINT) AS t_drop,
          CAST(SUM(CASE WHEN NOT is_drop THEN 1 ELSE 0 END) AS BIGINT) AS t_corpus
-  FROM tagged)
+  FROM tagged),
+totg AS (
+  SELECT CASE WHEN t_drop > 0 THEN CAST(t_drop AS DOUBLE)
+              ELSE error('empty drop split: drift proportions are undefined') END AS t_drop,
+         CASE WHEN t_corpus > 0 THEN CAST(t_corpus AS DOUBLE)
+              ELSE error('empty corpus split: drift proportions are undefined') END AS t_corpus
+  FROM totals)
 SELECT bucket, n_corpus, n_drop,
-       CAST(n_corpus AS DOUBLE) / CAST(t_corpus AS DOUBLE) AS p_corpus,
-       CAST(n_drop AS DOUBLE) / CAST(t_drop AS DOUBLE) AS p_drop,
-       ABS(CAST(n_corpus AS DOUBLE) / CAST(t_corpus AS DOUBLE)
-           - CAST(n_drop AS DOUBLE) / CAST(t_drop AS DOUBLE)) AS abs_gap
-FROM per_bucket, totals
+       CAST(n_corpus AS DOUBLE) / t_corpus AS p_corpus,
+       CAST(n_drop AS DOUBLE) / t_drop AS p_drop,
+       ABS(CAST(n_corpus AS DOUBLE) / t_corpus
+           - CAST(n_drop AS DOUBLE) / t_drop) AS abs_gap
+FROM per_bucket, totg
 ORDER BY bucket
 """
 

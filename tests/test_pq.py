@@ -22,6 +22,7 @@ from kafka_connect_storage_cloud_formats_spark.operators.pq import (
 )
 from kafka_connect_storage_cloud_formats_spark.operators.similarity import (
     DIM,
+    QUERY_MOD,
     RERANK_CANDIDATES,
     TOP_K,
 )
@@ -110,7 +111,10 @@ def test_pq_adc_candidates_match_numpy_reconstruction(spark, sf_dir):
     got = {}
     for r in pq_topk(spark, sf_dir).collect():
         got.setdefault(r["q_id"], []).append(r["neighbor_id"])
-    q_ids = [v for v in ids if v % 50 == 0]
+    # QUERY_MOD, not a hardcoded 50 (round-14 ADVICE): the engine's
+    # _collect_query_matrix selects by this constant — a retuned constant
+    # must move the replayed query set with it, not silently fork it.
+    q_ids = [v for v in ids if v % QUERY_MOD == 0]
     assert set(got) == set(q_ids)
     for q in q_ids:
         adc = R @ emb[q]
@@ -167,7 +171,7 @@ def test_ivfpq_candidates_come_only_from_routed_cells(spark, sf_dir):
     }
     cn = np.sqrt(_seq_dot(M, M))
     routed = {}
-    for q in sorted(v for v in emb if v % 50 == 0):
+    for q in sorted(v for v in emb if v % QUERY_MOD == 0):
         s = np.zeros(M.shape[0])
         for d in range(M.shape[1]):
             s += emb[q][d] * M[:, d]

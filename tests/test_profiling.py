@@ -233,3 +233,31 @@ def test_drop_drift_report_hand_computed(spark, tmp_path):
     assert b1["p_corpus"] == 1 / 3 and b1["p_drop"] == 0.5
     assert abs(b0["abs_gap"] - (2 / 3 - 0.5)) < 1e-15
     assert abs(b1["abs_gap"] - (0.5 - 1 / 3)) < 1e-15
+
+
+def test_drop_drift_report_refuses_empty_split(spark, tmp_path):
+    """Zero-split guard (round-14 ADVICE): a corpus whose drop split is
+    EMPTY must refuse loudly on BOTH engines (the oracle carries the same
+    error() branch) — a silent NULL-vs-Inf divergence between Spark and
+    DuckDB is exactly what the hash gate must never absorb."""
+    import os
+
+    import pandas as pd
+    import pytest
+
+    from kafka_connect_storage_cloud_formats_spark.operators.profiling import (
+        drop_drift_report,
+    )
+
+    # doc_ids 1,2,3 → all corpus-side (no doc_id % 5 == 4 row exists)
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["a b c", "d e f", "g h i"],
+            "lang": ["en"] * 3,
+            "source": ["web"] * 3,
+            "n_chars": [5, 5, 5],
+        }
+    ).to_parquet(os.path.join(tmp_path, "documents.parquet"))
+    with pytest.raises(Exception, match="empty drop split"):
+        drop_drift_report(spark, str(tmp_path)).collect()
