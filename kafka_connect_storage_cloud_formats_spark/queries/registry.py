@@ -284,35 +284,19 @@ _ALL = {
 # the window has served its purpose and the positional invariant is
 # expected to lapse until the next rotation (tests/test_registry.py keys
 # its window assertion off this constant).
-ROTATED_FOR_ROUND = 14
+ROTATED_FOR_ROUND = 15
 
-# WINDOW-CAPACITY NOTE (round 14): 127 registered queries (the round-14
-# maximal-span report, keep-one-copy pricing, Gopher-repetition,
-# SemDeDup, benchmark-decontaminate, PQ/IVFPQ, drop-drift, scene-cut
-# and quantizer-health rows join). The
-# guarantee is ceil(N/50)=3-rounds max staleness via rotation, every
-# new/changed query debuts in-window (with the standing
-# verified-refactor exception below), and EVERY query is re-certified
-# on HEAD each round by the full-registry oracle run
-# (tools/check_correctness.py --repeat — a standing round gate). The 27
-# that slip to r15 (the exact N-100 cap) are stable r12/r13-green shapes
-# whose families stay richly in-window: the three heavy format
-# roundtrips (parquet/json/csv/schema_evolution are r13-green), eleven
-# plain relational aggregates/rollups (the relational family returns
-# via the 15 r11 slips leading this window), doc_quality_deciles
-# (profiling siblings orders_column_profile/approx_profile in-window),
-# media_catalog (video/audio rows in-window) and salted_cohort_activity
-# (scale-lever sibling bucketed_segment_revenue in-window).
+# WINDOW-CAPACITY NOTE (round 15): 132 registered queries (the round-15
+# incremental-IVFPQ pair, residual-IVFPQ pair and drift-gated-merge rows
+# join). The guarantee is ceil(N/50)=3-rounds max staleness via rotation,
+# every new query debuts in-window, and EVERY query is re-certified on
+# HEAD each round by the full-registry oracle run
+# (tools/check_correctness.py --repeat — a standing round gate). The 32
+# that slip to r16 (the exact N-100 cap) are stable r13-green shapes
+# whose families stay richly in-window (see the list's own notes).
 _SLIPPED_TO_R15 = [
-    # displaced by the ten round-14 session-2 debuts
-    # (doc_repetition_stats, dedup_semantic, benchmark_decontaminate,
-    # pq_topk, pq_recall_at_10, ivfpq_topk, ivfpq_recall_at_10,
-    # drop_drift_report, video_scene_cuts, ivf_kmeans_cell_stats) — all
-    # r12-green with family siblings staying richly in-window
-    # (corpus_hash/signature_merge; events_session/funnel;
-    # orders_column_profile/events_value_quantiles;
-    # events_latest_per_user; audio row for the media family; the
-    # ivf_kmeans serving family for the upsert probe):
+    # (consumed by this rotation — the 27 r12-green queries lead the r15
+    # window below, closing their 3-round staleness bound)
     "corpus_fingerprint_merge",
     "events_sliding_1h",
     "events_tumbling_15m",
@@ -342,134 +326,136 @@ _SLIPPED_TO_R15 = [
     "salted_cohort_activity",
 ]
 
-_STALE_AFTER_R13 = [
-    # THE SLIP LIST LEADS (standing protocol): the 15 r11-vintage queries
-    # declared _SLIPPED_TO_R14 last round — 3 rounds stale at this debut,
-    # the ceil(N/50) bound's edge; nothing older remains.
-    "q2_min_acctbal_supplier",
-    "q7_nation_trade_volume",
-    "q10_returned_revenue",
-    "q19_disjunctive_revenue",
-    "orders_cube",
-    "events_pivot_hourly",
-    "part_brand_type_setops",
-    "array_function_gallery",
-    "doc_top_terms",
-    "text_quality_stats",
-    "dedup_exact",
-    "dedup_canonical",
-    "corpus_split_stats",
-    "lang_id_heuristic",
-    "token_count_bpe",
-    # NEW this round (never driver-evidenced): the maximal duplicated-run
-    # span report (round-13 verdict "What's missing #2" — Lee et al.
-    # 2022's run-length statistics over the same _covered_positions set
-    # as the scrub pair) and the keep-one-copy scrub pricing row (Lee et
-    # al.'s own rewrite policy, canonical-occurrence exemption).
-    "repeated_ngram_spans",
-    "scrub_repeated_ngrams_keepfirst",
-    # NEW (round-14 session 2, never driver-evidenced): Gopher-style
-    # within-doc repetition signals (Rae et al. 2021 — reuses the n=2
-    # occurrence artifact, doc-local aggregates only) and SemDeDup
-    # (Abbas et al. 2023 — within-trained-cell cosine dedup over the
-    # SAME k-means quantizer artifact the IVF tier serves from), and the
-    # decontamination step benchmark_contamination prices (GPT-3
-    # appendix-C posture: any shared 5-gram drops the doc; per-language
-    # kept-mass report — the report->scrub pair, completed), the PQ
-    # compression tier (Jegou et al. 2011 — 8x4-bit product codes, 32x
-    # vs float32; full per-subspace training-replay oracles, ADC
-    # pre-rank + exact re-rank, recall row pricing the compression),
-    # and the composed IVFPQ serving shape (coarse-cell routing + LUT
-    # ADC over cell members only — BOTH trainings replayed in one
-    # oracle WITH-chain, recall row pricing pruning on top of
-    # compression).
-    # ... and the drop-drift gate: the accept step checks duplication
-    # only; this row prices DISTRIBUTIONAL shift of the modular drop vs
-    # the corpus (token-length histogram, per-bucket proportion gaps —
-    # transcendental-free so the hash stays bit-stable).
-    # ... and the scene-cut detector: adjacent-frame integer-signature
-    # deltas inside the decode pass (shot-boundary detection, the frame-
-    # sampling pre-step of a video curation pipeline; zero shuffles).
-    "doc_repetition_stats",
-    "dedup_semantic",
-    "benchmark_decontaminate",
-    "pq_topk",
-    "pq_recall_at_10",
-    "ivfpq_topk",
-    "ivfpq_recall_at_10",
-    # ... and the quantizer health report: per-cell occupancy + mean
-    # member-to-centroid cosine (the spherical objective per cell — the
-    # re-index trigger an IVF deployment watches), decimal-exact mean.
-    "drop_drift_report",
-    "video_scene_cuts",
-    "ivf_kmeans_cell_stats",
-]
-_CHANGED_THIS_ROUND_R14 = [
-    # The packing family's running token total moved from ONE global
-    # unpartitioned window to a two-pass distributed prefix sum
-    # (round-13 verdict "What's wrong #1" — the only registered plan
-    # that died at 100x; operators/training_pipeline._with_token_end).
-    # The document-level pair re-debuts in-window (both are r12-vintage,
-    # so the slots also serve the staleness rotation); the span-level
-    # pair — r13-evidenced, IDENTICAL _with_token_end lineage plus pure
-    # span arithmetic — rides the transit notes below (window
-    # arithmetic: the slip cap is exactly N-100 = 27 at 127 registered;
-    # every other new/changed row sits in-window).
-    "pack_training_sequences",
-    "packed_sequence_stats",
-]
-# Out-of-window transits, documented (all 50 slots are claimed above):
-# 1. pack_sequence_spans / packed_span_fill: the boundary-splitting
-#    variant — the SAME _with_token_end lineage as the two in-window
-#    rows plus pure span arithmetic over it (zero new scan).
-#    Result-neutrality of the prefix-sum refactor is pinned BIT-EQUAL
-#    against the old global-window formula on the driver corpus
-#    (tests/test_pipeline.py::
-#    test_prefix_sum_layout_bit_equal_to_global_window), their oracle
-#    strings are byte-identical, and both hash-matched the DuckDB oracle
-#    on HEAD at sf0.001 AND sf0.01 (--repeat) this round.
-# 2. dedup_repeated_ngrams: the gram key now honors
-#    SPARK_GRAFT_HASH_FAMILY (round-13 verdict "What's wrong #3"); under
-#    the md5 default the key is the same F.md5 call — but this query's
-#    optimized-plan text is NOT stably comparable (its multi-
-#    countDistinct Expand branches order nondeterministically across
-#    plan constructions: two fresh loads of the UNCHANGED r13 module
-#    already diff), so the identity evidence is the unchanged expression
-#    construction, the byte-identical oracle string, md5-vs-xxhash64
-#    decision-equality pinned on fixture AND real corpus
-#    (tests/test_dedup.py::test_repeated_ngram_families_agree), and a
-#    HEAD hash-match at sf0.001 + sf0.01 --repeat this round.
-# 3. scrub_repeated_ngrams shares _covered_positions with the new span
-#    report; the helper gained family/keep_first parameters at inert
-#    defaults. Verified OPTIMIZED-PLAN-IDENTICAL (normalized #ids)
-#    against the r13 module (2b417ff) and its oracle string is
-#    byte-identical.
-# 4. scrub_repeated_ngrams_text (library, not registered) now propagates
-#    NULL text as NULL (round-13 ADVICE) and offers keep_first=True —
-#    Lee et al.'s keep-one-copy policy, property-tested against a Python
-#    brute force (tests/test_properties.py).
-# 5. Round-14 infra closures (fsio RemoteException anchoring, artifacts
-#    restore-race consumption, write_bucketed condition probes) sit
-#    below every registered plan and are result-neutral; re-certified by
-#    the full-registry --repeat run on final HEAD.
-# the 21 remaining r12-evidenced queries fill the window (the 27 in
-# _SLIPPED_TO_R15 wait one more round):
-_R12_VINTAGE_FILL = [
-    "dedup_incremental", "dedup_ngram_jaccard", "curation_drop_report",
-    "corpus_hash_merge", "corpus_signature_merge",
-    "simhash_fingerprints",
-    "ivf_kmeans_topk", "ivf_kmeans_topk_pruned", "ivf_kmeans_index_build",
-    "ivf_kmeans_recall_at_10", "ivf_kmeans_index_upsert",
-    "ivf_kmeans_recall_upserted",
-    "events_session_30m",
-    "orders_column_profile", "events_value_quantiles",
-    "events_latest_per_user",
-    "scrub_numeric_tokens", "vocab_stats",
-    "training_corpus_stats", "clicks_asof_purchase",
-    "bucketed_segment_revenue",
+# The 32 r13-green queries that wait one more round (exact N-100 cap at
+# 132 registered; every one carries a CORRECTNESS_r13 row, inside the
+# 2-round evidence bound the slip contract requires). Families stay
+# richly in-window: the label-IVF quartet + LSH pair slip while the
+# trained-IVF serving family, the SQ8 pair, knn_bruteforce and the whole
+# round-15 PQ family are in-window; minhash/simhash building blocks slip
+# while neardup_incremental + the merge family are in-window; eight
+# TPC-H q-shapes slip while the 11 leading the window via the r15 slips
+# return; media/doc singles slip with their family siblings in-window.
+_SLIPPED_TO_R16 = [
+    "ann_lsh_topk",
+    "ann_recall_at_10",
+    "dedup_fuzzy_prefix",
+    "distinct_parts_per_supplier",
+    "doc_bigram_novelty",
+    "doc_fingerprint",
+    "events_hourly_rollup",
+    "image_resize_thumbnail",
+    "ivf_centroids",
+    "ivf_index_build",
+    "ivf_recall_at_10",
+    "ivf_topk",
+    "ivf_topk_pruned",
+    "media_feature_extract",
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "neardup_clusters",
+    "neardup_incremental_simhash",
+    "orders_price_moments",
+    "q11_important_parts",
+    "q12_priority_by_returnflag",
+    "q16_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q20_promotion_suppliers",
+    "q21_sole_late_supplier",
+    "q22_rich_inactive_customers",
+    "q4_priority_with_late_ship",
+    "q8_nation_market_share",
+    "scalar_function_gallery",
+    "simhash_near_pairs",
+    "stratified_sample",
 ]
 
-_PRIORITY = _STALE_AFTER_R13 + _CHANGED_THIS_ROUND_R14 + _R12_VINTAGE_FILL
+_NEW_IN_R15 = [
+    # Never driver-evidenced — they MUST debut in-window:
+    # the compressed tier's incremental serving story (round-14 verdict
+    # "What's missing #1": drops PQ-encoded against the PUBLISHED
+    # corpus-split codebooks, probe over main ∪ code segment, BOTH
+    # trainings + both batch assignments replayed in one oracle chain),
+    "ivfpq_topk_upserted",
+    "ivfpq_recall_upserted",
+    # FAISS-style residual encoding (round-14 "What's missing #2":
+    # codebooks trained on x − coarse centroid, ADC adds the exact
+    # centroid term back; recall@10 0.47 → 0.52 at sf0.01, SCALE.md),
+    "ivfpq_residual_topk",
+    "ivfpq_residual_recall_at_10",
+    # and the drift-GATED accept chain (round-14 "What's missing #3":
+    # both gate postures — accept AND reject — certified in one
+    # exact-rational row over the full curation + drift replay).
+    "drift_gated_merge",
+]
+
+# Out-of-window transits, documented (every slot is claimed below; the
+# changed rows this round are all r14-green and re-certified by the
+# full-registry HEAD oracle runs at sf0.001 + sf0.01 --repeat):
+# 1. dedup_semantic: k is now the k∝N dial (kmeans_ivf.semantic_k_for —
+#    round-14 "What's wrong #1"); at every driver SF the dial resolves
+#    to KMEANS_K=16, so training, results and the oracle string are
+#    UNCHANGED — decision equality pinned in tests/test_kmeans_ivf.py::
+#    test_semantic_k_dial_rule_and_decision_equality, HEAD hash-match
+#    at sf0.001 and sf0.01 --repeat this round.
+# 2. drop_drift_report: the round-14 ADVICE zero-split guard (engine
+#    raise_error + oracle error() CTE). The oracle TEXT gains the totg
+#    guard CTE but emits identical values on every populated corpus
+#    (the guard is unreachable there); HEAD hash-match at sf0.001 and
+#    sf0.01 --repeat this round; the refusal itself is pinned in
+#    tests/test_profiling.py::test_drop_drift_report_refuses_empty_split.
+# 3. pq_topk / pq_recall_at_10 / ivfpq_topk / ivfpq_recall_at_10: the
+#    probe body now composes the shared helpers (_route_df/_build_lut/
+#    _lut_adc_rerank) the new upserted/residual rows serve from, and
+#    _pq_training_ctes/_ivfpq_probe_ctes gained src/labels/codes/residual
+#    parameters. All four ORACLE STRINGS verified BYTE-IDENTICAL against
+#    the pre-change module this session (importlib-load of git HEAD);
+#    the engine op sequence is unchanged (same routing relation → member
+#    equi-join → one Arrow ADC pass → shared re-rank) and all four are
+#    HEAD hash-green at sf0.001 + sf0.01 --repeat.
+# 4. train_pq's internal _training_corpus() hook (split/residual arms):
+#    at the registered defaults it selects exactly the pre-change
+#    corpus; params tokens unchanged, so the published artifacts are
+#    byte-compatible and no regeneration occurs.
+# 5. profiling._drift_buckets extraction: drop_drift_report now consumes
+#    the shared histogram core the gate row also uses — identical
+#    expressions, identical plan.
+
+_STALE_AFTER_R14 = [
+    # THE SLIP LIST LEADS (standing protocol): the 27 r12-green queries
+    # declared _SLIPPED_TO_R15 last round — 3 rounds stale at this debut,
+    # the ceil(N/50) bound's edge; nothing older remains.
+    *_SLIPPED_TO_R15,
+    # the five round-15 debuts:
+    *_NEW_IN_R15,
+    # r13-green fill (the stalest remaining evidence; their 32 r13-green
+    # siblings wait one more round in _SLIPPED_TO_R16): the four format
+    # roundtrips, the serving-grade recall + multi-segment probe of the
+    # trained-IVF family, the embedding/text dedup heavies, the
+    # second-drop replay + contamination pricing, the span-packing pair,
+    # the SQ8 pair + exact-kNN baseline, and the image decode row.
+    "parquet_roundtrip",
+    "json_roundtrip",
+    "csv_roundtrip",
+    "schema_evolution_roundtrip",
+    "ivf_kmeans_recall_nprobe4",
+    "ivf_kmeans_topk_upserted2",
+    "dedup_embedding_cosine",
+    "dedup_repeated_ngrams",
+    "scrub_repeated_ngrams",
+    "neardup_incremental",
+    "curation_second_drop_report",
+    "benchmark_contamination",
+    "pack_sequence_spans",
+    "packed_span_fill",
+    "sq8_topk",
+    "sq8_recall_at_10",
+    "knn_bruteforce",
+    "image_decode_stats",
+]
+
+_PRIORITY = _STALE_AFTER_R14
+
 
 # direct indexing: a misspelled rotation name must fail AT IMPORT (the
 # `if n in _ALL` guard silently dropped the typo'd query from its window

@@ -63,6 +63,15 @@ _HASH_SCHEMA = "doc_id long, lang string, content_hash binary"
 # without a batch job. Same element type as the embeddings table.
 _ANN_SCHEMA = "doc_id long, embedding array<float>, label long"
 
+# Streaming PQ-CODE segment rows (round 15 — round-14 verdict ask #6,
+# riding the batch tier's new incremental IVFPQ story): the same kept
+# docs, PQ-ENCODED against the PUBLISHED corpus-split codebooks
+# (operators/pq._assign_pq — encode-without-retrain) alongside their
+# coarse cell, so the COMPRESSED serving path sees a streaming drop too:
+# 8 bytes + a cell id per accepted vector, probe-able by the shared
+# LUT-ADC machinery the moment the micro-batch commits.
+_PQ_SCHEMA = "doc_id long, codes array<long>, label long"
+
 
 def _sig_schema(family: str) -> str:
     """The signature-row schema is FAMILY-DEPENDENT (md5 → hex-string
@@ -232,6 +241,49 @@ class StreamingCuration:
         (kmeans_ivf.kmeans_ivf_serving_view)."""
         return self._accepted("ann_segments", _ANN_SCHEMA, before)
 
+    def pq_segments(self, before: int | None = None) -> DataFrame:
+        """The job's streaming COMPRESSED serving rows — (doc_id, codes,
+        label) of every accepted doc, encoded against the published
+        corpus-split PQ codebooks and labeled by the published
+        corpus-split quantizer at accept time (round 15)."""
+        return self._accepted("pq_segments", _PQ_SCHEMA, before)
+
+    def pq_serving_view(self) -> DataFrame:
+        """THE compressed serving view of an ann-enabled job: the main
+        corpus-split code table (split-trained labels + codes) ∪ this
+        job's accepted streaming code segments, one (vec_id, label,
+        codes) row per vector — exactly the shape
+        ``pq._ivfpq_serving_members`` builds for batch drops, so the
+        shared LUT-ADC probe (``pq._route_df``/``_build_lut``/
+        ``_lut_adc_rerank`` with the published split structures) runs
+        unchanged over a streaming deployment (pinned twin-job-equal to
+        the batch-encoded union in tests)."""
+        if self.ann_sf_dir is None:
+            raise ValueError(
+                "pq_serving_view requires StreamingCuration(ann_sf_dir=...)"
+            )
+        from kafka_connect_storage_cloud_formats_spark.operators.kmeans_ivf import (
+            train_kmeans_quantizer,
+        )
+        from kafka_connect_storage_cloud_formats_spark.operators.pq import train_pq
+
+        assignment, _ = train_kmeans_quantizer(
+            self.spark, self.ann_sf_dir, split="corpus"
+        )
+        codes_df, _ = train_pq(self.spark, self.ann_sf_dir, split="corpus")
+        main = (
+            assignment.select(
+                "vec_id", F.col("cluster").cast("long").alias("label")
+            )
+            .join(codes_df, "vec_id")
+            .select("vec_id", "label", "codes")
+        )
+        return main.unionByName(
+            self.pq_segments().select(
+                F.col("doc_id").alias("vec_id"), "label", "codes"
+            )
+        )
+
     def ann_serving_view(self) -> DataFrame:
         """THE serving view of an ann-enabled job: the main corpus-split
         index ∪ this job's accepted streaming segments, one (vec_id,
@@ -270,6 +322,7 @@ class StreamingCuration:
             ("accepted_sigs", _sig_schema(self.family)),
             ("report", _REPORT_SCHEMA),
             ("ann_segments", _ANN_SCHEMA),
+            ("pq_segments", _PQ_SCHEMA),
         )
 
     def fold_state(self) -> dict[str, int | None]:
@@ -431,12 +484,34 @@ class StreamingCuration:
             .join(kept.withColumnRenamed("doc_id", "vec_id"), "vec_id", "left_semi")
         )
         assigned = assign_to_published_quantizer(self.spark, self.ann_sf_dir, vecs)
-        seg = vecs.join(
-            assigned.select("vec_id", F.col("cluster").cast("long").alias("label")),
-            "vec_id",
-        ).select(F.col("vec_id").alias("doc_id"), "embedding", "label")
+        labels = assigned.select(
+            "vec_id", F.col("cluster").cast("long").alias("label")
+        )
+        seg = vecs.join(labels, "vec_id").select(
+            F.col("vec_id").alias("doc_id"), "embedding", "label"
+        )
         seg.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(self.state_dir, "ann_segments", part)
+        )
+        # the COMPRESSED twin of the segment above (round 15): the same
+        # kept vectors encoded against the published corpus-split PQ
+        # codebooks — one vectorized _assign_pq pass, the batch tier's
+        # own encode-without-retrain kernel, so a streaming drop's codes
+        # are exactly what build_pq_upsert_segment would publish for it
+        from kafka_connect_storage_cloud_formats_spark.operators.pq import (
+            _assign_pq,
+            _collect_pq_matrices,
+            train_pq,
+        )
+
+        _, cents = train_pq(self.spark, self.ann_sf_dir, split="corpus")
+        CB = _collect_pq_matrices(cents)
+        codes = _assign_pq(vecs, CB)
+        pq_seg = codes.join(labels, "vec_id").select(
+            F.col("vec_id").alias("doc_id"), "codes", "label"
+        )
+        pq_seg.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(self.state_dir, "pq_segments", part)
         )
 
 

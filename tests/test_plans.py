@@ -47,6 +47,10 @@ def test_allowed_nested_are_documented_exceptions(spark, sf_dir):
         # round 14: the PQ tiers' recall rows (1-row recall-ratio cross)
         "pq_recall_at_10",
         "ivfpq_recall_at_10",
+        # round 15: the incremental/residual IVFPQ recall rows — the same
+        # standard 1-row recall-ratio cross (their probes are equi-join)
+        "ivfpq_recall_upserted",
+        "ivfpq_residual_recall_at_10",
     }
     assert ALLOWED_SCALAR_CROSS == {
         "q22_rich_inactive_customers",
@@ -54,6 +58,9 @@ def test_allowed_nested_are_documented_exceptions(spark, sf_dir):
         "doc_quality_deciles",
         # round 14: the drift gate's two split totals (1 row)
         "drop_drift_report",
+        # round 15: the gated accept row — 2 posture rows × the 1-row
+        # exact-rational drift terms × the 1-row merged-count aggregate
+        "drift_gated_merge",
     }
     from tools.plan_audit import ALLOWED_CHECKPOINT
 

@@ -192,3 +192,212 @@ def test_pq_recall_row_sane_and_deterministic(spark, sf_dir):
     assert 0.0 < r1["recall"] <= 1.0
     assert r1["hits"] <= r1["possible"]
     assert r1["possible"] == r1["n_queries"] * TOP_K
+
+
+# ------------------------------------------- incremental serving (round 15)
+
+
+def test_pq_upsert_segment_covers_exactly_the_drop(spark, sf_dir):
+    """The published code segment must hold EXACTLY the drop's vectors
+    (the standard modular split), each with codes referencing published
+    SPLIT-codebook cells and the coarse label the published split
+    quantizer assigns — the encode/assign-without-retrain contract."""
+    from kafka_connect_storage_cloud_formats_spark.operators.kmeans_ivf import (
+        UPSERT_MOD,
+        assign_to_published_quantizer,
+    )
+    from kafka_connect_storage_cloud_formats_spark.operators.pq import (
+        build_pq_upsert_segment,
+        train_pq,
+    )
+
+    seg = spark.read.parquet(build_pq_upsert_segment(spark, sf_dir)).collect()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    batch_ids = {
+        r["vec_id"]
+        for r in emb.filter(F.col("vec_id") % UPSERT_MOD == UPSERT_MOD - 1).collect()
+    }
+    assert {r["vec_id"] for r in seg} == batch_ids
+    _, cents = train_pq(spark, sf_dir, split="corpus")
+    valid = [set(labels.tolist()) for labels, _ in _collect_pq_matrices(cents)]
+    expected_cells = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_to_published_quantizer(
+            spark,
+            sf_dir,
+            emb.filter(F.col("vec_id") % UPSERT_MOD == UPSERT_MOD - 1),
+        ).collect()
+    }
+    for r in seg:
+        assert len(r["codes"]) == PQ_M
+        for s, c in enumerate(r["codes"]):
+            assert c in valid[s], (r["vec_id"], s, c)
+        assert int(r["label"]) == expected_cells[r["vec_id"]]
+
+
+def test_ivfpq_upserted_full_probe_equals_lut_full_scan(spark, sf_dir):
+    """At nprobe = k the cell routing prunes nothing, so the upserted
+    probe must serve exactly a NumPy full-scan LUT-ADC replay over the
+    serving view (split codebooks, main ∪ segment codes) + exact
+    re-rank — the full-width invariant of the incremental tier."""
+    from kafka_connect_storage_cloud_formats_spark.operators.kmeans_ivf import (
+        KMEANS_K,
+    )
+    from kafka_connect_storage_cloud_formats_spark.operators.pq import (
+        _ivfpq_serving_members,
+        ivfpq_topk_upserted,
+        train_pq,
+    )
+
+    _, cents = train_pq(spark, sf_dir, split="corpus")
+    CB = _collect_pq_matrices(cents)
+    members = {
+        r["vec_id"]: list(r["codes"])
+        for r in _ivfpq_serving_members(spark, sf_dir).collect()
+    }
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    assert set(members) == set(emb)  # serving view covers every vector once
+    got = {}
+    for r in ivfpq_topk_upserted(spark, sf_dir, nprobe=KMEANS_K).collect():
+        got.setdefault(r["q_id"], []).append(r["neighbor_id"])
+    q_ids = sorted(v for v in emb if v % QUERY_MOD == 0)
+    assert set(got) == set(q_ids)
+    ids = np.array(sorted(members), dtype=np.int64)
+    for q in q_ids:
+        lut = []
+        for s, (labels, M) in enumerate(CB):
+            qs = emb[q][s * PQ_DS : (s + 1) * PQ_DS]
+            lut.append({int(l): float(M[i] @ qs) for i, l in enumerate(labels)})
+        adc = np.array(
+            [sum(lut[s][members[v][s]] for s in range(PQ_M)) for v in ids]
+        )
+        mask = ids != q
+        order = np.lexsort((ids[mask], -adc[mask]))[:RERANK_CANDIDATES]
+        cand = ids[mask][order]
+        qn = np.sqrt(emb[q] @ emb[q])
+        cos = {
+            c: float(emb[c] @ emb[q]) / (np.sqrt(emb[c] @ emb[c]) * qn) for c in cand
+        }
+        expect = sorted(cand, key=lambda c: (-cos[c], c))[:TOP_K]
+        assert got[q] == expect, q
+
+
+def test_ivfpq_upserted_recall_sane(spark, sf_dir):
+    from kafka_connect_storage_cloud_formats_spark.operators.pq import (
+        ivfpq_recall_upserted,
+    )
+
+    rec = ivfpq_recall_upserted(spark, sf_dir).collect()[0]
+    assert 0.0 < rec["recall"] <= 1.0
+    assert rec["possible"] == rec["n_queries"] * TOP_K
+
+
+# ------------------------------------------- residual encoding (round 15)
+
+
+def test_ivfpq_residual_full_probe_matches_numpy_replay(spark, sf_dir):
+    """At nprobe = k the residual probe must serve exactly the NumPy
+    replay of its own contract: approx(v) = dot(q, centroid(cell(v))) +
+    Σ_s LUT_s(residual code) over ALL corpus vectors, then the bounded
+    exact re-rank — pinning the centroid-term ADC semantics end-to-end."""
+    from kafka_connect_storage_cloud_formats_spark.operators.kmeans_ivf import (
+        KMEANS_K,
+        _collect_centroid_matrix,
+        train_kmeans_quantizer,
+    )
+    from kafka_connect_storage_cloud_formats_spark.operators.pq import (
+        ivfpq_residual_topk,
+        train_pq,
+    )
+
+    assignment, cent_long = train_kmeans_quantizer(spark, sf_dir)
+    cells = {r["vec_id"]: r["cluster"] for r in assignment.collect()}
+    labels, M = _collect_centroid_matrix(cent_long)
+    cpos = {int(l): i for i, l in enumerate(labels)}
+    codes_df, cents = train_pq(spark, sf_dir, residual=True)
+    CB = _collect_pq_matrices(cents)
+    codes = {r["vec_id"]: list(r["codes"]) for r in codes_df.collect()}
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    got = {}
+    for r in ivfpq_residual_topk(spark, sf_dir, nprobe=KMEANS_K).collect():
+        got.setdefault(r["q_id"], []).append(r["neighbor_id"])
+    q_ids = sorted(v for v in emb if v % QUERY_MOD == 0)
+    assert set(got) == set(q_ids)
+    ids = np.array(sorted(emb), dtype=np.int64)
+    for q in q_ids:
+        lut = []
+        for s, (slabels, SM) in enumerate(CB):
+            qs = emb[q][s * PQ_DS : (s + 1) * PQ_DS]
+            lut.append({int(l): float(SM[i] @ qs) for i, l in enumerate(slabels)})
+        adc = np.array(
+            [
+                float(emb[q] @ M[cpos[cells[v]]])
+                + sum(lut[s][codes[v][s]] for s in range(PQ_M))
+                for v in ids
+            ]
+        )
+        mask = ids != q
+        order = np.lexsort((ids[mask], -adc[mask]))[:RERANK_CANDIDATES]
+        cand = ids[mask][order]
+        qn = np.sqrt(emb[q] @ emb[q])
+        cos = {
+            c: float(emb[c] @ emb[q]) / (np.sqrt(emb[c] @ emb[c]) * qn) for c in cand
+        }
+        expect = sorted(cand, key=lambda c: (-cos[c], c))[:TOP_K]
+        assert got[q] == expect, q
+
+
+def test_residual_codes_decode_closer_than_raw(spark, sf_dir):
+    """The POINT of residual encoding: mean squared reconstruction error
+    of (centroid + residual-decode) must beat raw-codebook decode — the
+    within-cell budget argument (FAISS IVFPQ §III-C) as a measured fact
+    on the real corpus."""
+    from kafka_connect_storage_cloud_formats_spark.operators.kmeans_ivf import (
+        _collect_centroid_matrix,
+        train_kmeans_quantizer,
+    )
+    from kafka_connect_storage_cloud_formats_spark.operators.pq import train_pq
+
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+
+    def decode(codes_df, cents, base):
+        CB = _collect_pq_matrices(cents)
+        dense = []
+        for labels, M in CB:
+            d = np.full((PQ_KSUB, PQ_DS), np.nan)
+            d[labels] = M
+            dense.append(d)
+        err = 0.0
+        for r in codes_df.collect():
+            v = r["vec_id"]
+            rec = np.concatenate(
+                [dense[s][r["codes"][s]] for s in range(PQ_M)]
+            ) + base.get(v, 0.0)
+            err += float(((emb[v] - rec) ** 2).sum())
+        return err / len(emb)
+
+    raw_codes, raw_cents = train_pq(spark, sf_dir)
+    raw_err = decode(raw_codes, raw_cents, {})
+    assignment, cent_long = train_kmeans_quantizer(spark, sf_dir)
+    labels, M = _collect_centroid_matrix(cent_long)
+    cpos = {int(l): i for i, l in enumerate(labels)}
+    cells = {r["vec_id"]: r["cluster"] for r in assignment.collect()}
+    base = {v: M[cpos[c]] for v, c in cells.items()}
+    res_codes, res_cents = train_pq(spark, sf_dir, residual=True)
+    res_err = decode(res_codes, res_cents, base)
+    assert res_err < raw_err, (res_err, raw_err)

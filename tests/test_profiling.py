@@ -261,3 +261,61 @@ def test_drop_drift_report_refuses_empty_split(spark, tmp_path):
     ).to_parquet(os.path.join(tmp_path, "documents.parquet"))
     with pytest.raises(Exception, match="empty drop split"):
         drop_drift_report(spark, str(tmp_path)).collect()
+
+
+def test_drift_gated_merge_certifies_both_postures(spark, sf_dir):
+    """The gate row (round 15): the production posture ACCEPTS the
+    shipped drop (publishing corpus + kept batch) and the strict posture
+    REJECTS it (publishing the unchanged corpus side); the reported tvd
+    must equal the report row's Σ abs_gap / 2, and the exact-rational
+    decision must agree with an arbitrary-precision Python recompute."""
+    from kafka_connect_storage_cloud_formats_spark.operators.profiling import (
+        DRIFT_TVD_BP_PRODUCTION,
+        DRIFT_TVD_BP_STRICT,
+        _drift_terms,
+        drift_gated_merge,
+        drop_drift_report,
+    )
+
+    rows = {r["posture"]: r.asDict() for r in drift_gated_merge(spark, sf_dir).collect()}
+    assert set(rows) == {"production", "strict"}
+    prod, strict = rows["production"], rows["strict"]
+    assert prod["threshold_bp"] == DRIFT_TVD_BP_PRODUCTION
+    assert strict["threshold_bp"] == DRIFT_TVD_BP_STRICT
+    assert prod["decision"] == "accept"
+    assert strict["decision"] == "reject"
+    # publish semantics: accept = corpus + kept batch, reject = corpus only
+    assert prod["n_published"] == prod["n_corpus"] + prod["n_batch_kept"]
+    assert strict["n_published"] == strict["n_corpus"]
+    assert prod["n_batch_kept"] > 0  # the shipped drop has kept docs
+    # tvd agrees with the report row (Σ abs_gap / 2) and the exact terms
+    report_tvd = (
+        sum(r["abs_gap"] for r in drop_drift_report(spark, sf_dir).collect()) / 2
+    )
+    assert abs(prod["tvd"] - report_tvd) < 1e-12
+    t = _drift_terms(spark, sf_dir).collect()[0]
+    gap, td, tc = int(t["gap_sum"]), int(t["t_drop"]), int(t["t_corpus"])
+    assert int(t["gap_scaled"]) == gap * 10000
+    for row in (prod, strict):
+        expect = "reject" if gap * 10000 > row["threshold_bp"] * 2 * td * tc else "accept"
+        assert row["decision"] == expect
+
+
+def test_ensure_drift_gated_merge_refuses_and_publishes(spark, sf_dir):
+    """The library gate itself: at the strict dial it must REFUSE loudly
+    (raise, publish nothing new); at the production dial it must return
+    exactly the standard merged content-hash generation."""
+    import pytest
+
+    from kafka_connect_storage_cloud_formats_spark.operators.dedup import (
+        ensure_merged_corpus_hashes,
+    )
+    from kafka_connect_storage_cloud_formats_spark.operators.profiling import (
+        DRIFT_TVD_BP_STRICT,
+        ensure_drift_gated_merge,
+    )
+
+    with pytest.raises(ValueError, match="drop refused"):
+        ensure_drift_gated_merge(spark, sf_dir, max_tvd_bp=DRIFT_TVD_BP_STRICT)
+    path = ensure_drift_gated_merge(spark, sf_dir)
+    assert path == ensure_merged_corpus_hashes(spark, sf_dir)

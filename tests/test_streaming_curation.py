@@ -180,6 +180,7 @@ def test_fold_state_preserves_content_and_refold_is_noop(spark, tmp_path):
         "accepted_sigs": 1,
         "report": 1,
         "ann_segments": None,  # kind folds unconditionally; empty here
+        "pq_segments": None,  # same (round 15 — no ann stage in this job)
     }
     assert _snapshot(cur) == before
     assert cur.fold_state() == folded  # re-fold: nothing new → no-op
@@ -414,6 +415,112 @@ def test_streaming_ann_segments_twin_of_batch_drops(spark, tmp_path, sf_dir):
 
     rcs(spark, stream, state, ckpt, ann_sf_dir=sf_dir)
     assert sorted(map(tuple, cur.ann_segments().collect())) == before
+
+
+def test_streaming_pq_segments_twin_of_batch_encode(spark, tmp_path, sf_dir):
+    """The COMPRESSED segment kind (round 15): a stream of 2 batches
+    publishes exactly the PQ codes the batch tier's encode-without-
+    retrain would emit for the same kept vectors (same published
+    corpus-split codebooks, same _assign_pq kernel), labeled by the same
+    published coarse assignment; the compressed serving view equals the
+    hand-built batch-side union; rerun over the checkpoint is a no-op."""
+    from kafka_connect_storage_cloud_formats_spark.operators.kmeans_ivf import (
+        assign_to_published_quantizer,
+    )
+    from kafka_connect_storage_cloud_formats_spark.operators.pq import (
+        _assign_pq,
+        _collect_pq_matrices,
+        train_pq,
+    )
+
+    cur, state, ckpt, src = _drive_ann(spark, tmp_path, sf_dir, subdir="pqseg")
+    segs = cur.pq_segments().collect()
+    assert sorted(r["doc_id"] for r in segs) == [1, 3, 5, 13]
+    _, cents = train_pq(spark, sf_dir, split="corpus")
+    CB = _collect_pq_matrices(cents)
+    expected_codes, expected_cells = {}, {}
+    for batch, keeps in ((BATCH1, {1, 3, 5}), (BATCH2, {13})):
+        vecs = spark.createDataFrame(
+            [(d, _emb(d)) for d, _, _ in batch if d in keeps],
+            "vec_id long, embedding array<float>",
+        )
+        expected_codes.update(
+            {r["vec_id"]: tuple(r["codes"]) for r in _assign_pq(vecs, CB).collect()}
+        )
+        expected_cells.update(
+            {
+                r["vec_id"]: r["cluster"]
+                for r in assign_to_published_quantizer(spark, sf_dir, vecs).collect()
+            }
+        )
+    assert {r["doc_id"]: tuple(r["codes"]) for r in segs} == expected_codes
+    assert {r["doc_id"]: r["label"] for r in segs} == expected_cells
+    # the compressed serving view = main split codes ∪ the streaming segments
+    view = {
+        r["vec_id"]: (r["label"], tuple(r["codes"]))
+        for r in cur.pq_serving_view().collect()
+    }
+    from kafka_connect_storage_cloud_formats_spark.operators.kmeans_ivf import (
+        train_kmeans_quantizer,
+    )
+
+    assignment, _ = train_kmeans_quantizer(spark, sf_dir, split="corpus")
+    codes_df, _ = train_pq(spark, sf_dir, split="corpus")
+    main = {
+        r["vec_id"]: (r["cluster"], tuple(r["codes"]))
+        for r in assignment.join(codes_df, "vec_id").collect()
+    }
+    expect_view = dict(main)
+    for d in (1, 3, 5, 13):
+        expect_view[d] = (expected_cells[d], expected_codes[d])
+    assert view == expect_view
+    # rerun over the same checkpoint: no new batches, pq state unchanged
+    before = sorted((r["doc_id"], tuple(r["codes"]), r["label"]) for r in segs)
+    stream = (
+        spark.readStream.schema(ANN_DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    from kafka_connect_storage_cloud_formats_spark.streaming.curation import (
+        run_curation_stream as rcs,
+    )
+
+    rcs(spark, stream, state, ckpt, ann_sf_dir=sf_dir)
+    assert (
+        sorted((r["doc_id"], tuple(r["codes"]), r["label"]) for r in cur.pq_segments().collect())
+        == before
+    )
+
+
+def test_streaming_pq_fold_and_replay_invariants(spark, tmp_path, sf_dir):
+    """The pq kind folds on the same schedule and invariants as every
+    other kind: fold preserves rows, never folds the newest batch,
+    refold is a no-op, and a replay of the newest batch rewrites its
+    code segment byte-identically against the folded state."""
+    cur, state, ckpt, src = _drive_ann(spark, tmp_path, sf_dir, subdir="pqfold")
+    before = sorted(
+        (r["doc_id"], tuple(r["codes"]), r["label"])
+        for r in cur.pq_segments().collect()
+    )
+    ids = cur.fold_state()
+    assert ids["pq_segments"] == 0  # batch 1 is newest → only batch 0 folds
+    now = sorted(
+        (r["doc_id"], tuple(r["codes"]), r["label"])
+        for r in cur.pq_segments().collect()
+    )
+    assert now == before
+    assert cur.fold_state()["pq_segments"] == 0  # refold no-op
+    b2 = spark.createDataFrame(
+        [(d, t, l, _emb(d)) for d, t, l in BATCH2], ANN_DOC_SCHEMA
+    )
+    cur.process_batch(b2, 1)
+    assert (
+        sorted(
+            (r["doc_id"], tuple(r["codes"]), r["label"])
+            for r in cur.pq_segments().collect()
+        )
+        == before
+    )
 
 
 def test_streaming_ann_fold_and_replay_invariants(spark, tmp_path, sf_dir):

@@ -70,6 +70,10 @@ ALLOWED_NESTED = {
     # recall-ratio cross (pq_topk/ivfpq_topk are equi-join only, like sq8)
     "pq_recall_at_10",
     "ivfpq_recall_at_10",
+    # round 15: the incremental/residual IVFPQ recall rows — same 1-row
+    # recall-ratio cross (their probes stay equi-join only)
+    "ivfpq_recall_upserted",
+    "ivfpq_residual_recall_at_10",
 }
 
 # Queries that fold a GLOBAL SCALAR into the plan via crossJoin(broadcast(
@@ -81,6 +85,9 @@ ALLOWED_SCALAR_CROSS = {
     "q11_important_parts",  # avg(part_value) threshold
     "doc_quality_deciles",  # 9 percentile_disc boundaries, 1 row
     "drop_drift_report",  # the two split totals, 1 row (round 14)
+    # round 15: the gated accept row — 2 posture rows × 1-row exact-
+    # rational drift terms × 1-row merged-count aggregate, all bounded
+    "drift_gated_merge",
 }
 
 # Queries whose plan legitimately embeds a pre-materialized block
