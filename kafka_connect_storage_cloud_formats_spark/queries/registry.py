@@ -409,10 +409,10 @@ _NEW_IN_R15 = [
 #    _lut_adc_rerank) the new upserted/residual rows serve from, and
 #    _pq_training_ctes/_ivfpq_probe_ctes gained src/labels/codes/residual
 #    parameters. All four ORACLE STRINGS verified BYTE-IDENTICAL against
-#    the pre-change module this session (importlib-load of git HEAD);
-#    the engine op sequence is unchanged (same routing relation → member
-#    equi-join → one Arrow ADC pass → shared re-rank) and all four are
-#    HEAD hash-green at sf0.001 + sf0.01 --repeat.
+#    the pre-change module this session (importlib-load of git HEAD),
+#    and all four engine plans verified OPTIMIZED-PLAN-IDENTICAL
+#    (normalized #ids) against the pre-refactor module in one session —
+#    plus HEAD hash-green at sf0.001 + sf0.01 --repeat.
 # 4. train_pq's internal _training_corpus() hook (split/residual arms):
 #    at the registered defaults it selects exactly the pre-change
 #    corpus; params tokens unchanged, so the published artifacts are
