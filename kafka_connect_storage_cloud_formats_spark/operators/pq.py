@@ -204,34 +204,23 @@ def _collect_pq_matrices(cent_long: DataFrame) -> list:
     return CB
 
 
-def _residualize(
-    spark: SparkSession, sf_dir: str, vectors: DataFrame
+def _residualize_with(
+    vectors: DataFrame, assignment: DataFrame, labels, M
 ) -> DataFrame:
-    """(vec_id, embedding) → (vec_id, embedding = x − c(x)) where c(x) is
-    the published centroid of x's TRAINED coarse cell (the whole-corpus
-    quantizer — the same pair of artifacts ``ivfpq_residual_topk`` routes
-    by, so training geometry and serving geometry agree by construction).
-
-    This is FAISS IVFPQ's defining trick (Jégou et al. 2011 §III-C):
-    within a cell, vectors share the centroid's direction, so quantizing
-    the residual spends the 8-byte code budget on the part that actually
-    distinguishes cell-mates instead of re-encoding the coarse direction
-    PQ_M times. One vectorized mapInPandas pass with the k×d centroid
-    matrix as a captured constant; the subtraction is row-local IEEE
-    (double(x_d) − centroid_d, exactly the oracle's ``CAST(e[i] AS
-    DOUBLE) − u.centroid``), so residuals are bit-identical on every
-    partitioning."""
+    """(vec_id, embedding) → (vec_id, embedding = x − c(x)) against an
+    EXPLICIT cell assignment and centroid matrix — the shared kernel of
+    training-corpus residuals (assignment = the trained final assign)
+    and drop residuals (assignment = the published quantizer's
+    assign-without-retrain pass). One vectorized mapInPandas pass with
+    the k×d centroid matrix as a captured constant; the subtraction is
+    row-local IEEE (double(x_d) − centroid_d, exactly the oracle's
+    ``CAST(e[i] AS DOUBLE) − u.centroid``), so residuals are
+    bit-identical on every partitioning."""
     import numpy as np
     import pandas as pd
 
     from kafka_connect_storage_cloud_formats_spark.functions.vectors import _stack64
-    from kafka_connect_storage_cloud_formats_spark.operators.kmeans_ivf import (
-        _collect_centroid_matrix,
-        train_kmeans_quantizer,
-    )
 
-    assignment, cent_long = train_kmeans_quantizer(spark, sf_dir)
-    labels, M = _collect_centroid_matrix(cent_long)
     pos = {int(l): i for i, l in enumerate(labels)}
 
     def run(batches):
@@ -255,6 +244,30 @@ def _residualize(
     )
 
 
+def _residualize(
+    spark: SparkSession, sf_dir: str, vectors: DataFrame, split: str | None = None
+) -> DataFrame:
+    """Training-corpus residuals: x − the published centroid of x's
+    TRAINED coarse cell (the ``split`` arm's quantizer — whole-corpus for
+    the plain residual row, corpus-split for the upserted family — the
+    same pair of artifacts the matching probe routes by, so training
+    geometry and serving geometry agree by construction).
+
+    This is FAISS IVFPQ's defining trick (Jégou et al. 2011 §III-C):
+    within a cell, vectors share the centroid's direction, so quantizing
+    the residual spends the 8-byte code budget on the part that actually
+    distinguishes cell-mates instead of re-encoding the coarse direction
+    PQ_M times."""
+    from kafka_connect_storage_cloud_formats_spark.operators.kmeans_ivf import (
+        _collect_centroid_matrix,
+        train_kmeans_quantizer,
+    )
+
+    assignment, cent_long = train_kmeans_quantizer(spark, sf_dir, split=split)
+    labels, M = _collect_centroid_matrix(cent_long)
+    return _residualize_with(vectors, assignment, labels, M)
+
+
 def train_pq(
     spark: SparkSession,
     sf_dir: str,
@@ -275,10 +288,12 @@ def train_pq(
     WITHOUT retraining (:func:`build_pq_upsert_segment`); its own params
     token, mirroring the coarse quantizer's split family.
     ``residual=True`` trains on coarse-cell residuals
-    (:func:`_residualize`) — the FAISS IVFPQ encoding; rejected together
-    with ``split`` until the residual upsert story lands (a drop's
-    residual needs the published split quantizer's centroid, a distinct
-    derivation that must get its own token when built)."""
+    (:func:`_residualize`) — the FAISS IVFPQ encoding; combined with
+    ``split`` the residuals subtract the SPLIT quantizer's centroids
+    (the published-at-indexing-time geometry a drop is later
+    residual-encoded against — the params token embeds the split
+    quantizer's own token, so the two residual families can never be
+    served for each other)."""
     import numpy as np
 
     from kafka_connect_storage_cloud_formats_spark.artifacts import (
@@ -288,13 +303,6 @@ def train_pq(
 
     if split not in (None, "corpus"):
         raise ValueError(f"split must be None or 'corpus', got {split!r}")
-    if residual and split is not None:
-        raise ValueError(
-            "residual PQ training over the corpus split is not implemented: "
-            "a drop's residual must subtract the PUBLISHED split quantizer's "
-            "centroid (its own artifact family) — train whole-corpus residual "
-            "(residual=True) or split raw (split='corpus')"
-        )
     params = pq_params_token(split=split, residual=residual)
     codes_path = artifact_path("pq_codes", sf_dir, "embeddings", params=params, spark=spark)
     cents_path = artifact_path("pq_cents", sf_dir, "embeddings", params=params, spark=spark)
@@ -304,7 +312,7 @@ def train_pq(
         if split == "corpus":
             c = c.filter(F.col("vec_id") % UPSERT_MOD != UPSERT_MOD - 1)
         if residual:
-            c = _residualize(spark, sf_dir, c)
+            c = _residualize(spark, sf_dir, c, split=split)
         return c
 
     def build_codes(tmp: str) -> None:
@@ -639,7 +647,7 @@ def ivfpq_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def build_pq_upsert_segment(
-    spark: SparkSession, sf_dir: str, force: bool = False
+    spark: SparkSession, sf_dir: str, force: bool = False, residual: bool = False
 ) -> str:
     """Materialize the per-drop PQ-CODE segment: the batch's vectors
     (vec_id % UPSERT_MOD == MOD-1, the standard drop split) PQ-encoded
@@ -651,20 +659,28 @@ def build_pq_upsert_segment(
     IVF upsert segment. Content-keyed with the split codebooks' own
     params token plus the drop infix — a segment can never be served
     against a different codebook generation (params-keyed staleness,
-    same doctrine as every merged generation)."""
+    same doctrine as every merged generation).
+
+    ``residual=True`` (the FAISS operating point): the drop is first
+    residualized against the cell the PUBLISHED split quantizer assigns
+    it to (x − c_published(x) — :func:`_residualize_with` over the
+    assign-without-retrain pass), then encoded with the published split
+    RESIDUAL codebooks; its own params token via the residual family."""
     from kafka_connect_storage_cloud_formats_spark.artifacts import (
         artifact_path,
         ensure_artifact,
     )
     from kafka_connect_storage_cloud_formats_spark.operators.kmeans_ivf import (
+        _collect_centroid_matrix,
         assign_to_published_quantizer,
+        train_kmeans_quantizer,
     )
 
     path = artifact_path(
         "pq_upsert",
         sf_dir,
         "embeddings",
-        params=pq_params_token(split="corpus") + "b",
+        params=pq_params_token(split="corpus", residual=residual) + "b",
         spark=spark,
     )
 
@@ -674,10 +690,15 @@ def build_pq_upsert_segment(
             .select("vec_id", "embedding")
             .filter(F.col("vec_id") % UPSERT_MOD == UPSERT_MOD - 1)
         )
-        _, cents = train_pq(spark, sf_dir, split="corpus")
+        _, cents = train_pq(spark, sf_dir, split="corpus", residual=residual)
         CB = _collect_pq_matrices(cents)
-        codes = _assign_pq(batch, CB)
         assigned = assign_to_published_quantizer(spark, sf_dir, batch)
+        enc_input = batch
+        if residual:
+            _, kcent_long = train_kmeans_quantizer(spark, sf_dir, split="corpus")
+            klabels, KM = _collect_centroid_matrix(kcent_long)
+            enc_input = _residualize_with(batch, assigned, klabels, KM)
+        codes = _assign_pq(enc_input, CB)
         codes.join(
             assigned.select("vec_id", F.col("cluster").alias("label")), "vec_id"
         ).write.partitionBy("label").parquet(tmp)
@@ -686,7 +707,9 @@ def build_pq_upsert_segment(
     return path
 
 
-def _ivfpq_serving_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivfpq_serving_members(
+    spark: SparkSession, sf_dir: str, residual: bool = False
+) -> DataFrame:
     """The compressed SERVING view between re-indexings: (vec_id, label,
     codes) of the corpus-split main codes (labels from the split
     quantizer's trained assignment) ∪ the published per-drop code
@@ -700,15 +723,15 @@ def _ivfpq_serving_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     assignment, _ = train_kmeans_quantizer(spark, sf_dir, split="corpus")
-    codes_df, _ = train_pq(spark, sf_dir, split="corpus")
+    codes_df, _ = train_pq(spark, sf_dir, split="corpus", residual=residual)
     main = (
         assignment.select("vec_id", F.col("cluster").cast("long").alias("label"))
         .join(codes_df, "vec_id")
         .select("vec_id", "label", "codes")
     )
-    seg = published_df(spark, build_pq_upsert_segment(spark, sf_dir)).select(
-        "vec_id", F.col("label").cast("long").alias("label"), "codes"
-    )
+    seg = published_df(
+        spark, build_pq_upsert_segment(spark, sf_dir, residual=residual)
+    ).select("vec_id", F.col("label").cast("long").alias("label"), "codes")
     return main.unionByName(seg)
 
 
@@ -811,6 +834,51 @@ def ivfpq_residual_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
     (uncompressed, same cells): the three operating points of the
     compression ladder at one probe budget."""
     return _recall_vs_truth(spark, sf_dir, ivfpq_residual_topk(spark, sf_dir))
+
+
+def ivfpq_residual_topk_upserted(
+    spark: SparkSession, sf_dir: str, nprobe: int | None = None
+) -> DataFrame:
+    """The COMPLETE FAISS operating point for continuous ingest —
+    residual encoding × incremental serving: the published corpus-split
+    structures are the split coarse quantizer AND split RESIDUAL
+    codebooks; the drop is coarse-assigned without retraining,
+    residualized against its published cell centroid, residual-encoded
+    against the published residual codebooks, and served from (main
+    residual codes ∪ residual code segment) with the centroid-term ADC.
+    This is the row a deployment that wants BOTH the recall of residual
+    encoding and drop-freshness between re-indexings actually runs.
+    Oracle: split coarse training + split residuals + split residual-PQ
+    training + batch coarse assignment + batch residualization + batch
+    residual encode + both unions + centroid-term LUT ADC + exact
+    re-rank in ONE WITH-chain."""
+    from kafka_connect_storage_cloud_formats_spark.operators.kmeans_ivf import (
+        SERVING_NPROBE,
+        _collect_centroid_matrix,
+        train_kmeans_quantizer,
+    )
+
+    if nprobe is None:
+        nprobe = SERVING_NPROBE
+    base = _load(spark, sf_dir).select("vec_id", "embedding")
+    q_ids, Qm = _collect_query_matrix(base, None)
+    _, cent_long = train_kmeans_quantizer(spark, sf_dir, split="corpus")
+    labels, M = _collect_centroid_matrix(cent_long)
+    route = _route_df(spark, q_ids, Qm, labels, M, nprobe, with_qc=True)
+    _, cents = train_pq(spark, sf_dir, split="corpus", residual=True)
+    CB = _collect_pq_matrices(cents)
+    LUT = _build_lut(q_ids, Qm, CB)
+    members = _ivfpq_serving_members(spark, sf_dir, residual=True)
+    return _lut_adc_rerank(spark, sf_dir, route, members, LUT, q_ids, with_qc=True)
+
+
+def ivfpq_residual_recall_upserted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the residual upserted path — completes the 2×2
+    serving matrix (raw/residual × whole-corpus/upserted) so the
+    operating points are directly comparable in one registered family."""
+    return _recall_vs_truth(
+        spark, sf_dir, ivfpq_residual_topk_upserted(spark, sf_dir)
+    )
 
 
 # ------------------------------------------------------------ DuckDB oracles
@@ -1132,7 +1200,7 @@ FROM tot, h
     return bf, tail
 
 
-def _pq_batch_encode_ctes(pfi: int) -> str:
+def _pq_batch_encode_ctes(pfi: int, src: str = "embeddings", filtered: bool = True) -> str:
     """The drop's ENCODE-WITHOUT-RETRAIN replay: per subspace, every batch
     vector (the standard ``vec_id % UPSERT_MOD == MOD-1`` drop split)
     assigned to its nearest PUBLISHED split-codebook entry ``p{s}ua`` by
@@ -1140,15 +1208,20 @@ def _pq_batch_encode_ctes(pfi: int) -> str:
     (ties to the lowest code — term-for-term the engine's ``_assign_pq``
     against the collected split codebooks), then the ``sc{s}`` serving
     unions: main corpus codes (the split training's final assignment) ∪
-    batch codes — the compressed serving view's code side."""
+    batch codes — the compressed serving view's code side. ``src`` names
+    the batch-vector relation and ``filtered=False`` drops the modular
+    WHERE (the residual-upserted oracle passes the pre-filtered
+    ``bresid`` residual relation); defaults emit byte-identical text."""
+    where = (
+        f"\n  WHERE e.vec_id % {UPSERT_MOD} = {UPSERT_MOD - 1}" if filtered else ""
+    )
     parts = []
     for s in range(PQ_M):
         o = s * PQ_DS
         parts.append(
             f"""bq{s}s AS (
   SELECT e.vec_id, a.label, {_sql_sqdist('e.embedding', 'a.c_emb', o)} AS d2
-  FROM embeddings e, p{s}ua a
-  WHERE e.vec_id % {UPSERT_MOD} = {UPSERT_MOD - 1}),
+  FROM {src} e, p{s}ua a{where}),
 bq{s}cl AS (
   SELECT vec_id, label AS code FROM (
     SELECT vec_id, label,
@@ -1205,12 +1278,14 @@ WITH {_sql_base()},
 {tail}"""
 
 
-def _resid_cte(kfi: int) -> str:
-    """Every corpus vector's COARSE-CELL RESIDUAL as a double list —
-    x − centroid(cell(x)) over the replayed whole-corpus training's final
+def _resid_cte(kfi: int, src: str = "embeddings") -> str:
+    """Every training-corpus vector's COARSE-CELL RESIDUAL as a double
+    list — x − centroid(cell(x)) over the replayed training's final
     assignment ``cl{kfi}`` and serving centroids ``u{kfi}``, exactly the
     engine's ``_residualize`` subtraction (CAST(e[i] AS DOUBLE) −
-    centroid, row-local IEEE).
+    centroid, row-local IEEE). ``src`` names the training corpus (the
+    residual-upserted oracle passes ``emb_corpus``; default byte-
+    identical to the pre-parameter text).
 
     MATERIALIZED, necessarily: the PQ training chain references ``resid``
     ~8·(iters+1)·2 times, and DuckDB inlines plain CTEs — each reference
@@ -1222,9 +1297,23 @@ def _resid_cte(kfi: int) -> str:
     return f"""resid AS MATERIALIZED (
   SELECT e.vec_id,
          list(CAST(e.embedding[u.dim + 1] AS DOUBLE) - u.centroid ORDER BY u.dim) AS embedding
-  FROM embeddings e
+  FROM {src} e
   JOIN cl{kfi} cl ON cl.vec_id = e.vec_id
   JOIN u{kfi} u ON u.label = cl.cluster
+  GROUP BY e.vec_id)"""
+
+
+def _bresid_cte(kfi: int) -> str:
+    """The DROP's residuals: x − the published split centroid of the cell
+    the batch assignment (``upa``) routes it to — the engine's
+    ``_residualize_with(batch, assigned, …)`` pass, term-for-term.
+    MATERIALIZED for the same inlining-blow-up reason as ``resid``."""
+    return f"""bresid AS MATERIALIZED (
+  SELECT e.vec_id,
+         list(CAST(e.embedding[u.dim + 1] AS DOUBLE) - u.centroid ORDER BY u.dim) AS embedding
+  FROM embeddings e
+  JOIN upa a ON a.vec_id = e.vec_id
+  JOIN u{kfi} u ON u.label = a.label
   GROUP BY e.vec_id)"""
 
 
@@ -1268,6 +1357,46 @@ WITH {_sql_base()},
 {tail}"""
 
 
+def _ivfpq_residual_upserted_ctes(nprobe: int) -> str:
+    """The residual-upserted serving path's full replay (everything after
+    base/q, through ``ipranked``): split coarse training + batch
+    assignment + serving-label union (the shared kmeans_ivf prologue),
+    split-corpus residuals + residual PQ training, batch residualization
+    + batch residual encode + serving-code unions, then the
+    centroid-term LUT-ADC probe over both unions — shared by the topk
+    and recall builders."""
+    from kafka_connect_storage_cloud_formats_spark.operators.kmeans_ivf import (
+        _upserted_serving_ctes,
+    )
+
+    serving, kfi = _upserted_serving_ctes()
+    ptrain, pfi = _pq_training_ctes(src="resid")
+    return f"""{serving},
+{_resid_cte(kfi, src="emb_corpus")},
+{ptrain},
+{_bresid_cte(kfi)},
+{_pq_batch_encode_ctes(pfi, src="bresid", filtered=False)},
+{_ivfpq_probe_ctes(kfi, pfi, nprobe, labels_rel="serving_labels", codes_rel="sc{s}", residual=True)}"""
+
+
+def _ivfpq_residual_upserted_topk_sql(nprobe: int) -> str:
+    return f"""
+WITH {_sql_base()},
+{_ivfpq_residual_upserted_ctes(nprobe)}
+SELECT q_id, neighbor_id, cosine, rank FROM ipranked WHERE rank <= {TOP_K}
+ORDER BY q_id, rank
+"""
+
+
+def _ivfpq_residual_upserted_recall_sql(nprobe: int) -> str:
+    bf, tail = _bf_and_recall_tail("ipqru")
+    return f"""
+WITH {_sql_base()},
+{bf},
+{_ivfpq_residual_upserted_ctes(nprobe)},
+{tail}"""
+
+
 PQ_TOPK_SQL = _pq_topk_sql()
 PQ_RECALL_SQL = _pq_recall_sql()
 
@@ -1286,6 +1415,10 @@ IVFPQ_UPSERTED_TOPK_SQL = _ivfpq_upserted_topk_sql(_serving_nprobe())
 IVFPQ_UPSERTED_RECALL_SQL = _ivfpq_upserted_recall_sql(_serving_nprobe())
 IVFPQ_RESIDUAL_TOPK_SQL = _ivfpq_residual_topk_sql(_serving_nprobe())
 IVFPQ_RESIDUAL_RECALL_SQL = _ivfpq_residual_recall_sql(_serving_nprobe())
+IVFPQ_RESIDUAL_UPSERTED_TOPK_SQL = _ivfpq_residual_upserted_topk_sql(_serving_nprobe())
+IVFPQ_RESIDUAL_UPSERTED_RECALL_SQL = _ivfpq_residual_upserted_recall_sql(
+    _serving_nprobe()
+)
 
 PQ_QUERIES = {
     "pq_topk": (pq_topk, PQ_TOPK_SQL),
@@ -1304,5 +1437,15 @@ PQ_QUERIES = {
     "ivfpq_residual_recall_at_10": (
         ivfpq_residual_recall_at_10,
         IVFPQ_RESIDUAL_RECALL_SQL,
+    ),
+    # round 15: residual × incremental — the complete FAISS operating
+    # point for continuous ingest (2×2 serving matrix closed)
+    "ivfpq_residual_topk_upserted": (
+        ivfpq_residual_topk_upserted,
+        IVFPQ_RESIDUAL_UPSERTED_TOPK_SQL,
+    ),
+    "ivfpq_residual_recall_upserted": (
+        ivfpq_residual_recall_upserted,
+        IVFPQ_RESIDUAL_UPSERTED_RECALL_SQL,
     ),
 }

@@ -286,13 +286,13 @@ _ALL = {
 # its window assertion off this constant).
 ROTATED_FOR_ROUND = 15
 
-# WINDOW-CAPACITY NOTE (round 15): 132 registered queries (the round-15
-# incremental-IVFPQ pair, residual-IVFPQ pair and drift-gated-merge rows
-# join). The guarantee is ceil(N/50)=3-rounds max staleness via rotation,
+# WINDOW-CAPACITY NOTE (round 15): 134 registered queries (the round-15
+# incremental-IVFPQ pair, residual-IVFPQ pair, residual×incremental pair
+# and drift-gated-merge rows join). The guarantee is ceil(N/50)=3-rounds max staleness via rotation,
 # every new query debuts in-window, and EVERY query is re-certified on
 # HEAD each round by the full-registry oracle run
 # (tools/check_correctness.py --repeat — a standing round gate). The 32
-# that slip to r16 (the exact N-100 cap) are stable r13-green shapes
+# that slip to r16 (the exact N-100 cap at 134) are stable r13-green shapes
 # whose families stay richly in-window (see the list's own notes).
 _SLIPPED_TO_R15 = [
     # (consumed by this rotation — the 27 r12-green queries lead the r15
@@ -326,8 +326,8 @@ _SLIPPED_TO_R15 = [
     "salted_cohort_activity",
 ]
 
-# The 32 r13-green queries that wait one more round (exact N-100 cap at
-# 132 registered; every one carries a CORRECTNESS_r13 row, inside the
+# The 34 r13-green queries that wait one more round (exact N-100 cap at
+# 134 registered; every one carries a CORRECTNESS_r13 row, inside the
 # 2-round evidence bound the slip contract requires). Families stay
 # richly in-window: the label-IVF quartet + LSH pair slip while the
 # trained-IVF serving family, the SQ8 pair, knn_bruteforce and the whole
@@ -336,6 +336,12 @@ _SLIPPED_TO_R15 = [
 # TPC-H q-shapes slip while the 11 leading the window via the r15 slips
 # return; media/doc singles slip with their family siblings in-window.
 _SLIPPED_TO_R16 = [
+    # (+2 displaced by the residual-upserted pair's in-window debut:
+    # knn_bruteforce — its exact baseline is consumed by every in-window
+    # recall row's ground-truth artifact anyway — and image_decode_stats,
+    # whose media family is r14-green via video_scene_cuts)
+    "knn_bruteforce",
+    "image_decode_stats",
     "ann_lsh_topk",
     "ann_recall_at_10",
     "dedup_fuzzy_prefix",
@@ -387,6 +393,13 @@ _NEW_IN_R15 = [
     # both gate postures — accept AND reject — certified in one
     # exact-rational row over the full curation + drift replay).
     "drift_gated_merge",
+    # ... and the residual × incremental COMPOSITION — the complete FAISS
+    # operating point for continuous ingest (split residual codebooks,
+    # drops residualized against their published cell then
+    # residual-encoded, centroid-term ADC over the code-segment union),
+    # closing the 2×2 serving matrix:
+    "ivfpq_residual_topk_upserted",
+    "ivfpq_residual_recall_upserted",
 ]
 
 # Out-of-window transits, documented (every slot is claimed below; the
@@ -450,8 +463,6 @@ _STALE_AFTER_R14 = [
     "packed_span_fill",
     "sq8_topk",
     "sq8_recall_at_10",
-    "knn_bruteforce",
-    "image_decode_stats",
 ]
 
 _PRIORITY = _STALE_AFTER_R14

@@ -51,6 +51,7 @@ def test_allowed_nested_are_documented_exceptions(spark, sf_dir):
         # standard 1-row recall-ratio cross (their probes are equi-join)
         "ivfpq_recall_upserted",
         "ivfpq_residual_recall_at_10",
+        "ivfpq_residual_recall_upserted",
     }
     assert ALLOWED_SCALAR_CROSS == {
         "q22_rich_inactive_customers",

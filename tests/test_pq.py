@@ -357,6 +357,90 @@ def test_ivfpq_residual_full_probe_matches_numpy_replay(spark, sf_dir):
         assert got[q] == expect, q
 
 
+def test_ivfpq_residual_upserted_full_probe_matches_numpy_replay(spark, sf_dir):
+    """The residual × incremental composition at nprobe = k: the probe
+    must serve exactly the NumPy replay of approx(v) = dot(q,
+    split-centroid(cell(v))) + Σ_s LUT_s(residual code) over the SERVING
+    view (split residual codes ∪ residual segment), where the segment's
+    cells/codes come from the published split structures — pinning the
+    whole encode-without-retrain residual path end-to-end."""
+    from kafka_connect_storage_cloud_formats_spark.operators.kmeans_ivf import (
+        KMEANS_K,
+        UPSERT_MOD,
+        _collect_centroid_matrix,
+        assign_to_published_quantizer,
+        train_kmeans_quantizer,
+    )
+    from kafka_connect_storage_cloud_formats_spark.operators.pq import (
+        _ivfpq_serving_members,
+        ivfpq_residual_topk_upserted,
+        train_pq,
+    )
+
+    emb_df = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb_df.collect()
+    }
+    members = {
+        r["vec_id"]: (r["label"], list(r["codes"]))
+        for r in _ivfpq_serving_members(spark, sf_dir, residual=True).collect()
+    }
+    assert set(members) == set(emb)  # serving view covers every vector once
+    # segment cells must equal the published split quantizer's assignment
+    batch = emb_df.filter(F.col("vec_id") % UPSERT_MOD == UPSERT_MOD - 1)
+    expected_cells = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_to_published_quantizer(spark, sf_dir, batch).collect()
+    }
+    for v, c in expected_cells.items():
+        assert members[v][0] == c
+    _, cent_long = train_kmeans_quantizer(spark, sf_dir, split="corpus")
+    labels, M = _collect_centroid_matrix(cent_long)
+    cpos = {int(l): i for i, l in enumerate(labels)}
+    _, cents = train_pq(spark, sf_dir, split="corpus", residual=True)
+    CB = _collect_pq_matrices(cents)
+    got = {}
+    for r in ivfpq_residual_topk_upserted(spark, sf_dir, nprobe=KMEANS_K).collect():
+        got.setdefault(r["q_id"], []).append(r["neighbor_id"])
+    q_ids = sorted(v for v in emb if v % QUERY_MOD == 0)
+    assert set(got) == set(q_ids)
+    ids = np.array(sorted(members), dtype=np.int64)
+    for q in q_ids:
+        lut = []
+        for s, (slabels, SM) in enumerate(CB):
+            qs = emb[q][s * PQ_DS : (s + 1) * PQ_DS]
+            lut.append({int(l): float(SM[i] @ qs) for i, l in enumerate(slabels)})
+        adc = np.array(
+            [
+                float(emb[q] @ M[cpos[members[v][0]]])
+                + sum(lut[s][members[v][1][s]] for s in range(PQ_M))
+                for v in ids
+            ]
+        )
+        mask = ids != q
+        order = np.lexsort((ids[mask], -adc[mask]))[:RERANK_CANDIDATES]
+        cand = ids[mask][order]
+        qn = np.sqrt(emb[q] @ emb[q])
+        cos = {
+            c: float(emb[c] @ emb[q]) / (np.sqrt(emb[c] @ emb[c]) * qn) for c in cand
+        }
+        expect = sorted(cand, key=lambda c: (-cos[c], c))[:TOP_K]
+        assert got[q] == expect, q
+
+
+def test_ivfpq_residual_upserted_recall_sane(spark, sf_dir):
+    from kafka_connect_storage_cloud_formats_spark.operators.pq import (
+        ivfpq_residual_recall_upserted,
+    )
+
+    rec = ivfpq_residual_recall_upserted(spark, sf_dir).collect()[0]
+    assert 0.0 < rec["recall"] <= 1.0
+    assert rec["possible"] == rec["n_queries"] * TOP_K
+
+
 def test_residual_codes_decode_closer_than_raw(spark, sf_dir):
     """The POINT of residual encoding: mean squared reconstruction error
     of (centroid + residual-decode) must beat raw-codebook decode — the

@@ -74,6 +74,7 @@ ALLOWED_NESTED = {
     # recall-ratio cross (their probes stay equi-join only)
     "ivfpq_recall_upserted",
     "ivfpq_residual_recall_at_10",
+    "ivfpq_residual_recall_upserted",
 }
 
 # Queries that fold a GLOBAL SCALAR into the plan via crossJoin(broadcast(
