@@ -495,10 +495,16 @@ def dedup_repeated_ngrams(
         )
         .select("doc_id", "lang", _gram_key(F.col("gram"), family).alias("g"))
     )
+    # "occurs in ≥2 distinct documents" ⇔ min(doc_id) ≠ max(doc_id): the
+    # min/max pair is a plain map-side-combinable aggregate, where
+    # countDistinct planned as a two-level (g, doc_id) aggregate with an
+    # EXTRA full exchange of the gram-key stream — the widest shuffle in
+    # the chain (r15 optimization, guide §2.3/§2.4; decision set
+    # identical by construction, oracle text untouched).
     dup_keys = (
         grams.groupBy("g")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
+        .agg(F.min("doc_id").alias("d_min"), F.max("doc_id").alias("d_max"))
+        .filter(F.col("d_min") != F.col("d_max"))
         .select("g")
     )
     dup_occ = grams.join(dup_keys, "g", "left_semi")
@@ -557,10 +563,13 @@ def _covered_positions(
         )
         .select("doc_id", "i", _gram_key(F.col("gram"), family).alias("g"))
     )
+    # same min≠max rewrite as dedup_repeated_ngrams' dup_keys (r15
+    # optimization): one exchange instead of countDistinct's two over the
+    # occurrence-granularity gram stream — identical key set.
     dup_keys = (
         grams.groupBy("g")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
+        .agg(F.min("doc_id").alias("d_min"), F.max("doc_id").alias("d_max"))
+        .filter(F.col("d_min") != F.col("d_max"))
         .select("g")
     )
     occ = grams.join(dup_keys, "g", "left_semi")
@@ -572,11 +581,20 @@ def _covered_positions(
             (F.col("doc_id") != F.col("keep.doc_id"))
             | (F.col("i") != F.col("keep.i"))
         )
+    # repartition by doc_id BEFORE the distinct: hash-partitioning on
+    # doc_id alone satisfies the distinct aggregate's clustering
+    # requirement on (doc_id, pos) AND the doc-partitioned window /
+    # per-doc joins every consumer stacks on top — one exchange of the
+    # covered set where distinct-then-window paid two (r15 optimization,
+    # guide §2.4 "two operations keyed the same way can share one
+    # exchange"). No explicit partition count: AQE remains free to size
+    # it from runtime bytes.
     return (
         occ.select(
             "doc_id",
             F.explode(F.sequence(F.col("i"), F.col("i") + F.lit(k - 1))).alias("pos"),
         )
+        .repartition(F.col("doc_id"))
         .distinct()
     )
 
@@ -606,17 +624,31 @@ def repeated_ngram_spans(
         .groupBy("doc_id", "grp")
         .agg(F.count(F.lit(1)).alias("span_len"))
     )
+    # Per-doc pre-aggregation before the lang rollup (r15 optimization,
+    # guide §2.3 "aggregate before you shuffle"): spans leave the window
+    # stage already partitioned by doc_id, so the per-doc aggregate is
+    # exchange-free, the lang shuffle carries one row per doc instead of
+    # one per span, and the mixed distinct/non-distinct aggregate's
+    # Expand rewrite (double exchange) disappears — n_docs_with_span =
+    # COUNT of per-doc rows ⇔ the old countDistinct(doc_id), and every
+    # sum/max/count composes exactly (integer arithmetic, values
+    # identical; the avg division happens once per lang, as before).
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans_doc"),
+        F.sum("span_len").alias("span_tokens_doc"),
+        F.max("span_len").alias("max_span_doc"),
+    )
     return (
-        spans.join(docs.select("doc_id", "lang"), "doc_id")
+        per_doc.join(docs.select("doc_id", "lang"), "doc_id")
         .groupBy("lang")
         .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.countDistinct("doc_id").alias("n_docs_with_span"),
-            F.sum("span_len").alias("span_tokens"),
-            F.max("span_len").alias("max_span_len"),
+            F.sum("n_spans_doc").alias("n_spans"),
+            F.count(F.lit(1)).alias("n_docs_with_span"),
+            F.sum("span_tokens_doc").alias("span_tokens"),
+            F.max("max_span_doc").alias("max_span_len"),
             (
-                F.sum("span_len").cast("double")
-                / F.count(F.lit(1)).cast("double")
+                F.sum("span_tokens_doc").cast("double")
+                / F.sum("n_spans_doc").cast("double")
             ).alias("avg_span_len"),
         )
         .orderBy("lang")
