@@ -83,10 +83,24 @@ def _seq_dot(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return acc
 
 
-@pandas_udf(DoubleType())
-def dot_vec(a: pd.Series, b: pd.Series) -> pd.Series:
+def _dot_vec_fn(a: pd.Series, b: pd.Series) -> pd.Series:
     A, B = _stack64(a), _stack64(b)
     return pd.Series(_seq_dot(A, B))
+
+
+dot_vec = pandas_udf(DoubleType())(_dot_vec_fn)
+
+# Single-evaluation variant for filter-on-derived-column sites (r15
+# optimization, guide §4.4): when a filter references the UDF's output
+# column, the optimizer pushes the filter below the projection and
+# re-evaluates the kernel — two ArrowEvalPython nodes per call site.
+# Marking the expression non-deterministic forbids the duplication (the
+# kernel itself is pure; results are bit-identical). A SEPARATE UDF
+# object, not `dot_vec.asNondeterministic()`, which would mutate the
+# shared one and silently block filter pushdown at every other call
+# site (e.g. the `% QUERY_MOD` query-subset filters must keep reaching
+# the scan below the corpus-side norm projection).
+dot_vec_once = pandas_udf(DoubleType())(_dot_vec_fn).asNondeterministic()
 
 
 def require_nonzero_norms(n: np.ndarray, what: str) -> np.ndarray:
@@ -112,10 +126,16 @@ def require_nonzero_norms(n: np.ndarray, what: str) -> np.ndarray:
     return n
 
 
-@pandas_udf(DoubleType())
-def l2_norm_vec(a: pd.Series) -> pd.Series:
+def _l2_norm_vec_fn(a: pd.Series) -> pd.Series:
     A = _stack64(a)
     return pd.Series(require_nonzero_norms(np.sqrt(_seq_dot(A, A)), "embedding(s) in batch"))
+
+
+l2_norm_vec = pandas_udf(DoubleType())(_l2_norm_vec_fn)
+
+# See dot_vec_once: same §4.4 single-evaluation contract, same reason
+# for being a separate UDF object.
+l2_norm_vec_once = pandas_udf(DoubleType())(_l2_norm_vec_fn).asNondeterministic()
 
 
 def hyperplane_signature_udf(planes):

@@ -981,7 +981,10 @@ def dedup_semantic(
     Oracle: full training replay (``_kmeans_training_ctes``) + the same
     pair/rank chain — the hash gate certifies training, cell geometry,
     and the drop decisions end-to-end."""
-    from kafka_connect_storage_cloud_formats_spark.operators.similarity import _dot
+    from kafka_connect_storage_cloud_formats_spark.operators.similarity import (
+        _dot_once,
+        _with_norm_once,
+    )
 
     if k is None:
         # one bounded count against the cached table plan — the corpus
@@ -995,14 +998,18 @@ def dedup_semantic(
         .join(cells.select("cluster", F.col("vec_id").alias("d2")), "cluster")
         .filter(F.col("d1") < F.col("d2"))
     )
-    base = _with_norm(_load(spark, sf_dir))
+    # Single-evaluation norm/dot variants (guide §4.4): the cosine
+    # threshold filter below otherwise duplicates every Arrow kernel
+    # (l2_norm_vec 4x, dot_vec 2x — r15 optimization, same fix as
+    # dedup_embedding_cosine; plans/r15/dedup_semantic_{before,after}).
+    base = _with_norm_once(_load(spark, sf_dir))
     v1 = base.select(
         F.col("vec_id").alias("d1"), F.col("embedding").alias("e1"), F.col("norm").alias("n1")
     )
     v2 = base.select(
         F.col("vec_id").alias("d2"), F.col("embedding").alias("e2"), F.col("norm").alias("n2")
     )
-    cosine = _dot("e1", "e2") / (F.col("n1") * F.col("n2"))
+    cosine = _dot_once("e1", "e2") / (F.col("n1") * F.col("n2"))
     dups = (
         cand.join(v1, "d1")
         .join(v2, "d2")

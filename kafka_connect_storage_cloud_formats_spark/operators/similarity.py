@@ -147,6 +147,29 @@ def _with_norm(df: DataFrame) -> DataFrame:
     return df.withColumn("norm", l2_norm_vec(F.col("embedding")))
 
 
+def _dot_once(a: str, b: str):
+    """``_dot`` under the single-evaluation contract (guide §4.4): for
+    sites whose downstream FILTER references the cosine — the optimizer
+    would otherwise push the filter below the projection and evaluate
+    the Arrow kernel twice per candidate pair. Bit-identical results."""
+    from kafka_connect_storage_cloud_formats_spark.functions.vectors import dot_vec_once
+
+    return dot_vec_once(F.col(a), F.col(b))
+
+
+def _with_norm_once(df: DataFrame) -> DataFrame:
+    """``_with_norm`` under the single-evaluation contract (guide §4.4):
+    for corpus sides consumed by a cosine-threshold filter, whose
+    inferred ``isnotnull(norm)`` would otherwise re-evaluate the norm
+    kernel over the whole side. ONLY for sites with no later
+    row-reducing filter of their own (non-determinism blocks pushdown
+    through the projection — a ``% QUERY_MOD`` subset filter applied
+    after this would no longer reach the scan)."""
+    from kafka_connect_storage_cloud_formats_spark.functions.vectors import l2_norm_vec_once
+
+    return df.withColumn("norm", l2_norm_vec_once(F.col("embedding")))
+
+
 def _jvm_dot(a: str, b: str):
     """JVM-side higher-order-function dot (functions/vectors.py:24): the
     same left-associated double chain as ``_dot``/the oracle — bit-identical
@@ -972,7 +995,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     production near-dup would run ~0.9, see the constant's note) is high
     while the join stays near-linear.
     """
-    base = _with_norm(_load(spark, sf_dir))
+    # Single-evaluation norm/dot variants (guide §4.4): the cosine
+    # threshold filter below otherwise duplicates every Arrow kernel —
+    # this plan paid l2_norm_vec 4x (2x per side) and dot_vec 2x
+    # (r15 optimization; plans/r15/dedup_embedding_cosine_{before,after}).
+    base = _with_norm_once(_load(spark, sf_dir))
     # Both self-join sides consume the band rows, exploded from the
     # corpus-keyed signature artifact (the signature UDF runs once per
     # corpus content, not per execution).
@@ -995,7 +1022,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     v2 = base.select(
         F.col("vec_id").alias("d2"), F.col("embedding").alias("e2"), F.col("norm").alias("n2")
     )
-    cosine = _dot("e1", "e2") / (F.col("n1") * F.col("n2"))
+    cosine = _dot_once("e1", "e2") / (F.col("n1") * F.col("n2"))
     return (
         cand.join(v1, "d1")
         .join(v2, "d2")
