@@ -1088,7 +1088,18 @@ def _recall_vs_truth(spark: SparkSession, sf_dir: str, approx: DataFrame) -> Dat
     possible, recall); deterministic on both engines, so even the
     evaluation is oracle-gated."""
     bf = ensure_knn_ground_truth(spark, sf_dir).select("q_id", "neighbor_id")
-    hits = bf.join(approx.select("q_id", "neighbor_id"), ["q_id", "neighbor_id"], "left_semi")
+    # broadcast(approx): the approximate side is a top-k result — Q·k rows
+    # with Q capped by _collect_query_matrix's MAX_QUERIES contract, i.e.
+    # bounded metadata at ANY corpus scale (the same bound that lets the
+    # query matrix ride the closure). Without the hint the planner can't
+    # see through the window/filter subtree and planned a SortMergeJoin:
+    # two exchanges + two sorts of both top-k sets in EVERY recall row
+    # (r15 optimization, guide §3.1; plans/r15/ivf_recall_at_10_*).
+    hits = bf.join(
+        F.broadcast(approx.select("q_id", "neighbor_id")),
+        ["q_id", "neighbor_id"],
+        "left_semi",
+    )
     return (
         bf.agg(
             F.countDistinct("q_id").alias("n_queries"),
