@@ -2680,7 +2680,12 @@ def _labels_driver_side(
     labels = spark.createDataFrame(
         list(labels_map.items()), "doc_id long, cluster_id long"
     )
-    return docs.join(labels, "doc_id", "left").select(
+    # broadcast(labels): a parallelized RDD scan carries NO size stats, so
+    # the planner assumed it huge and planned a SortMergeJoin — shuffling
+    # the WHOLE corpus to attach a label table that just fit on the
+    # driver (r15 optimization, guide §3.1). The CC_DRIVER_MAX_EDGES gate
+    # that admitted this path IS the broadcast bound.
+    return docs.join(F.broadcast(labels), "doc_id", "left").select(
         "doc_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id")
     )
 
