@@ -458,10 +458,18 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical distinct subtree on the same key, so Spark's ReusedExchange
     # materializes it once at execution time — the sharing the checkpoint
     # bought, without the hidden job or the audit blindness.
+    # repartition(l_orderkey) BEFORE the distinct: hash-partitioning on
+    # orderkey alone satisfies the (orderkey, suppkey) distinct's
+    # clustering requirement AND the window's / semi probe's orderkey
+    # partitioning, so the late stream crosses ONE exchange instead of
+    # two (r15 optimization, guide §2.4 — same shape as the
+    # _covered_positions share in operators/dedup.py). No explicit
+    # partition count: AQE sizes it from the map stats.
     late = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .filter(F.col("l_shipdate") > F.col("o_orderdate"))
         .select("l_orderkey", "l_suppkey")
+        .repartition("l_orderkey")
         .distinct()
     )
     # NOT EXISTS(other late supplier) ⇔ the order has exactly ONE distinct
