@@ -104,22 +104,36 @@ class IngestPipeline:
 
         from pyspark.sql import functions as F
 
-        id_cols = [c for c in ("topic", "partition") if c in records.columns]
-        ranges = (
-            records.groupBy(*id_cols)
-            .agg(F.min("offset"), F.max("offset"), F.count(F.lit(1)))
-            .collect()
-        )
-        tag = hashlib.md5(
-            repr(sorted(tuple(r) for r in ranges)).encode()
-        ).hexdigest()[:12]
-        batch_dir = f"{self.out_dir}/batch={tag}"
-        write_orc_partitioned(
-            df,
-            batch_dir,
-            partition_cols=tuple(keep),
-            max_records_per_file=self.flush_size,
-        )
+        # The tag aggregation and the write are TWO actions over `records`:
+        # unpersisted, the input plan (typically the envelope source with
+        # its per-partition offset window) executes twice per put(). Persist
+        # for exactly the span of the two actions — the tag agg populates
+        # the cache while it scans, the write reads from it (r15
+        # optimization, guide §1.6/§5.2: don't recompute a subtree two
+        # actions share). MEMORY_AND_DISK (the default) spills rather than
+        # OOMs on an oversized batch; this also hardens the deterministic-
+        # input requirement above — both actions now see ONE
+        # materialization by construction.
+        records = records.persist()
+        try:
+            id_cols = [c for c in ("topic", "partition") if c in records.columns]
+            ranges = (
+                records.groupBy(*id_cols)
+                .agg(F.min("offset"), F.max("offset"), F.count(F.lit(1)))
+                .collect()
+            )
+            tag = hashlib.md5(
+                repr(sorted(tuple(r) for r in ranges)).encode()
+            ).hexdigest()[:12]
+            batch_dir = f"{self.out_dir}/batch={tag}"
+            write_orc_partitioned(
+                df,
+                batch_dir,
+                partition_cols=tuple(keep),
+                max_records_per_file=self.flush_size,
+            )
+        finally:
+            records.unpersist()
         return None
 
     def run_stream(self, records: DataFrame, checkpoint: str):

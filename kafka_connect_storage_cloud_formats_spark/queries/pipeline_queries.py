@@ -264,7 +264,12 @@ def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         SchemaTracker,
     )
 
-    env = _events_envelope(spark, sf_dir)
+    # persist the envelope for the span of the two generation writes: four
+    # actions consume it (each run_batch's batch-identity agg + write), and
+    # unpersisted each one re-ran the events scan AND the per-partition
+    # offset window (r15 optimization, guide §1.6/§5.2). Scoped persist
+    # inside one invocation — nothing survives the query.
+    env = _events_envelope(spark, sf_dir).persist()
     out = _scratch_dir("engine_schema_evo", sf_dir)
     v1 = env.filter(F.col("event_id") % 2 == 0)
     v2 = env.filter(F.col("event_id") % 2 == 1)
@@ -272,15 +277,18 @@ def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explicit checks, not asserts: python -O strips asserts, and the
     # compatibility gate is the thing this query exists to exercise
     # (round-9 review)
-    if tracker.observe(EVENTS_V1_SCHEMA) != "rotate":
-        raise RuntimeError("first schema must open a file group")
-    IngestPipeline(out + "/g1", EVENTS_V1_SCHEMA, flush_size=10_000).run_batch(v1)
-    v2_schema = T.StructType(
-        EVENTS_V1_SCHEMA.fields + [T.StructField("value", T.DoubleType(), True)]
-    )
-    if tracker.observe(v2_schema) != "rotate":
-        raise RuntimeError("nullable-add under BACKWARD must rotate")
-    IngestPipeline(out + "/g2", v2_schema, flush_size=10_000).run_batch(v2)
+    try:
+        if tracker.observe(EVENTS_V1_SCHEMA) != "rotate":
+            raise RuntimeError("first schema must open a file group")
+        IngestPipeline(out + "/g1", EVENTS_V1_SCHEMA, flush_size=10_000).run_batch(v1)
+        v2_schema = T.StructType(
+            EVENTS_V1_SCHEMA.fields + [T.StructField("value", T.DoubleType(), True)]
+        )
+        if tracker.observe(v2_schema) != "rotate":
+            raise RuntimeError("nullable-add under BACKWARD must rotate")
+        IngestPipeline(out + "/g2", v2_schema, flush_size=10_000).run_batch(v2)
+    finally:
+        env.unpersist()
     merged = (
         spark.read.format("orc")
         .option("mergeSchema", "true")
