@@ -108,8 +108,18 @@ def _collect_centroid_matrix(cent_long: DataFrame):
     return labels, M
 
 
-def _assign_clusters(corpus: DataFrame, labels, M) -> DataFrame:
+def _assign_clusters(
+    corpus: DataFrame, labels, M, carry_embedding: bool = False
+) -> DataFrame:
     """One vectorized pass: (vec_id, embedding) → (vec_id, cluster).
+
+    ``carry_embedding=True`` echoes the input vector through the Arrow
+    pass — (vec_id, embedding, cluster) — untouched (no arithmetic, so
+    bit-identical float32): a consumer that needs vector AND cell (the
+    segment writers) then stays MAP-ONLY instead of re-scanning the
+    batch and paying a vec_id equi-join to re-attach the embedding —
+    at 100 TB that join is two corpus-wide exchanges (r15 optimization,
+    guide §2.1: remove the shuffle outright).
 
     argmax over COSINE to each centroid — the same metric the probe
     routes by, so training cells and serving cells agree. One vectorized
@@ -150,16 +160,18 @@ def _assign_clusters(corpus: DataFrame, labels, M) -> DataFrame:
             # NaN cols (zero-norm centroid) lose
             scores = np.nan_to_num(scores, nan=-np.inf)
             idx = np.argmax(scores, axis=1)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
-                    "cluster": labels[idx],
-                }
-            )
+            cols = {"vec_id": pdf["vec_id"].to_numpy(dtype=np.int64)}
+            if carry_embedding:
+                cols["embedding"] = pdf["embedding"]
+            cols["cluster"] = labels[idx]
+            yield pd.DataFrame(cols)
 
-    return corpus.select("vec_id", "embedding").mapInPandas(
-        assign, "vec_id long, cluster long"
+    schema = (
+        "vec_id long, embedding array<float>, cluster long"
+        if carry_embedding
+        else "vec_id long, cluster long"
     )
+    return corpus.select("vec_id", "embedding").mapInPandas(assign, schema)
 
 
 def _update_centroids(corpus: DataFrame, assignment: DataFrame) -> DataFrame:
@@ -561,6 +573,7 @@ def assign_to_published_quantizer(
     batch: DataFrame,
     k: int = KMEANS_K,
     iters: int = KMEANS_ITERS,
+    carry_embedding: bool = False,
 ) -> DataFrame:
     """(vec_id, cluster) for ``batch`` rows against the PUBLISHED
     corpus-split trained quantizer — no retraining: the k×d centroid
@@ -574,7 +587,12 @@ def assign_to_published_quantizer(
         spark, sf_dir, k=k, iters=iters, split="corpus"
     )
     labels, M = _collect_centroid_matrix(cent_long)
-    return _assign_clusters(batch.select("vec_id", "embedding"), labels, M)
+    return _assign_clusters(
+        batch.select("vec_id", "embedding"),
+        labels,
+        M,
+        carry_embedding=carry_embedding,
+    )
 
 
 def build_kmeans_ivf_upsert(
@@ -629,9 +647,15 @@ def build_kmeans_ivf_upsert(
             batch = batch.filter(
                 F.expr(f"(vec_id div {UPSERT_MOD}) % {drop[1]}") == drop[0]
             )
-        assigned = assign_to_published_quantizer(spark, sf_dir, batch, k=k, iters=iters)
-        batch.join(
-            assigned.select("vec_id", F.col("cluster").alias("label")), "vec_id"
+        # carry_embedding keeps the build MAP-ONLY: the assignment pass
+        # echoes the vector through, so no re-scan + vec_id join to
+        # re-attach it (r15 optimization, guide §2.1 — at scale that join
+        # was two drop-wide exchanges). Same (vec_id, embedding, label)
+        # columns, embeddings bit-identical (echoed, never recomputed).
+        assign_to_published_quantizer(
+            spark, sf_dir, batch, k=k, iters=iters, carry_embedding=True
+        ).select(
+            "vec_id", "embedding", F.col("cluster").alias("label")
         ).write.partitionBy("label").parquet(tmp)
 
     ensure_artifact(path, build, spark=spark, force=force)

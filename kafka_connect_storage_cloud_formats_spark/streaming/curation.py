@@ -483,16 +483,19 @@ class StreamingCuration:
             batch_df.select(F.col("doc_id").alias("vec_id"), "embedding")
             .join(kept.withColumnRenamed("doc_id", "vec_id"), "vec_id", "left_semi")
         )
-        assigned = assign_to_published_quantizer(self.spark, self.ann_sf_dir, vecs)
-        labels = assigned.select(
-            "vec_id", F.col("cluster").cast("long").alias("label")
+        # carry_embedding keeps the per-micro-batch segment commit
+        # MAP-ONLY: the assignment pass echoes the vector through
+        # (bit-identical), so no vec_id join to re-attach it — one fewer
+        # shuffle on every accepted batch (r15 optimization, guide §2.1)
+        seg = assign_to_published_quantizer(
+            self.spark, self.ann_sf_dir, vecs, carry_embedding=True
+        ).select(
+            F.col("vec_id").alias("doc_id"),
+            "embedding",
+            F.col("cluster").cast("long").alias("label"),
         )
-        seg = vecs.join(labels, "vec_id").select(
-            F.col("vec_id").alias("doc_id"), "embedding", "label"
-        )
-        seg.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(self.state_dir, "ann_segments", part)
-        )
+        seg_path = os.path.join(self.state_dir, "ann_segments", part)
+        seg.coalesce(1).write.mode("overwrite").parquet(seg_path)
         # the COMPRESSED twin of the segment above (round 15): the same
         # kept vectors encoded against the published corpus-split PQ
         # codebooks — one vectorized _assign_pq pass, the batch tier's
@@ -507,6 +510,13 @@ class StreamingCuration:
         _, cents = train_pq(self.spark, self.ann_sf_dir, split="corpus")
         CB = _collect_pq_matrices(cents)
         codes = _assign_pq(vecs, CB)
+        # labels come FROM the segment committed above (a scan of the
+        # micro-batch-sized file), not a second evaluation of the
+        # assignment kernel — the old plan ran the kernel once per
+        # consuming action (r15 optimization, guide §1.6)
+        labels = self.spark.read.parquet(seg_path).select(
+            F.col("doc_id").alias("vec_id"), "label"
+        )
         pq_seg = codes.join(labels, "vec_id").select(
             F.col("vec_id").alias("doc_id"), "codes", "label"
         )

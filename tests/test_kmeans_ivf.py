@@ -455,6 +455,27 @@ def test_spread_init_degenerate_corpus_selects_distinct_seeds(spark, tmp_path):
         _spread_seed_matrix(emb, 7)
 
 
+def test_assign_clusters_carry_embedding_bit_identical(spark, sf_dir):
+    """carry_embedding=True (the map-only segment-writer path, r15
+    optimization) must change NOTHING but the column set: identical
+    (vec_id, cluster) pairs, and the echoed embedding bit-equal to the
+    source vector (it crosses the Arrow boundary but no arithmetic)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    seed = emb.orderBy("vec_id").limit(K).collect()
+    labels = np.arange(K, dtype=np.int64)
+    M = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in seed])
+    plain = {
+        (r["vec_id"], r["cluster"]) for r in _assign_clusters(emb, labels, M).collect()
+    }
+    carried = _assign_clusters(emb, labels, M, carry_embedding=True).collect()
+    assert {(r["vec_id"], r["cluster"]) for r in carried} == plain
+    src = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    for r in carried:
+        assert r["embedding"] == src[r["vec_id"]]  # float32 echoed exactly
+
+
 def test_upsert_segment_and_serving_view(spark, sf_dir):
     """The incremental upsert (round 12): the per-drop segment holds
     exactly the batch split assigned to the PUBLISHED corpus-split
