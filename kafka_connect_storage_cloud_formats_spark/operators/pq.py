@@ -116,8 +116,14 @@ def pq_params_token(
     )
 
 
-def _assign_pq(corpus: DataFrame, CB: list) -> DataFrame:
+def _assign_pq(corpus: DataFrame, CB: list, carry_cluster: bool = False) -> DataFrame:
     """One vectorized pass: (vec_id, embedding) → (vec_id, codes[PQ_M]).
+
+    ``carry_cluster=True`` echoes an input ``cluster`` column through the
+    Arrow pass untouched — (vec_id, codes, cluster) — so a segment writer
+    that needs codes AND coarse cell stays MAP-ONLY instead of paying a
+    vec_id join to re-attach the cell (r15 optimization, guide §2.1; the
+    mirror of ``kmeans_ivf._assign_clusters``'s carry_embedding).
 
     ``CB`` is the per-subspace [(labels int64[k_s], M float64[k_s, DS])]
     codebook list (labels sorted ascending). argmin over the
@@ -143,16 +149,19 @@ def _assign_pq(corpus: DataFrame, CB: list) -> DataFrame:
                     diff = Es[:, d : d + 1] - M[None, :, d]
                     d2 += diff * diff
                 codes[:, s] = labels[np.argmin(d2, axis=1)]
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
-                    "codes": list(codes),
-                }
-            )
+            cols = {
+                "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                "codes": list(codes),
+            }
+            if carry_cluster:
+                cols["cluster"] = pdf["cluster"].to_numpy(dtype=np.int64)
+            yield pd.DataFrame(cols)
 
-    return corpus.select("vec_id", "embedding").mapInPandas(
-        assign, "vec_id long, codes array<long>"
+    in_cols = ["vec_id", "embedding"] + (["cluster"] if carry_cluster else [])
+    schema = "vec_id long, codes array<long>" + (
+        ", cluster long" if carry_cluster else ""
     )
+    return corpus.select(*in_cols).mapInPandas(assign, schema)
 
 
 def _codes_long(codes_df: DataFrame) -> DataFrame:
@@ -205,7 +214,11 @@ def _collect_pq_matrices(cent_long: DataFrame) -> list:
 
 
 def _residualize_with(
-    vectors: DataFrame, assignment: DataFrame, labels, M
+    vectors: DataFrame,
+    assignment: DataFrame | None,
+    labels,
+    M,
+    carry_cluster: bool = False,
 ) -> DataFrame:
     """(vec_id, embedding) → (vec_id, embedding = x − c(x)) against an
     EXPLICIT cell assignment and centroid matrix — the shared kernel of
@@ -215,7 +228,13 @@ def _residualize_with(
     the k×d centroid matrix as a captured constant; the subtraction is
     row-local IEEE (double(x_d) − centroid_d, exactly the oracle's
     ``CAST(e[i] AS DOUBLE) − u.centroid``), so residuals are
-    bit-identical on every partitioning."""
+    bit-identical on every partitioning.
+
+    ``assignment=None``: ``vectors`` ALREADY carries its ``cluster``
+    column (an assign-with-carry pass), so no vec_id join is planned —
+    the residualization stays map-only (r15 optimization, guide §2.1).
+    ``carry_cluster=True`` echoes the cluster through the output so the
+    downstream encoder can keep the chain map-only too."""
     import numpy as np
     import pandas as pd
 
@@ -230,18 +249,24 @@ def _residualize_with(
             E = _stack64(pdf["embedding"])
             idx = np.array([pos[int(c)] for c in pdf["cluster"]], dtype=np.int64)
             R = E - M[idx]
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
-                    "embedding": list(R),
-                }
-            )
+            cols = {
+                "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                "embedding": list(R),
+            }
+            if carry_cluster:
+                cols["cluster"] = pdf["cluster"].to_numpy(dtype=np.int64)
+            yield pd.DataFrame(cols)
 
-    return (
-        vectors.select("vec_id", "embedding")
-        .join(assignment.select("vec_id", "cluster"), "vec_id")
-        .mapInPandas(run, "vec_id long, embedding array<double>")
+    if assignment is None:
+        joined = vectors.select("vec_id", "embedding", "cluster")
+    else:
+        joined = vectors.select("vec_id", "embedding").join(
+            assignment.select("vec_id", "cluster"), "vec_id"
+        )
+    schema = "vec_id long, embedding array<double>" + (
+        ", cluster long" if carry_cluster else ""
     )
+    return joined.mapInPandas(run, schema)
 
 
 def _residualize(
@@ -692,15 +717,25 @@ def build_pq_upsert_segment(
         )
         _, cents = train_pq(spark, sf_dir, split="corpus", residual=residual)
         CB = _collect_pq_matrices(cents)
-        assigned = assign_to_published_quantizer(spark, sf_dir, batch)
-        enc_input = batch
+        # the whole encode is MAP-ONLY (r15 optimization, guide §2.1):
+        # the coarse assignment carries the embedding through, the
+        # residualization consumes it pre-joined and carries the cluster,
+        # and the PQ encoder echoes the cluster out — no vec_id joins to
+        # re-attach anything (each was broadcast locally but two
+        # drop-wide exchanges once a drop outgrows the broadcast bound).
+        # Echoed columns cross Arrow untouched, so codes and cells are
+        # bit-identical to the joined plan's.
+        enc_input = assign_to_published_quantizer(
+            spark, sf_dir, batch, carry_embedding=True
+        )
         if residual:
             _, kcent_long = train_kmeans_quantizer(spark, sf_dir, split="corpus")
             klabels, KM = _collect_centroid_matrix(kcent_long)
-            enc_input = _residualize_with(batch, assigned, klabels, KM)
-        codes = _assign_pq(enc_input, CB)
-        codes.join(
-            assigned.select("vec_id", F.col("cluster").alias("label")), "vec_id"
+            enc_input = _residualize_with(
+                enc_input, None, klabels, KM, carry_cluster=True
+            )
+        _assign_pq(enc_input, CB, carry_cluster=True).select(
+            "vec_id", "codes", F.col("cluster").alias("label")
         ).write.partitionBy("label").parquet(tmp)
 
     ensure_artifact(path, build, spark=spark, force=force)

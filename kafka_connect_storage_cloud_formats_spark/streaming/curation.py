@@ -509,16 +509,21 @@ class StreamingCuration:
 
         _, cents = train_pq(self.spark, self.ann_sf_dir, split="corpus")
         CB = _collect_pq_matrices(cents)
-        codes = _assign_pq(vecs, CB)
-        # labels come FROM the segment committed above (a scan of the
-        # micro-batch-sized file), not a second evaluation of the
-        # assignment kernel — the old plan ran the kernel once per
-        # consuming action (r15 optimization, guide §1.6)
-        labels = self.spark.read.parquet(seg_path).select(
-            F.col("doc_id").alias("vec_id"), "label"
+        # encode FROM the segment committed above (a scan of the
+        # micro-batch-sized file — embeddings bit-equal to the batch's,
+        # they were echoed through the assignment pass): one map-only
+        # _assign_pq pass carrying the cell through, instead of
+        # re-evaluating the kept-filter subtree AND joining labels back
+        # on vec_id (r15 optimization, guide §1.6/§2.1)
+        committed = self.spark.read.parquet(seg_path).select(
+            F.col("doc_id").alias("vec_id"),
+            "embedding",
+            F.col("label").alias("cluster"),
         )
-        pq_seg = codes.join(labels, "vec_id").select(
-            F.col("vec_id").alias("doc_id"), "codes", "label"
+        pq_seg = _assign_pq(committed, CB, carry_cluster=True).select(
+            F.col("vec_id").alias("doc_id"),
+            "codes",
+            F.col("cluster").alias("label"),
         )
         pq_seg.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(self.state_dir, "pq_segments", part)

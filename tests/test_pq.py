@@ -66,6 +66,60 @@ def test_pq_assign_and_update_partition_invariant(spark, sf_dir):
     assert u1 == u2
 
 
+def test_assign_pq_carry_cluster_bit_identical(spark, sf_dir):
+    """carry_cluster=True (the map-only segment-writer path, r15
+    optimization) must change NOTHING but the column set: identical
+    (vec_id, codes) pairs, and the echoed cluster bit-equal to the input
+    (it crosses the Arrow boundary but no arithmetic)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    CB = _seed_codebooks(emb)
+    plain = {
+        (r["vec_id"], tuple(r["codes"])) for r in _assign_pq(emb, CB).collect()
+    }
+    with_cluster = emb.withColumn("cluster", F.col("vec_id") % 7)
+    carried = _assign_pq(with_cluster, CB, carry_cluster=True).collect()
+    assert {(r["vec_id"], tuple(r["codes"])) for r in carried} == plain
+    assert all(r["cluster"] == r["vec_id"] % 7 for r in carried)
+
+
+def test_residualize_prejoined_matches_joined(spark, sf_dir):
+    """_residualize_with(assignment=None) over an assign-with-carry pass
+    must produce bit-identical residuals to the joined path (same kernel,
+    same cluster routing — only the join is gone)."""
+    from kafka_connect_storage_cloud_formats_spark.operators.kmeans_ivf import (
+        _assign_clusters,
+    )
+    from kafka_connect_storage_cloud_formats_spark.operators.pq import (
+        _residualize_with,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    seed_rows = emb.orderBy("vec_id").limit(4).collect()
+    labels = np.arange(4, dtype=np.int64)
+    M = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in seed_rows])
+    joined = {
+        r["vec_id"]: tuple(r["embedding"])
+        for r in _residualize_with(
+            emb, _assign_clusters(emb, labels, M), labels, M
+        ).collect()
+    }
+    carried = _assign_clusters(emb, labels, M, carry_embedding=True)
+    prejoined = _residualize_with(carried, None, labels, M, carry_cluster=True)
+    got = {r["vec_id"]: tuple(r["embedding"]) for r in prejoined.collect()}
+    assert got == joined
+    clusters = {
+        (r["vec_id"], r["cluster"])
+        for r in _assign_clusters(emb, labels, M).collect()
+    }
+    assert {
+        (r["vec_id"], r["cluster"]) for r in prejoined.collect()
+    } == clusters
+
+
 def test_pq_codes_artifact_shape_and_range(spark, sf_dir):
     """Every corpus vector carries exactly PQ_M codes, each referencing a
     PUBLISHED codebook cell of its subspace (codes can never point at an
