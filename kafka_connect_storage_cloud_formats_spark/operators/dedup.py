@@ -356,7 +356,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # source recovers by ordinary task retry. array_sort ordered each ds
     # by doc_id (first struct field) at build time, giving d1 < d2 within
     # each combination for free.
-    lists = ensure_shingle_postings(spark, sf_dir, SHINGLE_N, MAX_SHINGLE_DF)
+    # spread: the posting-list artifact is a handful of parquet splits at
+    # test SFs, so the combination explode + length filter + partial
+    # count-agg — the whole per-query cost of this row — ran at the scan's
+    # 4-task parallelism on a 32-core session (r15 optimization, guide
+    # §2.5/§2.6: event-log profile showed 0.79 s of the row's 1.19 s in
+    # that one under-parallel stage). Scale-guarded no-op: a 100 TB
+    # posting table scans with orders of magnitude more splits than cores.
+    lists = spread(ensure_shingle_postings(spark, sf_dir, SHINGLE_N, MAX_SHINGLE_DF))
     combos = F.expr(
         "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds)), "
         "y -> struct(x.doc_id AS d1, y.doc_id AS d2, x.n_sh AS n1, y.n_sh AS n2))))"
@@ -2797,7 +2804,16 @@ def dedup_fuzzy_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("blk")
     )
     kept = docs.join(hot, "blk", "left_anti")
-    a = kept.alias("a")
+    # spread on the STREAMED (a) side only (guide §2.5/§2.6, r15
+    # optimization): the documents source is a single parquet split at
+    # test SFs, so the blocked pair join + Levenshtein — this row's
+    # dominant stage (0.60 s CPU on 1 task) — serialized on one core;
+    # measured 0.34x with results pinned bit-equal. Scale-guarded no-op
+    # on a real corpus (catalog.spread); the b side is the broadcast
+    # build.
+    from kafka_connect_storage_cloud_formats_spark.catalog import spread
+
+    a = spread(kept).alias("a")
     b = kept.alias("b")
     return (
         a.join(

@@ -1017,8 +1017,17 @@ def dedup_semantic(
         k = semantic_k_for(_load(spark, sf_dir).count())
     assignment, _ = train_kmeans_quantizer(spark, sf_dir, k=k, iters=iters)
     cells = assignment.select("vec_id", "cluster")
+    # spread on the STREAMED (d1) side only (guide §2.5/§2.6, r15
+    # optimization): the assignment artifact is a single parquet split at
+    # test SFs, so the within-cell pair enumeration — this row's dominant
+    # stage (event-log profile: 0.9 s CPU on 1 task) — serialized on one
+    # core. Measured 0.83x with results pinned bit-equal; scale-guarded
+    # no-op on any real corpus (catalog.spread). The d2 side is the
+    # broadcast build, where the extra exchange would be pure cost.
+    from kafka_connect_storage_cloud_formats_spark.catalog import spread as _spread
+
     cand = (
-        cells.select("cluster", F.col("vec_id").alias("d1"))
+        _spread(assignment).select("cluster", F.col("vec_id").alias("d1"))
         .join(cells.select("cluster", F.col("vec_id").alias("d2")), "cluster")
         .filter(F.col("d1") < F.col("d2"))
     )
