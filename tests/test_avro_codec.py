@@ -193,6 +193,77 @@ def test_encode_rejects_unsafe_nullable_long_batches(spark):
     assert sorted(r["x"] for r in back2.collect()) == [1, 9223372036854775807]
 
 
+@settings(max_examples=200, deadline=None)
+@given(st.lists(RECORDS, min_size=1, max_size=40))
+def test_vectorized_batch_encode_matches_reference(recs):
+    """The NumPy batch encoder (r15 optimization) must produce byte-equal
+    payloads to the per-record reference encoder for every record,
+    including int64 extremes, unicode strings, and null unions."""
+    import numpy as np
+
+    from kafka_connect_storage_cloud_formats_spark.functions.avro_codec import (
+        _check_supported,
+        _encode_batch,
+        _encode_row,
+    )
+
+    fields = _check_supported(SCHEMA)
+    want = [
+        _encode_row(fields, [rec[name] for name, _ in fields]) for rec in recs
+    ]
+    n = len(recs)
+    cols = []
+    for name, t in fields:
+        base = t[1] if isinstance(t, list) else t
+        raw = [rec[name] for rec in recs]
+        nulls = np.array([v is None for v in raw])
+        if base in ("int", "long"):
+            vals = np.fromiter((0 if v is None else v for v in raw), np.int64, n)
+        elif base in ("float", "double"):
+            vals = np.array([0.0 if v is None else v for v in raw], dtype=np.float64)
+        elif base == "boolean":
+            vals = np.array([bool(v) for v in raw], dtype=bool)
+        else:
+            vals = raw
+        cols.append((vals, nulls))
+    got = _encode_batch(fields, cols, n)
+    assert got == want
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(RECORDS, min_size=1, max_size=40))
+def test_vectorized_batch_decode_matches_reference(recs):
+    """The NumPy batch decoder must reproduce the per-record reference
+    decoder column-for-column (and enforce the same trailing-bytes
+    contract, checked separately below)."""
+    from kafka_connect_storage_cloud_formats_spark.functions.avro_codec import (
+        _check_supported,
+        _decode_batch,
+        _decode_row,
+    )
+
+    fields = _check_supported(SCHEMA)
+    payloads = [encode_record(SCHEMA, rec) for rec in recs]
+    want: list = [[] for _ in fields]
+    for b in payloads:
+        _decode_row(fields, b, want)
+    got = _decode_batch(fields, payloads)
+    assert got == want
+
+
+def test_vectorized_batch_decode_rejects_trailing_bytes():
+    from kafka_connect_storage_cloud_formats_spark.functions.avro_codec import (
+        _check_supported,
+        _decode_batch,
+    )
+
+    fields = _check_supported(SCHEMA)
+    rec = {"event_id": 1, "user_id": 2, "event_type": "t", "value": 1.0, "props": None}
+    good = encode_record(SCHEMA, rec)
+    with pytest.raises(ValueError, match="trailing bytes"):
+        _decode_batch(fields, [good, good + b"\x00"])
+
+
 def test_zero_field_record_rejected():
     import pytest
 
