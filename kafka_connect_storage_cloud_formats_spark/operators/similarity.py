@@ -1002,10 +1002,27 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _with_norm_once(_load(spark, sf_dir))
     # Both self-join sides consume the band rows, exploded from the
     # corpus-keyed signature artifact (the signature UDF runs once per
-    # corpus content, not per execution).
-    bands = _band_rows(_ensure_hyperplane_sigs(spark, sf_dir))
-    a = bands.alias("a")
-    b = bands.alias("b")
+    # corpus content, not per execution). The streamed (a) side spreads —
+    # pre-explode, so one vector's band rows stay co-located — because the
+    # single-split artifact scan otherwise serializes the pair enumeration
+    # (guide §2.5/§2.6; scale-guarded no-op, catalog.spread).
+    from kafka_connect_storage_cloud_formats_spark.catalog import spread
+
+    sigs = _ensure_hyperplane_sigs(spark, sf_dir)
+    a = _band_rows(spread(sigs)).alias("a")
+    b = _band_rows(sigs).alias("b")
+    # NO candidate-level distinct (r15 optimization, guide §2.4 — remove
+    # shuffles outright): a pair colliding in several bands is enumerated
+    # once per band, but the measured duplication factor is only ~1.11
+    # (stable across SFs — an LSH-geometry property: mostly single-band
+    # collisions; bounded by LSH_N_BANDS in the worst case), so the old
+    # pre-cosine DISTINCT shuffled 100% of the candidate stream + ran a
+    # corpus-scale hash aggregate to save ~11% of the vectorized cosine
+    # work. Duplicates now ride to the threshold filter (bit-identical
+    # cosine per (d1, d2) — same kernel, same inputs) and the dedup runs
+    # on the SURVIVORS (output-scale, tiny at any real threshold), where
+    # dropDuplicates is deterministic in value because duplicate rows are
+    # identical triples. Result set unchanged (oracle hash-pinned).
     cand = (
         a.join(
             b,
@@ -1014,7 +1031,6 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(F.col("a.vec_id").alias("d1"), F.col("b.vec_id").alias("d2"))
-        .distinct()
     )
     v1 = base.select(
         F.col("vec_id").alias("d1"), F.col("embedding").alias("e1"), F.col("norm").alias("n1")
@@ -1028,6 +1044,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(v2, "d2")
         .select("d1", "d2", cosine.alias("cosine"))
         .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+        .dropDuplicates(["d1", "d2"])
         .orderBy("d1", "d2")
     )
 
