@@ -89,21 +89,38 @@ def main() -> int:
             f"(n={len(samples[name])})",
             file=sys.stderr,
         )
-    # Full per-query map goes to disk; stdout gets a COMPACT summary as the
-    # last line — the driver's stdout tail buffer truncates the long
-    # per-query line (BENCH_r02.json parsed=null), so keep the parseable
-    # line short and put the detail in BENCH.json.
-    compact = json.dumps(
-        {
-            "metric": "total_query_wall_clock",
-            "value": doc["value"],
-            "unit": "sec",
-            "total_trimmed_mean": doc["total_trimmed_mean"],
-            "sf": doc["sf"],
-            "n_queries": len(doc["queries"]),
-            "detail": "BENCH.json",
-        }
-    )
+    # Full per-query map goes to disk; stdout's LAST line is the parseable
+    # contract. The driver keeps only a 2000-char tail of the output and
+    # parses the final JSON line from it (measured: every BENCH_r*.json
+    # records exactly len(tail)==2000, and r02's 3.9 KB per-query line came
+    # back head-truncated with parsed=null) — so the FULL 134-query map
+    # (>=3.7 KB with these names) can never ride the line. Compromise
+    # (round-15 verdict ask #1, adapted to the measured buffer): emit a
+    # CAPPED per-query min map — slowest queries first, as many as fit a
+    # ~1.85 KB budget — plus cpus/sf, so PERF can compute per-query deltas
+    # and 8-vs-32-core scaling over the rows that dominate wall-clock.
+    # The complete map still lands in BENCH.json (unchanged).
+    payload = {
+        "metric": "total_query_wall_clock",
+        "value": doc["value"],
+        "unit": "sec",
+        "total_trimmed_mean": doc["total_trimmed_mean"],
+        "sf": doc["sf"],
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
+        "n_queries": len(doc["queries"]),
+        "queries": {},
+        "queries_omitted": 0,
+        "detail": "BENCH.json",
+    }
+    by_cost = sorted(doc["queries"], key=lambda n: (-doc["queries"][n], n))
+    for i, name in enumerate(by_cost):
+        payload["queries"][name] = doc["queries"][name]
+        payload["queries_omitted"] = len(by_cost) - i - 1
+        if len(json.dumps(payload, separators=(",", ":"))) > 1850:
+            del payload["queries"][name]
+            payload["queries_omitted"] = len(by_cost) - i
+            break
+    compact = json.dumps(payload, separators=(",", ":"))
     sys.stdout.flush()
     print(compact)
     sys.stdout.flush()
