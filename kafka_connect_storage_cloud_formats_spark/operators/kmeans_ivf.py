@@ -76,8 +76,10 @@ from pyspark.sql import functions as F
 
 from kafka_connect_storage_cloud_formats_spark.operators.similarity import (
     DIM,
+    _collect_centroid_matrix,  # noqa: F401 — re-export (pq.py/tests import it here)
     _ivf_probe,
     _load,
+    _stored_norm_guard,
     _with_norm,
 )
 
@@ -89,23 +91,6 @@ KMEANS_ITERS = 5
 from kafka_connect_storage_cloud_formats_spark.operators.dedup import (  # noqa: E402
     INCREMENT_MOD as UPSERT_MOD,
 )
-
-
-def _collect_centroid_matrix(cent_long: DataFrame):
-    """(label, dim, centroid) long table → (labels int64[k], matrix
-    float64[k, d]); k is bounded by construction (one row per trained
-    cluster per dim)."""
-    import numpy as np
-
-    rows = cent_long.collect()
-    by_label: dict = {}
-    for r in rows:
-        by_label.setdefault(int(r["label"]), {})[int(r["dim"])] = float(r["centroid"])
-    labels = np.array(sorted(by_label), dtype=np.int64)
-    M = np.stack(
-        [np.array([by_label[l][d] for d in range(DIM)], dtype=np.float64) for l in labels]
-    )
-    return labels, M
 
 
 def _assign_clusters(
@@ -164,10 +149,21 @@ def _assign_clusters(
             if carry_embedding:
                 cols["embedding"] = pdf["embedding"]
             cols["cluster"] = labels[idx]
+            if carry_embedding:
+                # the vector's own L2 norm, the same left-associated
+                # sqrt(Σ x·x) chain as l2_norm_vec (E is already the
+                # float64 widening) — stored WITHOUT the zero guard (the
+                # trainer tolerates zero vectors; serving probes re-apply
+                # the loud refusal on the READ norm, similarity.
+                # _stored_norm_guard). Carrying it makes every index/
+                # segment artifact norm-complete, so probes never re-run
+                # a corpus-wide Arrow norm pass per query (round 16,
+                # guide §2.1/§4 — the FAISS store-the-norms trick).
+                cols["norm"] = np.sqrt(_seq_dot(E, E))
             yield pd.DataFrame(cols)
 
     schema = (
-        "vec_id long, embedding array<float>, cluster long"
+        "vec_id long, embedding array<float>, cluster long, norm double"
         if carry_embedding
         else "vec_id long, cluster long"
     )
@@ -181,12 +177,23 @@ def _update_centroids(corpus: DataFrame, assignment: DataFrame) -> DataFrame:
     ignores). Per-row normalization (val / l2(embedding)) is row-local
     IEEE arithmetic, so it is identical on every partitioning; the
     decimal sums stay associative ⇒ bit-identical at any parallelism.
-    Zero vectors contribute their raw zeros (norm treated as 1)."""
+    Zero vectors contribute their raw zeros (norm treated as 1).
+
+    An ``assignment`` that already CARRIES the embedding (an
+    assign-with-carry pass or the round-16 carried assignment artifact)
+    is consumed directly — no corpus⋈assignment vec_id join, so the
+    update is one exchange (the groupBy) instead of three (guide §2.1;
+    the carried vector is echoed bit-identical, pinned in tests)."""
     from kafka_connect_storage_cloud_formats_spark.functions.vectors import dot
 
     norm = F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+    members = (
+        assignment
+        if "embedding" in assignment.columns
+        else corpus.join(assignment, "vec_id")
+    )
     pos = (
-        corpus.join(assignment, "vec_id")
+        members
         .withColumn("__n", F.when(norm > 0.0, norm).otherwise(F.lit(1.0)))
         .select(
             F.col("cluster").alias("label"),
@@ -360,7 +367,20 @@ def train_kmeans_quantizer(
     if split not in (None, "corpus"):
         raise ValueError(f"split must be None or 'corpus', got {split!r}")
     params = kmeans_params_token(k, iters, init=init, split=split)
-    assign_path = artifact_path("kmeans_assign", sf_dir, "embeddings", params=params, spark=spark)
+    # The assignment artifact CARRIES the embedding since round 16
+    # ((vec_id, embedding, cluster) — echoed through the final Arrow
+    # assign pass, bit-identical float32): every downstream consumer that
+    # needs vector AND cell (the index build/rebuild, the serving corpus
+    # of ivf_kmeans_topk, the cell-stats report, the centroid update)
+    # then stays MAP-ONLY instead of paying a corpus-wide vec_id
+    # equi-join back to the embeddings table — at 100 TB each such join
+    # is two corpus-wide exchanges (guide §2.1/§2.4; the r15 segment
+    # carry generalized to the training artifact). Its own params suffix:
+    # the schema change must never be served from a pre-r16 (vec_id,
+    # cluster) artifact cached at the un-suffixed path.
+    assign_path = artifact_path(
+        "kmeans_assign", sf_dir, "embeddings", params=params + "cen", spark=spark
+    )
     cent_path = artifact_path("kmeans_cents", sf_dir, "embeddings", params=params, spark=spark)
 
     def _training_corpus() -> DataFrame:
@@ -386,7 +406,11 @@ def train_kmeans_quantizer(
                 [np.asarray(r["embedding"], dtype=np.float64) for r in seed_rows]
             )
         for _ in range(iters):
-            assignment = _assign_clusters(corpus, labels, M)
+            # carry_embedding: the update consumes the assignment's own
+            # echoed vector — no per-iteration corpus⋈assignment join
+            # (guide §2.1; echoes are bit-identical, so the decimal means
+            # are unchanged)
+            assignment = _assign_clusters(corpus, labels, M, carry_embedding=True)
             new_long = _update_centroids(corpus, assignment)
             new_labels, new_M = _collect_centroid_matrix(new_long)
             # empty clusters keep their previous centroid
@@ -397,7 +421,7 @@ def train_kmeans_quantizer(
                 order = np.argsort(new_labels)
                 new_labels, new_M = new_labels[order], new_M[order]
             labels, M = new_labels, new_M
-        _assign_clusters(corpus, labels, M).write.parquet(tmp)
+        _assign_clusters(corpus, labels, M, carry_embedding=True).write.parquet(tmp)
 
     assignment = artifact_df(assign_path, build_both, spark)
 
@@ -425,10 +449,16 @@ def ivf_kmeans_topk(
     nprobe = k this is bit-equal to brute force by the same full-scan
     argument as the label quantizer (pinned in tests)."""
     assignment, cent_long = train_kmeans_quantizer(spark, sf_dir, k=k, iters=iters)
-    corpus = _with_norm(
-        _load(spark, sf_dir)
-        .select("vec_id", "embedding")
-        .join(assignment.select("vec_id", F.col("cluster").alias("label")), "vec_id")
+    # the carried assignment artifact IS (vec_id, embedding, cluster,
+    # norm) — the probe corpus reads it directly: no corpus⋈assignment
+    # join AND no per-query Arrow norm pass (round 16, guide §2.1/§2.4;
+    # embeddings/norms are the final assign pass's bit-identical echoes,
+    # the zero-norm refusal re-applies on the read norm)
+    corpus = assignment.select(
+        "vec_id",
+        "embedding",
+        F.col("cluster").alias("label"),
+        _stored_norm_guard().alias("norm"),
     )
     return _ivf_probe(spark, sf_dir, cent_long, corpus, nprobe=nprobe)
 
@@ -457,18 +487,27 @@ def build_kmeans_ivf_index(
     )
 
     assignment, _ = train_kmeans_quantizer(spark, sf_dir, k=k, iters=iters, split=split)
+    # "n": the index stores the vector L2 norm since round 16 (the
+    # params token names every constant of the derivation — a norm-less
+    # pre-r16 index can never serve the norm-reading probes)
     path = artifact_path(
         "kmeans_ivf_index",
         sf_dir,
         "embeddings",
-        params=kmeans_params_token(k, iters, split=split),
+        params=kmeans_params_token(k, iters, split=split) + "n",
         spark=spark,
     )
+    # MAP-ONLY (re)build since round 16: the carried assignment artifact
+    # already holds (vec_id, embedding, cluster, norm), so the index
+    # write is one pass — scan → partitioned write — instead of a
+    # corpus-wide vec_id join back to the embeddings table (two
+    # corpus-wide exchanges at scale; guide §2.1). Content identical:
+    # the carried embeddings/norms are the final assign pass's bit-exact
+    # echoes.
     ensure_artifact(
         path,
-        lambda tmp: _load(spark, sf_dir)
-        .select("vec_id", "embedding")
-        .join(assignment.select("vec_id", F.col("cluster").alias("label")), "vec_id")
+        lambda tmp: assignment
+        .select("vec_id", "embedding", "norm", F.col("cluster").alias("label"))
         .write.partitionBy("label")
         .parquet(tmp),
         spark=spark,
@@ -512,10 +551,14 @@ def ivf_kmeans_topk_pruned(
 
     _, cent_long = train_kmeans_quantizer(spark, sf_dir, k=k, iters=iters)
     index_path = build_kmeans_ivf_index(spark, sf_dir, k=k, iters=iters)
-    stored = _with_norm(
-        published_df(spark, index_path).select(
-            "vec_id", "embedding", F.col("label").cast("long").alias("label")
-        )
+    # norm read FROM the index (stored at build, bit-equal to l2_norm_vec
+    # — doubles roundtrip parquet exactly): the probe runs ZERO Arrow
+    # passes over the corpus side (round 16, guide §4)
+    stored = published_df(spark, index_path).select(
+        "vec_id",
+        "embedding",
+        F.col("label").cast("long").alias("label"),
+        _stored_norm_guard().alias("norm"),
     )
     return _ivf_probe(spark, sf_dir, cent_long, stored, nprobe=nprobe)
 
@@ -629,11 +672,12 @@ def build_kmeans_ivf_upsert(
     )
 
     infix = "b" if drop is None else f"b{drop[0]}of{drop[1]}"
+    # "n" — the segment stores the vector L2 norm, like the main index
     path = artifact_path(
         "kmeans_ivf_upsert",
         sf_dir,
         "embeddings",
-        params=kmeans_params_token(k, iters, split="corpus") + infix,
+        params=kmeans_params_token(k, iters, split="corpus") + "n" + infix,
         spark=spark,
     )
 
@@ -655,7 +699,7 @@ def build_kmeans_ivf_upsert(
         assign_to_published_quantizer(
             spark, sf_dir, batch, k=k, iters=iters, carry_embedding=True
         ).select(
-            "vec_id", "embedding", F.col("cluster").alias("label")
+            "vec_id", "embedding", "norm", F.col("cluster").alias("label")
         ).write.partitionBy("label").parquet(tmp)
 
     ensure_artifact(path, build, spark=spark, force=force)
@@ -718,7 +762,12 @@ def kmeans_ivf_serving_view(
         build_kmeans_ivf_upsert(spark, sf_dir, k=k, iters=iters, drop=d)
         for d in drops
     ]
-    cols = ["vec_id", "embedding", F.col("label").cast("long").alias("label")]
+    cols = [
+        "vec_id",
+        "embedding",
+        F.col("label").cast("long").alias("label"),
+        "norm",
+    ]
     out = published_df(spark, main).select(*cols)
     for seg in segs:
         out = out.unionByName(published_df(spark, seg).select(*cols))
@@ -752,11 +801,13 @@ def compact_kmeans_ivf_segments(
     )
 
     infix = "cmp" if n_drops is None else f"cmpd{n_drops}"
+    # "n" — folds the norm-complete view, so the compacted index is
+    # norm-complete like its inputs
     path = artifact_path(
         "kmeans_ivf_index",
         sf_dir,
         "embeddings",
-        params=kmeans_params_token(k, iters, split="corpus") + infix,
+        params=kmeans_params_token(k, iters, split="corpus") + "n" + infix,
         spark=spark,
     )
     ensure_artifact(
@@ -811,9 +862,13 @@ def ivf_kmeans_topk_upserted(
     _, cent_long = train_kmeans_quantizer(
         spark, sf_dir, k=k, iters=iters, split="corpus"
     )
-    stored = _with_norm(
-        kmeans_ivf_serving_view(spark, sf_dir, k=k, iters=iters, n_drops=n_drops)
-    )
+    # norms come FROM the index/segment artifacts (stored at build): the
+    # serving probe runs zero corpus-side Arrow passes — at sf0.1 the
+    # per-branch norm pass over the union's many small files was ~0.4 s
+    # of the row (measured, round 16); at 100 TB it was a full corpus
+    # Python pass per query
+    view = kmeans_ivf_serving_view(spark, sf_dir, k=k, iters=iters, n_drops=n_drops)
+    stored = view.withColumn("norm", _stored_norm_guard())
     return _ivf_probe(spark, sf_dir, cent_long, stored, nprobe=nprobe)
 
 
@@ -873,8 +928,13 @@ def ivf_kmeans_cell_stats(
     )
     from kafka_connect_storage_cloud_formats_spark.operators.similarity import _dot
 
-    members = _with_norm(_load(spark, sf_dir).select("vec_id", "embedding")).join(
-        assignment.select("vec_id", F.col("cluster").alias("label")), "vec_id"
+    # the carried assignment artifact holds the members AND their norms
+    # directly — no corpus⋈assignment join, no Arrow norm pass (round 16)
+    members = assignment.select(
+        "vec_id",
+        "embedding",
+        F.col("cluster").alias("label"),
+        _stored_norm_guard().alias("norm"),
     )
     cos = _dot("embedding", "c_emb") / (F.col("norm") * F.col("c_norm"))
     quant = F.floor(cos * F.lit(1e15)).cast("decimal(38,0)")

@@ -444,29 +444,31 @@ def pq_topk(spark: SparkSession, sf_dir: str, query_ids=None) -> DataFrame:
     scored = codes.mapInPandas(
         score_batches, "q_id long, neighbor_id long, approx_cos double"
     )
-    return _candidates_then_exact_rerank(spark, sf_dir, scored, q_ids)
+    return _candidates_then_exact_rerank(spark, sf_dir, scored, q_ids, Qm)
 
 
 def _candidates_then_exact_rerank(
-    spark: SparkSession, sf_dir: str, scored: DataFrame, q_ids
+    spark: SparkSession, sf_dir: str, scored: DataFrame, q_ids, Qm
 ) -> DataFrame:
     """The shared serving tail of every ADC pre-ranker (pq_topk full-scan,
     ivfpq_topk cell-pruned): global top-RERANK_CANDIDATES per query over
     the approx scores, then the exact cosine re-rank on C·Q rows only —
-    one definition, the sq8_topk shape."""
+    one definition, the sq8_topk shape. The query side comes from the
+    ALREADY-COLLECTED matrix (round 16 —
+    :func:`~.similarity._local_query_vectors`: no second corpus scan /
+    Arrow norm pass / broadcast-build job for bytes the driver holds)."""
+    from kafka_connect_storage_cloud_formats_spark.operators.similarity import (
+        _local_query_vectors,
+    )
+
     wc = Window.partitionBy("q_id").orderBy(F.desc("approx_cos"), F.asc("neighbor_id"))
     cand = (
         scored.withColumn("crank", F.row_number().over(wc))
         .filter(F.col("crank") <= RERANK_CANDIDATES)
         .select("q_id", "neighbor_id")
     )
-    full = _with_norm(_load(spark, sf_dir))
-    qv = full.filter(F.col("vec_id").isin([int(i) for i in q_ids])).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("norm").alias("q_norm"),
-    )
-    cv = full.select(
+    qv = _local_query_vectors(spark, q_ids, Qm)
+    cv = _with_norm(_load(spark, sf_dir)).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("n_emb"),
         F.col("norm").alias("n_norm"),
@@ -558,6 +560,7 @@ def _lut_adc_rerank(
     members: DataFrame,
     LUT,
     q_ids,
+    Qm,
     with_qc: bool = False,
 ) -> DataFrame:
     """The shared cell-pruned ADC + exact-re-rank tail of every composed
@@ -598,7 +601,41 @@ def _lut_adc_rerank(
     scored = pairs.select(*cols).mapInPandas(
         adc_batches, "q_id long, neighbor_id long, approx_cos double"
     )
-    return _candidates_then_exact_rerank(spark, sf_dir, scored, q_ids)
+    return _candidates_then_exact_rerank(spark, sf_dir, scored, q_ids, Qm)
+
+
+def _collect_probe_inputs(spark: SparkSession, sf_dir: str, split=None, residual=False):
+    """The composed probes' driver-side inputs — (q_ids, Qm) query matrix,
+    (assignment, labels, M) coarse structures, (codes_df, CB) codebooks —
+    with the two INDEPENDENT lanes overlapped from a 2-thread pool (guide
+    §2.6, round 16): the query-matrix scan shares nothing with the
+    published-structure reads, so running them sequentially paid two
+    job-rounds of latency for one. The coarse→PQ lane stays sequential
+    inside ONE worker deliberately: train_pq consumes the coarse
+    quantizer (residual arm), and two threads racing a cold artifact
+    cache would train it twice (correct — ensure_artifact publishes
+    atomically — but wasted work)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from kafka_connect_storage_cloud_formats_spark.operators.kmeans_ivf import (
+        _collect_centroid_matrix,
+        train_kmeans_quantizer,
+    )
+
+    base = _load(spark, sf_dir).select("vec_id", "embedding")
+
+    def structures():
+        assignment, cent_long = train_kmeans_quantizer(spark, sf_dir, split=split)
+        labels, M = _collect_centroid_matrix(cent_long)
+        codes_df, cents = train_pq(spark, sf_dir, split=split, residual=residual)
+        return assignment, labels, M, codes_df, _collect_pq_matrices(cents)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_q = pool.submit(_collect_query_matrix, base, None)
+        fut_s = pool.submit(structures)
+        q_ids, Qm = fut_q.result()
+        assignment, labels, M, codes_df, CB = fut_s.result()
+    return q_ids, Qm, assignment, labels, M, codes_df, CB
 
 
 def ivfpq_topk(spark: SparkSession, sf_dir: str, nprobe: int | None = None) -> DataFrame:
@@ -629,24 +666,19 @@ def ivfpq_topk(spark: SparkSession, sf_dir: str, nprobe: int | None = None) -> D
     relation → member equi-join → one Arrow ADC pass → shared re-rank)."""
     from kafka_connect_storage_cloud_formats_spark.operators.kmeans_ivf import (
         SERVING_NPROBE,
-        _collect_centroid_matrix,
-        train_kmeans_quantizer,
     )
 
     if nprobe is None:
         nprobe = SERVING_NPROBE
-    base = _load(spark, sf_dir).select("vec_id", "embedding")
-    q_ids, Qm = _collect_query_matrix(base, None)
-    assignment, cent_long = train_kmeans_quantizer(spark, sf_dir)
-    labels, M = _collect_centroid_matrix(cent_long)
+    q_ids, Qm, assignment, labels, M, codes_df, CB = _collect_probe_inputs(
+        spark, sf_dir
+    )
     route = _route_df(spark, q_ids, Qm, labels, M, nprobe)
-    codes_df, cents = train_pq(spark, sf_dir)
-    CB = _collect_pq_matrices(cents)
     LUT = _build_lut(q_ids, Qm, CB)
     members = assignment.select(
         "vec_id", F.col("cluster").alias("label")
     ).join(codes_df, "vec_id")
-    return _lut_adc_rerank(spark, sf_dir, route, members, LUT, q_ids)
+    return _lut_adc_rerank(spark, sf_dir, route, members, LUT, q_ids, Qm)
 
 
 def ivfpq_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -788,22 +820,17 @@ def ivfpq_topk_upserted(
     full-width scan at nprobe=k in tests (routing prunes nothing there)."""
     from kafka_connect_storage_cloud_formats_spark.operators.kmeans_ivf import (
         SERVING_NPROBE,
-        _collect_centroid_matrix,
-        train_kmeans_quantizer,
     )
 
     if nprobe is None:
         nprobe = SERVING_NPROBE
-    base = _load(spark, sf_dir).select("vec_id", "embedding")
-    q_ids, Qm = _collect_query_matrix(base, None)
-    _, cent_long = train_kmeans_quantizer(spark, sf_dir, split="corpus")
-    labels, M = _collect_centroid_matrix(cent_long)
+    q_ids, Qm, _assignment, labels, M, _codes, CB = _collect_probe_inputs(
+        spark, sf_dir, split="corpus"
+    )
     route = _route_df(spark, q_ids, Qm, labels, M, nprobe)
-    _, cents = train_pq(spark, sf_dir, split="corpus")
-    CB = _collect_pq_matrices(cents)
     LUT = _build_lut(q_ids, Qm, CB)
     members = _ivfpq_serving_members(spark, sf_dir)
-    return _lut_adc_rerank(spark, sf_dir, route, members, LUT, q_ids)
+    return _lut_adc_rerank(spark, sf_dir, route, members, LUT, q_ids, Qm)
 
 
 def ivfpq_recall_upserted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -842,24 +869,19 @@ def ivfpq_residual_topk(
     routing + centroid-term ADC + exact re-rank in one WITH-chain."""
     from kafka_connect_storage_cloud_formats_spark.operators.kmeans_ivf import (
         SERVING_NPROBE,
-        _collect_centroid_matrix,
-        train_kmeans_quantizer,
     )
 
     if nprobe is None:
         nprobe = SERVING_NPROBE
-    base = _load(spark, sf_dir).select("vec_id", "embedding")
-    q_ids, Qm = _collect_query_matrix(base, None)
-    assignment, cent_long = train_kmeans_quantizer(spark, sf_dir)
-    labels, M = _collect_centroid_matrix(cent_long)
+    q_ids, Qm, assignment, labels, M, codes_df, CB = _collect_probe_inputs(
+        spark, sf_dir, residual=True
+    )
     route = _route_df(spark, q_ids, Qm, labels, M, nprobe, with_qc=True)
-    codes_df, cents = train_pq(spark, sf_dir, residual=True)
-    CB = _collect_pq_matrices(cents)
     LUT = _build_lut(q_ids, Qm, CB)
     members = assignment.select(
         "vec_id", F.col("cluster").alias("label")
     ).join(codes_df, "vec_id")
-    return _lut_adc_rerank(spark, sf_dir, route, members, LUT, q_ids, with_qc=True)
+    return _lut_adc_rerank(spark, sf_dir, route, members, LUT, q_ids, Qm, with_qc=True)
 
 
 def ivfpq_residual_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -889,22 +911,17 @@ def ivfpq_residual_topk_upserted(
     re-rank in ONE WITH-chain."""
     from kafka_connect_storage_cloud_formats_spark.operators.kmeans_ivf import (
         SERVING_NPROBE,
-        _collect_centroid_matrix,
-        train_kmeans_quantizer,
     )
 
     if nprobe is None:
         nprobe = SERVING_NPROBE
-    base = _load(spark, sf_dir).select("vec_id", "embedding")
-    q_ids, Qm = _collect_query_matrix(base, None)
-    _, cent_long = train_kmeans_quantizer(spark, sf_dir, split="corpus")
-    labels, M = _collect_centroid_matrix(cent_long)
+    q_ids, Qm, _assignment, labels, M, _codes, CB = _collect_probe_inputs(
+        spark, sf_dir, split="corpus", residual=True
+    )
     route = _route_df(spark, q_ids, Qm, labels, M, nprobe, with_qc=True)
-    _, cents = train_pq(spark, sf_dir, split="corpus", residual=True)
-    CB = _collect_pq_matrices(cents)
     LUT = _build_lut(q_ids, Qm, CB)
     members = _ivfpq_serving_members(spark, sf_dir, residual=True)
-    return _lut_adc_rerank(spark, sf_dir, route, members, LUT, q_ids, with_qc=True)
+    return _lut_adc_rerank(spark, sf_dir, route, members, LUT, q_ids, Qm, with_qc=True)
 
 
 def ivfpq_residual_recall_upserted(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -127,6 +127,37 @@ def _collect_query_matrix(base: DataFrame, query_ids=None):
     return q_ids, Qm
 
 
+def _local_query_vectors(spark: SparkSession, q_ids, Qm) -> DataFrame:
+    """(q_id, q_emb, q_norm) as an Arrow local relation built from the
+    ALREADY-COLLECTED query matrix — the exact-re-rank's query side
+    without a second corpus scan + Arrow norm pass + broadcast-build job
+    (round 16, guide §2.4/§5: the bytes are in hand on the driver; Q is
+    bounded by the MAX_QUERIES contract). Bit-identity: ``Qm`` is an
+    exact float64 widening of the stored float32 embeddings, so
+    ``astype(float32)`` round-trips the stored vector bit-for-bit, and
+    the norm is the same left-associated ``sqrt(Σ x·x)`` chain
+    ``l2_norm_vec`` runs (with the same loud zero-norm refusal)."""
+    import numpy as np
+    import pandas as pd
+
+    from kafka_connect_storage_cloud_formats_spark.functions.vectors import (
+        _seq_dot,
+        require_nonzero_norms,
+    )
+
+    qn = require_nonzero_norms(np.sqrt(_seq_dot(Qm, Qm)), "query vector(s)")
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "q_id": np.asarray(q_ids, dtype=np.int64),
+                "q_emb": [Qm[i].astype(np.float32) for i in range(len(q_ids))],
+                "q_norm": qn,
+            }
+        ),
+        schema="q_id long, q_emb array<float>, q_norm double",
+    )
+
+
 def _dot(a: str, b: str):
     """Arrow-vectorized left-associated double dot product.
 
@@ -170,19 +201,42 @@ def _with_norm_once(df: DataFrame) -> DataFrame:
     return df.withColumn("norm", l2_norm_vec_once(F.col("embedding")))
 
 
-def _jvm_dot(a: str, b: str):
-    """JVM-side higher-order-function dot (functions/vectors.py:24): the
-    same left-associated double chain as ``_dot``/the oracle — bit-identical
-    results — but evaluated entirely in the JVM. Used for the tiny
-    query→centroid ASSIGNMENT subtree (Q·C rows) so plans that embed it as
-    a dynamic-partition-pruning subquery stay pure-JVM: the DPP probe then
-    costs a metadata-scale job instead of spinning Python worker stages
-    before the main scan ever starts. Corpus-scale cosines keep the
-    Arrow/NumPy path (vectorized beats interpreted per-element folds there).
-    """
-    from kafka_connect_storage_cloud_formats_spark.functions.vectors import dot
+def _stored_norm_guard():
+    """The zero-norm corpus-contract refusal applied to an index-STORED
+    ``norm`` column (round 16 — the kmeans index/segment artifacts carry
+    the vector's L2 norm, so probes read it instead of re-running a
+    corpus-wide Arrow norm pass per query). Pure JVM: no-op on every
+    valid row, ``raise_error`` on a zero norm — the same loud wording as
+    ``l2_norm_vec``'s guard, at the same place in the dataflow (the
+    probe's corpus side)."""
+    return F.when(F.col("norm") > 0.0, F.col("norm")).otherwise(
+        F.raise_error(
+            F.lit(
+                "zero-norm embedding: cosine similarity is undefined — "
+                "filter or impute upstream (corpus contract)"
+            )
+        )
+    )
 
-    return dot(F.col(a), F.col(b))
+
+def _collect_centroid_matrix(cent_long: DataFrame):
+    """(label, dim, centroid) long table → (labels int64[k], matrix
+    float64[k, d]); k is bounded by construction (one row per trained
+    cluster per dim). Lived in operators/kmeans_ivf.py through round 15;
+    moved here in round 16 so the shared :func:`_ivf_probe` can route
+    driver-side (kmeans_ivf imports FROM this module, so the reverse
+    import would be circular — kmeans_ivf re-exports it unchanged)."""
+    import numpy as np
+
+    rows = cent_long.collect()
+    by_label: dict = {}
+    for r in rows:
+        by_label.setdefault(int(r["label"]), {})[int(r["dim"])] = float(r["centroid"])
+    labels = np.array(sorted(by_label), dtype=np.int64)
+    M = np.stack(
+        [np.array([by_label[l][d] for d in range(DIM)], dtype=np.float64) for l in labels]
+    )
+    return labels, M
 
 
 def _sql_dot(a: str, b: str) -> str:
@@ -197,7 +251,8 @@ def _sql_base() -> str:
     carries the engine's zero-norm refusal MIRRORED as an ``error()``
     branch (round-11, extending the round-10 ADVICE closure beyond the
     kmeans probe): the engine side refuses zero-norm embeddings loudly
-    (l2_norm_vec / _jvm_nonzero), so the oracle must fail the same way on
+    (l2_norm_vec / the probe's driver-side routing guard), so the oracle
+    must fail the same way on
     degenerate geometry instead of silently ranking NULL cosines — a
     no-op on every shipped corpus (all norms positive)."""
     return f"""
@@ -532,12 +587,12 @@ def ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int = 1) -> DataFrame:
     tests/test_similarity.py: probing every bucket IS the full scan,
     identical ranking and tie-breaks).
 
-    Scale shape: the centroid table is tiny (n_labels rows) and broadcast;
-    the bucket restriction turns the O(Q·N) scan into O(Q·nprobe·N/n_labels),
-    and the corpus side is partition-prunable by label. The assignment
-    subtree (query→centroid, Q·C rows) is pure-JVM (``_jvm_dot``) so it is
-    cheap to re-evaluate wherever the optimizer embeds it (e.g. as a
-    pruning subquery); the corpus-scale re-rank keeps the Arrow path.
+    Scale shape: the centroid table is tiny (n_labels rows) and collected
+    driver-side; the query→cell routing happens on the driver over the
+    bounded query matrix (see :func:`_ivf_probe`, round 16), so the bucket
+    restriction turns the O(Q·N) scan into O(Q·nprobe·N/n_labels) through
+    a PLAN-TIME ``label IN (…)`` filter; the corpus-scale re-rank keeps
+    the Arrow path.
     """
     return _ivf_probe(
         spark,
@@ -564,61 +619,96 @@ def _ivf_probe(
     (vec_id, embedding, norm, label). ``nprobe`` widens the assignment to
     the top-N centroids per query (same ordering/tie-break as the final
     ranking: ccos desc, label asc); the downstream bucket join and global
-    top-k are nprobe-blind."""
+    top-k are nprobe-blind.
+
+    Round 16 (guide §2.4 — remove shuffles outright): the query→cell
+    ASSIGNMENT now routes DRIVER-SIDE, the ``pq._route_df`` shape the
+    IVFPQ family has served from since round 15. Both routing inputs are
+    metadata-scale by standing contracts — centroids are k×d
+    (:func:`_collect_centroid_matrix`, the same k-bounded collect
+    ``assign_to_published_quantizer`` already rides) and the query side
+    is the Q ≤ MAX_QUERIES matrix (:func:`_collect_query_matrix`'s
+    LIMIT-capped collect, the knn/sq8/pq/ivfpq tiers' shared posture) —
+    and the routing math is the identical left-associated chain
+    (``raw += Q[:,d]·M[:,d]`` from 0.0, score = raw/(|q|·|c|), ties to
+    the lowest cell), so the routed pairs are bit-equal to the old
+    distributed window's. What the plan loses: the centroid
+    groupBy+broadcast subtree, the Q×k crossJoin, and the q_id window
+    exchange — 2-3 sequential AQE job rounds per probe row. What it
+    gains: the routed cell set is now a PLAN-TIME literal, so the bucket
+    restriction is a STATIC ``label IN (…)`` partition filter on the
+    index scan (strictly earlier than the old dynamic pruning — no
+    pruning subquery on the probe's critical path at all)."""
+    import numpy as np
+    import pandas as pd
+
+    from kafka_connect_storage_cloud_formats_spark.functions.vectors import (
+        _seq_dot,
+        require_nonzero_norms,
+    )
+
     if nprobe < 1:
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    # the two routing inputs are INDEPENDENT collect jobs (centroid table
+    # vs query subset scan) — overlap them from a 2-thread pool so the
+    # probe pays one job-round of latency, not two (guide §2.6; job
+    # descriptions are thread-local, artifact recording handles
+    # frame-less threads — artifacts.py cross-thread fallback)
+    from concurrent.futures import ThreadPoolExecutor
 
-    def _jvm_nonzero(norm_col, what: str):
-        # zero-norm contract on the PROBE's own subtrees (round-10 second
-        # review): the query side and the centroid table never pass
-        # through l2_norm_vec (the assignment subtree must stay pure-JVM
-        # for DPP — tests pin zero Python stages in it), so the loud
-        # refusal is a JVM branch: no-op on every valid row, raise_error
-        # on a zero norm instead of NaN cosines that silently diverge
-        # from the oracle's NULL rendering.
-        return F.when(norm_col > 0.0, norm_col).otherwise(
-            F.raise_error(
-                F.lit(
-                    f"zero-norm {what}: cosine similarity is undefined — "
-                    "filter or impute upstream (corpus contract)"
-                )
-            )
-        )
-
-    cents = (
-        cent_long.groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("dim", "centroid"))).alias("cd"))
-        .select(
-            F.col("label").alias("c_label"),
-            F.transform("cd", lambda s: s["centroid"]).alias("c_emb"),
-        )
-        .withColumn("c_norm", _jvm_nonzero(F.sqrt(_jvm_dot("c_emb", "c_emb")), "centroid"))
+    base = _load(spark, sf_dir).select("vec_id", "embedding")
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_c = pool.submit(_collect_centroid_matrix, cent_long)
+        fut_q = pool.submit(_collect_query_matrix, base)
+        labels, M = fut_c.result()
+        q_ids, Qm = fut_q.result()
+    q_norm = require_nonzero_norms(np.sqrt(_seq_dot(Qm, Qm)), "query vector(s)")
+    c_norm = require_nonzero_norms(np.sqrt(_seq_dot(M, M)), "centroid(s)")
+    raw = np.zeros((len(q_ids), M.shape[0]), dtype=np.float64)
+    for d in range(Qm.shape[1]):  # left-associated — the oracle's assign chain
+        raw += Qm[:, d : d + 1] * M[None, :, d]
+    scores = raw / (q_norm[:, None] * c_norm[None, :])
+    route_q, route_l, route_e, route_n = [], [], [], []
+    for qi in range(len(q_ids)):
+        # ccos desc, label asc — lexsort's last key is primary; -score is
+        # an exact IEEE sign flip (no NaNs: zero norms raised above)
+        order = np.lexsort((labels, -scores[qi]))[:nprobe]
+        for c in order:
+            route_q.append(int(q_ids[qi]))
+            route_l.append(int(labels[c]))
+            # float64→float32 round-trips exactly (Qm is an exact widening
+            # of the stored float32 embedding), so q_emb is the stored
+            # vector bit-for-bit and the re-rank kernel sees what the old
+            # distributed q-side scan fed it
+            route_e.append(Qm[qi].astype(np.float32))
+            route_n.append(float(q_norm[qi]))
+    assigned = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "q_id": np.array(route_q, dtype=np.int64),
+                "c_label": np.array(route_l, dtype=np.int64),
+                "q_emb": route_e,
+                "q_norm": np.array(route_n, dtype=np.float64),
+            }
+        ),
+        schema="q_id long, c_label long, q_emb array<float>, q_norm double",
     )
-    q = _load(spark, sf_dir).filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-    )
-    q = q.withColumn(
-        "q_norm", _jvm_nonzero(F.sqrt(_jvm_dot("q_emb", "q_emb")), "query vector")
-    )
-    ccos = _jvm_dot("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm"))
-    wa = Window.partitionBy("q_id").orderBy(F.desc("ccos"), F.asc("c_label"))
-    assigned = (
-        q.crossJoin(F.broadcast(cents))
-        .withColumn("ccos", ccos)
-        .withColumn("rn", F.row_number().over(wa))
-        .filter(F.col("rn") <= nprobe)
-        .select("q_id", "q_emb", "q_norm", "c_label")
-    )
+    probed = sorted(set(route_l))
     cosine = _dot("q_emb", "embedding") / (F.col("q_norm") * F.col("norm"))
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    # assigned is corpus-proportional (nprobe × N/QUERY_MOD rows carrying
-    # q_emb): no forced broadcast hint — AQE broadcasts while it fits and
-    # falls back at scale (gated-hints doctrine; round-9 review). DPP on
-    # the pruned path keys off the join, not the hint.
+    # The label filter is result-neutral (the equi-join admits routed
+    # cells only) but plan-load-bearing: on the materialized index it is
+    # a static partition filter — the probe scans assigned cells only,
+    # with no DPP subquery. The routed side itself is a Q·nprobe-row
+    # Arrow local relation; the planner broadcasts it off its own exact
+    # size estimate (no hint needed — bounded by the MAX_QUERIES
+    # contract, same doctrine as _route_df's member join).
     return (
-        assigned
-        .join(corpus, (F.col("label") == F.col("c_label")) & (F.col("vec_id") != F.col("q_id")))
+        corpus.filter(F.col("label").isin(probed))
+        .join(
+            assigned,
+            (F.col("label") == F.col("c_label")) & (F.col("vec_id") != F.col("q_id")),
+        )
         .select("q_id", F.col("vec_id").alias("neighbor_id"), cosine.alias("cosine"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
@@ -753,13 +843,10 @@ def ivf_topk_pruned(spark: SparkSession, sf_dir: str, nprobe: int = 1) -> DataFr
     )
     # Coarse quantizer read from the materialized centroid table (doubles
     # round-trip parquet exactly) — the probe never re-aggregates the
-    # corpus; both index artifacts come from the same build. The whole
-    # assignment subtree is pure-JVM (``_jvm_dot``): DPP re-executes it as
-    # the pruning subquery BEFORE the index scan, and a subquery that spins
-    # Python worker stages would put an Arrow round-trip on the critical
-    # path of every probe (measured: 1–3 s of added latency/variance at
-    # sf0.1; at 100 TB the probe's time-to-first-byte would eat the same
-    # stall).
+    # corpus; both index artifacts come from the same build. Since round
+    # 16 the routing is driver-side (see _ivf_probe), so the index scan is
+    # pruned by a STATIC label IN (…) partition filter — no pruning
+    # subquery on the probe's critical path at all.
     return _ivf_probe(
         spark, sf_dir, published_df(spark, index_path + "_centroids"), stored, nprobe=nprobe
     )
@@ -900,17 +987,12 @@ def sq8_topk(spark: SparkSession, sf_dir: str, query_ids=None) -> DataFrame:
         .filter(F.col("crank") <= RERANK_CANDIDATES)
         .select("q_id", "neighbor_id")
     )
-    full = _with_norm(_load(spark, sf_dir))
-    # qv restricted to the COLLECTED query ids (Q <= MAX_QUERIES by the
-    # matrix contract): the unfiltered form broadcast the whole float
-    # corpus as the build side (round-9 review); this keeps the broadcast
-    # hint honest — the side is bounded, not SF-scaled
-    qv = full.filter(F.col("vec_id").isin([int(i) for i in q_ids])).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("norm").alias("q_norm"),
-    )
-    cv = full.select(
+    # qv from the ALREADY-COLLECTED query matrix (round 16 — the pre-r16
+    # form re-scanned the corpus for the same Q rows and paid an Arrow
+    # norm pass + a broadcast-build job for bytes the driver already
+    # held; see _local_query_vectors for the bit-identity argument)
+    qv = _local_query_vectors(spark, q_ids, Qm)
+    cv = _with_norm(_load(spark, sf_dir)).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("n_emb"),
         F.col("norm").alias("n_norm"),

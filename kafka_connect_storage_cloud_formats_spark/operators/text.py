@@ -546,6 +546,15 @@ def doc_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = ensure_ngram_occurrence_rows(spark, sf_dir, BIGRAM_N).select(
         "doc_id", F.col("ng").alias("bg")
     )
+    # Round 16 examined a shared-bg-exchange rewrite here (repartition(bg)
+    # feeding a (bg, doc_id) pre-aggregate + the frequency rollup + the
+    # join, the q21 pattern) and REVERTED it on measurement: locally the
+    # freq table broadcasts (BHJ — the occurrence stream never shuffles at
+    # all), so the explicit repartition added a full raw-occurrence
+    # exchange for nothing — interleaved A/B read 1.36× (controls
+    # 0.90-0.96×). The broadcast degrades gracefully at scale too: AQE
+    # falls back to a shuffle join only when freq outgrows the threshold,
+    # which is exactly when the extra exchange would have paid for itself.
     freq = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("freq"))
     return (
         bg.join(freq, "bg")

@@ -278,6 +278,28 @@ def test_kmeans_index_build_inventory_matches_assignment(spark, sf_dir):
     assert inv == src
 
 
+def test_assignment_artifact_carries_corpus_embeddings_bit_exact(spark, sf_dir):
+    """Round 16: the published assignment artifact carries the embedding
+    ((vec_id, embedding, cluster)) so the index build / serving reads /
+    centroid update stay map-only — the carried vector must be the
+    corpus vector BIT-FOR-BIT (an Arrow echo, never recomputed; float32
+    round-trips parquet exactly), or every 'join-free by bit-identity'
+    claim downstream is void."""
+    assignment, _ = train_kmeans_quantizer(spark, sf_dir)
+    assert set(assignment.columns) == {"vec_id", "embedding", "cluster", "norm"}
+    src = {
+        r["vec_id"]: list(r["embedding"])
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    carried = {
+        r["vec_id"]: list(r["embedding"]) for r in assignment.collect()
+    }
+    assert carried.keys() == src.keys()
+    assert carried == src
+
+
 def test_kmeans_rejects_bad_params(spark, sf_dir):
     with pytest.raises(ValueError, match="k and iters"):
         train_kmeans_quantizer(spark, sf_dir, k=0)
@@ -525,8 +547,10 @@ def test_upsert_does_not_retrain_the_quantizer(spark, sf_dir):
     ivf_kmeans_index_upsert(spark, sf_dir).collect()
     params = kmeans_params_token(KMEANS_K, KMEANS_ITERS, split="corpus")
     gens = {}
-    for kind in ("kmeans_assign", "kmeans_cents"):
-        p = artifact_path(kind, sf_dir, "embeddings", params=params, spark=spark)
+    # the assign artifact carries the embedding + norm since round 16
+    # ("cen" params suffix — see train_kmeans_quantizer); cents unchanged
+    for kind, ptok in (("kmeans_assign", params + "cen"), ("kmeans_cents", params)):
+        p = artifact_path(kind, sf_dir, "embeddings", params=ptok, spark=spark)
         gens[kind] = (p, _fs_for(p, spark).generation(p))
         assert gens[kind][1] is not None  # trained and published
     ivf_kmeans_index_upsert(spark, sf_dir).collect()  # segment rebuilds
@@ -639,8 +663,8 @@ def test_two_segment_lifecycle_bit_equal_to_single_drop_and_compaction(spark, sf
     params = kmeans_params_token(KMEANS_K, KMEANS_ITERS, split="corpus")
     train_kmeans_quantizer(spark, sf_dir, split="corpus")
     gens = {}
-    for kind in ("kmeans_assign", "kmeans_cents"):
-        p = artifact_path(kind, sf_dir, "embeddings", params=params, spark=spark)
+    for kind, ptok in (("kmeans_assign", params + "cen"), ("kmeans_cents", params)):
+        p = artifact_path(kind, sf_dir, "embeddings", params=ptok, spark=spark)
         gens[kind] = (p, _fs_for(p, spark).generation(p))
         assert gens[kind][1] is not None
 

@@ -25,25 +25,17 @@ def test_allowed_nested_are_documented_exceptions(spark, sf_dir):
     from tools.plan_audit import ALLOWED_SCALAR_CROSS
 
     assert ALLOWED_NESTED == {
-        "ivf_topk",
-        "ivf_topk_pruned",
+        # round 16: every ivf*/ivf_kmeans* TOPK row left this set —
+        # _ivf_probe routes query→cell driver-side now (the pq._route_df
+        # shape), so no probe plan carries the Q×k crossJoin anymore; the
+        # survivors are exactly the 1-row recall-ratio crosses of the
+        # shared _recall_vs_truth evaluation.
         "ann_recall_at_10",
         "sq8_recall_at_10",
         "ivf_recall_at_10",
-        # round 10: the trained-quantizer trio shares the same bounded
-        # _ivf_probe assignment stage (Q × k centroids, broadcast)
-        "ivf_kmeans_topk",
-        "ivf_kmeans_topk_pruned",
         "ivf_kmeans_recall_at_10",
-        # round 11: the serving-grade recall row — same probe, nprobe=4
         "ivf_kmeans_recall_nprobe4",
-        # round 12: the serving-view probe — same bounded _ivf_probe
-        # assignment stage over main ∪ segment — and its recall row
-        # (probe + the standard 1-row recall-ratio cross)
-        "ivf_kmeans_topk_upserted",
         "ivf_kmeans_recall_upserted",
-        # round 13: same probe over main ∪ two enumerated segments
-        "ivf_kmeans_topk_upserted2",
         # round 14: the PQ tiers' recall rows (1-row recall-ratio cross)
         "pq_recall_at_10",
         "ivfpq_recall_at_10",

@@ -60,9 +60,13 @@ def test_ivf_topk_stays_in_bucket(spark, sf_dir):
 
 def test_ivf_pruned_matches_logical_and_prunes_partitions(spark, sf_dir):
     """The materialized index must change the access path, not the answer:
-    ivf_topk_pruned == ivf_topk row-for-row, AND its executed plan must show
-    dynamic partition pruning on the index scan (the probe reads assigned
-    buckets only — the 100 TB IVF story)."""
+    ivf_topk_pruned == ivf_topk row-for-row, AND its executed plan must
+    prune the index scan to the assigned buckets only (the 100 TB IVF
+    story). Since round 16 the pruning is STATIC — _ivf_probe routes
+    query→cell driver-side, so the assigned cells are a plan-time
+    ``label IN (…)`` partition filter on the scan, strictly earlier than
+    the dynamic-partition-pruning subquery the pre-r16 probe relied on
+    (no pruning subquery on the probe's critical path at all)."""
     from kafka_connect_storage_cloud_formats_spark.operators.similarity import ivf_topk_pruned
 
     pruned = ivf_topk_pruned(spark, sf_dir)
@@ -70,18 +74,25 @@ def test_ivf_pruned_matches_logical_and_prunes_partitions(spark, sf_dir):
     got = {tuple(r) for r in pruned.collect()}
     assert got == logical
     plan = pruned._jdf.queryExecution().executedPlan().toString()
-    assert "dynamicpruning" in plan.lower(), "index scan must use dynamic partition pruning"
-    # The DPP subquery re-executes the assignment subtree before the index
-    # scan: it must stay pure-JVM (the probe's time-to-first-byte would
-    # otherwise pay an Arrow round-trip per execution). Exactly two Python
-    # stages remain — the corpus-side norm and the final cosine re-rank —
-    # and neither sits in the assignment/pruning subtree. Count DISTINCT
-    # nodes: reused exchanges print the same node (same expr ids) twice.
+    # the index scan must carry a static label partition filter (the
+    # formatted rendering is "label#N IN (…)" / "label#N INSET …")
+    import re
+
+    pf = re.findall(r"PartitionFilters: \[([^\]]*)", plan)
+    assert any(
+        "label" in f and ("IN" in f or "INSET" in f) for f in pf
+    ), "index scan must carry a static label partition filter:\n" + plan
+    assert "dynamicpruning" not in plan.lower(), (
+        "static routing must not leave a DPP subquery on the probe path"
+    )
+    # Exactly two Python stages remain — the corpus-side norm and the
+    # final cosine re-rank — and neither sits before the pruned scan.
+    # Count DISTINCT nodes: reused exchanges print the same node twice.
     py_nodes = {
         line.strip() for line in plan.splitlines() if "ArrowEvalPython" in line
     }
     assert len(py_nodes) <= 2, (
-        "assignment/DPP subtree must not contain Python stages:\n" + plan
+        "probe must carry no Python stages beyond norm + re-rank:\n" + plan
     )
 
 

@@ -47,25 +47,17 @@ ALLOWED_NESTED = {
     # knn_bruteforce no longer appears here: its mapInPandas formulation
     # (query matrix as a captured constant, per-batch exact top-k) has no
     # nested-loop join at all.
-    "ivf_topk",  # Q × n_labels centroid assignment, centroids broadcast
-    "ivf_topk_pruned",  # same assignment stage against the materialized index
+    # Round 16: the whole ivf*/ivf_kmeans* TOPK family left this set —
+    # _ivf_probe now routes query→cell DRIVER-SIDE (the pq._route_df
+    # shape), so the Q×k centroid crossJoin no longer exists in any probe
+    # plan; the survivors below are exactly the 1-row recall-ratio
+    # crosses of the shared _recall_vs_truth evaluation.
     "ann_recall_at_10",  # 1-row recall-ratio cross + composed baselines
     "sq8_recall_at_10",  # same 1-row recall-ratio cross for the int8 tier
-    "ivf_recall_at_10",  # same 1-row cross + ivf_topk's Q×n_labels assignment
-    # trained-quantizer trio (round 10): the same shared _ivf_probe
-    # assignment stage (Q × k centroids, broadcast) and, for the recall
-    # row, the same 1-row recall-ratio cross as the other tiers
-    "ivf_kmeans_topk",
-    "ivf_kmeans_topk_pruned",
+    "ivf_recall_at_10",  # same 1-row recall-ratio cross
     "ivf_kmeans_recall_at_10",
-    "ivf_kmeans_recall_nprobe4",  # same probe + 1-row cross, nprobe=4
-    # round 12: the serving-view probe — the SAME shared _ivf_probe
-    # assignment stage (Q × k centroids, broadcast) over main ∪ segment —
-    # and its recall row (probe + the standard 1-row recall-ratio cross)
-    "ivf_kmeans_topk_upserted",
+    "ivf_kmeans_recall_nprobe4",  # same 1-row cross, nprobe=4
     "ivf_kmeans_recall_upserted",
-    # round 13: same probe over main ∪ two enumerated segments
-    "ivf_kmeans_topk_upserted2",
     # round 14: the PQ tiers' recall rows — the standard 1-row
     # recall-ratio cross (pq_topk/ivfpq_topk are equi-join only, like sq8)
     "pq_recall_at_10",
