@@ -284,7 +284,7 @@ _ALL = {
 # the window has served its purpose and the positional invariant is
 # expected to lapse until the next rotation (tests/test_registry.py keys
 # its window assertion off this constant).
-ROTATED_FOR_ROUND = 15
+ROTATED_FOR_ROUND = 16
 
 # WINDOW-CAPACITY NOTE (round 15): 134 registered queries (the round-15
 # incremental-IVFPQ pair, residual-IVFPQ pair, residual×incremental pair
@@ -465,7 +465,116 @@ _STALE_AFTER_R14 = [
     "sq8_recall_at_10",
 ]
 
-_PRIORITY = _STALE_AFTER_R14
+# ---- round-16 rotation -----------------------------------------------------
+# Window arithmetic at 134 queries: 84 stale rows (34 r13-green — the
+# ceil(N/50) staleness bound's edge, they MUST all debut — + 50 r14-green);
+# 50 window slots ⇒ exactly 34 slip to r17. The 16 r14-green rows taken
+# in-window are exactly (a) this round's CHANGED rows (the kmeans/pq probe
+# family rewritten onto driver-side routing + stored norms + the carried
+# assignment artifact; dedup_semantic rides the same artifact) and (b) the
+# r15-verdict item-#8 touched-but-unsampled rows (dedup_ngram_jaccard,
+# repeated_ngram_spans, scrub_repeated_ngrams_keepfirst,
+# training_corpus_stats — the r15 spread()/broadcast changes the driver
+# never sampled; q21/neardup_clusters/dedup_fuzzy_prefix are in the r13
+# block). The slipped 34 are all UNTOUCHED-this-round r14-green stable
+# shapes whose operator families stay richly in-window.
+_SLIPPED_TO_R17 = [
+    "q2_min_acctbal_supplier",
+    "orders_cube",
+    "events_pivot_hourly",
+    "q7_nation_trade_volume",
+    "q19_disjunctive_revenue",
+    "q10_returned_revenue",
+    "part_brand_type_setops",
+    "array_function_gallery",
+    "scrub_numeric_tokens",
+    "vocab_stats",
+    "doc_top_terms",
+    "text_quality_stats",
+    "lang_id_heuristic",
+    "token_count_bpe",
+    "benchmark_decontaminate",
+    "doc_repetition_stats",
+    "dedup_exact",
+    "dedup_incremental",
+    "dedup_canonical",
+    "curation_drop_report",
+    "corpus_hash_merge",
+    "corpus_signature_merge",
+    "simhash_fingerprints",
+    "video_scene_cuts",
+    "events_session_30m",
+    "drop_drift_report",
+    "corpus_split_stats",
+    "orders_column_profile",
+    "events_value_quantiles",
+    "events_latest_per_user",
+    "pack_training_sequences",
+    "packed_sequence_stats",
+    "clicks_asof_purchase",
+    "bucketed_segment_revenue",
+]
+
+_STALE_AFTER_R15 = [
+    # the 34 r13-green rows lead (3 rounds stale at this debut — the
+    # bound's edge; includes the r15-verdict item-#8 asks q21,
+    # neardup_clusters, dedup_fuzzy_prefix and this round's rewritten
+    # label-tier probe family ivf_topk/ivf_topk_pruned/ivf_recall_at_10)
+    "distinct_parts_per_supplier",
+    "events_hourly_rollup",
+    "q4_priority_with_late_ship",
+    "q16_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q21_sole_late_supplier",
+    "q22_rich_inactive_customers",
+    "scalar_function_gallery",
+    "q8_nation_market_share",
+    "q11_important_parts",
+    "q12_priority_by_returnflag",
+    "q20_promotion_suppliers",
+    "orders_price_moments",
+    "doc_fingerprint",
+    "doc_bigram_novelty",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "neardup_incremental_simhash",
+    "simhash_near_pairs",
+    "neardup_clusters",
+    "dedup_fuzzy_prefix",
+    "knn_bruteforce",
+    "ann_lsh_topk",
+    "ivf_centroids",
+    "ivf_topk",
+    "ivf_index_build",
+    "ivf_topk_pruned",
+    "ivf_recall_at_10",
+    "ann_recall_at_10",
+    "image_decode_stats",
+    "media_feature_extract",
+    "image_resize_thumbnail",
+    "stratified_sample",
+    # the 16 r14-green rows this round CHANGED or the r15 verdict asked
+    # sampled (see the rotation note above)
+    "ivf_kmeans_topk",
+    "ivf_kmeans_topk_pruned",
+    "ivf_kmeans_index_build",
+    "ivf_kmeans_recall_at_10",
+    "ivf_kmeans_index_upsert",
+    "ivf_kmeans_recall_upserted",
+    "dedup_semantic",
+    "ivf_kmeans_cell_stats",
+    "pq_topk",
+    "pq_recall_at_10",
+    "ivfpq_topk",
+    "ivfpq_recall_at_10",
+    "dedup_ngram_jaccard",
+    "repeated_ngram_spans",
+    "scrub_repeated_ngrams_keepfirst",
+    "training_corpus_stats",
+]
+
+_PRIORITY = _STALE_AFTER_R15
 
 
 # direct indexing: a misspelled rotation name must fail AT IMPORT (the
