@@ -100,6 +100,48 @@ def test_unpartitioned_window_detector_classifies_renderings():
     assert unpartitioned_windows("+- WindowGroupLimit [x#1L ASC]") == 0
 
 
+def test_duplicated_arrow_kernel_detector_flags_r15_regression_shape():
+    """Round-16 (r15 verdict ask #7): the audit must fail any plan where
+    ONE Arrow kernel call is evaluated in TWO ArrowEvalPython nodes over
+    the SAME attributes — the guide-§4.4 double evaluation the `_once`
+    non-deterministic UDF variants prevent. The `_once` marker itself is
+    invisible in plan text, so the rule gates on the duplication it
+    exists to prevent. Red fixture: the COMMITTED r15 before-plan of
+    dedup_embedding_cosine, whose 6 ArrowEvalPython nodes carried every
+    kernel twice; green fixtures: the fixed r15 after-plan and a current
+    probe plan (same kernel over DIFFERENT attributes — join sides,
+    union branches — must never flag)."""
+    import os
+
+    from tools.plan_audit import duplicated_arrow_kernels
+
+    red = open(os.path.join("plans", "r15", "dedup_embedding_cosine_before.txt")).read()
+    flagged = duplicated_arrow_kernels(red)
+    assert "l2_norm_vec(embedding#336)" in flagged and any(
+        f.startswith("dot_vec(") for f in flagged
+    ), flagged
+    green = open(os.path.join("plans", "r15", "dedup_embedding_cosine_after3.txt")).read()
+    assert duplicated_arrow_kernels(green) == []
+    # same kernel, different inputs (two join sides): NOT duplication
+    two_sides = (
+        "ArrowEvalPython [l2_norm_vec(embedding#1)#9], [pythonUDF0#20], 200\n"
+        "ArrowEvalPython [l2_norm_vec(embedding#2)#9], [pythonUDF0#21], 200\n"
+    )
+    assert duplicated_arrow_kernels(two_sides) == []
+    # a re-printed node of a reused subtree (identical line): NOT duplication
+    reused = (
+        "ArrowEvalPython [dot_vec(a#1, b#2)#9], [pythonUDF0#20], 200\n"
+        "ArrowEvalPython [dot_vec(a#1, b#2)#9], [pythonUDF0#20], 200\n"
+    )
+    assert duplicated_arrow_kernels(reused) == []
+    # the regression shape in simple rendering: same args, fresh result ids
+    dup = (
+        "ArrowEvalPython [dot_vec(a#1, b#2)#9], [pythonUDF0#20], 200\n"
+        "ArrowEvalPython [dot_vec(a#1, b#2)#10], [pythonUDF0#21], 200\n"
+    )
+    assert duplicated_arrow_kernels(dup) == ["dot_vec(a#1, b#2)"]
+
+
 def test_q21_plan_is_lazy_and_transparent(spark, sf_dir):
     """Regression gate for KNOWN_ISSUES r4 #1: building q21's plan must not
     embed a pre-executed RDD (the old eager localCheckpoint ran the most
