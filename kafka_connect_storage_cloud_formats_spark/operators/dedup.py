@@ -569,24 +569,43 @@ def _covered_positions(
             "doc_id", F.posexplode(word_ngrams("text", k)).alias("i", "gram")
         )
         .select("doc_id", "i", _gram_key(F.col("gram"), family).alias("g"))
+        # ONE gram exchange feeds the whole derivation (round 16, guide
+        # §2.4): the pre-r16 shape planned the dup-key aggregate and the
+        # occurrence probe as two separate subtrees, each re-running the
+        # posexplode + hash over all docs (two Generate nodes — the
+        # tokenize/hash pass was this family's dominant CPU; exchange
+        # reuse could not dedupe them because column pruning narrowed the
+        # aggregate branch). Repartitioning by g and computing the
+        # dup-key test as WINDOW functions below makes the explode run
+        # exactly once.
+        .repartition(F.col("g"))
     )
-    # same min≠max rewrite as dedup_repeated_ngrams' dup_keys (r15
-    # optimization): one exchange instead of countDistinct's two over the
-    # occurrence-granularity gram stream — identical key set.
-    dup_keys = (
-        grams.groupBy("g")
-        .agg(F.min("doc_id").alias("d_min"), F.max("doc_id").alias("d_max"))
-        .filter(F.col("d_min") != F.col("d_max"))
-        .select("g")
+    # min/max over a g-partitioned window replace the dup-key aggregate
+    # + semi join of earlier rounds (round 16): same min≠max test (⇔ ≥2
+    # distinct docs, the r15 countDistinct rewrite), evaluated on the one
+    # shared gram pass — no second explode, no join. keep_first's
+    # canonical occurrence (min (doc_id, i) — identical tie-break to the
+    # old per-g struct-min aggregate) rides the SAME window spec, so the
+    # exemption costs no extra pass either.
+    from pyspark.sql.window import Window as _W
+
+    wg = _W.partitionBy("g")
+    occ = (
+        grams.withColumn("__dmin", F.min("doc_id").over(wg))
+        .withColumn("__dmax", F.max("doc_id").over(wg))
+        .filter(F.col("__dmin") != F.col("__dmax"))
     )
-    occ = grams.join(dup_keys, "g", "left_semi")
     if keep_first:
-        first = occ.groupBy("g").agg(
-            F.min(F.struct(F.col("doc_id"), F.col("i"))).alias("keep")
-        )
-        occ = occ.join(first, "g").filter(
-            (F.col("doc_id") != F.col("keep.doc_id"))
-            | (F.col("i") != F.col("keep.i"))
+        keep = F.min(F.struct(F.col("doc_id"), F.col("i"))).over(wg)
+        occ = (
+            grams.withColumn("__dmin", F.min("doc_id").over(wg))
+            .withColumn("__dmax", F.max("doc_id").over(wg))
+            .withColumn("__keep", keep)
+            .filter(F.col("__dmin") != F.col("__dmax"))
+            .filter(
+                (F.col("doc_id") != F.col("__keep.doc_id"))
+                | (F.col("i") != F.col("__keep.i"))
+            )
         )
     # repartition by doc_id BEFORE the distinct: hash-partitioning on
     # doc_id alone satisfies the distinct aggregate's clustering
