@@ -545,8 +545,9 @@ def ivf_kmeans_topk_pruned(
 ) -> DataFrame:
     """Trained-quantizer probe against the MATERIALIZED index (the
     serving shape): identical results to :func:`ivf_kmeans_topk` — the
-    index changes the access path (label-partitioned files + DPP), never
-    the answer."""
+    index changes the access path (label-partitioned files scanned under
+    the driver-side routing's static partition filter, plus stored
+    norms), never the answer."""
     from kafka_connect_storage_cloud_formats_spark.artifacts import published_df
 
     _, cent_long = train_kmeans_quantizer(spark, sf_dir, k=k, iters=iters)

@@ -824,14 +824,14 @@ FROM embeddings GROUP BY label ORDER BY label
 
 def ivf_topk_pruned(spark: SparkSession, sf_dir: str, nprobe: int = 1) -> DataFrame:
     """IVF search against the *materialized* index (nprobe=1): queries are
-    assigned to their nearest centroid, then the bucket scan reads the
-    label-partitioned parquet written by :func:`build_ivf_index` through a
-    broadcast join on the partition column — Spark's dynamic partition
-    pruning (DPP) restricts the file scan to the assigned buckets at
-    runtime (``dynamicpruningexpression`` in the scan's PartitionFilters,
-    asserted in tests/test_similarity.py). Results are identical to
-    :func:`ivf_topk` (same oracle SQL): the index changes the access path,
-    never the answer.
+    routed driver-side to their nearest centroids (round 16 — see
+    :func:`_ivf_probe`), so the label-partitioned parquet written by
+    :func:`build_ivf_index` is scanned under a STATIC ``label IN (…)``
+    partition filter — assigned buckets only, known at plan time
+    (strictly earlier than the dynamic partition pruning the pre-r16
+    probe relied on; asserted in tests/test_similarity.py). Results are
+    identical to :func:`ivf_topk` (same oracle SQL): the index changes
+    the access path, never the answer.
     """
     from kafka_connect_storage_cloud_formats_spark.artifacts import published_df
 
